@@ -18,6 +18,8 @@ object Sessions {
       // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
       // reader rejects; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Reference semantics are Spark 3.5 pre-ANSI: invalid cast => null.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
