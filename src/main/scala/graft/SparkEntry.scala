@@ -10,7 +10,8 @@ object SparkEntry {
 
   /** All registered engine queries, module by module. */
   def allDefs: Seq[QueryDef] =
-    analytics.EventWeather.defs ++ analytics.Dashboard.defs
+    analytics.EventWeather.defs ++ analytics.Dashboard.defs ++
+      analytics.TpchOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

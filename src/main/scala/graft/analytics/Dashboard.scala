@@ -108,7 +108,7 @@ object Dashboard {
           |                  / (COUNT(*) - 1)), 2) AS std_temp,
           |       MIN(wind_speed_num) AS min_wind,
           |       MAX(wind_speed_num) AS max_wind,
-          |       round(CAST(SUM(CAST(wind_speed_num AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 2) AS avg_wind
+          |       round(CAST(ROUND(SUM(CAST(wind_speed_num AS DECIMAL(28,10))) * 1000000, 0) AS BIGINT) / 1000000.0 / COUNT(*), 2) AS avg_wind
           |FROM e""".stripMargin) { (s, d) =>
       enr(s, d).agg(
           count(lit(1)).as("n"),
@@ -118,7 +118,7 @@ object Dashboard {
           max(col("temperature")).as("max_temp"),
           min(col("wind_speed_num")).as("min_wind"),
           max(col("wind_speed_num")).as("max_wind"),
-          sum(col("wind_speed_num").cast("decimal(28,10)")).cast("double").as("sw"))
+          (round(sum(col("wind_speed_num").cast("decimal(28,10)")) * 1000000, 0).cast("long") / lit(1000000.0)).as("sw"))
         .select(
           col("n"),
           round(col("s") / col("n"), 2).as("avg_temp"),
