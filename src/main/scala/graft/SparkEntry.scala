@@ -11,7 +11,9 @@ object SparkEntry {
   /** All registered engine queries, module by module. */
   def allDefs: Seq[QueryDef] =
     analytics.EventWeather.defs ++ analytics.Dashboard.defs ++
-      analytics.TpchOps.defs
+      analytics.TpchOps.defs ++ operators.TextOps.defs ++
+      operators.MinHash.defs ++ operators.VectorOps.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

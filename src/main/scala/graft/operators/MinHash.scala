@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** MinHash + LSH near-duplicate detection over word-3-gram shingles —
+  * the standard shingle→minhash→band→bucket-join pipeline.
+  *
+  * Scale shape: one narrow pass computes 32 min-perm values per doc
+  * (a single hash-aggregate keyed on doc_id); banding explodes each doc
+  * into 8 rows; candidates come from an equi-join on (band, band_value)
+  * — cost ∝ bucket collisions, never n². Signature Jaccard estimate is
+  * a 32-way column compare on the candidate pairs only.
+  *
+  * Permutations are fixed constants (seed 42) embedded identically in
+  * the Spark plan and the generated DuckDB oracle, and the shingle hash
+  * is the portable md5-derived 60-bit hash — the whole pipeline is
+  * deterministic and cross-engine checkable.
+  */
+object MinHash {
+
+  val K = 32 // minhash permutations
+  val Bands = 8 // 8 bands x 4 rows
+  val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** (a_i, b_i) for h_i(x) = (a_i * x + b_i) mod P, seed-42 fixed. */
+  val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(K)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  // ---- Spark side -----------------------------------------------------
+
+  private def shingleFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val wdw = Window.partitionBy("doc_id").orderBy("pos")
+    toks.select(col("doc_id"),
+        concat(col("w"), lit(" "), lead("w", 1).over(wdw), lit(" "),
+          lead("w", 2).over(wdw)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+  }
+
+  /** doc_id → m0..m31 signature columns. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val hashed = shingleFrame(docs)
+      .select(col("doc_id"), (TextOps.phash(col("shingle")) % P).as("hp"))
+    val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hp") + lit(b)) % P).as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  /** Candidate pairs from banded bucket join + signature-estimated
+    * Jaccard, thresholded.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = signatures(docs)
+    val bandCols = (0 until Bands).map { b =>
+      concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
+    }
+    val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("b", "band_val")))
+    val cand = bands.select(col("doc_id").as("doc1"), col("b"), col("band_val"))
+      .join(bands.select(col("doc_id").as("doc2"), col("b"), col("band_val")),
+        Seq("b", "band_val"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    val s1 = sig.select(col("doc_id").as("doc1") +:
+      (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)
+    val s2 = sig.select(col("doc_id").as("doc2") +:
+      (0 until K).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until K)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(s1, "doc1").join(s2, "doc2")
+      .withColumn("est_jaccard", matches.cast("double") / K)
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc1", "doc2", "est_jaccard")
+      .orderBy("doc1", "doc2")
+  }
+
+  // ---- DuckDB oracle (generated from the same constants) --------------
+
+  private val withDupesSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private def sigSql(corpus: String): String = {
+    val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * hp + $b) % $P) AS m$i"
+    }.mkString(",\n         ")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+       |    FROM (SELECT doc_id,
+       |                 unnest(string_split(text, ' ')) AS w,
+       |                 generate_subscripts(string_split(text, ' '), 1) AS pos
+       |          FROM ($corpus)))
+       |  WHERE shingle IS NOT NULL),
+       |hashed AS (SELECT doc_id, ${TextOps.phashSql("shingle")} % $P AS hp FROM sh),
+       |sig AS (SELECT doc_id,
+       |         $minExprs
+       |        FROM hashed GROUP BY doc_id)""".stripMargin
+  }
+
+  private def pairsSql(threshold: Double): String = {
+    val bandVals = (0 until Bands).map { b =>
+      val cols = (0 until 4).map(r => s"CAST(m${4 * b + r} AS VARCHAR)")
+      s"(${cols.mkString(" || ',' || ")})"
+    }
+    val bandList = bandVals.zipWithIndex
+      .map { case (v, i) => s"SELECT doc_id, $i AS b, $v AS band_val FROM sig" }
+      .mkString("\n  UNION ALL\n  ")
+    val matchSum = (0 until K)
+      .map(i => s"CASE WHEN s1.m$i = s2.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${sigSql(withDupesSql)},
+       |bands AS (
+       |  $bandList),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT doc1, doc2,
+       |       CAST($matchSum AS DOUBLE) / $K AS est_jaccard
+       |FROM cand JOIN sig s1 ON doc1 = s1.doc_id JOIN sig s2 ON doc2 = s2.doc_id
+       |WHERE CAST($matchSum AS DOUBLE) / $K >= $threshold
+       |ORDER BY doc1, doc2""".stripMargin
+  }
+
+  private def withDupes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+
+  val defs: Seq[QueryDef] = Seq(
+    // D2: the full MinHash+LSH near-dup pipeline, oracle-checked
+    // end-to-end (signatures, banding, bucket join, estimate, threshold).
+    QueryDef.sql("d2_minhash_lsh", pairsSql(0.5)) { (s, d) =>
+      nearDupPairs(withDupes(Tables.documents(s, d)), 0.5)
+    }
+  )
+}

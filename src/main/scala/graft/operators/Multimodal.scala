@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, and a batched decode/feature-extract stage.
+  *
+  * The decode itself is a clearly-marked deterministic STUB (this
+  * container has no image/audio codecs); everything around it — schema,
+  * partitioning, batched per-partition execution shape, feature schema —
+  * is real. Swapping `decodeBatch` for a JNI/codec call is the only
+  * change needed on a real cluster.
+  *
+  * Scale shape: decode is narrow (mapPartitions, no shuffle); batches of
+  * [[BatchSize]] amortize per-call setup exactly the way an Arrow-batched
+  * pandas/tensor UDF would.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], source: String, n_chars: Long)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+      n_frames: Int, mean_level: Double)
+
+  val BatchSize = 64
+
+  /** STUB decoder: deterministic pseudo-features from the raw bytes.
+    * A real implementation would decode image/audio here; the signature
+    * (batch in → features out) is the real contract.
+    */
+  def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val h = java.util.Arrays.hashCode(r.media).toLong & 0x7fffffffL
+      MediaFeatures(
+        doc_id = r.doc_id,
+        n_bytes = r.media.length.toLong,
+        width = (64 + h % 512).toInt,
+        height = (64 + (h / 512) % 512).toInt,
+        n_frames = 1 + (r.media.length % 30),
+        mean_level = (r.media.map(b => (b & 0xff).toLong).sum.toDouble /
+          math.max(r.media.length, 1)) / 255.0)
+    }
+
+  /** documents → media table: text bytes stand in for the media payload. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        col("source"), col("n_chars"))
+      .as[MediaRow]
+  }
+
+  /** The batched decode stage: per-partition, grouped into BatchSize
+    * chunks — no shuffle, no driver involvement.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(g => decodeBatch(g.toSeq)))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // M1: media catalog — binary payload length + content digest
+    // (oracle-checkable part of the multimodal surface).
+    QueryDef.sql("m1_media_catalog",
+      """SELECT doc_id, source, n_chars,
+        |       strlen(text) AS media_bytes,
+        |       md5(text) AS media_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          length(col("text").cast("binary")).cast("long").as("media_bytes"),
+          md5(col("text").cast("binary")).as("media_md5"))
+        .orderBy("doc_id")
+    },
+
+    // M2: batched stub decode + feature extraction (rows-only: the
+    // features come from the stub, not SQL-expressible).
+    QueryDef.rowsOnly("m2_media_features") { (s, d) =>
+      extractFeatures(mediaTable(s, d)).toDF().orderBy("doc_id")
+    }
+  )
+}

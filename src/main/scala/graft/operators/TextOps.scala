@@ -1,0 +1,302 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Text-analysis + deduplication operators for large-scale training-data
+  * pipelines, over the `documents` table. All operators are formulated
+  * shuffle-consciously: tokenization/shingling is narrow; candidate
+  * generation uses inverted-index or band joins (never a cross join), so
+  * cost scales with shared-feature co-occurrence, not n².
+  *
+  * Cross-engine hashing: a 60-bit hash derived from md5 hex
+  * (`conv(substr(md5(x),1,15),16,10)` in Spark ≡
+  * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` in DuckDB) makes
+  * hash-based operators (fingerprints, SimHash) oracle-checkable.
+  */
+object TextOps {
+
+  /** Portable 60-bit content hash (identical in Spark and DuckDB). */
+  def phash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  val phashSql: String => String =
+    x => s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  // Marker-word sets for the n-gram language-ID heuristic.
+  private val enRe = "\\b(the|a|of|and|in|to|is)\\b"
+  private val esRe = "\\b(el|la|de|los|las|una|es)\\b"
+  private val frRe = "\\b(le|la|les|des|une|est|et)\\b"
+
+  /** Duplicate-injected corpus: every doc with doc_id % 10 = 0 appears
+    * again under doc_id+1000000 (the raw table has no exact dupes, so
+    * dedup needs planted ones to have observable behavior).
+    */
+  private def withDupes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+
+  private val withDupesSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  // SimHash: 32 sign-accumulator bits from the portable token hash.
+  // Both sides are generated from the same template so they cannot drift.
+  // each term parenthesized: in DuckDB `+` binds tighter than `<<`
+  private def simhashBitsSqlDuck: String =
+    (0 until 32).map { i =>
+      s"(CAST(CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS BIGINT) << $i)"
+    }.mkString(" + ")
+  private def simhashBitsSqlSpark: String =
+    (0 until 32).map { i =>
+      s"shiftleft(CAST(CASE WHEN SUM(CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS BIGINT), $i)"
+    }.mkString(" + ")
+
+  /** doc → (doc_id, shingle) distinct word-3-gram shingles, via lead()
+    * windows per doc (narrow after one repartition by doc).
+    */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val wdw = Window.partitionBy("doc_id").orderBy("pos")
+    toks
+      .select(col("doc_id"),
+        concat(col("w"), lit(" "), lead("w", 1).over(wdw), lit(" "),
+          lead("w", 2).over(wdw)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+  }
+
+  // NOTE: single-line body — fragments embedded in other stripMargin
+  // strings must not contain lines starting with '|' (concat operator).
+  private val shinglesSql =
+    "SELECT DISTINCT doc_id, shingle FROM (" +
+      " SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle" +
+      " FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w, generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents)" +
+      ") WHERE shingle IS NOT NULL"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // T1: token counting — whitespace tokens, regex word tokens,
+    // alpha-char mass, average word length.
+    QueryDef.sql("t1_token_stats",
+      """SELECT doc_id,
+        |       length(text) AS n_chars,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+        |       length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
+        |       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |         / len(regexp_extract_all(text, '[a-z]+')) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+")).as("word_tokens"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("alpha_chars"))
+        .withColumn("avg_word_len",
+          col("alpha_chars").cast("double") / col("word_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // T2: language ID via marker-word n-gram hits (heuristic classifier).
+    QueryDef.sql("t2_lang_id",
+      s"""SELECT doc_id, lang AS lang_label, en_hits, es_hits, fr_hits,
+         |       CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und'
+         |            WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+         |            WHEN es_hits >= fr_hits THEN 'es'
+         |            ELSE 'fr' END AS lang_guess
+         |FROM (SELECT doc_id, lang,
+         |             len(regexp_extract_all(text, '$enRe')) AS en_hits,
+         |             len(regexp_extract_all(text, '$esRe')) AS es_hits,
+         |             len(regexp_extract_all(text, '$frRe')) AS fr_hits
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"), col("lang").as("lang_label"),
+          regexp_count(col("text"), lit(enRe)).as("en_hits"),
+          regexp_count(col("text"), lit(esRe)).as("es_hits"),
+          regexp_count(col("text"), lit(frRe)).as("fr_hits"))
+        .withColumn("lang_guess",
+          when(col("en_hits") === 0 && col("es_hits") === 0 && col("fr_hits") === 0, "und")
+            .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
+            .when(col("es_hits") >= col("fr_hits"), "es")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    },
+
+    // T3: quality scoring — length/stopword/alpha-ratio features + bucket.
+    QueryDef.sql("t3_quality_score",
+      s"""SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
+         |       round(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+         |             + 0.3 * alpha_ratio + 0.3 * LEAST(stop_ratio * 5.0, 1.0), 6) AS quality,
+         |       CASE WHEN 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+         |                 + 0.3 * alpha_ratio + 0.3 * LEAST(stop_ratio * 5.0, 1.0) >= 0.75 THEN 'high'
+         |            WHEN 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+         |                 + 0.3 * alpha_ratio + 0.3 * LEAST(stop_ratio * 5.0, 1.0) >= 0.5 THEN 'medium'
+         |            ELSE 'low' END AS quality_bucket
+         |FROM (SELECT doc_id,
+         |             len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
+         |             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |             CAST(len(regexp_extract_all(text, '$enRe')) AS DOUBLE)
+         |               / len(regexp_extract_all(text, '[a-z]+')) AS stop_ratio
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_tokens"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))).as("alpha_ratio"),
+        (regexp_count(col("text"), lit(enRe)).cast("double") /
+          regexp_count(col("text"), lit("[a-z]+"))).as("stop_ratio"))
+      val q = lit(0.4) * least(col("n_tokens").cast("double") / 50.0, lit(1.0)) +
+        lit(0.3) * col("alpha_ratio") +
+        lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0))
+      base.select(col("doc_id"), col("n_tokens"), col("alpha_ratio"), col("stop_ratio"),
+          round(q, 6).as("quality"),
+          when(q >= 0.75, "high").when(q >= 0.5, "medium").otherwise("low")
+            .as("quality_bucket"))
+        .orderBy("doc_id")
+    },
+
+    // T4: document fingerprinting — md5 of whitespace-normalized text +
+    // portable 60-bit numeric fingerprint.
+    QueryDef.sql("t4_fingerprint",
+      s"""SELECT doc_id,
+         |       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5,
+         |       ${phashSql("regexp_replace(lower(text), '\\s+', ' ', 'g')")} AS fp64
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+      Tables.documents(s, d).select(
+          col("doc_id"), md5(norm).as("fp_md5"), phash(norm).as("fp64"))
+        .orderBy("doc_id")
+    },
+
+    // D1: exact dedup — hash-groupBy; representative = min doc_id.
+    // One shuffle on the 128-bit content hash; at 100 TB this is the
+    // canonical map-side-combine dedup.
+    QueryDef.sql("d1_exact_dedup",
+      s"""WITH c AS ($withDupesSql)
+         |SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+         |FROM c GROUP BY h HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin) {
+      (s, d) =>
+        withDupes(Tables.documents(s, d))
+          .groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+          .filter(col("n_copies") > 1)
+          .orderBy("keep_id")
+    },
+
+    // D1b: the dedup summary a pipeline reports (rows in/out/removed).
+    QueryDef.sql("d1b_dedup_summary",
+      s"""WITH c AS ($withDupesSql)
+         |SELECT COUNT(*) AS n_in,
+         |       COUNT(DISTINCT md5(text)) AS n_unique,
+         |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_removed
+         |FROM c""".stripMargin) { (s, d) =>
+      withDupes(Tables.documents(s, d))
+        .agg(count(lit(1)).as("n_in"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .withColumn("n_removed", col("n_in") - col("n_unique"))
+    },
+
+    // D3: n-gram Jaccard near-dup — inverted-index join on word-3-gram
+    // shingles (cost ∝ co-occurrence, never n²), df-capped at 50 docs per
+    // shingle to bound hot-key fan-out at scale.
+    QueryDef.sql("d3_ngram_jaccard",
+      s"""WITH sh AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY doc1, doc2)
+         |SELECT doc1, doc2, inter, s1.n AS n1, s2.n AS n2,
+         |       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+         |FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id
+         |           JOIN sizes s2 ON doc2 = s2.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.05
+         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val sh = shingles(Tables.documents(s, d)).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val capped = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("shingle")
+      val shc = sh.join(capped, "shingle")
+      val a = shc.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = shc.select(col("doc_id").as("doc2"), col("shingle"))
+      val pairs = a.join(b, Seq("shingle"))
+        .filter(col("doc1") < col("doc2"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+      val jac = pairs
+        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.05)
+        .select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
+        .orderBy("doc1", "doc2")
+      jac
+    },
+
+    // D4: SimHash signatures — 32-bit sign-accumulated token-hash sketch.
+    QueryDef.sql("d4_simhash",
+      s"""SELECT doc_id, $simhashBitsSqlDuck AS simhash
+         |FROM (SELECT doc_id, ${phashSql("w")} AS h
+         |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), phash(col("w")).as("h"))
+        .groupBy("doc_id")
+        .agg(expr(simhashBitsSqlSpark).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // D4b: SimHash near-dup pairs — banded candidate join (4 bytes;
+    // hamming ≤ 3 guarantees ≥ 1 equal band by pigeonhole), then exact
+    // hamming filter. Never a cross join.
+    QueryDef.sql("d4b_simhash_pairs",
+      s"""WITH sig AS (
+         |  SELECT doc_id, $simhashBitsSqlDuck AS simhash
+         |  FROM (SELECT doc_id, ${phashSql("w")} AS h
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |              FROM ($withDupesSql)))
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS band_val
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         |         a.simhash AS sh1, b.simhash AS sh2
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT doc1, doc2, bit_count(xor(sh1, sh2)) AS hamming
+         |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3
+         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val sig = withDupes(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), phash(col("w")).as("h"))
+        .groupBy("doc_id")
+        .agg(expr(simhashBitsSqlSpark).as("simhash"))
+      val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("band_val", expr("shiftright(simhash, 8 * b) & 255"))
+      val a = bands.select(col("doc_id").as("doc1"), col("simhash").as("sh1"),
+        col("b"), col("band_val"))
+      val bb = bands.select(col("doc_id").as("doc2"), col("simhash").as("sh2"),
+        col("b"), col("band_val"))
+      a.join(bb, Seq("b", "band_val"))
+        .filter(col("doc1") < col("doc2"))
+        .select("doc1", "doc2", "sh1", "sh2").distinct()
+        .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+        .filter(col("hamming") <= 3)
+        .select("doc1", "doc2", "hamming")
+        .orderBy("doc1", "doc2")
+    }
+  )
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Two paths, as a 100 TB design demands:
+  *  - v1: brute-force top-k as the correctness anchor, restricted to a
+  *    fixed query set (vec_id < 10). Elements are quantized to 1e-6 and
+  *    all arithmetic is integral until a final IEEE division, so Spark
+  *    and DuckDB agree bit-for-bit (oracle-checked).
+  *  - v2/v3: the scale path — 16-bit random-hyperplane (Rademacher) LSH
+  *    codes computed narrowly per row, bucket equi-join for candidates,
+  *    exact float cosine only on candidates. Cost ∝ bucket collisions.
+  *
+  * The float cosine itself (`cosine`) is `zip_with` + `aggregate` —
+  * pure Catalyst expressions, no UDF, stays in codegen.
+  */
+object VectorOps {
+
+  /** Exact float cosine over two array<float> columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Multi-table random-hyperplane (Rademacher) LSH: L tables × B bits.
+    * A single wide code gives near-zero collision probability on random
+    * data (observed: 16 bits over 500 vectors → 0 candidates), so the
+    * production shape is several short codes — a pair collides if ANY
+    * table agrees. Plane signs are fixed (seed 7), inlined as literals —
+    * narrow, codegen-able, no shuffle to compute.
+    */
+  val Tables_ = 12 // L hash tables
+  val Bits = 7 // bits per table
+  private val planeSigns: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(Tables_ * Bits)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** One B-bit code per table, as an array column (explode to bucket). */
+  def lshCodes(v: Column): Column = {
+    val codes = (0 until Tables_).map { t =>
+      (0 until Bits).map { j =>
+        val signs = planeSigns(t * Bits + j)
+        val proj = aggregate(
+          zip_with(v, typedLit(signs), (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(codes: _*)
+  }
+
+  // ---- v1: oracled brute-force KNN on quantized vectors ---------------
+
+  /** vec_id, pos, xi — element stream with 1e-6 integer quantization
+    * (identical in both engines: float→double widening is exact, one
+    * multiply, one round).
+    */
+  private def elements(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("xi"))
+
+  private val elementsSql =
+    """SELECT vec_id, pos, CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xi
+      |FROM (SELECT vec_id,
+      |             unnest(embedding) AS x,
+      |             generate_subscripts(embedding, 1) - 1 AS pos
+      |      FROM embeddings)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // V1: brute-force cosine top-10 for the fixed query set.
+    QueryDef.sql("v1_knn_brute",
+      s"""WITH el AS ($elementsSql),
+         |norms AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM el GROUP BY vec_id),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         CAST(SUM(q.xi * c.xi) AS BIGINT) AS dot
+         |  FROM el q JOIN el c ON q.pos = c.pos AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY query_id, cand_id),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+         |                                     cand_id) AS rn
+         |  FROM dots JOIN norms nq ON query_id = nq.vec_id
+         |            JOIN norms nc ON cand_id = nc.vec_id)
+         |SELECT query_id, rn, cand_id, cos FROM scored WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      val el = elements(Tables.embeddings(s, d)).cache()
+      val norms = el.groupBy("vec_id").agg(sum(col("xi") * col("xi")).as("n2"))
+      val q = el.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("pos"), col("xi").as("qx"))
+      val dots = q.join(el.select(col("vec_id").as("cand_id"), col("pos"),
+          col("xi").as("cx")), Seq("pos"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(col("qx") * col("cx")).as("dot"))
+      val scored = dots
+        .join(norms.select(col("vec_id").as("query_id"), col("n2").as("nq")), "query_id")
+        .join(norms.select(col("vec_id").as("cand_id"), col("n2").as("nc")), "cand_id")
+        .withColumn("cos",
+          col("dot").cast("double") /
+            (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))))
+        .filter(col("rn") <= 10)
+      scored.select("query_id", "rn", "cand_id", "cos").orderBy("query_id", "rn")
+    },
+
+    // V2: multi-table LSH ANN — the scale path. Candidates share any
+    // per-table code bucket; exact float cosine + top-k on candidates
+    // only. Recall/cost dial: Tables_ × Bits (12×7 → recall@10 ≈ 0.31
+    // on uniform-random vectors at sf0.01, candidates ≈ 10% of corpus).
+    QueryDef.rowsOnly("v2_ann_lsh") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(lshCodes(col("embedding"))).as(Seq("t", "code")))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("t"), col("code"))
+      val cand = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv"), col("t"), col("code"))
+      q.join(cand, Seq("t", "code"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .select("query_id", "qv", "cand_id", "cv").distinct() // dedup across tables
+        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "cand_id", "cos")
+        .orderBy("query_id", "rn")
+    },
+
+    // V3: embedding-cosine near-dup — planted exact copies (vec_id%10=0
+    // re-appear as vec_id+1000000), LSH bucket candidates, cos >= 0.95.
+    QueryDef.rowsOnly("v3_embed_neardup") { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val all = emb.union(planted)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(lshCodes(col("embedding"))).as(Seq("t", "code")))
+      val a = all.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("t"), col("code"))
+      val b = all.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("t"), col("code"))
+      a.join(b, Seq("t", "code"))
+        .filter(col("v1") < col("v2"))
+        .select("v1", "e1", "v2", "e2").distinct()
+        .withColumn("cos", cosine(col("e1"), col("e2")))
+        .filter(col("cos") >= 0.95)
+        .select("v1", "v2", "cos")
+        .orderBy("v1", "v2")
+    }
+  )
+}
