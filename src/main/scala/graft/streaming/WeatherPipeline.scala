@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.enrich.WeatherEnrich
+import graft.schema.Schemas
+
+/** The reference's streaming topology (SURVEY.md §2.10 ST1-ST8),
+  * Spark-first: one logical enrichment DAG fanned out to three sinks
+  * (console debug projection, enriched store, filtered alerts), each an
+  * independent checkpointed StreamingQuery in append mode — exactly-once
+  * to the file sinks via the `_spark_metadata` commit protocol.
+  *
+  * The DAG is stateless (parse→cast→enrich→filter/project): no
+  * watermark needed, no state store, map-only per micro-batch — at any
+  * scale each batch is one narrow codegen stage per source partition.
+  * [[windowedStats]] is the stateful extension (tumbling window +
+  * watermark) and [[Sessionize]] the custom-state one.
+  */
+object WeatherPipeline {
+
+  /** Kafka source (S1 parity): value bytes carry Schema-A JSON. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+
+  /** The enrichment DAG over any raw frame bearing a `value` column
+    * (binary or string JSON) — batch and streaming alike.
+    */
+  def enriched(raw: DataFrame): DataFrame = WeatherEnrich.pipeline(raw)
+
+  /** Start the 3-sink fan-out. Each query re-reads the source
+    * independently (the reference's topology); for a shared single read
+    * use [[startForeachBatch]].
+    */
+  def start(raw: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): Seq[StreamingQuery] = {
+    val e = enriched(raw)
+    val console = WeatherEnrich.consoleProjection(e).writeStream
+      .outputMode("append").format("console")
+      .option("truncate", value = false)
+      .option("checkpointLocation", s"$checkpointDir/console")
+      .trigger(trigger).start()
+    val store = e.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$outDir/weather_enriched")
+      .option("checkpointLocation", s"$checkpointDir/enriched")
+      .trigger(trigger).start()
+    val alerts = WeatherEnrich.alerts(e).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$outDir/weather_alerts")
+      .option("checkpointLocation", s"$checkpointDir/alerts")
+      .trigger(trigger).start()
+    Seq(console, store, alerts)
+  }
+
+  /** Single-read fan-out: one StreamingQuery, one source scan per batch,
+    * three batch writes inside foreachBatch (source-read sharing the
+    * reference lacks; preferable when the source is the bottleneck).
+    */
+  def startForeachBatch(raw: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    enriched(raw).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointDir/shared")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        b.write.mode("append").parquet(s"$outDir/weather_enriched")
+        WeatherEnrich.alerts(b).write.mode("append").parquet(s"$outDir/weather_alerts")
+        b.unpersist()
+        ()
+      }
+      .start()
+
+  /** Stateful extension (ST3-ST4): tumbling-window per-city aggregates
+    * with a watermark bounding state. Append mode — rows emit once the
+    * watermark passes the window end.
+    */
+  def windowedStats(enriched: DataFrame,
+      window: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    enriched
+      .withWatermark("timestamp_dt", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("timestamp_dt"), window),
+        col("city_name"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("temperature")).as("avg_temp"),
+        max(col("wind_speed_num")).as("max_wind"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("city_name"), col("n"), col("avg_temp"), col("max_wind"))
+}

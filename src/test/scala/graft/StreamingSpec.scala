@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{Sessionize, WeatherPipeline}
+
+/** Streaming semantics (SURVEY.md §2.10): enrichment parity through a
+  * real StreamingQuery, exactly-once checkpoint resume on the file sink,
+  * watermarked windowed aggregation, and custom sessionization state.
+  * All tests are deterministic: `processAllAvailable`, never wall-clock.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goldenJson =
+    """{"date":"2025-10-28 14:31:46","weather_description":"overcast clouds",
+      |"latitude":"33.5928","pression":"1014","humidité":"69","feels_like":"23.4",
+      |"city_name":"Casablanca","local_time":"2025-10-28 15:31:46","min_temp":"22.8",
+      |"wind_speed":"5.14","température":"22.97","max_temp":"23.1",
+      |"timestamp":"1761661906","longitude":"-7.6192"}""".stripMargin.replace("\n", "")
+
+  private def alertJson(temp: Double) =
+    s"""{"date":"d","weather_description":"clear","latitude":"0","pression":"1000",
+       |"humidité":"50","feels_like":"0","city_name":"X","local_time":"t",
+       |"min_temp":"0","wind_speed":"1.0","température":"$temp","max_temp":"0",
+       |"timestamp":"1761661906","longitude":"0"}""".stripMargin.replace("\n", "")
+
+  test("streaming pipeline enriches the golden record through a memory sink") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = WeatherPipeline.enriched(in.toDF().withColumnRenamed("value", "value"))
+      .writeStream.format("memory").queryName("golden_out").outputMode("append")
+      .start()
+    in.addData(goldenJson)
+    q.processAllAvailable()
+    val row = spark.table("golden_out").first()
+    assert(row.getAs[Int]("dew_point") == 17)
+    assert(row.getAs[String]("weather_category") == "Cloudy")
+    assert(row.getAs[String]("alert_type") == "NORMAL")
+    q.stop()
+  }
+
+  test("file sink + checkpoint: exactly-once across query restart") {
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("graft-stream-out")
+    val cp = tmpDir("graft-stream-cp")
+    val in = MemoryStream[String]
+    def startQuery() = WeatherPipeline.enriched(in.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$out/enriched")
+      .option("checkpointLocation", s"$cp/enriched")
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    in.addData(goldenJson, alertJson(45.0))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery() // resume from checkpoint
+    in.addData(alertJson(20.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val result = spark.read.parquet(s"$out/enriched")
+    assert(result.count() == 3) // no dupes, no loss
+    assert(result.filter(col("alert_type") === "EXTREME_TEMPERATURE").count() == 1)
+  }
+
+  test("3-sink fan-out writes enriched store and filtered alerts") {
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("graft-fan-out")
+    val cp = tmpDir("graft-fan-cp")
+    val in = MemoryStream[String]
+    val qs = WeatherPipeline.start(in.toDF(), out, cp, Trigger.ProcessingTime(0))
+    in.addData(goldenJson, alertJson(45.0), alertJson(20.0))
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+    assert(spark.read.parquet(s"$out/weather_enriched").count() == 3)
+    val alerts = spark.read.parquet(s"$out/weather_alerts")
+    assert(alerts.count() == 1) // only the 45° record alerts
+    assert(alerts.select("alert_type").first().getString(0) == "EXTREME_TEMPERATURE")
+  }
+
+  test("watermarked tumbling window emits closed windows in append mode") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    def at(epoch: Long, temp: Double, city: String) =
+      s"""{"date":"d","weather_description":"clear","latitude":"0","pression":"1000",
+         |"humidité":"50","feels_like":"0","city_name":"$city","local_time":"t",
+         |"min_temp":"0","wind_speed":"1.0","température":"$temp","max_temp":"0",
+         |"timestamp":"$epoch","longitude":"0"}""".stripMargin.replace("\n", "")
+    val q = WeatherPipeline
+      .windowedStats(WeatherPipeline.enriched(in.toDF()), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("append")
+      .start()
+    val t0 = 1700000000L // window [t0, t0+300)
+    in.addData(at(t0, 20, "A"), at(t0 + 60, 30, "A"), at(t0 + 120, 10, "B"))
+    q.processAllAvailable()
+    in.addData(at(t0 + 3600, 0, "A")) // push watermark past the first window
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+    val a = rows.find(_.getAs[String]("city_name") == "A").get
+    assert(a.getAs[Long]("n") == 2 && a.getAs[Double]("avg_temp") == 25.0)
+    val b = rows.find(_.getAs[String]("city_name") == "B").get
+    assert(b.getAs[Long]("n") == 1)
+    q.stop()
+  }
+
+  test("sessionization: gap-split and event-time-timeout sessions") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessions(in.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .start()
+    def ev(u: Long, ms: Long) = Sessionize.Event(u, new java.sql.Timestamp(ms), "e")
+    val base = 1700000000000L
+    // user 1: two events 10 min apart (same session), then one 2h later (gap)
+    in.addData(ev(1, base), ev(1, base + 600000))
+    q.processAllAvailable()
+    in.addData(ev(1, base + 7200000)) // same batch: splits on gap
+    q.processAllAvailable()
+    val closed = spark.table("sess_out").as[Sessionize.Session].collect()
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2 && closed.head.closed_by == "gap")
+    assert(closed.head.start_ms == base && closed.head.end_ms == base + 600000)
+    // user 2 far in the future pushes the watermark => user 1's open
+    // session times out via EventTimeTimeout
+    in.addData(ev(2, base + 30 * 3600000L))
+    q.processAllAvailable()
+    in.addData(ev(2, base + 31 * 3600000L)) // one more batch to evaluate timeouts
+    q.processAllAvailable()
+    val all = spark.table("sess_out").as[Sessionize.Session].collect()
+    val timedOut = all.filter(_.closed_by == "timeout")
+    assert(timedOut.exists(s => s.user_id == 1 && s.end_ms == base + 7200000))
+    q.stop()
+  }
+}
