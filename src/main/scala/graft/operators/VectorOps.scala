@@ -38,17 +38,24 @@ object VectorOps {
     * narrow, codegen-able, no shuffle to compute.
     */
   val Tables_ = 12 // L hash tables
-  val Bits = 7 // bits per table
+  val Bits = 7 // bits per table for ANN (moderate-similarity targets)
+  val NearDupBits = 12 // longer codes for near-dup (cos>=0.95 pairs agree
+  //                      on ~90% of bits, so recall stays ~98% while the
+  //                      candidate set shrinks 32x)
   private val planeSigns: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
-    Seq.fill(Tables_ * Bits)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    Seq.fill(Tables_ * NearDupBits)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** One B-bit code per table, as an array column (explode to bucket). */
-  def lshCodes(v: Column): Column = {
+  /** One B-bit code per table, as an array column (explode to bucket).
+    * Fine for small frames/tests; the query path uses [[lshCodeFrame]] —
+    * the 144 `aggregate(zip_with(...))` lambdas here are interpreted per
+    * element and dominate runtime on large inputs.
+    */
+  def lshCodes(v: Column, bits: Int = Bits): Column = {
     val codes = (0 until Tables_).map { t =>
-      (0 until Bits).map { j =>
-        val signs = planeSigns(t * Bits + j)
+      (0 until bits).map { j =>
+        val signs = planeSigns(t * NearDupBits + j)
         val proj = aggregate(
           zip_with(v, typedLit(signs), (x, s) => x.cast("double") * s),
           lit(0.0), (acc, x) => acc + x)
@@ -56,6 +63,28 @@ object VectorOps {
       }.reduce(_ + _)
     }
     array(codes: _*)
+  }
+
+  /** Codegen-friendly LSH coding: one posexplode + ONE hash aggregate
+    * computing all plane projections as plain `sum(x * element_at(...))`
+    * expressions (whole-stage codegen, no lambda interpretation), then a
+    * narrow projection to (vec_id, t, code) bucket rows.
+    */
+  def lshCodeFrame(emb: DataFrame, bits: Int): DataFrame = {
+    val el = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    val projExprs = for {
+      t <- 0 until Tables_; j <- 0 until bits
+    } yield sum(col("x").cast("double") *
+      element_at(typedLit(planeSigns(t * NearDupBits + j)), col("pos") + 1))
+      .as(s"pr_${t}_$j")
+    val proj = el.groupBy("vec_id").agg(projExprs.head, projExprs.tail: _*)
+    val codeCols = (0 until Tables_).map { t =>
+      (0 until bits).map { j =>
+        when(col(s"pr_${t}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    proj.select(col("vec_id"), posexplode(array(codeCols: _*)).as(Seq("t", "code")))
   }
 
   // ---- v1: oracled brute-force KNN on quantized vectors ---------------
@@ -123,17 +152,20 @@ object VectorOps {
     // only. Recall/cost dial: Tables_ × Bits (12×7 → recall@10 ≈ 0.31
     // on uniform-random vectors at sf0.01, candidates ≈ 10% of corpus).
     QueryDef.rowsOnly("v2_ann_lsh") { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          posexplode(lshCodes(col("embedding"))).as(Seq("t", "code")))
+      val emb = lshCodeFrame(Tables.embeddings(s, d), Bits)
+      // Dedup candidate pairs on IDs ONLY (never shuffle the 64-float
+      // arrays through the distinct), then join embeddings back to score.
       val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("t"), col("code"))
-      val cand = emb.select(col("vec_id").as("cand_id"),
-        col("embedding").as("cv"), col("t"), col("code"))
+        .select(col("vec_id").as("query_id"), col("t"), col("code"))
+      val cand = emb.select(col("vec_id").as("cand_id"), col("t"), col("code"))
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
       q.join(cand, Seq("t", "code"))
         .filter(col("cand_id") =!= col("query_id"))
-        .select("query_id", "qv", "cand_id", "cv").distinct() // dedup across tables
+        .select("query_id", "cand_id").distinct() // dedup across tables
+        .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          "query_id")
+        .join(vecs.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+          "cand_id")
         .withColumn("cos", cosine(col("qv"), col("cv")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))))
@@ -148,16 +180,15 @@ object VectorOps {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
-      val all = emb.union(planted)
-        .select(col("vec_id"), col("embedding"),
-          posexplode(lshCodes(col("embedding"))).as(Seq("t", "code")))
-      val a = all.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-        col("t"), col("code"))
-      val b = all.select(col("vec_id").as("v2"), col("embedding").as("e2"),
-        col("t"), col("code"))
+      val corpus = emb.union(planted)
+      val all = lshCodeFrame(corpus, NearDupBits)
+      val a = all.select(col("vec_id").as("v1"), col("t"), col("code"))
+      val b = all.select(col("vec_id").as("v2"), col("t"), col("code"))
       a.join(b, Seq("t", "code"))
         .filter(col("v1") < col("v2"))
-        .select("v1", "e1", "v2", "e2").distinct()
+        .select("v1", "v2").distinct() // ids only through the shuffle
+        .join(corpus.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
+        .join(corpus.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
         .withColumn("cos", cosine(col("e1"), col("e2")))
         .filter(col("cos") >= 0.95)
         .select("v1", "v2", "cos")
