@@ -13,7 +13,8 @@ object SparkEntry {
     analytics.EventWeather.defs ++ analytics.Dashboard.defs ++
       analytics.TpchOps.defs ++ operators.TextOps.defs ++
       operators.MinHash.defs ++ operators.VectorOps.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++ operators.AsOfJoin.defs ++
+      analytics.ScaleOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

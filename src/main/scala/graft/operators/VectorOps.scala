@@ -159,6 +159,7 @@ object VectorOps {
         .select(col("vec_id").as("query_id"), col("t"), col("code"))
       val cand = emb.select(col("vec_id").as("cand_id"), col("t"), col("code"))
       val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      graft.functions.NativeFunctions.register(s)
       q.join(cand, Seq("t", "code"))
         .filter(col("cand_id") =!= col("query_id"))
         .select("query_id", "cand_id").distinct() // dedup across tables
@@ -166,7 +167,7 @@ object VectorOps {
           "query_id")
         .join(vecs.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
           "cand_id")
-        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("cos", expr("cosine_sim(qv, cv)")) // native codegen'd expression
         .withColumn("rn", row_number().over(
           Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))))
         .filter(col("rn") <= 10)
@@ -180,6 +181,7 @@ object VectorOps {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      graft.functions.NativeFunctions.register(s)
       val corpus = emb.union(planted)
       val all = lshCodeFrame(corpus, NearDupBits)
       val a = all.select(col("vec_id").as("v1"), col("t"), col("code"))
@@ -189,7 +191,7 @@ object VectorOps {
         .select("v1", "v2").distinct() // ids only through the shuffle
         .join(corpus.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
         .join(corpus.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
-        .withColumn("cos", cosine(col("e1"), col("e2")))
+        .withColumn("cos", expr("cosine_sim(e1, e2)")) // native codegen'd expression
         .filter(col("cos") >= 0.95)
         .select("v1", "v2", "cos")
         .orderBy("v1", "v2")

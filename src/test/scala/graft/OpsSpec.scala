@@ -68,6 +68,49 @@ class OpsSpec extends SparkSpec {
     assert(codes(0).length == VectorOps.Tables_)
   }
 
+  test("native cosine_sim equals the zip_with composition bit-for-bit") {
+    graft.functions.NativeFunctions.register(spark)
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Array.tabulate(64)(j => (math.sin(i * 64 + j) * 0.4).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val a = df.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = df.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val both = a.crossJoin(b).filter(col("v1") < col("v2"))
+      .select(
+        VectorOps.cosine(col("e1"), col("e2")).as("lambda_cos"),
+        expr("cosine_sim(e1, e2)").as("native_cos"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-identical
+  }
+
+  test("as-of join: strictly-prior match per key, nulls when none") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 90.0))
+      .toDF("k", "t", "price")
+    val out = AsOfJoin.asofStrict(left, right, "k", "t", "t")
+      .select(col("tag"), col("__match.t").as("mt"), col("__match.price").as("mp"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    assert(out("l1").isEmpty) // right@10 is NOT strictly before left@10
+    assert(out("l2").contains((15L, 150.0))) // latest strictly-prior
+    assert(out("l3").isEmpty) // right@9 is after left@5
+  }
+
+  test("CSV/JSON export sinks round-trip") {
+    import graft.sinks.Exports
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val dir = tmpDir("graft-export")
+    Exports.toCsv(df, s"$dir/csv")
+    Exports.toJson(df, s"$dir/json")
+    val csv = spark.read.option("header", "true").csv(s"$dir/csv")
+    val json = spark.read.json(s"$dir/json")
+    assert(csv.count() == 2 && json.count() == 2)
+    assert(csv.columns.toSeq == Seq("id", "name"))
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
