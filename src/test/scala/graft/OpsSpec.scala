@@ -111,6 +111,17 @@ class OpsSpec extends SparkSpec {
     assert(csv.columns.toSeq == Seq("id", "name"))
   }
 
+  test("salted join produces identical results to the plain join") {
+    import graft.operators.SkewJoin
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"l$i"))
+      .toDF("k", "ltag") // key 1 is hot
+    val right = (1L to 100L).map(k => (k, k * 2)).toDF("k", "rval")
+    val plain = left.join(right, "k").select("k", "ltag", "rval")
+    val salted = SkewJoin.saltedJoin(left, right, "k").select("k", "ltag", "rval")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
