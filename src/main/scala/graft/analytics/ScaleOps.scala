@@ -27,6 +27,38 @@ object ScaleOps {
         .agg(percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)),
           lit(10000)).as("quartiles"))
         .orderBy("event_type")
+    },
+
+    // Bucketed co-located join: orders and lineitem bucketed on the join
+    // key at write time => the join plans with ZERO shuffle exchanges
+    // (asserted in OpsSpec). At 100 TB this is the difference between
+    // re-shuffling 100 TB per join and none at all for the fact-fact
+    // join every pipeline repeats.
+    QueryDef.rowsOnly("scale_bucketed_join") { (s, d) =>
+      bucketedOrdersLineitem(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          (round(sum(col("l_extendedprice").cast("decimal(28,10)")) * 100, 0)
+            .cast("long") / lit(100.0)).as("total_price"))
+        .orderBy("o_orderpriority")
     }
   )
+
+  /** Write orders+lineitem bucketed by orderkey (once per JVM/warehouse)
+    * and return the co-located join — no Exchange in the plan.
+    */
+  def bucketedOrdersLineitem(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val buckets = 16
+    def ensure(table: String, write: => Unit): Unit =
+      if (!s.catalog.tableExists(table)) write
+    ensure("orders_b", Tables.orders(s, d)
+      .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b"))
+    ensure("lineitem_b", Tables.lineitem(s, d)
+      .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b"))
+    s.table("lineitem_b").join(s.table("orders_b"),
+      col("l_orderkey") === col("o_orderkey"))
+  }
 }

@@ -122,6 +122,18 @@ class OpsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("bucketed co-located join plans with zero shuffle exchanges") {
+    import graft.analytics.ScaleOps
+    // disable broadcast so the join would otherwise require a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleOps.bucketedOrdersLineitem(spark, "/root/testdata/sf0.001")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
