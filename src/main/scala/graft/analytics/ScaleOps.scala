@@ -50,8 +50,17 @@ object ScaleOps {
   def bucketedOrdersLineitem(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val buckets = 16
+    // In-memory catalog: a fresh session doesn't know tables written by
+    // a previous one, and saveAsTable refuses a stale managed location —
+    // drop the leftover directory before (re)creating.
     def ensure(table: String, write: => Unit): Unit =
-      if (!s.catalog.tableExists(table)) write
+      if (!s.catalog.tableExists(table)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        write
+      }
     ensure("orders_b", Tables.orders(s, d)
       .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("orders_b"))

@@ -33,17 +33,7 @@ object MinHash {
 
   // ---- Spark side -----------------------------------------------------
 
-  private def shingleFrame(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val wdw = Window.partitionBy("doc_id").orderBy("pos")
-    toks.select(col("doc_id"),
-        concat(col("w"), lit(" "), lead("w", 1).over(wdw), lit(" "),
-          lead("w", 2).over(wdw)).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .distinct()
-  }
+  private def shingleFrame(docs: DataFrame): DataFrame = TextOps.shingles(docs)
 
   /** doc_id → m0..m31 signature columns. */
   def signatures(docs: DataFrame): DataFrame = {

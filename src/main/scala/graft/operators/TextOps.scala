@@ -56,20 +56,21 @@ object TextOps {
       s"shiftleft(CAST(CASE WHEN SUM(CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS BIGINT), $i)"
     }.mkString(" + ")
 
-  /** doc → (doc_id, shingle) distinct word-3-gram shingles, via lead()
-    * windows per doc (narrow after one repartition by doc).
+  /** doc → (doc_id, shingle) distinct word-3-gram shingles. Computed
+    * NARROWLY with array `transform` over the token array (no shuffle,
+    * no window sort — the per-doc token order is already the array
+    * order); only the final distinct shuffles. Produces exactly the
+    * same shingle set as a lead()-window formulation.
     */
-  private def shingles(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val wdw = Window.partitionBy("doc_id").orderBy("pos")
-    toks
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        concat(col("w"), lit(" "), lead("w", 1).over(wdw), lit(" "),
-          lead("w", 2).over(wdw)).as("shingle"))
-      .filter(col("shingle").isNotNull)
+        explode(when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), " +
+            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
       .distinct()
-  }
 
   // NOTE: single-line body — fragments embedded in other stripMargin
   // strings must not contain lines starting with '|' (concat operator).

@@ -35,6 +35,14 @@ class OpsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "partial"))
   }
 
+  test("shingling: docs with fewer than 3 tokens yield no shingles, no error") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "only two"), (2L, "a b c d"), (3L, "")).toDF("doc_id", "text")
+    val sh = TextOps.shingles(docs).collect()
+    assert(!sh.exists(_.getLong(0) == 1L) && !sh.exists(_.getLong(0) == 3L))
+    assert(sh.count(_.getLong(0) == 2L) == 2) // "a b c", "b c d"
+  }
+
   test("minhash LSH finds a one-word-edit near-duplicate") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base.replace("w20", "zz") // 1 of 40 words changed
