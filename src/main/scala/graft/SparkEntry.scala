@@ -21,8 +21,12 @@ object SparkEntry {
     analytics.EventWeather.enriched(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = allDefs.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct.mkString(", ")}")
     allDefs.map(q => q.name -> q.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -76,10 +76,7 @@ object MinHash {
 
   // ---- DuckDB oracle (generated from the same constants) --------------
 
-  private val withDupesSql =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL
-      |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+  private val withDupesSql = TextOps.withDupesSql
 
   private def sigSql(corpus: String): String = {
     val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -124,16 +121,11 @@ object MinHash {
        |ORDER BY doc1, doc2""".stripMargin
   }
 
-  private def withDupes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"))
-      .union(docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-
   val defs: Seq[QueryDef] = Seq(
     // D2: the full MinHash+LSH near-dup pipeline, oracle-checked
     // end-to-end (signatures, banding, bucket join, estimate, threshold).
     QueryDef.sql("d2_minhash_lsh", pairsSql(0.5)) { (s, d) =>
-      nearDupPairs(withDupes(Tables.documents(s, d)), 0.5)
+      nearDupPairs(TextOps.withDupes(Tables.documents(s, d)), 0.5)
     }
   )
 }

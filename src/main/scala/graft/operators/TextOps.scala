@@ -32,14 +32,16 @@ object TextOps {
 
   /** Duplicate-injected corpus: every doc with doc_id % 10 = 0 appears
     * again under doc_id+1000000 (the raw table has no exact dupes, so
-    * dedup needs planted ones to have observable behavior).
+    * dedup needs planted ones to have observable behavior). Shared by
+    * every dedup operator (d1/d1b/d2/d4b) — keep the Scala and SQL
+    * forms in lockstep.
     */
-  private def withDupes(docs: DataFrame): DataFrame =
+  def withDupes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .union(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
 
-  private val withDupesSql =
+  val withDupesSql: String =
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
@@ -223,7 +225,7 @@ object TextOps {
          |           JOIN sizes s2 ON doc2 = s2.doc_id
          |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.05
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      val sh = shingles(Tables.documents(s, d)).cache()
+      val sh = shingles(Tables.documents(s, d)) // narrow scan: cheaper to recompute than to pin storage memory for the session
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val capped = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("shingle")

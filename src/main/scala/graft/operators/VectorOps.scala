@@ -126,7 +126,7 @@ object VectorOps {
          |            JOIN norms nc ON cand_id = nc.vec_id)
          |SELECT query_id, rn, cand_id, cos FROM scored WHERE rn <= 10
          |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
-      val el = elements(Tables.embeddings(s, d)).cache()
+      val el = elements(Tables.embeddings(s, d)) // narrow; recompute beats a session-lifetime cache
       val norms = el.groupBy("vec_id").agg(sum(col("xi") * col("xi")).as("n2"))
       val q = el.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("pos"), col("xi").as("qx"))

@@ -22,7 +22,9 @@ object Schemas {
     ).map(StructField(_, StringType, nullable = true))
   )
 
-  /** Schema C — enriched output (24 fields). Declared (never inferred)
+  /** Schema C — enriched output (25 fields; SURVEY.md §1.2 says "24" but
+    * its own field table and the committed golden record both have 25).
+    * Declared (never inferred)
     * so batch re-reads of the enriched store skip schema inference.
     */
   val schemaC: StructType = StructType(Seq(

@@ -16,7 +16,11 @@ import graft.sources.Tables
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outDir = args.lift(1).getOrElse("target/stream_demo")
+    // Namespace everything (staging, sinks, checkpoints) by sf: rerun of
+    // the same sf = exactly-once resume; a different sf = an independent
+    // clean pipeline rather than a checkpoint/source mismatch.
+    val outDir = s"${args.lift(1).getOrElse("target/stream_demo")}/" +
+      new java.io.File(sfDir).getName
     val spark = Sessions.local(appName = "graft-stream-demo")
 
     // File source needs a declared schema: reuse the batch loader's.

@@ -62,6 +62,12 @@ object WeatherPipeline {
   /** Single-read fan-out: one StreamingQuery, one source scan per batch,
     * three batch writes inside foreachBatch (source-read sharing the
     * reference lacks; preferable when the source is the bottleneck).
+    *
+    * foreachBatch is at-least-once by itself (a crash between the write
+    * and the epoch commit replays the batch), so each write targets a
+    * per-batch directory with overwrite — the replay overwrites the same
+    * files instead of appending duplicates (idempotent ⇒ exactly-once
+    * end-to-end). Readers scan the parent directory.
     */
   def startForeachBatch(raw: DataFrame, outDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
@@ -69,10 +75,12 @@ object WeatherPipeline {
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointDir/shared")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
-        b.write.mode("append").parquet(s"$outDir/weather_enriched")
-        WeatherEnrich.alerts(b).write.mode("append").parquet(s"$outDir/weather_alerts")
+        b.write.mode("overwrite")
+          .parquet(s"$outDir/weather_enriched/batch=$batchId")
+        WeatherEnrich.alerts(b).write.mode("overwrite")
+          .parquet(s"$outDir/weather_alerts/batch=$batchId")
         b.unpersist()
         ()
       }

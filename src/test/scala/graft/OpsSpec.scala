@@ -28,6 +28,15 @@ class OpsSpec extends SparkSpec {
     assert(d2.getAs[Long]("click") == 0L && d2.getAs[Long]("view") == 1L)
   }
 
+  test("normalizeColumns aliases only when target is absent") {
+    val df = Seq((1, 20.0)).toDF("id", "temp")
+    val out = Dashboard.normalizeColumns(df, Map("temp" -> "temperature"))
+    assert(out.columns.toSeq == Seq("id", "temperature"))
+    val both = Seq((1, 20.0, 21.0)).toDF("id", "temp", "temperature")
+    assert(Dashboard.normalizeColumns(both, Map("temp" -> "temperature"))
+      .columns.toSeq == Seq("id", "temp", "temperature")) // no clobber
+  }
+
   test("dropAllNullColumns keeps partially-null, drops fully-null") {
     val df = Seq((1, Some("a")), (2, None)).toDF("id", "partial")
       .withColumn("empty", lit(null).cast("int"))

@@ -80,6 +80,25 @@ class StreamingSpec extends SparkSpec {
     assert(alerts.select("alert_type").first().getString(0) == "EXTREME_TEMPERATURE")
   }
 
+  test("JSON file sink (reference S3 shape) writes readable JSON lines") {
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("graft-json-out")
+    val cp = tmpDir("graft-json-cp")
+    val in = MemoryStream[String]
+    val q = WeatherPipeline.enriched(in.toDF())
+      .writeStream.format("json")
+      .option("path", s"$out/enriched_json")
+      .option("checkpointLocation", s"$cp/enriched_json")
+      .outputMode("append").start()
+    in.addData(goldenJson)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.schema(graft.schema.Schemas.schemaC)
+      .json(s"$out/enriched_json")
+    val row = back.first()
+    assert(back.count() == 1 && row.getAs[Int]("dew_point") == 17)
+  }
+
   test("watermarked tumbling window emits closed windows in append mode") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[String]
