@@ -29,6 +29,12 @@ object ScaleOps {
         .orderBy("event_type")
     },
 
+    // Partition pruning: day-partitioned layout + day filter => the
+    // scan reads exactly one partition (asserted in OpsSpec).
+    QueryDef.rowsOnly("scale_partition_pruning") { (s, d) =>
+      partitionedEventsScan(s, d)
+    },
+
     // Bucketed co-located join: orders and lineitem bucketed on the join
     // key at write time => the join plans with ZERO shuffle exchanges
     // (asserted in OpsSpec). At 100 TB this is the difference between
@@ -43,6 +49,27 @@ object ScaleOps {
         .orderBy("o_orderpriority")
     }
   )
+
+  /** Day-partitioned events + a one-day filter: the scan must prune to
+    * a single partition (PartitionFilters in the plan; OpsSpec asserts
+    * partitions-read == 1). The write side is hive-style
+    * `partitionBy(day)` — the layout every 100 TB event store uses so
+    * time-ranged queries touch only their slice.
+    */
+  def partitionedEventsScan(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = s"${s.conf.get("spark.sql.warehouse.dir")}/events_by_day"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("day") === "2024-01-05")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
 
   /** Write orders+lineitem bucketed by orderkey (once per JVM/warehouse)
     * and return the co-located join — no Exchange in the plan.

@@ -86,6 +86,18 @@ object WeatherPipeline {
       }
       .start()
 
+  /** Streaming dedup-on-ingest (the dedup family's streaming form):
+    * drop records whose content hash was already seen, with state
+    * bounded by the event-time watermark — at 100 TB of stream this is
+    * the only dedup whose state doesn't grow forever.
+    */
+  def dedupedStream(enriched: DataFrame, watermark: String = "1 hour"): DataFrame =
+    enriched
+      .withColumn("content_hash",
+        md5(concat_ws("|", col("city_name"), col("timestamp"), col("temperature"))))
+      .withWatermark("timestamp_dt", watermark)
+      .dropDuplicates("content_hash")
+
   /** Stateful extension (ST3-ST4): tumbling-window per-city aggregates
     * with a watermark bounding state. Append mode — rows emit once the
     * watermark passes the window end.

@@ -151,6 +151,31 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("day-partitioned scan prunes to a single partition") {
+    import graft.analytics.ScaleOps
+    val df = ScaleOps.partitionedEventsScan(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(df.collect().nonEmpty) // execute THIS queryExecution (count() would spawn another)
+    // after execution, the scan's numFiles metric must equal the file
+    // count of the ONE selected day partition (inputFiles would list the
+    // whole relation pre-pruning)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val scan = scans(df.queryExecution.executedPlan).head
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dayFiles = new java.io.File(s"$warehouse/events_by_day/day=2024-01-05")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(scan.metrics("numFiles").value == dayFiles,
+      s"read ${scan.metrics("numFiles").value} files, partition has $dayFiles")
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()

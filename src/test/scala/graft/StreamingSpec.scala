@@ -124,6 +124,20 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming dedup drops same-batch and cross-batch duplicates") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = WeatherPipeline.dedupedStream(WeatherPipeline.enriched(in.toDF()))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .start()
+    in.addData(goldenJson, goldenJson) // same-batch dupe
+    q.processAllAvailable()
+    in.addData(goldenJson) // cross-batch dupe, inside the watermark
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").count() == 1)
+    q.stop()
+  }
+
   test("sessionization: gap-split and event-time-timeout sessions") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Sessionize.Event]
