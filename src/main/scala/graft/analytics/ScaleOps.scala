@@ -58,7 +58,9 @@ object ScaleOps {
     */
   def partitionedEventsScan(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val dir = s"${s.conf.get("spark.sql.warehouse.dir")}/events_by_day"
+    // sf-keyed: a staged artifact from one scale factor must never be
+    // served for another (Verify at sf0.01 then Bench at sf0.1 share cwd)
+    val dir = s"${s.conf.get("spark.sql.warehouse.dir")}/events_by_day_${new java.io.File(d).getName}"
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(path))
@@ -77,6 +79,11 @@ object ScaleOps {
   def bucketedOrdersLineitem(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val buckets = 16
+    // Table names are sf-keyed so one session (or a reused warehouse)
+    // can never serve another scale factor's buckets.
+    val sf = new java.io.File(d).getName.replace('.', '_')
+    val ordersT = s"orders_b_$sf"
+    val lineitemT = s"lineitem_b_$sf"
     // In-memory catalog: a fresh session doesn't know tables written by
     // a previous one, and saveAsTable refuses a stale managed location —
     // drop the leftover directory before (re)creating.
@@ -88,13 +95,13 @@ object ScaleOps {
         if (fs.exists(loc)) fs.delete(loc, true)
         write
       }
-    ensure("orders_b", Tables.orders(s, d)
+    ensure(ordersT, Tables.orders(s, d)
       .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("orders_b"))
-    ensure("lineitem_b", Tables.lineitem(s, d)
+      .mode("overwrite").saveAsTable(ordersT))
+    ensure(lineitemT, Tables.lineitem(s, d)
       .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("lineitem_b"))
-    s.table("lineitem_b").join(s.table("orders_b"),
+      .mode("overwrite").saveAsTable(lineitemT))
+    s.table(lineitemT).join(s.table(ordersT),
       col("l_orderkey") === col("o_orderkey"))
   }
 }

@@ -239,13 +239,17 @@ object TpchOps {
         |  (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)) AS n_intersect,
         |  (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)) AS n_except""".stripMargin) {
       (s, d) =>
-        import s.implicits._
+        // One LAZY plan (drivers assume queries build without executing):
+        // three 1-row aggregates cross-joined.
         val c = Tables.customer(s, d).select(col("c_nationkey").as("k"))
         val sup = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
-        val u = c.union(sup).distinct().count() // Dataset.union is UNION ALL
-        val i = c.intersect(sup).count() // distinct, like SQL INTERSECT
-        val e = c.except(sup).count() // distinct, like SQL EXCEPT
-        Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+        val u = c.union(sup).distinct() // Dataset.union is UNION ALL
+          .agg(count(lit(1)).as("n_union"))
+        val i = c.intersect(sup) // distinct, like SQL INTERSECT
+          .agg(count(lit(1)).as("n_intersect"))
+        val e = c.except(sup) // distinct, like SQL EXCEPT
+          .agg(count(lit(1)).as("n_except"))
+        u.crossJoin(i).crossJoin(e)
     },
 
     // PV1: pivot — daily counts per event type as columns.

@@ -45,6 +45,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // match zip_with's null propagation
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -63,18 +64,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  boolean $anyNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |    double $xi = (double) $a.getFloat($i);
          |    double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
+         |  if ($anyNull || $na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

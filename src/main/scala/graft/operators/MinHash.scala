@@ -49,7 +49,10 @@ object MinHash {
     * Jaccard, thresholded.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = signatures(docs)
+    // sig fans out 4 ways (bands self-join + s1 + s2); persist the tiny
+    // (n_docs × 33) signature table so the expensive shingle+min-agg
+    // pipeline runs once, not 4-5×.
+    val sig = signatures(docs).persist()
     val bandCols = (0 until Bands).map { b =>
       concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
     }

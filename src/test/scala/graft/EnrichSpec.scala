@@ -10,15 +10,7 @@ import graft.enrich.WeatherEnrich
 class EnrichSpec extends SparkSpec {
   import spark.implicits._
 
-  /** The one real record the reference commits, as its Schema-A input
-    * (reference: spark-output/weather_enriched/part-00000-45813c51-....json).
-    */
-  private val goldenJson =
-    """{"date":"2025-10-28 14:31:46","weather_description":"overcast clouds",
-      |"latitude":"33.5928","pression":"1014","humidité":"69","feels_like":"23.4",
-      |"city_name":"Casablanca","local_time":"2025-10-28 15:31:46","min_temp":"22.8",
-      |"wind_speed":"5.14","température":"22.97","max_temp":"23.1",
-      |"timestamp":"1761661906","longitude":"-7.6192"}""".stripMargin.replace("\n", "")
+  private val goldenJson = Fixtures.goldenJson
 
   test("golden record reproduces the reference's committed output byte-for-byte") {
     val out = WeatherEnrich.pipeline(Seq(goldenJson).toDF("value")).first()

@@ -17,3 +17,15 @@ trait SparkSpec extends AnyFunSuite {
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 }
+
+/** Shared test fixtures — single source of truth for the golden record
+  * (the one real Schema-A input the reference's committed output pins).
+  */
+object Fixtures {
+  val goldenJson: String =
+    """{"date":"2025-10-28 14:31:46","weather_description":"overcast clouds",
+      |"latitude":"33.5928","pression":"1014","humidité":"69","feels_like":"23.4",
+      |"city_name":"Casablanca","local_time":"2025-10-28 15:31:46","min_temp":"22.8",
+      |"wind_speed":"5.14","température":"22.97","max_temp":"23.1",
+      |"timestamp":"1761661906","longitude":"-7.6192"}""".stripMargin.replace("\n", "")
+}

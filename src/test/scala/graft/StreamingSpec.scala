@@ -13,12 +13,7 @@ import graft.streaming.{Sessionize, WeatherPipeline}
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private val goldenJson =
-    """{"date":"2025-10-28 14:31:46","weather_description":"overcast clouds",
-      |"latitude":"33.5928","pression":"1014","humidité":"69","feels_like":"23.4",
-      |"city_name":"Casablanca","local_time":"2025-10-28 15:31:46","min_temp":"22.8",
-      |"wind_speed":"5.14","température":"22.97","max_temp":"23.1",
-      |"timestamp":"1761661906","longitude":"-7.6192"}""".stripMargin.replace("\n", "")
+  private val goldenJson = Fixtures.goldenJson
 
   private def alertJson(temp: Double) =
     s"""{"date":"d","weather_description":"clear","latitude":"0","pression":"1000",
@@ -29,7 +24,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming pipeline enriches the golden record through a memory sink") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[String]
-    val q = WeatherPipeline.enriched(in.toDF().withColumnRenamed("value", "value"))
+    val q = WeatherPipeline.enriched(in.toDF())
       .writeStream.format("memory").queryName("golden_out").outputMode("append")
       .start()
     in.addData(goldenJson)
