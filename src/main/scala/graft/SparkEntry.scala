@@ -14,7 +14,8 @@ object SparkEntry {
       analytics.TpchOps.defs ++ operators.TextOps.defs ++
       operators.MinHash.defs ++ operators.VectorOps.defs ++
       operators.Multimodal.defs ++ operators.AsOfJoin.defs ++
-      analytics.ScaleOps.defs ++ analytics.BatchSessionOps.defs
+      analytics.ScaleOps.defs ++ analytics.BatchSessionOps.defs ++
+      analytics.FuncOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
