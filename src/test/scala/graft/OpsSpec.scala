@@ -170,7 +170,7 @@ class OpsSpec extends SparkSpec {
     }.flatten
     val scan = scans(df.queryExecution.executedPlan).head
     val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val dayFiles = new java.io.File(s"$warehouse/events_by_day/day=2024-01-05")
+    val dayFiles = new java.io.File(s"$warehouse/events_by_day_sf0.001/day=2024-01-05")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(scan.metrics("numFiles").value == dayFiles,
       s"read ${scan.metrics("numFiles").value} files, partition has $dayFiles")
