@@ -196,21 +196,31 @@ object TpchOps {
     },
 
     // W2: lag + delta per supplier over ship time.
+    // NOTE: (l_orderkey, l_linenumber) is NOT unique in this synthetic
+    // data, so the window order carries every remaining column and the
+    // computed delta is the final output tiebreak — the value multiset
+    // at fully-tied positions is deterministic even when row identity
+    // is not.
     QueryDef.sql("w2_lag_delta",
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
         |       l_extendedprice - lag(l_extendedprice) OVER w AS price_delta
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin) {
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |                      l_quantity, l_extendedprice, l_discount)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |         l_extendedprice, price_delta ASC NULLS FIRST""".stripMargin) {
       (s, d) =>
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+            "l_quantity", "l_extendedprice", "l_discount")
         Tables.lineitem(s, d)
           .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
             col("l_linenumber"), col("l_extendedprice"),
             (col("l_extendedprice") - lag("l_extendedprice", 1).over(w)).as("price_delta"))
-          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"),
+            asc_nulls_first("price_delta"))
     },
 
     // W3: running (cumulative) quantity per supplier — frame
@@ -218,18 +228,21 @@ object TpchOps {
     QueryDef.sql("w3_running_sum",
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
         |       SUM(l_quantity) OVER (PARTITION BY l_suppkey
-        |                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |                                      l_quantity, l_extendedprice, l_discount
         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin) {
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, running_qty""".stripMargin) {
       (s, d) =>
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+            "l_quantity", "l_extendedprice", "l_discount")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.lineitem(s, d)
           .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
             col("l_linenumber"), sum("l_quantity").over(w).as("running_qty"))
-          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+            "running_qty")
     },
 
     // SET1: UNION / INTERSECT / EXCEPT (all distinct) over nation keys.
