@@ -22,16 +22,28 @@ object ScaleOps {
     },
 
     // t-digest quantiles: mergeable sketch vs a8's exact per-group sort.
+    // Projected to scalar columns (not array<double>) so the driver's
+    // rows-only comparator can sort/load the output.
     QueryDef.rowsOnly("scale_approx_quantiles") { (s, d) =>
       Tables.events(s, d).groupBy("event_type")
         .agg(percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)),
           lit(10000)).as("quartiles"))
+        .select(col("event_type"),
+          element_at(col("quartiles"), 1).as("q1"),
+          element_at(col("quartiles"), 2).as("median"),
+          element_at(col("quartiles"), 3).as("q3"))
         .orderBy("event_type")
     },
 
     // Partition pruning: day-partitioned layout + day filter => the
-    // scan reads exactly one partition (asserted in OpsSpec).
-    QueryDef.rowsOnly("scale_partition_pruning") { (s, d) =>
+    // scan reads exactly one partition (asserted in OpsSpec). The
+    // result equals a filtered scan of the unpartitioned table, which
+    // is what the oracle computes.
+    QueryDef.sql("scale_partition_pruning",
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       partitionedEventsScan(s, d)
     },
 
@@ -39,8 +51,13 @@ object ScaleOps {
     // key at write time => the join plans with ZERO shuffle exchanges
     // (asserted in OpsSpec). At 100 TB this is the difference between
     // re-shuffling 100 TB per join and none at all for the fact-fact
-    // join every pipeline repeats.
-    QueryDef.rowsOnly("scale_bucketed_join") { (s, d) =>
+    // join every pipeline repeats. Result-identical to the plain join,
+    // which is what the oracle computes.
+    QueryDef.sql("scale_bucketed_join",
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       bucketedOrdersLineitem(s, d)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
@@ -63,10 +80,20 @@ object ScaleOps {
     val dir = s"${s.conf.get("spark.sql.warehouse.dir")}/events_by_day_${new java.io.File(d).getName}"
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
+    // A bare exists() check would trust a partial directory left by a
+    // crashed prior run; gate on the _SUCCESS marker and rebuild from a
+    // temp dir + atomic rename so readers never see a half-written layout.
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    if (!fs.exists(success)) {
+      if (fs.exists(path)) fs.delete(path, true)
+      val tmp = new org.apache.hadoop.fs.Path(s"${dir}__tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
       Tables.events(s, d)
         .withColumn("day", to_date(col("ts")))
-        .write.partitionBy("day").parquet(dir)
+        .write.partitionBy("day").parquet(tmp.toString)
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(s"rename $tmp -> $path failed")
+    }
     s.read.parquet(dir)
       .filter(col("day") === "2024-01-05")
       .groupBy("event_type").agg(count(lit(1)).as("n"))

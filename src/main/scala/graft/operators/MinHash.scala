@@ -49,10 +49,13 @@ object MinHash {
     * Jaccard, thresholded.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // sig fans out 4 ways (bands self-join + s1 + s2); persist the tiny
-    // (n_docs × 33) signature table so the expensive shingle+min-agg
-    // pipeline runs once, not 4-5×.
-    val sig = signatures(docs).persist()
+    // sig fans out 4 ways (bands self-join + s1 + s2); materialize the
+    // tiny (n_docs × 33) signature table once so the expensive
+    // shingle+min-agg pipeline runs once, not 4-5×. localCheckpoint
+    // (not persist) so the blocks are released when the plan is GC'd —
+    // an explicit persist with no unpersist would pin cache memory for
+    // the session lifetime across repeated invocations.
+    val sig = signatures(docs).localCheckpoint()
     val bandCols = (0 until Bands).map { b =>
       concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
     }
