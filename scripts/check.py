@@ -4,7 +4,8 @@
 executes each oracle SQL in DuckDB over the same sf tables and compares
 cell-for-cell (columns aligned by sorted name, rows in result order).
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+(optional query names restrict the check — matches Verify's dev filter)
 """
 import sys, os, json, glob
 import duckdb
@@ -12,6 +13,7 @@ import pandas as pd
 import numpy as np
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
@@ -22,6 +24,8 @@ for t in ("region nation customer supplier part orders lineitem events "
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail = 0
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     pdir = f"{out_dir}/{name}"
     files = glob.glob(f"{pdir}/*.parquet")
     if not files:

@@ -233,9 +233,14 @@ object Dashboard {
         .orderBy("event_id")
     },
 
-    // P5: drop-all-null columns — data-dependent projection (two-pass),
-    // not expressible as one SQL query => rows-only check.
-    QueryDef.rowsOnly("p5_dropna_cols") { (s, d) =>
+    // P5: drop-all-null columns — data-dependent projection (two-pass).
+    // Not one SQL query, but on a given dataset it resolves to a static
+    // projection: the planted always-null column is dropped and every
+    // real events column survives — which is exactly what the oracle
+    // states, so the data-dependent logic is still oracle-checked.
+    QueryDef.sql("p5_dropna_cols",
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin) { (s, d) =>
       val withNullCol = Tables.events(s, d)
         .withColumn("always_null", lit(null).cast("string"))
       dropAllNullColumns(withNullCol).orderBy("event_id").limit(100)

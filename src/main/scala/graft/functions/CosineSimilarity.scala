@@ -92,11 +92,107 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: cosine similarity of two `array<float>`
+  * columns over 1e-6-QUANTIZED integer elements — bit-identical across
+  * engines (DuckDB oracle computes the same longs), unlike float
+  * accumulation whose last ulp depends on the engine's sum order.
+  *
+  * Element quantization matches Spark's `round(x * 1e6, 0)` HALF_UP
+  * semantics exactly (away-from-zero, correctly-rounded — `Math.round`
+  * post-JDK-8010430, negated for the negative side). All accumulation
+  * is in longs (64 dims × (4e6)² ≈ 1e15 < 2^53, so the final
+  * long→double conversions are exact); one IEEE division at the end.
+  */
+case class CosineSimilarityQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim_q expects two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = CosineSimilarityQ.quantize(x.getFloat(i))
+      val yi = CosineSimilarityQ.quantize(y.getFloat(i))
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0L || nb == 0L) null
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val anyNull = ctx.freshName("anyNull")
+      val q = classOf[CosineSimilarityQ].getName
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L, $na = 0L, $nb = 0L;
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |    long $xi = $q$$.MODULE$$.quantize($a.getFloat($i));
+         |    long $yi = $q$$.MODULE$$.quantize($b.getFloat($i));
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if ($anyNull || $na == 0L || $nb == 0L) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = (double) $dot /
+         |      (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarityQ {
+  /** `round(x * 1e6, 0)` with Spark/DuckDB HALF_UP-away-from-zero
+    * semantics, exact on the binary double value.
+    */
+  def quantize(x: Float): Long = {
+    val v = x.toDouble * 1e6
+    if (v >= 0) Math.round(v) else -Math.round(-v)
+  }
+}
+
 object NativeFunctions {
   /** Register engine-native SQL functions on a session (idempotent).
     * Usage after registration: `expr("cosine_sim(a, b)")`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim_q", exprs => CosineSimilarityQ(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -28,19 +28,23 @@ object Multimodal {
 
   /** STUB decoder: deterministic pseudo-features from the raw bytes.
     * A real implementation would decode image/audio here; the signature
-    * (batch in → features out) is the real contract.
+    * (batch in → features out) is the real contract. The fake features
+    * derive from the portable 60-bit md5 hash of the payload (same
+    * definition as TextOps.phash) so the whole stage — including the
+    * mapPartitions plumbing — is oracle-checkable end to end.
     */
   def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { r =>
-      val h = java.util.Arrays.hashCode(r.media).toLong & 0x7fffffffL
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(r.media).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       MediaFeatures(
         doc_id = r.doc_id,
         n_bytes = r.media.length.toLong,
         width = (64 + h % 512).toInt,
         height = (64 + (h / 512) % 512).toInt,
-        n_frames = 1 + (r.media.length % 30),
-        mean_level = (r.media.map(b => (b & 0xff).toLong).sum.toDouble /
-          math.max(r.media.length, 1)) / 255.0)
+        n_frames = (1 + r.media.length % 30),
+        mean_level = (h % 10000L).toDouble / 10000.0)
     }
 
   /** documents → media table: text bytes stand in for the media payload. */
@@ -76,9 +80,21 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // M2: batched stub decode + feature extraction (rows-only: the
-    // features come from the stub, not SQL-expressible).
-    QueryDef.rowsOnly("m2_media_features") { (s, d) =>
+    // M2: batched stub decode + feature extraction. The stub features
+    // are defined on the portable md5 hash, so the oracle reproduces
+    // them in SQL and checks the whole mapPartitions stage.
+    QueryDef.sql("m2_media_features",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |       CAST(64 + (h % 512) AS INT) AS width,
+        |       CAST(64 + ((h // 512) % 512) AS INT) AS height,
+        |       CAST(1 + (n_bytes % 30) AS INT) AS n_frames,
+        |       CAST(h % 10000 AS DOUBLE) / 10000.0 AS mean_level
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       extractFeatures(mediaTable(s, d)).toDF().orderBy("doc_id")
     }
   )

@@ -55,10 +55,11 @@ object VectorOps {
   def lshCodes(v: Column, bits: Int = Bits): Column = {
     val codes = (0 until Tables_).map { t =>
       (0 until bits).map { j =>
-        val signs = planeSigns(t * NearDupBits + j)
+        val signs = planeSigns(t * NearDupBits + j).map(_.toLong)
         val proj = aggregate(
-          zip_with(v, typedLit(signs), (x, s) => x.cast("double") * s),
-          lit(0.0), (acc, x) => acc + x)
+          zip_with(v, typedLit(signs),
+            (x, s) => round(x.cast("double") * 1e6, 0).cast("long") * s),
+          lit(0L), (acc, x) => acc + x)
         when(proj > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
@@ -66,17 +67,20 @@ object VectorOps {
   }
 
   /** Codegen-friendly LSH coding: one posexplode + ONE hash aggregate
-    * computing all plane projections as plain `sum(x * element_at(...))`
+    * computing all plane projections as plain `sum(xi * element_at(...))`
     * expressions (whole-stage codegen, no lambda interpretation), then a
     * narrow projection to (vec_id, t, code) bucket rows.
+    *
+    * Projections run over the 1e-6-quantized INTEGER elements, so the
+    * bucket codes (sign of an exact integer sum) are bit-identical in
+    * any engine — which is what lets v2/v3 carry full DuckDB oracles.
     */
   def lshCodeFrame(emb: DataFrame, bits: Int): DataFrame = {
-    val el = emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("pos", "x")))
+    val el = elements(emb)
     val projExprs = for {
       t <- 0 until Tables_; j <- 0 until bits
-    } yield sum(col("x").cast("double") *
-      element_at(typedLit(planeSigns(t * NearDupBits + j)), col("pos") + 1))
+    } yield sum(col("xi") *
+      element_at(typedLit(planeSigns(t * NearDupBits + j).map(_.toLong)), col("pos") + 1))
       .as(s"pr_${t}_$j")
     val proj = el.groupBy("vec_id").agg(projExprs.head, projExprs.tail: _*)
     val codeCols = (0 until Tables_).map { t =>
@@ -85,6 +89,36 @@ object VectorOps {
       }.reduce(_ + _)
     }
     proj.select(col("vec_id"), posexplode(array(codeCols: _*)).as(Seq("t", "code")))
+  }
+
+  // ---- shared oracle scaffolding (generated from the same constants) --
+
+  /** WITH-clause fragments: quantized elements of `corpus`, plane signs
+    * as (t, j, 64-char bitstring) VALUES rows, integer projections, and
+    * per-table codes — the SQL twin of [[lshCodeFrame]].
+    */
+  private def lshSql(corpusSql: String, bits: Int): String = {
+    val signRows = (for { t <- 0 until Tables_; j <- 0 until bits } yield {
+      val s = planeSigns(t * NearDupBits + j).map(x => if (x > 0) '1' else '0').mkString
+      s"($t, $j, '$s')"
+    }).mkString(",\n    ")
+    s"""el AS (
+       |  SELECT vec_id, pos, CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xi
+       |  FROM (SELECT vec_id,
+       |               unnest(embedding) AS x,
+       |               generate_subscripts(embedding, 1) - 1 AS pos
+       |        FROM ($corpusSql))),
+       |signs(t, j, s) AS (VALUES
+       |    $signRows),
+       |proj AS (
+       |  SELECT vec_id, t, j,
+       |         SUM(xi * (CASE WHEN substr(s, pos + 1, 1) = '1' THEN 1 ELSE -1 END)) AS pr
+       |  FROM el CROSS JOIN signs GROUP BY vec_id, t, j),
+       |codes AS (
+       |  SELECT vec_id, t,
+       |         SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS code
+       |  FROM proj GROUP BY vec_id, t),
+       |norms AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM el GROUP BY vec_id)""".stripMargin
   }
 
   // ---- v1: oracled brute-force KNN on quantized vectors ---------------
@@ -148,10 +182,33 @@ object VectorOps {
     },
 
     // V2: multi-table LSH ANN — the scale path. Candidates share any
-    // per-table code bucket; exact float cosine + top-k on candidates
+    // per-table code bucket; exact quantized cosine + top-k on candidates
     // only. Recall/cost dial: Tables_ × Bits (12×7 → recall@10 ≈ 0.31
     // on uniform-random vectors at sf0.01, candidates ≈ 10% of corpus).
-    QueryDef.rowsOnly("v2_ann_lsh") { (s, d) =>
+    // Fully oracled: codes, candidate set, and scores are all exact
+    // integer arithmetic, reproduced verbatim by the generated SQL.
+    QueryDef.sql("v2_ann_lsh", {
+      s"""WITH ${lshSql("SELECT vec_id, embedding FROM embeddings", Bits)},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |dots AS (
+         |  SELECT cand.query_id, cand.cand_id, CAST(SUM(e1.xi * e2.xi) AS BIGINT) AS dot
+         |  FROM cand JOIN el e1 ON e1.vec_id = cand.query_id
+         |            JOIN el e2 ON e2.vec_id = cand.cand_id AND e2.pos = e1.pos
+         |  GROUP BY cand.query_id, cand.cand_id),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+         |                                     cand_id) AS rn
+         |  FROM dots JOIN norms nq ON query_id = nq.vec_id
+         |            JOIN norms nc ON cand_id = nc.vec_id)
+         |SELECT query_id, rn, cand_id, cos FROM scored WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin
+    }) { (s, d) =>
       val emb = lshCodeFrame(Tables.embeddings(s, d), Bits)
       // Dedup candidate pairs on IDs ONLY (never shuffle the 64-float
       // arrays through the distinct), then join embeddings back to score.
@@ -167,7 +224,7 @@ object VectorOps {
           "query_id")
         .join(vecs.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
           "cand_id")
-        .withColumn("cos", expr("cosine_sim(qv, cv)")) // native codegen'd expression
+        .withColumn("cos", expr("cosine_sim_q(qv, cv)")) // native codegen'd expression
         .withColumn("rn", row_number().over(
           Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))))
         .filter(col("rn") <= 10)
@@ -177,7 +234,27 @@ object VectorOps {
 
     // V3: embedding-cosine near-dup — planted exact copies (vec_id%10=0
     // re-appear as vec_id+1000000), LSH bucket candidates, cos >= 0.95.
-    QueryDef.rowsOnly("v3_embed_neardup") { (s, d) =>
+    // Oracled via the same integer-exact scaffolding as v2.
+    QueryDef.sql("v3_embed_neardup", {
+      val corpus = """SELECT vec_id, embedding FROM embeddings
+                     | UNION ALL
+                     | SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+      s"""WITH ${lshSql(corpus, NearDupBits)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
+         |  WHERE a.vec_id < b.vec_id),
+         |dots AS (
+         |  SELECT cand.v1, cand.v2, CAST(SUM(e1.xi * e2.xi) AS BIGINT) AS dot
+         |  FROM cand JOIN el e1 ON e1.vec_id = cand.v1
+         |            JOIN el e2 ON e2.vec_id = cand.v2 AND e2.pos = e1.pos
+         |  GROUP BY cand.v1, cand.v2)
+         |SELECT v1, v2,
+         |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.95
+         |ORDER BY v1, v2""".stripMargin
+    }) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
@@ -191,7 +268,7 @@ object VectorOps {
         .select("v1", "v2").distinct() // ids only through the shuffle
         .join(corpus.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
         .join(corpus.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
-        .withColumn("cos", expr("cosine_sim(e1, e2)")) // native codegen'd expression
+        .withColumn("cos", expr("cosine_sim_q(e1, e2)")) // native codegen'd expression
         .filter(col("cos") >= 0.95)
         .select("v1", "v2", "cos")
         .orderBy("v1", "v2")
