@@ -12,7 +12,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     analytics.EventWeather.defs ++ analytics.Dashboard.defs ++
       analytics.TpchOps.defs ++ operators.TextOps.defs ++
-      operators.MinHash.defs ++ operators.VectorOps.defs ++
+      operators.MinHash.defs ++ operators.DedupCluster.defs ++
+      operators.VectorOps.defs ++
       operators.Multimodal.defs ++ operators.AsOfJoin.defs ++
       analytics.ScaleOps.defs ++ analytics.BatchSessionOps.defs ++
       analytics.FuncOps.defs

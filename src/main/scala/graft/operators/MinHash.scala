@@ -102,7 +102,10 @@ object MinHash {
        |        FROM hashed GROUP BY doc_id)""".stripMargin
   }
 
-  private def pairsSql(threshold: Double): String = {
+  /** CTE chain ending in a `pairs` CTE — shared by the d2 oracle and the
+    * d5 clustering oracle (which builds a recursive closure on top).
+    */
+  def pairsCteSql(corpusSql: String, threshold: Double): String = {
     val bandVals = (0 until Bands).map { b =>
       val cols = (0 until 4).map(r => s"CAST(m${4 * b + r} AS VARCHAR)")
       s"(${cols.mkString(" || ',' || ")})"
@@ -113,19 +116,24 @@ object MinHash {
     val matchSum = (0 until K)
       .map(i => s"CASE WHEN s1.m$i = s2.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH ${sigSql(withDupesSql)},
+    s"""${sigSql(corpusSql)},
        |bands AS (
        |  $bandList),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
-       |  WHERE a.doc_id < b.doc_id)
-       |SELECT doc1, doc2,
-       |       CAST($matchSum AS DOUBLE) / $K AS est_jaccard
-       |FROM cand JOIN sig s1 ON doc1 = s1.doc_id JOIN sig s2 ON doc2 = s2.doc_id
-       |WHERE CAST($matchSum AS DOUBLE) / $K >= $threshold
-       |ORDER BY doc1, doc2""".stripMargin
+       |  WHERE a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc1, doc2,
+       |         CAST($matchSum AS DOUBLE) / $K AS est_jaccard
+       |  FROM cand JOIN sig s1 ON doc1 = s1.doc_id JOIN sig s2 ON doc2 = s2.doc_id
+       |  WHERE CAST($matchSum AS DOUBLE) / $K >= $threshold)""".stripMargin
   }
+
+  private def pairsSql(threshold: Double): String =
+    s"""WITH ${pairsCteSql(withDupesSql, threshold)}
+       |SELECT doc1, doc2, est_jaccard FROM pairs
+       |ORDER BY doc1, doc2""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     // D2: the full MinHash+LSH near-dup pipeline, oracle-checked

@@ -39,6 +39,8 @@ object VectorOps {
     */
   val Tables_ = 12 // L hash tables
   val Bits = 7 // bits per table for ANN (moderate-similarity targets)
+  val NCells = 16 // IVF coarse-quantizer cells (v4)
+  val NProbe = 2 // IVF cells probed per query (v4)
   val NearDupBits = 12 // longer codes for near-dup (cos>=0.95 pairs agree
   //                      on ~90% of bits, so recall stays ~98% while the
   //                      candidate set shrinks 32x)
@@ -272,6 +274,88 @@ object VectorOps {
         .filter(col("cos") >= 0.95)
         .select("v1", "v2", "cos")
         .orderBy("v1", "v2")
+    },
+
+    // V4: IVF-style ANN — the other classic scale path. A tiny fixed
+    // "codebook" (vectors with vec_id < NCells as coarse centroids) is
+    // COLLECTED TO THE DRIVER and inlined as literals, so cell
+    // assignment is a map-only pass (16 codegen'd cosine_sim_q calls
+    // per row — no join, no shuffle to assign 100 TB of vectors).
+    // Queries probe their NProbe nearest cells; exact quantized cosine
+    // runs only inside the probed cells (~NProbe/NCells of the corpus).
+    // Integer-exact end to end => full DuckDB oracle.
+    QueryDef.sql("v4_ann_ivf", {
+      s"""WITH el AS (
+         |  SELECT vec_id, pos, CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xi
+         |  FROM (SELECT vec_id,
+         |               unnest(embedding) AS x,
+         |               generate_subscripts(embedding, 1) - 1 AS pos
+         |        FROM embeddings)),
+         |norms AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM el GROUP BY vec_id),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS cent_id, CAST(SUM(v.xi * c.xi) AS BIGINT) AS dot
+         |  FROM el v JOIN el c ON v.pos = c.pos AND c.vec_id < $NCells
+         |  GROUP BY v.vec_id, c.vec_id),
+         |ranked AS (
+         |  SELECT cdots.vec_id AS vec_id, cent_id,
+         |         row_number() OVER (PARTITION BY cdots.vec_id
+         |           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+         |                    cent_id) AS crn
+         |  FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+         |             JOIN norms nc ON cent_id = nc.vec_id),
+         |cells AS (SELECT vec_id AS cand_id, cent_id AS cell FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+         |           WHERE crn <= $NProbe AND vec_id < 10),
+         |cand AS (
+         |  SELECT query_id, cand_id FROM probes JOIN cells USING (cell)
+         |  WHERE cand_id <> query_id),
+         |dots AS (
+         |  SELECT cand.query_id, cand.cand_id, CAST(SUM(e1.xi * e2.xi) AS BIGINT) AS dot
+         |  FROM cand JOIN el e1 ON e1.vec_id = cand.query_id
+         |            JOIN el e2 ON e2.vec_id = cand.cand_id AND e2.pos = e1.pos
+         |  GROUP BY cand.query_id, cand.cand_id),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+         |                                     cand_id) AS rn
+         |  FROM dots JOIN norms nq ON query_id = nq.vec_id
+         |            JOIN norms nc ON cand_id = nc.vec_id)
+         |SELECT query_id, rn, cand_id, cos FROM scored WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin
+    }) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      // The codebook is a genuinely tiny dim table: inline it as
+      // literals so assignment needs no join at all.
+      val cents: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") < NCells)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val centCos = cents.map { case (cid, arr) =>
+        struct(lit(cid).as("cent_id"),
+          call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("ccos"))
+      }
+      val ranked = emb
+        .select(col("vec_id"), explode(array(centCos: _*)).as("c"))
+        .select(col("vec_id"), col("c.cent_id"), col("c.ccos"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+      val cells = ranked.filter(col("crn") === 1)
+        .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
+      val probes = ranked.filter(col("crn") <= NProbe && col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+      probes.join(cells, "cell")
+        .filter(col("cand_id") =!= col("query_id"))
+        .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          "query_id")
+        .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+          "cand_id")
+        .withColumn("cos", expr("cosine_sim_q(qv, cv)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "cand_id", "cos")
+        .orderBy("query_id", "rn")
     }
   )
 }
