@@ -16,7 +16,7 @@ object SparkEntry {
       operators.VectorOps.defs ++
       operators.Multimodal.defs ++ operators.AsOfJoin.defs ++
       analytics.ScaleOps.defs ++ analytics.BatchSessionOps.defs ++
-      analytics.FuncOps.defs
+      analytics.FuncOps.defs ++ analytics.FuncOps2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,254 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Second breadth wave: statistical aggregates, regex, arrays,
+  * subqueries, grouping sets, window frames, null handling, unpivot,
+  * range join and deterministic sampling — every query oracled.
+  *
+  * Cross-engine determinism notes (see COVERAGE.md playbook):
+  *  - statistical moments are EXACT integer sums (quantized inputs) and
+  *    the final corr/covar is derived with the same single-IEEE-op
+  *    expression text in both engines — never the engines' own
+  *    accumulator-order-dependent corr()/covar_samp();
+  *  - regex patterns stay in the Java∩RE2 common subset; DuckDB
+  *    regexp_replace needs the 'g' flag to match Spark's replace-all;
+  *  - array outputs are serialized to comma-joined strings (the
+  *    driver's comparator can't hash raw arrays).
+  */
+object FuncOps2 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A11: corr/covar from exact quantized power sums, per return flag.
+    QueryDef.sql("a11_adv_stats",
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(CAST(l_quantity AS DOUBLE) * 100.0, 0) AS BIGINT) AS xi,
+        |         CAST(round(CAST(l_discount AS DOUBLE) * 10000.0, 0) AS BIGINT) AS yi
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+        |         CAST(SUM(xi * xi) AS BIGINT) AS sxx, CAST(SUM(yi * yi) AS BIGINT) AS syy,
+        |         CAST(SUM(xi * yi) AS BIGINT) AS sxy
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |         (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |          sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qd,
+        |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |         (CAST(n AS DOUBLE) - 1.0) AS covar_samp_qd,
+        |       CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_qty
+        |FROM sums ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val q = Tables.lineitem(s, d).select(
+        col("l_returnflag"),
+        round(col("l_quantity").cast("double") * 100.0, 0).cast("long").as("xi"),
+        round(col("l_discount").cast("double") * 10000.0, 0).cast("long").as("yi"))
+      val sums = q.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(col("xi") * col("xi")).as("sxx"), sum(col("yi") * col("yi")).as("syy"),
+        sum(col("xi") * col("yi")).as("sxy"))
+      val n = col("n").cast("double")
+      val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"), col("sy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      sums.select(col("l_returnflag"), col("n"),
+          ((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qd"),
+          ((sxy - sx * sy / n) / (n - lit(1.0))).as("covar_samp_qd"),
+          (sx / lit(100.0) / n).as("mean_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // RE1: regex battery over documents (Java ∩ RE2 pattern subset).
+    QueryDef.sql("re1_regex_battery",
+      """SELECT doc_id,
+        |       regexp_extract(text, '^(\S+)', 1) AS first_word,
+        |       regexp_matches(text, '[0-9]') AS has_digit,
+        |       regexp_replace(substr(text, 1, 30), '[aeiou]', '', 'g') AS devoweled_prefix,
+        |       regexp_extract(text, '\b(the|a|of)\b', 1) AS first_stopword,
+        |       regexp_replace(text, '\s+', ' ', 'g') = text AS single_spaced
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          regexp_extract(col("text"), "^(\\S+)", 1).as("first_word"),
+          col("text").rlike("[0-9]").as("has_digit"),
+          regexp_replace(substring(col("text"), 1, 30), "[aeiou]", "").as("devoweled_prefix"),
+          regexp_extract(col("text"), "\\b(the|a|of)\\b", 1).as("first_stopword"),
+          (regexp_replace(col("text"), "\\s+", " ") === col("text")).as("single_spaced"))
+        .orderBy("doc_id")
+    },
+
+    // ARR1: array/higher-order battery over tokenized documents
+    // (array outputs serialized to strings for the comparator).
+    QueryDef.sql("arr1_array_battery",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(words) AS BIGINT) AS n_words,
+        |       array_to_string(words[1:3], ',') AS first3,
+        |       words[-1] AS last_word,
+        |       list_contains(words, 'the') AS has_the,
+        |       array_to_string((list_sort(list_distinct(words)))[1:5], ',') AS distinct5
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(
+          col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          concat_ws(",", slice(col("words"), 1, 3)).as("first3"),
+          element_at(col("words"), -1).as("last_word"),
+          array_contains(col("words"), "the").as("has_the"),
+          concat_ws(",", slice(array_sort(array_distinct(col("words"))), 1, 5)).as("distinct5"))
+        .orderBy("doc_id")
+    },
+
+    // SQ1: subquery battery via the engine's SQL surface (spark.sql):
+    // correlated scalar agg, uncorrelated scalar, EXISTS, IN.
+    QueryDef.sql("sq1_subqueries",
+      """SELECT c.c_custkey, c.c_name,
+        |       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2) AS is_richest
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("sq1_customer")
+      Tables.orders(s, d).createOrReplaceTempView("sq1_orders")
+      s.sql("""SELECT c.c_custkey, c.c_name,
+              |       (SELECT COUNT(*) FROM sq1_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+              |       c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM sq1_customer c2) AS is_richest
+              |FROM sq1_customer c
+              |WHERE EXISTS (SELECT 1 FROM sq1_orders o WHERE o.o_custkey = c.c_custkey)
+              |  AND c.c_custkey IN (SELECT o_custkey FROM sq1_orders WHERE o_totalprice > 100000)
+              |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    // G4: explicit GROUPING SETS (cube/rollup's general form), via SQL.
+    QueryDef.sql("g4_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("g4_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS sum_qty
+              |FROM g4_lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    // W4: ranking/frame window battery over orders (tie-free order key).
+    QueryDef.sql("w4_window_frames",
+      """SELECT o_orderkey, o_orderpriority,
+        |       dense_rank()   OVER w AS drk,
+        |       ntile(4)       OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist()    OVER w AS cdist,
+        |       first_value(o_orderkey) OVER w AS first_key,
+        |       nth_value(o_orderkey, 3) OVER w AS third_key,
+        |       last_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+        |       lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          first_value(col("o_orderkey")).over(w).as("first_key"),
+          nth_value(col("o_orderkey"), 3).over(w).as("third_key"),
+          last_value(col("o_orderkey")).over(wFull).as("last_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"))
+        .orderBy("o_orderkey")
+    },
+
+    // F11: null-handling battery (nullif/coalesce/least/greatest/
+    // null-safe equality) over customer.
+    QueryDef.sql("f11_null_battery",
+      """SELECT c_custkey,
+        |       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS seg_coalesced,
+        |       least(c_acctbal, 0.0) AS neg_part,
+        |       greatest(c_acctbal, 0.0) AS pos_part,
+        |       (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS is_building,
+        |       CASE WHEN c_acctbal IS NULL THEN -1 ELSE c_custkey END AS keyed
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(
+          col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("SUPPRESSED"))
+            .as("seg_coalesced"),
+          least(col("c_acctbal"), lit(0.0)).as("neg_part"),
+          greatest(col("c_acctbal"), lit(0.0)).as("pos_part"),
+          (nullif(col("c_mktsegment"), lit("BUILDING")) <=> lit(null)).as("is_building"),
+          when(col("c_acctbal").isNull, lit(-1)).otherwise(col("c_custkey")).as("keyed"))
+        .orderBy("c_custkey")
+    },
+
+    // PV2: unpivot/melt — wide measures to (metric, value) rows.
+    QueryDef.sql("pv2_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_orderkey < 100)
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+    },
+
+    // J6: range (interval-containment) join against a tiny literal band
+    // dim — broadcast nested-loop on Spark, never a shuffle of lineitem.
+    QueryDef.sql("j6_range_join",
+      """SELECT band, COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS band_revenue
+        |FROM lineitem
+        |JOIN (VALUES ('q00_09', 0, 9), ('q10_19', 10, 19), ('q20_29', 20, 29),
+        |             ('q30_39', 30, 39), ('q40_50', 40, 50)) AS r(band, lo, hi)
+        |  ON l_quantity >= lo AND l_quantity <= hi
+        |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bands = Seq(("q00_09", 0, 9), ("q10_19", 10, 19), ("q20_29", 20, 29),
+        ("q30_39", 30, 39), ("q40_50", 40, 50)).toDF("band", "lo", "hi")
+      Tables.lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("l_extendedprice").cast("decimal(28,10)")) * 100, 0)
+            .cast("long") / lit(100.0)).as("band_revenue"))
+        .orderBy("band")
+    },
+
+    // S1: deterministic systematic sampling — hash-mod keeps an exact,
+    // reproducible 5% slice (the sampling a 100 TB pipeline can re-run).
+    QueryDef.sql("s1_hash_sample",
+      s"""SELECT doc_id, source, ${TextOps.phashSql("text")} % 100 AS bucket
+         |FROM documents
+         |WHERE ${TextOps.phashSql("text")} % 100 < 5
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", TextOps.phash(col("text")) % 100)
+        .filter(col("bucket") < 5)
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    }
+  )
+}
