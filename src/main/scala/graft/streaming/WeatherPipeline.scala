@@ -106,6 +106,26 @@ object WeatherPipeline {
       // once the watermark passes them
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join (ST extension beyond the reference):
+    * enriched observations joined to a second live stream of city-level
+    * status updates within ±`slack` of event time. Both inputs carry
+    * watermarks AND the join predicate bounds event-time distance —
+    * that pair is what lets Spark evict join state; an unbounded
+    * stream-stream join would buffer both streams forever, which no
+    * 100 TB/day deployment survives.
+    */
+  def joinWithStatus(enriched: DataFrame, status: DataFrame,
+      watermark: String = "10 minutes", slack: String = "5 minutes"): DataFrame = {
+    val obs = enriched.withWatermark("timestamp_dt", watermark)
+    val st = status.withWatermark("status_ts", watermark)
+    obs.join(st,
+        obs("city_name") === st("status_city") &&
+          st("status_ts") >= obs("timestamp_dt") - expr(s"INTERVAL $slack") &&
+          st("status_ts") <= obs("timestamp_dt") + expr(s"INTERVAL $slack"))
+      .select(obs("city_name"), col("timestamp_dt"), col("temperature"),
+        col("status"), col("status_ts"))
+  }
+
   /** Stateful extension (ST3-ST4): tumbling-window per-city aggregates
     * with a watermark bounding state. Append mode — rows emit once the
     * watermark passes the window end.

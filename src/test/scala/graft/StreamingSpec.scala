@@ -133,6 +133,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join matches within the time bound only") {
+    implicit val sc = spark.sqlContext
+    val obs = MemoryStream[String]
+    val status = MemoryStream[(String, java.sql.Timestamp, String)]
+    def at(epoch: Long, temp: Double, city: String) =
+      s"""{"date":"d","weather_description":"clear","latitude":"0","pression":"1000",
+         |"humidité":"50","feels_like":"0","city_name":"$city","local_time":"t",
+         |"min_temp":"0","wind_speed":"1.0","température":"$temp","max_temp":"0",
+         |"timestamp":"$epoch","longitude":"0"}""".stripMargin.replace("\n", "")
+    val q = WeatherPipeline
+      .joinWithStatus(WeatherPipeline.enriched(obs.toDF()),
+        status.toDS().toDF("status_city", "status_ts", "status"))
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append")
+      .start()
+    val t0 = 1700000000L
+    def ts(epoch: Long) = new java.sql.Timestamp(epoch * 1000L)
+    obs.addData(at(t0, 20, "X"), at(t0 + 240, 22, "X"), at(t0 + 60, 15, "Y"))
+    status.addData(("X", ts(t0 + 120), "OK"), // within ±5 min of both X obs
+      ("X", ts(t0 + 7200), "LATE"), // outside the bound
+      ("Z", ts(t0), "NOCITY")) // no matching city
+    q.processAllAvailable()
+    val rows = spark.table("ssj_out").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getAs[String]("city_name") == "X" &&
+      r.getAs[String]("status") == "OK"))
+    q.stop()
+  }
+
   test("sessionization: gap-split and event-time-timeout sessions") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Sessionize.Event]
