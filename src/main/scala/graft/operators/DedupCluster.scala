@@ -38,8 +38,14 @@ object DedupCluster {
       .localCheckpoint() // edge list reused every round; compute the pair pipeline once
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("cluster_id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Labels only ever decrease under min-propagation, so "no label
+    // changed" ⟺ "sum of labels unchanged" — one cheap aggregate per
+    // round instead of a self-join diff.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("cluster_id")).first().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nbr_label")), "b")
         .groupBy(col("a").as("doc_id")).agg(min("nbr_label").as("nbr_min"))
@@ -48,9 +54,9 @@ object DedupCluster {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
     }
     labels

@@ -225,7 +225,10 @@ object TextOps {
          |           JOIN sizes s2 ON doc2 = s2.doc_id
          |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.05
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      val sh = shingles(Tables.documents(s, d)) // narrow scan: cheaper to recompute than to pin storage memory for the session
+      // sh fans out 4 ways (sizes, df-cap, both sides of the self-join);
+      // materialize once — localCheckpoint, not persist, so the blocks
+      // are GC-released (see MinHash.nearDupPairs).
+      val sh = shingles(Tables.documents(s, d)).localCheckpoint()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val capped = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("shingle")
@@ -281,11 +284,14 @@ object TextOps {
          |SELECT doc1, doc2, bit_count(xor(sh1, sh2)) AS hamming
          |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      // sig feeds both sides of the band self-join; compute the
+      // explode+md5+32-bit aggregate once (localCheckpoint, GC-released).
       val sig = withDupes(Tables.documents(s, d))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .select(col("doc_id"), phash(col("w")).as("h"))
         .groupBy("doc_id")
         .agg(expr(simhashBitsSqlSpark).as("simhash"))
+        .localCheckpoint()
       val bands = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("band_val", expr("shiftright(simhash, 8 * b) & 255"))

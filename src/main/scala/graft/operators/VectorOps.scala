@@ -211,7 +211,10 @@ object VectorOps {
          |SELECT query_id, rn, cand_id, cos FROM scored WHERE rn <= 10
          |ORDER BY query_id, rn""".stripMargin
     }) { (s, d) =>
-      val emb = lshCodeFrame(Tables.embeddings(s, d), Bits)
+      // The (vec_id, t, code) frame is tiny (n×12 rows) but its lineage
+      // is the wide projection aggregate — materialize once for the two
+      // consumers below instead of recomputing per branch.
+      val emb = lshCodeFrame(Tables.embeddings(s, d), Bits).localCheckpoint()
       // Dedup candidate pairs on IDs ONLY (never shuffle the 64-float
       // arrays through the distinct), then join embeddings back to score.
       val q = emb.filter(col("vec_id") < 10)
@@ -261,8 +264,10 @@ object VectorOps {
       val planted = emb.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       graft.functions.NativeFunctions.register(s)
-      val corpus = emb.union(planted)
-      val all = lshCodeFrame(corpus, NearDupBits)
+      // corpus feeds the code frame plus both score-join sides; codes
+      // feed both self-join sides — materialize each once.
+      val corpus = emb.union(planted).localCheckpoint()
+      val all = lshCodeFrame(corpus, NearDupBits).localCheckpoint()
       val a = all.select(col("vec_id").as("v1"), col("t"), col("code"))
       val b = all.select(col("vec_id").as("v2"), col("t"), col("code"))
       a.join(b, Seq("t", "code"))
@@ -340,6 +345,7 @@ object VectorOps {
         .select(col("vec_id"), col("c.cent_id"), col("c.ccos"))
         .withColumn("crn", row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+        .localCheckpoint() // cells + probes both read it; assign once
       val cells = ranked.filter(col("crn") === 1)
         .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
       val probes = ranked.filter(col("crn") <= NProbe && col("vec_id") < 10)
