@@ -237,6 +237,64 @@ object FuncOps2 {
         .orderBy("band")
     },
 
+    // A12: conditional aggregation — filtered counts/sums inside one
+    // grouped pass (the CASE-inside-agg idiom; integer-exact shares).
+    QueryDef.sql("a12_conditional_agg",
+      """SELECT l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pct_returned,
+        |       CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_qty,
+        |       CAST(ROUND(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS returned_revenue
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_linestatus").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
+          (sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double") /
+            count(lit(1)).cast("double")).as("pct_returned"),
+          sum(when(col("l_quantity") > 30, 1).otherwise(0)).as("n_high_qty"),
+          (round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+            .otherwise(lit(0)).cast("decimal(28,10)")) * 100, 0)
+            .cast("long") / lit(100.0)).as("returned_revenue"))
+        .orderBy("l_linestatus")
+    },
+
+    // W5: RANGE frame (value-based, vs w3's ROWS) — integer-exact sums.
+    QueryDef.sql("w5_range_frame",
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(SUM(o_orderkey % 10) OVER w AS BIGINT) AS range_sum,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS range_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val wr = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        .rangeBetween(-100, Window.currentRow)
+      Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          sum(col("o_orderkey") % 10).over(wr).as("range_sum"),
+          count(lit(1)).over(wr).as("range_n"))
+        .orderBy("o_orderkey")
+    },
+
+    // HOF1: higher-order array functions (transform/filter/aggregate) —
+    // the lambda surface DuckDB mirrors with list_* lambdas.
+    QueryDef.sql("hof1_higher_order",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id,
+        |       CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS total_chars,
+        |       CAST(len(list_filter(words, x -> length(x) > 5)) AS BIGINT) AS n_long,
+        |       array_to_string((list_transform(words, x -> upper(x)))[1:3], ',') AS upper3
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(
+          col("doc_id"),
+          aggregate(col("words"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"),
+          size(filter(col("words"), x => length(x) > 5)).cast("long").as("n_long"),
+          concat_ws(",", slice(transform(col("words"), x => upper(x)), 1, 3)).as("upper3"))
+        .orderBy("doc_id")
+    },
+
     // S1: deterministic systematic sampling — hash-mod keeps an exact,
     // reproducible 5% slice (the sampling a 100 TB pipeline can re-run).
     QueryDef.sql("s1_hash_sample",

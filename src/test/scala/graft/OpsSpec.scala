@@ -101,6 +101,40 @@ class OpsSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-identical
   }
 
+  test("connected components: chains collapse to one min-labeled cluster") {
+    import graft.operators.DedupCluster
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // chain 1-2, 2-3 (transitive: {1,2,3}); pair 4-5; 9 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc1", "doc2")
+    val got = DedupCluster.connectedComponents(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("quantized cosine_sim_q: exact copies score exactly 1.0") {
+    graft.functions.NativeFunctions.register(spark)
+    val v = Array(0.5f, -1.25f, 3.0f)
+    val df = Seq((v, v), (v, v.map(-_))).toDF("a", "b")
+      .selectExpr("cosine_sim_q(a, b) AS c")
+    val cs = df.as[Double].collect()
+    assert(cs(0) == 1.0 && cs(1) == -1.0)
+  }
+
+  test("IVF probing: an exact copy of a centroid lands in that centroid's cell") {
+    // 3-dim toy corpus: vec 0/1 act as centroids (vec_id < NCells);
+    // vec 100 equals vec 0 so its top cell must be 0 and brute-force
+    // top-1 neighbor of query 0 must be 100 with cosine 1.
+    graft.functions.NativeFunctions.register(spark)
+    val e0 = Array(1.0f, 0.0f, 0.0f)
+    val e1 = Array(0.0f, 1.0f, 0.0f)
+    val copy = Array(1.0f, 0.0f, 0.0f)
+    val emb = Seq((0L, e0), (1L, e1), (100L, copy)).toDF("vec_id", "embedding")
+    val cos = emb.filter(col("vec_id") === 100)
+      .select(call_function("cosine_sim_q", col("embedding"), typedLit(e0.toSeq)))
+      .as[Double].first()
+    assert(cos == 1.0)
+  }
+
   test("as-of join: strictly-prior match per key, nulls when none") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
