@@ -15,6 +15,7 @@ object SparkEntry {
       operators.MinHash.defs ++ operators.DedupCluster.defs ++
       operators.VectorOps.defs ++
       operators.Multimodal.defs ++ operators.AsOfJoin.defs ++
+      operators.SkewJoin.defs ++
       analytics.ScaleOps.defs ++ analytics.BatchSessionOps.defs ++
       analytics.FuncOps.defs ++ analytics.FuncOps2.defs
 

@@ -96,6 +96,30 @@ object Multimodal {
         |       CAST(h % 10000 AS DOUBLE) / 10000.0 AS mean_level
         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       extractFeatures(mediaTable(s, d)).toDF().orderBy("doc_id")
+    },
+
+    // M3: frame sampling — every 5th frame index per media item, driven
+    // by the decoded n_frames. The explode(sequence(...)) generator is
+    // the real plumbing a video pipeline uses to fan one row out to its
+    // sampled frames (narrow, no shuffle); a real build would follow
+    // with a per-frame decode.
+    QueryDef.sql("m3_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |feats AS (SELECT doc_id, 1 + (n_bytes % 30) AS n_frames FROM f)
+        |SELECT doc_id, n_frames, frame_idx FROM (
+        |  SELECT doc_id, n_frames,
+        |         unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
+        |  FROM feats)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.{explode, sequence}
+      extractFeatures(mediaTable(s, d)).toDF()
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"))
+        .withColumn("frame_idx",
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))))
+        .orderBy("doc_id", "frame_idx")
     }
   )
 }

@@ -26,4 +26,25 @@ object SkewJoin {
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  val defs: Seq[graft.QueryDef] = Seq(
+    // SKEW1: the salted join inside the oracle gate — results must be
+    // identical to the plain join the oracle computes (the salt spreads
+    // placement, never changes the relation).
+    graft.QueryDef.sql("skew1_salted_join",
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val li = graft.sources.Tables.lineitem(s, d)
+      val o = graft.sources.Tables.orders(s, d)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      saltedJoin(li, o, "l_orderkey", factor = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          (round(sum(col("l_extendedprice").cast("decimal(28,10)")) * 100, 0)
+            .cast("long") / lit(100.0)).as("revenue"))
+        .orderBy("o_orderstatus")
+    }
+  )
 }

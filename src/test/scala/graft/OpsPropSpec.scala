@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarityQ
+import graft.operators.DedupCluster
+
+/** Property-based invariants for the round-2 operators, with scalacheck
+  * used directly (the scalatestplus bridge isn't in the offline cache).
+  */
+class OpsPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String, prop: Prop, min: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(min), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  test("connectedComponents matches driver-side union-find on random graphs") {
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 10)
+      m <- Gen.chooseNum(0, 12)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n - 1L)
+        b <- Gen.chooseNum(0L, n - 1L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, edges.distinct)
+
+    def unionFind(n: Int, edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+
+    val prop = Prop.forAll(graphGen) { case (n, edges) =>
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+        else edges.toDF("doc1", "doc2")
+      val got = DedupCluster.connectedComponents(docs, pairs)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(n, edges)
+    }
+    run("components-vs-union-find", prop, 5)
+  }
+
+  test("quantize matches Spark round(x*1e6, 0) on arbitrary floats") {
+    val floatsGen = Gen.listOfN(64,
+      Gen.oneOf(Gen.chooseNum(-4.0f, 4.0f), Gen.chooseNum(-1e-6f, 1e-6f)))
+    val prop = Prop.forAll(floatsGen) { xs =>
+      xs.isEmpty || {
+        val sparkSide = xs.toDF("x")
+          .select(round(col("x").cast("double") * 1e6, 0).cast("long"))
+          .as[Long].collect().toSeq
+        val jvmSide = xs.map(CosineSimilarityQ.quantize)
+        sparkSide == jvmSide
+      }
+    }
+    run("quantize-vs-round", prop, 10)
+  }
+
+  test("salted join invariant holds on a skewed toy frame") {
+    // one hot key (90% of rows) + uniform tail; results must equal the
+    // plain join exactly.
+    val left = (1 to 200).map(i => (if (i <= 180) 1L else i.toLong, i)).toDF("k", "v")
+    val right = Seq((1L, "hot"), (190L, "cold")).toDF("k", "tag")
+    val plain = left.join(right, "k")
+    val salted = graft.operators.SkewJoin.saltedJoin(left, right, "k", factor = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "v", "tag").except(plain.select("k", "v", "tag")).isEmpty)
+    assert(plain.select("k", "v", "tag").except(salted.select("k", "v", "tag")).isEmpty)
+  }
+}
