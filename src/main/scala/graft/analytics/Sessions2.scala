@@ -75,6 +75,64 @@ object BatchSessionOps {
         .select(col("w.start").as("window_start"), col("event_type"), col("n"),
           col("avg_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // TS1: calendar-spine gap fill + forward fill — the canonical
+    // time-series regularization: a complete 6-hour grid per series
+    // (generated spine × distinct keys, no data dependence beyond
+    // min/max), missing buckets 0-counted, last-observation-carried-
+    // forward for the value. One shuffle for the grid join, one
+    // per-series window for the fill.
+    QueryDef.sql("ts1_gap_fill",
+      """WITH b AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
+        |         event_type, value
+        |  FROM events),
+        |agg AS (
+        |  SELECT bucket, event_type, COUNT(*) AS n_obs,
+        |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_value
+        |  FROM b GROUP BY bucket, event_type),
+        |bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket FROM bounds),
+        |grid AS (SELECT bucket, event_type FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM b)),
+        |j AS (
+        |  SELECT grid.bucket, grid.event_type,
+        |         COALESCE(n_obs, 0) AS n_obs, a.avg_value
+        |  FROM grid LEFT JOIN agg a ON grid.bucket = a.bucket AND grid.event_type = a.event_type)
+        |SELECT bucket, event_type, n_obs,
+        |       last_value(avg_value IGNORE NULLS)
+        |         OVER (PARTITION BY event_type ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
+        |FROM j ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      gapFill(Tables.events(s, d))
     }
   )
+
+  /** TS1 core: regularize (ts, event_type, value) onto a complete
+    * 6-hour grid with 0-counts and forward-filled averages. The sf data
+    * happens to populate every bucket, so the actual fill path (missing
+    * bucket → n_obs=0, avg carried forward, leading NULL before a
+    * series' first observation) is pinned by OpsSpec on a gapped frame.
+    */
+  def gapFill(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val agg = ev
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0 /
+          count(lit(1))).as("avg_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n_obs"),
+        col("avg_value"))
+    val spine = agg.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 6 HOURS")))
+        .as("bucket"))
+    val grid = spine.crossJoin(ev.select("event_type").distinct())
+    val wFill = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("bucket", "event_type"), "left")
+      .select(col("bucket"), col("event_type"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("avg_value"))
+      .withColumn("avg_filled", last(col("avg_value"), ignoreNulls = true).over(wFill))
+      .drop("avg_value")
+      .orderBy("event_type", "bucket")
+  }
 }

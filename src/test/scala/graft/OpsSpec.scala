@@ -135,6 +135,26 @@ class OpsSpec extends SparkSpec {
     assert(cos == 1.0)
   }
 
+  test("gap fill: missing buckets get 0-count and carried-forward average") {
+    import graft.analytics.BatchSessionOps
+    def ts(h: Int) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    // series A observed in bucket 0 and bucket 2 (6h buckets); bucket 1
+    // is a gap. Series B observed only in bucket 2 → its earlier grid
+    // rows stay NULL (nothing to carry forward).
+    val ev = Seq(
+      (ts(0), "A", 10.0), (ts(1), "A", 20.0), // bucket 0: avg 15
+      (ts(13), "A", 40.0), // bucket 2: avg 40
+      (ts(13), "B", 7.0)
+    ).toDF("ts", "event_type", "value")
+    val out = BatchSessionOps.gapFill(ev)
+      .select("event_type", "n_obs", "avg_filled")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    val a = out.filter(_._1 == "A")
+    assert(a == Seq(("A", 2L, Some(15.0)), ("A", 0L, Some(15.0)), ("A", 1L, Some(40.0))))
+    val b = out.filter(_._1 == "B")
+    assert(b == Seq(("B", 0L, None), ("B", 0L, None), ("B", 1L, Some(7.0))))
+  }
+
   test("as-of join: strictly-prior match per key, nulls when none") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
