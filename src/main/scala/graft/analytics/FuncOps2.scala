@@ -295,6 +295,46 @@ object FuncOps2 {
         .orderBy("doc_id")
     },
 
+    // GEN1: generator null semantics — posexplode_outer keeps a row
+    // (NULL pos/word) for rows whose array is empty, where plain
+    // explode would drop them. DuckDB mirror: zipped unnests over a
+    // [NULL]-substituted list.
+    QueryDef.sql("gen1_generators",
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 6) AS l
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS INT)]
+        |                     ELSE list_transform(generate_series(0, len(l) - 1), x -> CAST(x AS INT)) END) AS pos,
+        |         unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS word
+        |  FROM w)
+        |SELECT doc_id, pos, word FROM e
+        |ORDER BY doc_id, pos NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > 6).as("l"))
+        .select(col("doc_id"), posexplode_outer(col("l")).as(Seq("pos", "word")))
+        .orderBy(col("doc_id"), col("pos").asc_nulls_first)
+    },
+
+    // S2: stratified train/val/test split — the deterministic 80/10/10
+    // hash split a training pipeline must be able to re-derive; counted
+    // per stratum so the oracle checks the whole assignment.
+    QueryDef.sql("s2_stratified_split",
+      s"""SELECT source, split, COUNT(*) AS n FROM (
+         |  SELECT source,
+         |         CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT source, ${TextOps.phashSql("text")} % 10 AS h FROM documents))
+         |GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", TextOps.phash(col("text")) % 10)
+        .withColumn("split",
+          when(col("h") < 8, "train").when(col("h") < 9, "val").otherwise("test"))
+        .groupBy("source", "split").agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    },
+
     // S1: deterministic systematic sampling — hash-mod keeps an exact,
     // reproducible 5% slice (the sampling a 100 TB pipeline can re-run).
     QueryDef.sql("s1_hash_sample",
