@@ -39,7 +39,7 @@ object SkewJoin {
       val li = graft.sources.Tables.lineitem(s, d)
       val o = graft.sources.Tables.orders(s, d)
         .withColumnRenamed("o_orderkey", "l_orderkey")
-      saltedJoin(li, o, "l_orderkey", factor = 8)
+      saltedJoin(li, o, "l_orderkey", factor = 4)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"),
           (round(sum(col("l_extendedprice").cast("decimal(28,10)")) * 100, 0)
