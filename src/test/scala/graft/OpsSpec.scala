@@ -170,6 +170,26 @@ class OpsSpec extends SparkSpec {
     assert(out("l3").isEmpty) // right@9 is after left@5
   }
 
+  test("compaction: many tiny files collapse to few, rows and values intact") {
+    import graft.sinks.Compaction
+    val dir = tmpDir("graft-compact") + "/events_sink"
+    // simulate a streaming sink's fragmentation: 64 single-row-ish files
+    spark.range(0, 1000).toDF("id").repartition(64)
+      .write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 64)
+    val before = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+    val written = Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(written == 1 && parquetFiles() == 1)
+    val after = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+    assert(after == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_old")))
+  }
+
   test("CSV/JSON export sinks round-trip") {
     import graft.sinks.Exports
     val df = Seq((1, "a"), (2, "b")).toDF("id", "name")

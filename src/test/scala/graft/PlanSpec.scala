@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Plan-shape regression tests: the scale properties the engine
+  * depends on (pushdown, pruning, broadcast choice, generated-column
+  * pruning) asserted against the PHYSICAL plan, so a refactor that
+  * silently turns a broadcast into a 100 TB shuffle fails CI, not the
+  * cluster. (Zero-shuffle bucketing and partition-count pruning are
+  * asserted separately in OpsSpec.)
+  */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes its plan choices
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("g2 pricing summary: date filter is pushed into the parquet scan") {
+    val p = planString(SparkEntry.queries("g2_pricing_summary")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed l_shipdate filter in:\n$p")
+  }
+
+  test("g2 pricing summary: scan reads only the needed columns") {
+    val df = SparkEntry.queries("g2_pricing_summary")(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // lineitem has 11 columns; the query needs no more than 7
+    assert(scans.forall(_.requiredSchema.fields.length <= 7),
+      scans.map(_.requiredSchema.catalogString).mkString("; "))
+  }
+
+  test("j2 star join: every dimension join is a broadcast, none a sort-merge") {
+    val p = planString(SparkEntry.queries("j2_asia_nation_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to sort-merge:\n$p")
+  }
+
+  test("j6 range join: literal band dim broadcasts; fact side never shuffles for the join") {
+    val p = planString(SparkEntry.queries("j6_range_join")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("parity_enrich: the whole enrichment collapses to a map-only scan (no mid-plan exchange)") {
+    // Count exchanges: only the final oracle ORDER BY may shuffle.
+    val df = SparkEntry.queries("parity_enrich")(spark, sf)
+    df.collect()
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 1, s"enrichment should be map-only, found ${exchanges.length} exchanges")
+  }
+}
