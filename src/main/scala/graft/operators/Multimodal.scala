@@ -24,6 +24,8 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int, height: Int,
       n_frames: Int, mean_level: Double)
 
+  case class ResizedMeta(doc_id: Long, width: Int, height: Int, new_w: Int, new_h: Int)
+
   val BatchSize = 64
 
   /** STUB decoder: deterministic pseudo-features from the raw bytes.
@@ -45,6 +47,18 @@ object Multimodal {
         height = (64 + (h / 512) % 512).toInt,
         n_frames = (1 + r.media.length % 30),
         mean_level = (h % 10000L).toDouble / 10000.0)
+    }
+
+  /** STUB resize: fit-to-box dimension computation in pure integer math
+    * (so the oracle reproduces it with `//`). A real implementation
+    * would transform pixel bytes here; batch-in → batch-out is the
+    * contract, same as decode.
+    */
+  def resizeBatch(batch: Seq[MediaFeatures], box: Int = 224): Seq[ResizedMeta] =
+    batch.map { f =>
+      val m = math.max(f.width, f.height).toLong
+      ResizedMeta(f.doc_id, f.width, f.height,
+        (f.width.toLong * box / m).toInt, (f.height.toLong * box / m).toInt)
     }
 
   /** documents → media table: text bytes stand in for the media payload. */
@@ -120,6 +134,31 @@ object Multimodal {
         .withColumn("frame_idx",
           explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // M4: resize stage — second batched mapPartitions hop chained after
+    // decode (the decode→transform pipeline shape), fit-to-224 box in
+    // integer math so the oracle reproduces the dims exactly.
+    QueryDef.sql("m4_resize",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id,
+        |         CAST(64 + (h % 512) AS INT) AS width,
+        |         CAST(64 + ((h // 512) % 512) AS INT) AS height
+        |  FROM f)
+        |SELECT doc_id, width, height,
+        |       CAST(width * 224 // GREATEST(width, height) AS INT) AS new_w,
+        |       CAST(height * 224 // GREATEST(width, height) AS INT) AS new_h
+        |FROM dims ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      extractFeatures(mediaTable(s, d))
+        .mapPartitions(_.grouped(BatchSize).flatMap(g => resizeBatch(g.toSeq)))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 }

@@ -36,6 +36,37 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("malformed JSON yields an all-null row (PERMISSIVE), not a failure") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = WeatherPipeline.enriched(in.toDF())
+      .writeStream.format("memory").queryName("perm_out").outputMode("append")
+      .start()
+    in.addData("{not json at all", goldenJson)
+    q.processAllAvailable()
+    val rows = spark.table("perm_out").collect()
+    assert(rows.length == 2) // malformed row kept, as nulls
+    assert(rows.count(_.getAs[String]("city_name") == null) == 1)
+    assert(rows.count(_.getAs[String]("alert_type") == "NORMAL") == 2) // null flags fall through to NORMAL
+    q.stop()
+  }
+
+  test("raw passthrough archival (K1 shape): bytes written unchanged") {
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("graft-raw-out")
+    val cp = tmpDir("graft-raw-cp")
+    val in = MemoryStream[String]
+    val q = in.toDF().writeStream.format("text")
+      .option("path", s"$out/raw")
+      .option("checkpointLocation", s"$cp/raw")
+      .outputMode("append").start()
+    in.addData(goldenJson, "{not json at all")
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.text(s"$out/raw").collect().map(_.getString(0)).toSet
+    assert(back == Set(goldenJson, "{not json at all")) // archival never parses
+  }
+
   test("file sink + checkpoint: exactly-once across query restart") {
     implicit val sc = spark.sqlContext
     val out = tmpDir("graft-stream-out")
