@@ -132,6 +132,37 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // T2b: heuristic evaluation — confusion matrix of the language-ID
+    // guess against the ground-truth lang column (the eval loop every
+    // heuristic classifier in a data pipeline needs).
+    QueryDef.sql("t2b_langid_eval",
+      s"""SELECT lang_label, lang_guess, COUNT(*) AS n
+         |FROM (SELECT lang AS lang_label,
+         |             CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und'
+         |                  WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+         |                  WHEN es_hits >= fr_hits THEN 'es'
+         |                  ELSE 'fr' END AS lang_guess
+         |      FROM (SELECT lang,
+         |                   len(regexp_extract_all(text, '$enRe')) AS en_hits,
+         |                   len(regexp_extract_all(text, '$esRe')) AS es_hits,
+         |                   len(regexp_extract_all(text, '$frRe')) AS fr_hits
+         |            FROM documents))
+         |GROUP BY lang_label, lang_guess
+         |ORDER BY lang_label, lang_guess""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("lang").as("lang_label"),
+          regexp_count(col("text"), lit(enRe)).as("en_hits"),
+          regexp_count(col("text"), lit(esRe)).as("es_hits"),
+          regexp_count(col("text"), lit(frRe)).as("fr_hits"))
+        .withColumn("lang_guess",
+          when(col("en_hits") === 0 && col("es_hits") === 0 && col("fr_hits") === 0, "und")
+            .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
+            .when(col("es_hits") >= col("fr_hits"), "es")
+            .otherwise("fr"))
+        .groupBy("lang_label", "lang_guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang_label", "lang_guess")
+    },
+
     // T3: quality scoring — length/stopword/alpha-ratio features + bucket.
     QueryDef.sql("t3_quality_score",
       s"""SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
