@@ -86,6 +86,55 @@ object WeatherPipeline {
       }
       .start()
 
+  /** Keyed UPSERT sink (latest-wins materialized view) via foreachBatch:
+    * each micro-batch merges into a parquet store keeping only the
+    * newest row per key, published with an atomic directory swap — so
+    * replays (foreachBatch is at-least-once) converge to the same store
+    * instead of appending duplicates: merge is idempotent by
+    * construction. The testbed swap is two renames; on a real
+    * deployment the same merge writes an Iceberg/Delta commit (a
+    * metadata pointer flip) and the store is partitioned/bucketed by
+    * key so the rewrite touches only changed partitions instead of the
+    * whole table.
+    */
+  def startUpsertLatest(enriched: DataFrame, storeDir: String, checkpointDir: String,
+      key: Seq[String] = Seq("city_name"), tsCol: String = "timestamp_dt",
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointDir/upsert")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(storeDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = new org.apache.hadoop.fs.Path(storeDir)
+        val existing =
+          if (fs.exists(live)) spark.read.parquet(storeDir) else batch.limit(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key.map(col): _*)
+          // batch rows outrank store rows on ts ties => updates win
+          .orderBy(col(tsCol).desc, col("__src").asc)
+        val merged = batch.withColumn("__src", lit(0))
+          .unionByName(existing.withColumn("__src", lit(1)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__src")
+        val tmp = new org.apache.hadoop.fs.Path(s"${storeDir}__upsert_tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(s"${storeDir}__upsert_old")
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(live) && !fs.rename(live, old))
+          throw new java.io.IOException(s"rename $live -> $old failed")
+        if (!fs.rename(tmp, live)) {
+          if (fs.exists(old)) fs.rename(old, live)
+          throw new java.io.IOException(s"rename $tmp -> $live failed (rolled back)")
+        }
+        fs.delete(old, true)
+        ()
+      }
+      .start()
+
   /** Streaming dedup-on-ingest (the dedup family's streaming form):
     * drop records whose content hash was already seen, with state
     * bounded by the event-time watermark — at 100 TB of stream this is

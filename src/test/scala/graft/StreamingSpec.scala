@@ -164,6 +164,29 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("upsert sink keeps exactly the latest row per key across batches") {
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-upsert") + "/latest_by_city"
+    val cp = tmpDir("graft-upsert-cp")
+    val in = MemoryStream[String]
+    def at(epoch: Long, temp: Double, city: String) =
+      s"""{"date":"d","weather_description":"clear","latitude":"0","pression":"1000",
+         |"humidité":"50","feels_like":"0","city_name":"$city","local_time":"t",
+         |"min_temp":"0","wind_speed":"1.0","température":"$temp","max_temp":"0",
+         |"timestamp":"$epoch","longitude":"0"}""".stripMargin.replace("\n", "")
+    val q = WeatherPipeline.startUpsertLatest(
+      WeatherPipeline.enriched(in.toDF()), store, cp)
+    val t0 = 1700000000L
+    in.addData(at(t0, 10, "X"), at(t0 + 60, 12, "X"), at(t0, 5, "Y"))
+    q.processAllAvailable()
+    in.addData(at(t0 + 120, 20, "X")) // update X, leave Y
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(store)
+      .select("city_name", "temperature").as[(String, Int)].collect().toMap
+    assert(rows == Map("X" -> 20, "Y" -> 5))
+  }
+
   test("stream-stream interval join matches within the time bound only") {
     implicit val sc = spark.sqlContext
     val obs = MemoryStream[String]
