@@ -22,6 +22,9 @@ for t in ("region nation customer supplier part orders lineitem events "
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+unknown = only - set(oracle)
+if unknown:  # a typo'd filter must not report a false ALL PASS
+    sys.exit(f"unknown query name(s): {', '.join(sorted(unknown))}")
 fail = 0
 for name, sql in sorted(oracle.items()):
     if only and name not in only:

@@ -9,6 +9,9 @@ object Verify {
     // Optional 3rd+ args: run only the named queries (dev loop shortcut;
     // the driver always calls with exactly two args = full run).
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}") // a typo'd filter must not pass silently
     // One config stack for Verify/Bench/Explain — see Sessions.local.
     val spark = Sessions.local(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), appName = "graft-verify")

@@ -15,10 +15,10 @@ object FuncOps {
 
     // G3: CUBE — all grouping-set combinations (rollup's sibling).
     QueryDef.sql("g3_cube",
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
         |       COUNT(*) AS n,
-        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS sum_qty
+        |       ${graft.Exact.moneySumSql("l_quantity")} AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
@@ -29,8 +29,7 @@ object FuncOps {
             grouping(col("l_returnflag")).as("g_flag"),
             grouping(col("l_linestatus")).as("g_status"),
             count(lit(1)).as("n"),
-            (round(sum(col("l_quantity").cast("decimal(28,10)")) * 100, 0)
-              .cast("long") / lit(100.0)).as("sum_qty"))
+            graft.Exact.moneySum(col("l_quantity")).as("sum_qty"))
           .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
           .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },

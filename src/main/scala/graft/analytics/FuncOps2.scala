@@ -130,14 +130,16 @@ object FuncOps2 {
 
     // G4: explicit GROUPING SETS (cube/rollup's general form), via SQL.
     QueryDef.sql("g4_grouping_sets",
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS sum_qty
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       ${graft.Exact.moneySumSql("l_quantity")} AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).createOrReplaceTempView("g4_lineitem")
-      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-              |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS sum_qty
+      // the money idiom is valid in both dialects, so the engine-side
+      // Spark SQL reuses the same generated fragment as the oracle
+      s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |       ${graft.Exact.moneySumSql("l_quantity")} AS sum_qty
               |FROM g4_lineitem
               |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
               |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
@@ -217,8 +219,8 @@ object FuncOps2 {
     // J6: range (interval-containment) join against a tiny literal band
     // dim — broadcast nested-loop on Spark, never a shuffle of lineitem.
     QueryDef.sql("j6_range_join",
-      """SELECT band, COUNT(*) AS n,
-        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS band_revenue
+      s"""SELECT band, COUNT(*) AS n,
+        |       ${graft.Exact.moneySumSql("l_extendedprice")} AS band_revenue
         |FROM lineitem
         |JOIN (VALUES ('q00_09', 0, 9), ('q10_19', 10, 19), ('q20_29', 20, 29),
         |             ('q30_39', 30, 39), ('q40_50', 40, 50)) AS r(band, lo, hi)
@@ -240,11 +242,11 @@ object FuncOps2 {
     // A12: conditional aggregation — filtered counts/sums inside one
     // grouped pass (the CASE-inside-agg idiom; integer-exact shares).
     QueryDef.sql("a12_conditional_agg",
-      """SELECT l_linestatus, COUNT(*) AS n,
+      s"""SELECT l_linestatus, COUNT(*) AS n,
         |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
         |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pct_returned,
         |       CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_qty,
-        |       CAST(ROUND(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS returned_revenue
+        |       ${graft.Exact.moneySumSql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")} AS returned_revenue
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_linestatus").agg(
           count(lit(1)).as("n"),
@@ -252,9 +254,8 @@ object FuncOps2 {
           (sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double") /
             count(lit(1)).cast("double")).as("pct_returned"),
           sum(when(col("l_quantity") > 30, 1).otherwise(0)).as("n_high_qty"),
-          (round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
-            .otherwise(lit(0)).cast("decimal(28,10)")) * 100, 0)
-            .cast("long") / lit(100.0)).as("returned_revenue"))
+          graft.Exact.moneySum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+            .otherwise(lit(0))).as("returned_revenue"))
         .orderBy("l_linestatus")
     },
 

@@ -54,15 +54,14 @@ object ScaleOps {
     // join every pipeline repeats. Result-identical to the plain join,
     // which is what the oracle computes.
     QueryDef.sql("scale_bucketed_join",
-      """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS total_price
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+        |       ${graft.Exact.moneySumSql("l_extendedprice")} AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       bucketedOrdersLineitem(s, d)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
-          (round(sum(col("l_extendedprice").cast("decimal(28,10)")) * 100, 0)
-            .cast("long") / lit(100.0)).as("total_price"))
+          graft.Exact.moneySum(col("l_extendedprice")).as("total_price"))
         .orderBy("o_orderpriority")
     }
   )

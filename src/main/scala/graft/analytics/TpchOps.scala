@@ -27,8 +27,7 @@ object TpchOps {
     * division. A direct DECIMAL→DOUBLE cast is NOT portable — DuckDB's
     * conversion can be 1 ulp off Spark's correctly-rounded one.
     */
-  private def dsum(c: org.apache.spark.sql.Column) =
-    (round(sum(c.cast("decimal(28,10)")) * 100, 0).cast("long") / lit(100.0))
+  private def dsum(c: org.apache.spark.sql.Column) = graft.Exact.moneySum(c)
 
   val defs: Seq[QueryDef] = Seq(
 

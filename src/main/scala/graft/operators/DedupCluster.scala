@@ -42,7 +42,8 @@ object DedupCluster {
     // changed" ⟺ "sum of labels unchanged" — one cheap aggregate per
     // round instead of a self-join diff.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("cluster_id")).first().getLong(0)
+      // coalesce: sum over zero rows is NULL (empty docs frame)
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).first().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

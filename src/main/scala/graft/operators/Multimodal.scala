@@ -35,11 +35,17 @@ object Multimodal {
     * definition as TextOps.phash) so the whole stage — including the
     * mapPartitions plumbing — is oracle-checkable end to end.
     */
-  def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+  def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
+    // one digest per batch (reset between rows) — this per-call setup
+    // amortization is exactly what the BatchSize plumbing exists for
+    val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { r =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(r.media).map(b => f"$b%02x").mkString
-      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      md.reset()
+      val d = md.digest(r.media)
+      // portable 60-bit hash = first 15 hex chars = high 60 bits of
+      // the first 8 digest bytes
+      val top64 = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+      val h = top64 >>> 4
       MediaFeatures(
         doc_id = r.doc_id,
         n_bytes = r.media.length.toLong,
@@ -48,6 +54,7 @@ object Multimodal {
         n_frames = (1 + r.media.length % 30),
         mean_level = (h % 10000L).toDouble / 10000.0)
     }
+  }
 
   /** STUB resize: fit-to-box dimension computation in pure integer math
     * (so the oracle reproduces it with `//`). A real implementation
@@ -78,6 +85,17 @@ object Multimodal {
     media.mapPartitions(_.grouped(BatchSize).flatMap(g => decodeBatch(g.toSeq)))
   }
 
+  /** Single source for the oracle's stub-feature derivation (used by
+    * m2/m3/m4 — keep in lockstep with [[decodeBatch]]): n_bytes and the
+    * portable 60-bit md5 hash per document.
+    */
+  private val featsSql: String =
+    """f AS (
+      |  SELECT doc_id,
+      |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM documents)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // M1: media catalog — binary payload length + content digest
@@ -98,11 +116,7 @@ object Multimodal {
     // are defined on the portable md5 hash, so the oracle reproduces
     // them in SQL and checks the whole mapPartitions stage.
     QueryDef.sql("m2_media_features",
-      """WITH f AS (
-        |  SELECT doc_id,
-        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
-        |  FROM documents)
+      s"""WITH $featsSql
         |SELECT doc_id, n_bytes,
         |       CAST(64 + (h % 512) AS INT) AS width,
         |       CAST(64 + ((h // 512) % 512) AS INT) AS height,
@@ -118,10 +132,7 @@ object Multimodal {
     // sampled frames (narrow, no shuffle); a real build would follow
     // with a per-frame decode.
     QueryDef.sql("m3_frame_sample",
-      """WITH f AS (
-        |  SELECT doc_id,
-        |         CAST(strlen(text) AS BIGINT) AS n_bytes
-        |  FROM documents),
+      s"""WITH $featsSql,
         |feats AS (SELECT doc_id, 1 + (n_bytes % 30) AS n_frames FROM f)
         |SELECT doc_id, n_frames, frame_idx FROM (
         |  SELECT doc_id, n_frames,
@@ -140,11 +151,7 @@ object Multimodal {
     // decode (the decode→transform pipeline shape), fit-to-224 box in
     // integer math so the oracle reproduces the dims exactly.
     QueryDef.sql("m4_resize",
-      """WITH f AS (
-        |  SELECT doc_id,
-        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
-        |  FROM documents),
+      s"""WITH $featsSql,
         |dims AS (
         |  SELECT doc_id,
         |         CAST(64 + (h % 512) AS INT) AS width,

@@ -32,8 +32,8 @@ object SkewJoin {
     // identical to the plain join the oracle computes (the salt spreads
     // placement, never changes the relation).
     graft.QueryDef.sql("skew1_salted_join",
-      """SELECT o_orderstatus, COUNT(*) AS n_items,
-        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS revenue
+      s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+        |       ${graft.Exact.moneySumSql("l_extendedprice")} AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       val li = graft.sources.Tables.lineitem(s, d)
@@ -42,8 +42,7 @@ object SkewJoin {
       saltedJoin(li, o, "l_orderkey", factor = 4)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"),
-          (round(sum(col("l_extendedprice").cast("decimal(28,10)")) * 100, 0)
-            .cast("long") / lit(100.0)).as("revenue"))
+          graft.Exact.moneySum(col("l_extendedprice")).as("revenue"))
         .orderBy("o_orderstatus")
     }
   )

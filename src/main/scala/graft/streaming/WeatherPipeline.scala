@@ -109,12 +109,25 @@ object WeatherPipeline {
         val fs = new org.apache.hadoop.fs.Path(storeDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val live = new org.apache.hadoop.fs.Path(storeDir)
+        val old = new org.apache.hadoop.fs.Path(s"${storeDir}__upsert_old")
+        // Crash recovery FIRST: a death between the two swap renames
+        // leaves live missing and old holding the only copy of the
+        // store — restore it before merging, or the replay would merge
+        // against an empty store and the later delete(old) would
+        // destroy every previously upserted key.
+        if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+          throw new java.io.IOException(s"recovery rename $old -> $live failed")
         val existing =
           if (fs.exists(live)) spark.read.parquet(storeDir) else batch.limit(0)
+        val dataCols = batch.columns.toSeq
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(key.map(col): _*)
-          // batch rows outrank store rows on ts ties => updates win
-          .orderBy(col(tsCol).desc, col("__src").asc)
+          // batch rows outrank store rows on ts ties => updates win;
+          // the content-hash tiebreak makes same-key-same-ts rows
+          // WITHIN a batch resolve identically on every replay
+          // (row_number over an ambiguous order would flip-flop).
+          .orderBy(col(tsCol).desc, col("__src").asc,
+            xxhash64(dataCols.map(col): _*).asc)
         val merged = batch.withColumn("__src", lit(0))
           .unionByName(existing.withColumn("__src", lit(1)))
           .withColumn("__rn", row_number().over(w))
@@ -122,7 +135,6 @@ object WeatherPipeline {
         val tmp = new org.apache.hadoop.fs.Path(s"${storeDir}__upsert_tmp")
         if (fs.exists(tmp)) fs.delete(tmp, true)
         merged.write.mode("overwrite").parquet(tmp.toString)
-        val old = new org.apache.hadoop.fs.Path(s"${storeDir}__upsert_old")
         if (fs.exists(old)) fs.delete(old, true)
         if (fs.exists(live) && !fs.rename(live, old))
           throw new java.io.IOException(s"rename $live -> $old failed")

@@ -16,7 +16,10 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private def planString(df: DataFrame): String = {
     df.collect() // materialize so AQE finalizes its plan choices
-    df.queryExecution.executedPlan.toString
+    // strip the AQE wrapper: AdaptiveSparkPlanExec.toString prints the
+    // INITIAL plan alongside the final one once they diverge, so a raw
+    // string match could fail on (or match) a plan AQE already replaced
+    stripAQEPlan(df.queryExecution.executedPlan).toString
   }
 
   test("g2 pricing summary: date filter is pushed into the parquet scan") {
