@@ -76,11 +76,16 @@ object TextOps {
 
   // NOTE: single-line body — fragments embedded in other stripMargin
   // strings must not contain lines starting with '|' (concat operator).
-  private val shinglesSql =
+  /** Word-3-gram shingle CTE body over an arbitrary corpus source
+    * (table name or parenthesized subquery).
+    */
+  def shinglesSqlFrom(src: String): String =
     "SELECT DISTINCT doc_id, shingle FROM (" +
       " SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle" +
-      " FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w, generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents)" +
+      s" FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w, generate_subscripts(string_split(text, ' '), 1) AS pos FROM $src)" +
       ") WHERE shingle IS NOT NULL"
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -278,6 +283,46 @@ object TextOps {
         .select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
         .orderBy("doc1", "doc2")
       jac
+    },
+
+    // D6: containment dedup — inter/min(|A|,|B|) instead of Jaccard, so
+    // a short doc embedded in a longer one scores ~1 even though their
+    // Jaccard is low (the subset-duplicate case training corpora hit
+    // with quoted/recombined text). Same inverted-index shape as d3,
+    // over the duplicate-injected corpus.
+    QueryDef.sql("d6_containment",
+      s"""WITH corpus AS ($withDupesSql),
+         |sh AS (${shinglesSqlFrom("corpus")}),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY doc1, doc2)
+         |SELECT doc1, doc2, inter, s1.n AS n1, s2.n AS n2,
+         |       CAST(inter AS DOUBLE) / LEAST(s1.n, s2.n) AS containment
+         |FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id
+         |           JOIN sizes s2 ON doc2 = s2.doc_id
+         |WHERE CAST(inter AS DOUBLE) / LEAST(s1.n, s2.n) >= 0.6
+         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val sh = shingles(withDupes(Tables.documents(s, d))).localCheckpoint()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val capped = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("shingle")
+      val shc = sh.join(capped, "shingle")
+      val pairs = shc.select(col("doc_id").as("doc1"), col("shingle"))
+        .join(shc.select(col("doc_id").as("doc2"), col("shingle")), Seq("shingle"))
+        .filter(col("doc1") < col("doc2"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+        .withColumn("containment",
+          col("inter").cast("double") / least(col("n1"), col("n2")))
+        .filter(col("containment") >= 0.6)
+        .select("doc1", "doc2", "inter", "n1", "n2", "containment")
+        .orderBy("doc1", "doc2")
     },
 
     // D4: SimHash signatures — 32-bit sign-accumulated token-hash sketch.

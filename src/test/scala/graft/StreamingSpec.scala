@@ -187,6 +187,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map("X" -> 20, "Y" -> 5))
   }
 
+  test("upsert sink recovers the store after a crash between swap renames") {
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-upsert-crash") + "/latest_by_city"
+    val cp = tmpDir("graft-upsert-crash-cp")
+    val in = MemoryStream[String]
+    def at(epoch: Long, temp: Double, city: String) =
+      s"""{"date":"d","weather_description":"clear","latitude":"0","pression":"1000",
+         |"humidité":"50","feels_like":"0","city_name":"$city","local_time":"t",
+         |"min_temp":"0","wind_speed":"1.0","température":"$temp","max_temp":"0",
+         |"timestamp":"$epoch","longitude":"0"}""".stripMargin.replace("\n", "")
+    val t0 = 1700000000L
+    val q1 = WeatherPipeline.startUpsertLatest(
+      WeatherPipeline.enriched(in.toDF()), store, cp)
+    in.addData(at(t0, 10, "X"), at(t0, 5, "Y"))
+    q1.processAllAvailable()
+    q1.stop()
+    // simulate a death between rename(live -> old) and rename(tmp -> live)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + "__upsert_old")))
+    val q2 = WeatherPipeline.startUpsertLatest(
+      WeatherPipeline.enriched(in.toDF()), store, cp)
+    in.addData(at(t0 + 60, 20, "X")) // batch mentions X only
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(store)
+      .select("city_name", "temperature").as[(String, Int)].collect().toMap
+    // Y must survive the recovery; X takes the update
+    assert(rows == Map("X" -> 20, "Y" -> 5))
+  }
+
   test("stream-stream interval join matches within the time bound only") {
     implicit val sc = spark.sqlContext
     val obs = MemoryStream[String]
