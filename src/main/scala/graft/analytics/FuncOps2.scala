@@ -39,8 +39,8 @@ object FuncOps2 {
         |  FROM q GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |         (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |          sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qd,
+        |         NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |                sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0) AS corr_qd,
         |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
         |         (CAST(n AS DOUBLE) - 1.0) AS covar_samp_qd,
         |       CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_qty
@@ -58,8 +58,11 @@ object FuncOps2 {
       val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"), col("sy").cast("double"),
         col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
       sums.select(col("l_returnflag"), col("n"),
+          // nullif: a zero-variance group divides by 0 — Spark (ANSI
+          // off) yields NULL, DuckDB IEEE NaN; force NULL in both
           ((n * sxy - sx * sy) /
-            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qd"),
+            nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), lit(0.0)))
+            .as("corr_qd"),
           ((sxy - sx * sy / n) / (n - lit(1.0))).as("covar_samp_qd"),
           (sx / lit(100.0) / n).as("mean_qty"))
         .orderBy("l_returnflag")
@@ -234,8 +237,7 @@ object FuncOps2 {
           col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
         .groupBy("band")
         .agg(count(lit(1)).as("n"),
-          (round(sum(col("l_extendedprice").cast("decimal(28,10)")) * 100, 0)
-            .cast("long") / lit(100.0)).as("band_revenue"))
+          graft.Exact.moneySum(col("l_extendedprice")).as("band_revenue"))
         .orderBy("band")
     },
 

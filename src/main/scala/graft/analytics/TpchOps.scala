@@ -33,8 +33,8 @@ object TpchOps {
 
     // J1: big-big-medium 3-way equi join + grouped revenue.
     QueryDef.sql("j1_revenue_by_segment",
-      """SELECT c_mktsegment,
-        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS revenue,
+      s"""SELECT c_mktsegment,
+        |       ${graft.Exact.moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
         |       COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -54,8 +54,8 @@ object TpchOps {
 
     // J2: star join with constant-size dims — explicit broadcast.
     QueryDef.sql("j2_asia_nation_revenue",
-      """SELECT n_name,
-        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS total_order_value,
+      s"""SELECT n_name,
+        |       ${graft.Exact.moneySumSql("o_totalprice")} AS total_order_value,
         |       COUNT(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -123,13 +123,13 @@ object TpchOps {
 
     // G2: TPC-H Q1-style pricing summary with a pushed-down date filter.
     QueryDef.sql("g2_pricing_summary",
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS sum_qty,
-        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS sum_base_price,
-        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS sum_disc_price,
-        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS sum_charge,
-        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 / COUNT(*) AS avg_qty,
-        |       CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 / COUNT(*) AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+        |       ${graft.Exact.moneySumSql("l_quantity")} AS sum_qty,
+        |       ${graft.Exact.moneySumSql("l_extendedprice")} AS sum_base_price,
+        |       ${graft.Exact.moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        |       ${graft.Exact.moneySumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        |       ${graft.Exact.moneySumSql("l_quantity")} / COUNT(*) AS avg_qty,
+        |       ${graft.Exact.moneySumSql("l_discount")} / COUNT(*) AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
@@ -156,10 +156,10 @@ object TpchOps {
 
     // G1: ROLLUP grouping sets with grouping() disambiguators.
     QueryDef.sql("g1_rollup",
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
         |       COUNT(*) AS n,
-        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0 AS sum_qty
+        |       ${graft.Exact.moneySumSql("l_quantity")} AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {

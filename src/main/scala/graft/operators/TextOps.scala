@@ -30,6 +30,28 @@ object TextOps {
   private val esRe = "\\b(el|la|de|los|las|una|es)\\b"
   private val frRe = "\\b(le|la|les|des|une|est|et)\\b"
 
+  // Language-ID classifier, single-sourced for t2 (per-doc) and t2b
+  // (its confusion-matrix eval) in BOTH dialects — the eval only means
+  // something if it scores exactly the classifier t2 ships.
+  private val langHitsSql: String =
+    s"""len(regexp_extract_all(text, '$enRe')) AS en_hits,
+       |                   len(regexp_extract_all(text, '$esRe')) AS es_hits,
+       |                   len(regexp_extract_all(text, '$frRe')) AS fr_hits""".stripMargin
+  private val langGuessSql: String =
+    """CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und'
+      |                  WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+      |                  WHEN es_hits >= fr_hits THEN 'es'
+      |                  ELSE 'fr' END""".stripMargin
+  private def langHitCols: Seq[Column] = Seq(
+    regexp_count(col("text"), lit(enRe)).as("en_hits"),
+    regexp_count(col("text"), lit(esRe)).as("es_hits"),
+    regexp_count(col("text"), lit(frRe)).as("fr_hits"))
+  private def langGuessCol: Column =
+    when(col("en_hits") === 0 && col("es_hits") === 0 && col("fr_hits") === 0, "und")
+      .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
+      .when(col("es_hits") >= col("fr_hits"), "es")
+      .otherwise("fr")
+
   /** Duplicate-injected corpus: every doc with doc_id % 10 = 0 appears
     * again under doc_id+1000000 (the raw table has no exact dupes, so
     * dedup needs planted ones to have observable behavior). Shared by
@@ -87,6 +109,45 @@ object TextOps {
 
   private val shinglesSql = shinglesSqlFrom("documents")
 
+  /** Shared candidate-pair mechanics of d3 (Jaccard) and d6
+    * (containment): inverted-index self-join over df-capped shingles →
+    * (doc1, doc2, inter, n1, n2). One definition per dialect so the two
+    * measures can never disagree about which pairs exist.
+    */
+  def shinglePairs(docs: DataFrame, dfCap: Int = 50): DataFrame = {
+    // sh fans out 4 ways (sizes, df-cap, both self-join sides);
+    // materialize once — localCheckpoint, not persist, so the blocks
+    // are GC-released (see MinHash.nearDupPairs).
+    val sh = shingles(docs).localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val capped = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("shingle")
+    val shc = sh.join(capped, "shingle")
+    shc.select(col("doc_id").as("doc1"), col("shingle"))
+      .join(shc.select(col("doc_id").as("doc2"), col("shingle")), Seq("shingle"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+  }
+
+  /** SQL twin of [[shinglePairs]]: CTE chain ending in `pairstats`
+    * (doc1, doc2, inter, n1, n2) over `src`.
+    */
+  def shinglePairsCteSql(src: String, dfCap: Int = 50): String =
+    s"""sh AS (${shinglesSqlFrom(src)}),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $dfCap),
+       |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)),
+       |spairs AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY doc1, doc2),
+       |pairstats AS (
+       |  SELECT doc1, doc2, inter, s1.n AS n1, s2.n AS n2
+       |  FROM spairs JOIN sizes s1 ON doc1 = s1.doc_id
+       |              JOIN sizes s2 ON doc2 = s2.doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // T1: token counting — whitespace tokens, regex word tokens,
@@ -98,8 +159,11 @@ object TextOps {
         |       len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
         |       length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
         |       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-        |         / len(regexp_extract_all(text, '[a-z]+')) AS avg_word_len
+        |         / NULLIF(len(regexp_extract_all(text, '[a-z]+')), 0) AS avg_word_len
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // NULLIF guards every ratio: on a doc with zero word tokens Spark
+      // (ANSI off) yields NULL for x/0 but DuckDB yields IEEE NaN/inf —
+      // NULLIF makes both engines agree on NULL.
       Tables.documents(s, d).select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
@@ -107,33 +171,21 @@ object TextOps {
           regexp_count(col("text"), lit("[a-z]+")).as("word_tokens"),
           length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("alpha_chars"))
         .withColumn("avg_word_len",
-          col("alpha_chars").cast("double") / col("word_tokens"))
+          col("alpha_chars").cast("double") / nullif(col("word_tokens"), lit(0)))
         .orderBy("doc_id")
     },
 
     // T2: language ID via marker-word n-gram hits (heuristic classifier).
     QueryDef.sql("t2_lang_id",
       s"""SELECT doc_id, lang AS lang_label, en_hits, es_hits, fr_hits,
-         |       CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und'
-         |            WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
-         |            WHEN es_hits >= fr_hits THEN 'es'
-         |            ELSE 'fr' END AS lang_guess
+         |       $langGuessSql AS lang_guess
          |FROM (SELECT doc_id, lang,
-         |             len(regexp_extract_all(text, '$enRe')) AS en_hits,
-         |             len(regexp_extract_all(text, '$esRe')) AS es_hits,
-         |             len(regexp_extract_all(text, '$frRe')) AS fr_hits
+         |             $langHitsSql
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).select(
-          col("doc_id"), col("lang").as("lang_label"),
-          regexp_count(col("text"), lit(enRe)).as("en_hits"),
-          regexp_count(col("text"), lit(esRe)).as("es_hits"),
-          regexp_count(col("text"), lit(frRe)).as("fr_hits"))
-        .withColumn("lang_guess",
-          when(col("en_hits") === 0 && col("es_hits") === 0 && col("fr_hits") === 0, "und")
-            .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
-            .when(col("es_hits") >= col("fr_hits"), "es")
-            .otherwise("fr"))
+      Tables.documents(s, d)
+        .select(Seq(col("doc_id"), col("lang").as("lang_label")) ++ langHitCols: _*)
+        .withColumn("lang_guess", langGuessCol)
         .orderBy("doc_id")
     },
 
@@ -143,27 +195,15 @@ object TextOps {
     QueryDef.sql("t2b_langid_eval",
       s"""SELECT lang_label, lang_guess, COUNT(*) AS n
          |FROM (SELECT lang AS lang_label,
-         |             CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und'
-         |                  WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
-         |                  WHEN es_hits >= fr_hits THEN 'es'
-         |                  ELSE 'fr' END AS lang_guess
+         |             $langGuessSql AS lang_guess
          |      FROM (SELECT lang,
-         |                   len(regexp_extract_all(text, '$enRe')) AS en_hits,
-         |                   len(regexp_extract_all(text, '$esRe')) AS es_hits,
-         |                   len(regexp_extract_all(text, '$frRe')) AS fr_hits
+         |                   $langHitsSql
          |            FROM documents))
          |GROUP BY lang_label, lang_guess
          |ORDER BY lang_label, lang_guess""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).select(
-          col("lang").as("lang_label"),
-          regexp_count(col("text"), lit(enRe)).as("en_hits"),
-          regexp_count(col("text"), lit(esRe)).as("es_hits"),
-          regexp_count(col("text"), lit(frRe)).as("fr_hits"))
-        .withColumn("lang_guess",
-          when(col("en_hits") === 0 && col("es_hits") === 0 && col("fr_hits") === 0, "und")
-            .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
-            .when(col("es_hits") >= col("fr_hits"), "es")
-            .otherwise("fr"))
+      Tables.documents(s, d)
+        .select(col("lang").as("lang_label") +: langHitCols: _*)
+        .withColumn("lang_guess", langGuessCol)
         .groupBy("lang_label", "lang_guess").agg(count(lit(1)).as("n"))
         .orderBy("lang_label", "lang_guess")
     },
@@ -180,18 +220,20 @@ object TextOps {
          |            ELSE 'low' END AS quality_bucket
          |FROM (SELECT doc_id,
          |             len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
-         |             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0) AS alpha_ratio,
          |             CAST(len(regexp_extract_all(text, '$enRe')) AS DOUBLE)
-         |               / len(regexp_extract_all(text, '[a-z]+')) AS stop_ratio
+         |               / NULLIF(len(regexp_extract_all(text, '[a-z]+')), 0) AS stop_ratio
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val base = Tables.documents(s, d).select(
         col("doc_id"),
         regexp_count(col("text"), lit("[a-z]+")).as("n_tokens"),
+        // NULLIF: Spark (ANSI off) gives NULL for x/0, DuckDB gives IEEE
+        // NaN/inf — force NULL in both engines
         (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-          length(col("text"))).as("alpha_ratio"),
+          nullif(length(col("text")), lit(0))).as("alpha_ratio"),
         (regexp_count(col("text"), lit(enRe)).cast("double") /
-          regexp_count(col("text"), lit("[a-z]+"))).as("stop_ratio"))
+          nullif(regexp_count(col("text"), lit("[a-z]+")), lit(0))).as("stop_ratio"))
       val q = lit(0.4) * least(col("n_tokens").cast("double") / 50.0, lit(1.0)) +
         lit(0.3) * col("alpha_ratio") +
         lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0))
@@ -247,42 +289,18 @@ object TextOps {
     // shingles (cost ∝ co-occurrence, never n²), df-capped at 50 docs per
     // shingle to bound hot-key fan-out at scale.
     QueryDef.sql("d3_ngram_jaccard",
-      s"""WITH sh AS ($shinglesSql),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
-         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
-         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY doc1, doc2)
-         |SELECT doc1, doc2, inter, s1.n AS n1, s2.n AS n2,
-         |       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
-         |FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id
-         |           JOIN sizes s2 ON doc2 = s2.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.05
+      s"""WITH ${shinglePairsCteSql("documents")}
+         |SELECT doc1, doc2, inter, n1, n2,
+         |       CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+         |FROM pairstats
+         |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.05
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      // sh fans out 4 ways (sizes, df-cap, both sides of the self-join);
-      // materialize once — localCheckpoint, not persist, so the blocks
-      // are GC-released (see MinHash.nearDupPairs).
-      val sh = shingles(Tables.documents(s, d)).localCheckpoint()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val capped = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select("shingle")
-      val shc = sh.join(capped, "shingle")
-      val a = shc.select(col("doc_id").as("doc1"), col("shingle"))
-      val b = shc.select(col("doc_id").as("doc2"), col("shingle"))
-      val pairs = a.join(b, Seq("shingle"))
-        .filter(col("doc1") < col("doc2"))
-        .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-      val jac = pairs
-        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
-        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+      shinglePairs(Tables.documents(s, d))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
         .filter(col("jaccard") >= 0.05)
         .select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
         .orderBy("doc1", "doc2")
-      jac
     },
 
     // D6: containment dedup — inter/min(|A|,|B|) instead of Jaccard, so
@@ -292,32 +310,13 @@ object TextOps {
     // over the duplicate-injected corpus.
     QueryDef.sql("d6_containment",
       s"""WITH corpus AS ($withDupesSql),
-         |sh AS (${shinglesSqlFrom("corpus")}),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
-         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
-         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY doc1, doc2)
-         |SELECT doc1, doc2, inter, s1.n AS n1, s2.n AS n2,
-         |       CAST(inter AS DOUBLE) / LEAST(s1.n, s2.n) AS containment
-         |FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id
-         |           JOIN sizes s2 ON doc2 = s2.doc_id
-         |WHERE CAST(inter AS DOUBLE) / LEAST(s1.n, s2.n) >= 0.6
+         |${shinglePairsCteSql("corpus")}
+         |SELECT doc1, doc2, inter, n1, n2,
+         |       CAST(inter AS DOUBLE) / LEAST(n1, n2) AS containment
+         |FROM pairstats
+         |WHERE CAST(inter AS DOUBLE) / LEAST(n1, n2) >= 0.6
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      val sh = shingles(withDupes(Tables.documents(s, d))).localCheckpoint()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val capped = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select("shingle")
-      val shc = sh.join(capped, "shingle")
-      val pairs = shc.select(col("doc_id").as("doc1"), col("shingle"))
-        .join(shc.select(col("doc_id").as("doc2"), col("shingle")), Seq("shingle"))
-        .filter(col("doc1") < col("doc2"))
-        .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
-        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+      shinglePairs(withDupes(Tables.documents(s, d)))
         .withColumn("containment",
           col("inter").cast("double") / least(col("n1"), col("n2")))
         .filter(col("containment") >= 0.6)

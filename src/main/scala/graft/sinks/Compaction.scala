@@ -29,6 +29,12 @@ object Compaction {
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery: a death between the two swap renames leaves live
+    // missing with the data stranded in __compact_old — restore it
+    // before doing anything else (same branch as the upsert sink).
+    val oldP = new Path(s"${dir}__compact_old")
+    if (!fs.exists(live) && fs.exists(oldP) && !fs.rename(oldP, live))
+      throw new java.io.IOException(s"recovery rename $oldP -> $live failed")
     val bytes = fs.getContentSummary(live).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 

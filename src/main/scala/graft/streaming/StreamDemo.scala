@@ -28,11 +28,18 @@ object StreamDemo {
     // File-stream source needs a directory: stage the events table into
     // one (a real deployment would point at the landing directory).
     val srcDir = s"$outDir/source_events"
-    // Stage once ("ignore" if present): overwriting would mint new part
-    // filenames, which the file-stream source rightly treats as NEW data
-    // — a rerun would then re-append. With a stable staging dir, rerun =
-    // checkpoint resume = no-op (exactly-once).
-    spark.read.parquet(s"$sfDir/events.parquet").write.mode("ignore").parquet(srcDir)
+    // Stage once, gated on the _SUCCESS marker: a bare exists/"ignore"
+    // check would trust a partial directory left by a crashed prior run
+    // and silently stream a truncated source. Overwriting an INTACT dir
+    // is also wrong — new part filenames read as NEW data to the file
+    // stream, so a rerun would re-append. Complete ⇒ reuse (rerun =
+    // checkpoint resume = no-op); incomplete ⇒ delete + restage.
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val srcFs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!srcFs.exists(new org.apache.hadoop.fs.Path(srcPath, "_SUCCESS"))) {
+      if (srcFs.exists(srcPath)) srcFs.delete(srcPath, true)
+      spark.read.parquet(s"$sfDir/events.parquet").write.parquet(srcDir)
+    }
     val stream = spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
       .parquet(srcDir)
