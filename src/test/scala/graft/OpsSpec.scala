@@ -190,6 +190,20 @@ class OpsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_old")))
   }
 
+  test("compaction recovers the directory after a crash between swap renames") {
+    import graft.sinks.Compaction
+    val dir = tmpDir("graft-compact-crash") + "/store"
+    spark.range(0, 100).toDF("id").repartition(8).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a death between rename(live -> old) and rename(tmp -> live)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__compact_old")))
+    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_old")))
+  }
+
   test("CSV/JSON export sinks round-trip") {
     import graft.sinks.Exports
     val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
