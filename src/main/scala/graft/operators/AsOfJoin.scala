@@ -22,13 +22,16 @@ import graft.sources.Tables
   */
 object AsOfJoin {
 
-  /** Left-as-of join: every left row + the payload of the latest right
-    * row with the same key and strictly earlier time.
+  /** Left-as-of join: every left row + the payload of the nearest right
+    * row with the same key and strictly earlier time (or strictly later
+    * with `forward = true` — only the time sort direction flips; the
+    * left-before-right tie rule keeps both directions strict).
     *
     * @param right unique per (key, time); payload columns = all except key/time
     */
   def asofStrict(left: DataFrame, right: DataFrame,
-      key: String, leftTime: String, rightTime: String): DataFrame = {
+      key: String, leftTime: String, rightTime: String,
+      forward: Boolean = false): DataFrame = {
     val payloadCols = right.columns.filter(c => c != key && c != rightTime).toSeq
     val l = left
       .withColumn("__t", col(leftTime))
@@ -46,7 +49,8 @@ object AsOfJoin {
         .map(c => lit(null).cast(left.schema(c).dataType).as(c))
         :+ col("__t") :+ col("__is_left") :+ col("__payload")): _*))
     // left rows sort BEFORE right rows at equal time => strict match only
-    val w = Window.partitionBy(key).orderBy(col("__t"), desc("__is_left"))
+    val tOrd = if (forward) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(key).orderBy(tOrd, desc("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
@@ -80,6 +84,29 @@ object AsOfJoin {
           col("__match.t").as("prev_date"),
           col("__match.n_that_day").as("prev_n"),
           col("__match.max_that_day").as("prev_max_price"))
+        .orderBy("o_orderkey")
+    },
+
+    // AJ2: the forward direction — nearest strictly-LATER order day per
+    // customer (lead-time analysis shape). Same one-shuffle plan.
+    QueryDef.sql("aj2_next_order_asof",
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, COUNT(*) AS n_that_day
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
+        |       r.o_orderdate AS next_date, r.n_that_day AS next_n
+        |FROM orders l ASOF LEFT JOIN r
+        |  ON l.o_custkey = r.o_custkey AND l.o_orderdate < r.o_orderdate
+        |ORDER BY l.o_orderkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val right = orders.groupBy("o_custkey", "o_orderdate")
+        .agg(count(lit(1)).as("n_that_day"))
+      val joined = asofStrict(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        right, "o_custkey", "o_orderdate", "o_orderdate", forward = true)
+      joined.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("__match.t").as("next_date"),
+          col("__match.n_that_day").as("next_n"))
         .orderBy("o_orderkey")
     }
   )

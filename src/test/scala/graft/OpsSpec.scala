@@ -204,6 +204,18 @@ class OpsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_old")))
   }
 
+  test("forward as-of join: strictly-later match per key, nulls when none") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.asofStrict(left, right, "k", "t", "t", forward = true)
+      .select(col("tag"), col("__match.v").as("v"))
+      .as[(String, Option[Double])].collect().toMap
+    // t=10 left must NOT match the t=10 right (strict): nearest later is 15
+    assert(out == Map("a" -> Some(150.0), "b" -> None, "c" -> None))
+  }
+
   test("CSV/JSON export sinks round-trip") {
     import graft.sinks.Exports
     val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
