@@ -298,6 +298,36 @@ object FuncOps2 {
         .orderBy("doc_id")
     },
 
+    // O5: keyset-stable pagination — ORDER BY unique key + LIMIT/OFFSET
+    // (the dashboard-preview surface generalized to page N).
+    QueryDef.sql("o5_pagination",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100).limit(50)
+    },
+
+    // SET2: bag-semantics set ops (ALL variants — set1 covers the
+    // distinct forms): duplicates preserved/subtracted by multiplicity.
+    QueryDef.sql("set2_bag_ops",
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+        |     b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT
+        |  (SELECT COUNT(*) FROM (SELECT k FROM a UNION ALL SELECT k FROM b)) AS n_union_all,
+        |  (SELECT COUNT(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)) AS n_intersect_all,
+        |  (SELECT COUNT(*) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)) AS n_except_all""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_quantity") > 45).select(col("l_suppkey").as("k"))
+      val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+      // one declarative plan (three 1-row aggregates cross-joined), no
+      // driver-side actions
+      a.unionAll(b).agg(count(lit(1)).as("n_union_all"))
+        .crossJoin(a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all")))
+        .crossJoin(a.exceptAll(b).agg(count(lit(1)).as("n_except_all")))
+    },
+
     // GEN1: generator null semantics — posexplode_outer keeps a row
     // (NULL pos/word) for rows whose array is empty, where plain
     // explode would drop them. DuckDB mirror: zipped unnests over a
