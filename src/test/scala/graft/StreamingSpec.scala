@@ -150,6 +150,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowed stats in update mode re-emit revised rows per batch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    def at(epoch: Long, temp: Double, city: String) =
+      s"""{"date":"d","weather_description":"clear","latitude":"0","pression":"1000",
+         |"humidité":"50","feels_like":"0","city_name":"$city","local_time":"t",
+         |"min_temp":"0","wind_speed":"1.0","température":"$temp","max_temp":"0",
+         |"timestamp":"$epoch","longitude":"0"}""".stripMargin.replace("\n", "")
+    val q = WeatherPipeline
+      .windowedStats(WeatherPipeline.enriched(in.toDF()), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("upd_out").outputMode("update")
+      .start()
+    val t0 = 1700000000L
+    in.addData(at(t0, 20, "A"))
+    q.processAllAvailable()
+    in.addData(at(t0 + 60, 30, "A")) // same window: the row is REVISED
+    q.processAllAvailable()
+    q.stop()
+    // update mode emits a new version each batch (no watermark wait);
+    // the memory sink keeps both, the latest carries the merged stats
+    val versions = spark.table("upd_out")
+      .filter(col("city_name") === "A")
+      .select("n", "avg_temp").as[(Long, Double)].collect().toSet
+    assert(versions == Set((1L, 20.0), (2L, 25.0)))
+  }
+
   test("streaming dedup drops same-batch and cross-batch duplicates") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[String]
