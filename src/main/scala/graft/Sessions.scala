@@ -13,6 +13,9 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // engine-native SQL functions (cosine_sim/_q) injected at session
+      // build — the path a production deployment configures
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet

@@ -187,12 +187,55 @@ object CosineSimilarityQ {
 
 object NativeFunctions {
   /** Register engine-native SQL functions on a session (idempotent).
-    * Usage after registration: `expr("cosine_sim(a, b)")`.
+    * Usage after registration: `expr("cosine_sim(a, b)")`. Sessions
+    * built with [[GraftExtensions]] get these automatically; this
+    * per-session form covers ad-hoc sessions.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim_q", exprs => CosineSimilarityQ(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/** Production registration path: `spark.sql.extensions=graft.functions.
+  * GraftExtensions` injects the engine's native expressions into every
+  * session built from that config (plain SQL users get `cosine_sim` /
+  * `cosine_sim_q` with no Scala call). This is the ONLY extension point
+  * the engine needs — no custom Rule/Strategy (COVERAGE.md §2.11).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+  /** Name → expression builder for every engine-native function (shared
+    * by the extensions injection and tests).
+    */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1))),
+    ("cosine_sim_q", exprs => CosineSimilarityQ(exprs(0), exprs(1))))
+
+  /** Forked sanity main: proves an extensions-built session resolves
+    * the native functions in plain SQL with no register() call
+    * (getOrCreate in a test JVM would reuse an existing session and
+    * silently skip extensions, so this check needs its own JVM).
+    */
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(cpus = "2", appName = "graft-ext-check")
+    val c = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))," +
+        " cosine_sim_q(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
+      .first()
+    require(c.getDouble(0) == 1.0 && c.getDouble(1) == 1.0)
+    println("[extensions-check] OK: native functions resolved via spark.sql.extensions")
+    spark.stop()
   }
 }

@@ -111,6 +111,21 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("GraftExtensions builders construct working native expressions") {
+    // the end-to-end extensions path needs its own JVM (getOrCreate here
+    // would reuse the test session) — covered by the forked
+    // `runMain graft.functions.GraftExtensions` sanity main; this pins
+    // the injected builders themselves
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // unit basis vector: norms are exactly 1, so self-cos is exactly 1.0
+    val v = Literal.create(Seq(1.0f, 0.0f), ArrayType(FloatType))
+    for ((name, builder) <- graft.functions.GraftExtensions.functions) {
+      val r = builder(Seq(v, v)).eval(null)
+      assert(r == 1.0d, s"$name self-similarity should be exactly 1.0, got $r")
+    }
+  }
+
   test("quantized cosine_sim_q: exact copies score exactly 1.0") {
     graft.functions.NativeFunctions.register(spark)
     val v = Array(0.5f, -1.25f, 3.0f)
