@@ -162,25 +162,28 @@ object VectorOps {
          |            JOIN norms nc ON cand_id = nc.vec_id)
          |SELECT query_id, rn, cand_id, cos FROM scored WHERE rn <= 10
          |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
-      val el = elements(Tables.embeddings(s, d)) // narrow; recompute beats a session-lifetime cache
-      val norms = el.groupBy("vec_id").agg(sum(col("xi") * col("xi")).as("n2"))
-      val q = el.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("pos"), col("xi").as("qx"))
-      val dots = q.join(el.select(col("vec_id").as("cand_id"), col("pos"),
-          col("xi").as("cx")), Seq("pos"))
+      // The query set is a genuinely tiny dim (10 × 64 floats): inline
+      // it as literals so scoring is one map-only codegen pass over the
+      // corpus (10 native cosine_sim_q calls per row, no element
+      // explode, no join) — the only shuffle is the per-query top-k
+      // window. cosine_sim_q's integer sums are order-free, so the
+      // scores are bit-identical to the oracle's element formulation.
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") < 10)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val qCos = queries.map { case (qid, arr) =>
+        struct(lit(qid).as("query_id"),
+          call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("cos"))
+      }
+      emb.select(col("vec_id").as("cand_id"), explode(array(qCos.toSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.cos"))
         .filter(col("cand_id") =!= col("query_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(sum(col("qx") * col("cx")).as("dot"))
-      val scored = dots
-        .join(norms.select(col("vec_id").as("query_id"), col("n2").as("nq")), "query_id")
-        .join(norms.select(col("vec_id").as("cand_id"), col("n2").as("nc")), "cand_id")
-        .withColumn("cos",
-          col("dot").cast("double") /
-            (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
         .withColumn("rn", row_number().over(
           Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))))
         .filter(col("rn") <= 10)
-      scored.select("query_id", "rn", "cand_id", "cos").orderBy("query_id", "rn")
+        .select("query_id", "rn", "cand_id", "cos")
+        .orderBy("query_id", "rn")
     },
 
     // V2: multi-table LSH ANN — the scale path. Candidates share any
