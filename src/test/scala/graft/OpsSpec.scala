@@ -185,6 +185,27 @@ class OpsSpec extends SparkSpec {
     assert(out("l3").isEmpty) // right@9 is after left@5
   }
 
+  test("approx sketches stay within error bounds of their exact twins") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    // HLL++ at rsd=0.02 vs exact distinct: allow 3 sigma ≈ 6%
+    val exactU = ev.select(countDistinct(col("user_id"))).first().getLong(0)
+    val approxU = ev.select(approx_count_distinct(col("user_id"), 0.02))
+      .first().getLong(0)
+    assert(math.abs(approxU - exactU).toDouble / exactU <= 0.06,
+      s"approx $approxU vs exact $exactU")
+    // t-digest at accuracy=10000 vs exact median: rank error <= n/10000,
+    // bound the VALUE gap by the exact quantiles one rank-percent away
+    val Array(lo, exact, hi) = ev.select(
+      expr("percentile(value, array(0.49, 0.5, 0.51))")).first()
+      .getSeq[Double](0).toArray
+    val approxMed = ev.select(
+      percentile_approx(col("value"), lit(0.5), lit(10000))).first().getDouble(0)
+    assert(approxMed >= lo && approxMed <= hi,
+      s"approx median $approxMed outside exact [$lo, $hi] around $exact")
+  }
+
   test("compaction: many tiny files collapse to few, rows and values intact") {
     import graft.sinks.Compaction
     val dir = tmpDir("graft-compact") + "/events_sink"
