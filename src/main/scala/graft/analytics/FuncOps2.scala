@@ -298,6 +298,25 @@ object FuncOps2 {
         .orderBy("doc_id")
     },
 
+    // F13: error-safe casts — TRY_CAST yields NULL instead of failing on
+    // malformed input in BOTH engines, independent of ANSI mode (the
+    // ingest-hardening idiom; plain cast only matches with ANSI off).
+    QueryDef.sql("f13_try_cast",
+      """SELECT p_partkey,
+        |       TRY_CAST(p_type AS INTEGER) AS type_as_int,
+        |       TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
+        |       TRY_CAST(p_brand AS DOUBLE) AS brand_as_double,
+        |       TRY_CAST(substr(p_name, 1, 1) AS INTEGER) AS first_char_int
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+          col("p_partkey"),
+          expr("try_cast(p_type AS INT)").as("type_as_int"),
+          expr("try_cast(CAST(p_size AS STRING) AS INT)").as("size_roundtrip"),
+          expr("try_cast(p_brand AS DOUBLE)").as("brand_as_double"),
+          expr("try_cast(substr(p_name, 1, 1) AS INT)").as("first_char_int"))
+        .orderBy("p_partkey")
+    },
+
     // O5: keyset-stable pagination — ORDER BY unique key + LIMIT/OFFSET
     // (the dashboard-preview surface generalized to page N).
     QueryDef.sql("o5_pagination",
