@@ -324,6 +324,39 @@ object TextOps {
         .orderBy("doc1", "doc2")
     },
 
+    // T6: per-doc top terms by tf·N/df — tf-idf-shaped keyword
+    // extraction with a RATIONAL weight (integer tf·N over integer df,
+    // one IEEE division) instead of ln(): natural-log is not guaranteed
+    // bit-identical across libms, the rational weight ranks the same
+    // way and hashes identically in both engines.
+    QueryDef.sql("t6_top_terms",
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM words),
+        |scored AS (
+        |  SELECT doc_id, w, CAST(tf * n AS DOUBLE) / df AS weight
+        |  FROM tf JOIN df USING (w) CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT doc_id, w, weight,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, w) AS rn
+        |  FROM scored)
+        |SELECT doc_id, rn, w AS term, weight FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = words.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      val nd = words.agg(countDistinct(col("doc_id")).as("n"))
+      tf.join(df, "w").crossJoin(broadcast(nd))
+        .withColumn("weight", (col("tf") * col("n")).cast("double") / col("df"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("weight"), asc("w"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("w").as("term"), col("weight"))
+        .orderBy("doc_id", "rn")
+    },
+
     // D4: SimHash signatures — 32-bit sign-accumulated token-hash sketch.
     QueryDef.sql("d4_simhash",
       s"""SELECT doc_id, $simhashBitsSqlDuck AS simhash
