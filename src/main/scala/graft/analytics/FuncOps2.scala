@@ -298,6 +298,29 @@ object FuncOps2 {
         .orderBy("doc_id")
     },
 
+    // A13: weighted average — exact integer product sums (cents ×
+    // basis points fit long), one IEEE division at the end.
+    QueryDef.sql("a13_weighted_avg",
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0, 0) AS BIGINT) AS wi,
+        |         CAST(round(CAST(l_discount AS DOUBLE) * 10000.0, 0) AS BIGINT) AS xi
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       CAST(SUM(wi * xi) AS DOUBLE) / CAST(SUM(wi) AS DOUBLE) / 10000.0 AS wavg_discount,
+        |       COUNT(*) AS n
+        |FROM q GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice").cast("double") * 100.0, 0).cast("long").as("wi"),
+          round(col("l_discount").cast("double") * 10000.0, 0).cast("long").as("xi"))
+        .groupBy("l_returnflag")
+        .agg((sum(col("wi") * col("xi")).cast("double") /
+            sum(col("wi")).cast("double") / lit(10000.0)).as("wavg_discount"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // F13: error-safe casts — TRY_CAST yields NULL instead of failing on
     // malformed input in BOTH engines, independent of ANSI mode (the
     // ingest-hardening idiom; plain cast only matches with ANSI off).
