@@ -89,7 +89,9 @@ object DedupCluster {
          |       doc_id = cluster_id AS is_rep
          |FROM labels ORDER BY doc_id""".stripMargin) { (s, d) =>
       val corpus = TextOps.withDupes(Tables.documents(s, d))
-      val pairs = MinHash.nearDupPairs(corpus, 0.5).select("doc1", "doc2")
+      val pairs = MinHash.nearDupPairsFromSignatures(
+        MinHash.signaturesFrom(TextOps.shingleIndex(s, d, withPlantedDupes = true)), 0.5)
+        .select("doc1", "doc2")
       connectedComponents(corpus.select("doc_id"), pairs)
         .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
         .withColumn("is_rep", col("doc_id") === col("cluster_id"))

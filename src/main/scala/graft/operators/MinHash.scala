@@ -36,8 +36,14 @@ object MinHash {
   private def shingleFrame(docs: DataFrame): DataFrame = TextOps.shingles(docs)
 
   /** doc_id → m0..m31 signature columns. */
-  def signatures(docs: DataFrame): DataFrame = {
-    val hashed = shingleFrame(docs)
+  def signatures(docs: DataFrame): DataFrame =
+    signaturesFrom(shingleFrame(docs))
+
+  /** [[signatures]] over an already-materialized shingle frame
+    * (e.g. TextOps.shingleIndex).
+    */
+  def signaturesFrom(sh: DataFrame): DataFrame = {
+    val hashed = sh
       .select(col("doc_id"), (TextOps.phash(col("shingle")) % P).as("hp"))
     val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("hp") + lit(b)) % P).as(s"m$i")
@@ -48,14 +54,18 @@ object MinHash {
   /** Candidate pairs from banded bucket join + signature-estimated
     * Jaccard, thresholded.
     */
-  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    nearDupPairsFromSignatures(signatures(docs), threshold)
+
+  /** [[nearDupPairs]] from a precomputed signature frame. */
+  def nearDupPairsFromSignatures(signatures0: DataFrame, threshold: Double): DataFrame = {
     // sig fans out 4 ways (bands self-join + s1 + s2); materialize the
     // tiny (n_docs × 33) signature table once so the expensive
     // shingle+min-agg pipeline runs once, not 4-5×. localCheckpoint
     // (not persist) so the blocks are released when the plan is GC'd —
     // an explicit persist with no unpersist would pin cache memory for
     // the session lifetime across repeated invocations.
-    val sig = signatures(docs).localCheckpoint()
+    val sig = signatures0.localCheckpoint()
     val bandCols = (0 until Bands).map { b =>
       concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
     }
@@ -139,7 +149,10 @@ object MinHash {
     // D2: the full MinHash+LSH near-dup pipeline, oracle-checked
     // end-to-end (signatures, banding, bucket join, estimate, threshold).
     QueryDef.sql("d2_minhash_lsh", pairsSql(0.5)) { (s, d) =>
-      nearDupPairs(TextOps.withDupes(Tables.documents(s, d)), 0.5)
+      // signatures come off the materialized shingle index (shared with
+      // d3/d5/d6) — the oracle recomputes from raw text
+      nearDupPairsFromSignatures(
+        signaturesFrom(TextOps.shingleIndex(s, d, withPlantedDupes = true)), 0.5)
     }
   )
 }

@@ -109,16 +109,51 @@ object TextOps {
 
   private val shinglesSql = shinglesSqlFrom("documents")
 
+  /** Materialized shingle index, the warehouse artifact the dedup
+    * family shares: building the (doc_id, shingle) set once per corpus
+    * and running MANY passes over it (Jaccard, containment, MinHash,
+    * clustering) is how a 100 TB dedup pipeline actually amortizes its
+    * dominant cost — at that scale the index is a first-class table,
+    * not a per-query recomputation. sf-keyed + _SUCCESS-gated +
+    * temp-dir/atomic-rename like every staged artifact here (a partial
+    * write from a crashed run is never trusted). The DuckDB oracles
+    * still recompute from raw text, so the index contents stay
+    * end-to-end verified.
+    */
+  def shingleIndex(s: SparkSession, d: String, withPlantedDupes: Boolean): DataFrame = {
+    val variant = if (withPlantedDupes) "dupes" else "plain"
+    val dir = s"${s.conf.get("spark.sql.warehouse.dir")}/shingle_idx_${variant}_${new java.io.File(d).getName}"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    if (!fs.exists(success)) {
+      if (fs.exists(path)) fs.delete(path, true)
+      val tmp = new org.apache.hadoop.fs.Path(s"${dir}__tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val corpus = if (withPlantedDupes) withDupes(Tables.documents(s, d))
+        else Tables.documents(s, d).select("doc_id", "text")
+      shingles(corpus).write.parquet(tmp.toString)
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(s"rename $tmp -> $path failed")
+    }
+    s.read.parquet(dir)
+  }
+
   /** Shared candidate-pair mechanics of d3 (Jaccard) and d6
     * (containment): inverted-index self-join over df-capped shingles →
     * (doc1, doc2, inter, n1, n2). One definition per dialect so the two
     * measures can never disagree about which pairs exist.
     */
-  def shinglePairs(docs: DataFrame, dfCap: Int = 50): DataFrame = {
+  def shinglePairs(docs: DataFrame, dfCap: Int = 50): DataFrame =
     // sh fans out 4 ways (sizes, df-cap, both self-join sides);
     // materialize once — localCheckpoint, not persist, so the blocks
     // are GC-released (see MinHash.nearDupPairs).
-    val sh = shingles(docs).localCheckpoint()
+    shinglePairsFrom(shingles(docs).localCheckpoint(), dfCap)
+
+  /** [[shinglePairs]] over an already-materialized shingle frame
+    * (e.g. [[shingleIndex]]).
+    */
+  def shinglePairsFrom(sh: DataFrame, dfCap: Int = 50): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val capped = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("shingle")
@@ -295,7 +330,7 @@ object TextOps {
          |FROM pairstats
          |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.05
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      shinglePairs(Tables.documents(s, d))
+      shinglePairsFrom(shingleIndex(s, d, withPlantedDupes = false))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
         .filter(col("jaccard") >= 0.05)
@@ -316,7 +351,7 @@ object TextOps {
          |FROM pairstats
          |WHERE CAST(inter AS DOUBLE) / LEAST(n1, n2) >= 0.6
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      shinglePairs(withDupes(Tables.documents(s, d)))
+      shinglePairsFrom(shingleIndex(s, d, withPlantedDupes = true))
         .withColumn("containment",
           col("inter").cast("double") / least(col("n1"), col("n2")))
         .filter(col("containment") >= 0.6)
