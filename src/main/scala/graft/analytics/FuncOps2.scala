@@ -298,6 +298,29 @@ object FuncOps2 {
         .orderBy("doc_id")
     },
 
+    // F14: bitwise battery — AND/OR/XOR/shifts/popcount over integer
+    // keys (every shift term parenthesized: DuckDB binds + tighter
+    // than <<).
+    QueryDef.sql("f14_bitwise",
+      """SELECT o_orderkey,
+        |       o_orderkey & 255 AS low_byte,
+        |       o_orderkey | 15 AS or_mask,
+        |       xor(o_orderkey, 21845) AS xored,
+        |       (o_orderkey << 2) AS shl2,
+        |       (o_orderkey >> 3) AS shr3,
+        |       bit_count(o_orderkey) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255)).as("low_byte"),
+          col("o_orderkey").bitwiseOR(lit(15)).as("or_mask"),
+          col("o_orderkey").bitwiseXOR(lit(21845)).as("xored"),
+          shiftleft(col("o_orderkey"), 2).as("shl2"),
+          shiftright(col("o_orderkey"), 3).as("shr3"),
+          bit_count(col("o_orderkey")).as("popcount"))
+        .orderBy("o_orderkey")
+    },
+
     // A13: weighted average — exact integer product sums (cents ×
     // basis points fit long), one IEEE division at the end.
     QueryDef.sql("a13_weighted_avg",
