@@ -28,7 +28,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Truncation-proofing (round-2 BENCH artifact kept only the tail of
+    // stdout and ate the head of this ~3 KB line): emit the full line
+    // early, persist it to a file, and re-emit it as the very LAST
+    // stdout line (after spark.stop(), so no shutdown logs follow it).
+    println(full)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
+    println(full)
   }
 }

@@ -17,8 +17,12 @@ object Exact {
     round(sum(c.cast("decimal(28,10)")) * 100, 0).cast("long") / lit(100.0)
 
   /** SQL side (valid in BOTH Spark SQL and DuckDB): same derivation
-    * over a SQL expression string.
+    * over a SQL expression string. The divisor is cast to DOUBLE
+    * explicitly — a bare `/ 100.0` is DOUBLE division in DuckDB but
+    * exact DECIMAL division in Spark SQL (Spark parses the literal as
+    * DECIMAL(4,1)), which is precisely the dialect split that made
+    * g4_grouping_sets diverge in round 2.
     */
   def moneySumSql(expr: String): String =
-    s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / 100.0"
+    s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(28,10))) * 100, 0) AS BIGINT) / CAST(100.0 AS DOUBLE)"
 }

@@ -138,14 +138,17 @@ object FuncOps2 {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d).createOrReplaceTempView("g4_lineitem")
-      // the money idiom is valid in both dialects, so the engine-side
-      // Spark SQL reuses the same generated fragment as the oracle
-      s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-              |       ${graft.Exact.moneySumSql("l_quantity")} AS sum_qty
-              |FROM g4_lineitem
-              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      // Column-API grouping sets with the same Exact.moneySum idiom
+      // g1/g3 pass with — routing moneySumSql text through spark.sql
+      // hit Spark's exact-DECIMAL division where DuckDB divides in
+      // DOUBLE (round-2 g4 hash mismatch).
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty[org.apache.spark.sql.Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), graft.Exact.moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
     // W4: ranking/frame window battery over orders (tie-free order key).

@@ -115,6 +115,10 @@ object BatchSessionOps {
     * series' first observation) is pinned by OpsSpec on a gapped frame.
     */
   def gapFill(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // agg feeds three consumers (spine bounds, key list, grid join) —
+    // checkpoint it so the scan+agg runs once, and derive the key list
+    // from agg rather than a second pass over raw events (every
+    // event_type in ev appears in agg by construction).
     val agg = ev
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_obs"),
@@ -122,10 +126,11 @@ object BatchSessionOps {
           count(lit(1))).as("avg_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n_obs"),
         col("avg_value"))
+      .localCheckpoint()
     val spine = agg.agg(min("bucket").as("lo"), max("bucket").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 6 HOURS")))
         .as("bucket"))
-    val grid = spine.crossJoin(ev.select("event_type").distinct())
+    val grid = spine.crossJoin(agg.select("event_type").distinct())
     val wFill = Window.partitionBy("event_type").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(agg, Seq("bucket", "event_type"), "left")

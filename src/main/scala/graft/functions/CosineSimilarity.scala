@@ -192,10 +192,10 @@ object NativeFunctions {
     * per-session form covers ad-hoc sessions.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim_q", exprs => CosineSimilarityQ(exprs(0), exprs(1)), "built-in")
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
   }
 }
 
@@ -221,7 +221,8 @@ object GraftExtensions {
     */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1))),
-    ("cosine_sim_q", exprs => CosineSimilarityQ(exprs(0), exprs(1))))
+    ("cosine_sim_q", exprs => CosineSimilarityQ(exprs(0), exprs(1))),
+    ("lsh_codes", exprs => LshCodes(exprs(0), exprs(1))))
 
   /** Forked sanity main: proves an extensions-built session resolves
     * the native functions in plain SQL with no register() call

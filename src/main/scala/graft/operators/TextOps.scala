@@ -380,9 +380,15 @@ object TextOps {
         |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
       val words = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      // One scan+explode total: tf rows are unique per (doc_id, w), so
+      // both df (= docs containing w) and nd (= distinct docs) derive
+      // from tf — round 2 ran the explode three times (5.3 s → the
+      // bench's #2 query). tf is orders of magnitude smaller than
+      // words, so checkpointing it (3 consumers) is cheap at any scale.
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val df = words.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
-      val nd = words.agg(countDistinct(col("doc_id")).as("n"))
+        .localCheckpoint()
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val nd = tf.agg(countDistinct(col("doc_id")).as("n"))
       tf.join(df, "w").crossJoin(broadcast(nd))
         .withColumn("weight", (col("tf") * col("n")).cast("double") / col("df"))
         .withColumn("rn", row_number().over(

@@ -37,27 +37,23 @@ object VectorOps {
     * table agrees. Plane signs are fixed (seed 7), inlined as literals —
     * narrow, codegen-able, no shuffle to compute.
     */
-  val Tables_ = 12 // L hash tables
+  val Tables_ : Int = graft.functions.LshPlanes.Tables // L hash tables
   val Bits = 7 // bits per table for ANN (moderate-similarity targets)
   val NCells = 16 // IVF coarse-quantizer cells (v4)
   val NProbe = 2 // IVF cells probed per query (v4)
-  val NearDupBits = 12 // longer codes for near-dup (cos>=0.95 pairs agree
-  //                      on ~90% of bits, so recall stays ~98% while the
-  //                      candidate set shrinks 32x)
-  private val planeSigns: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(Tables_ * NearDupBits)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
+  val NearDupBits: Int = graft.functions.LshPlanes.Stride // longer codes
+  //   for near-dup (cos>=0.95 pairs agree on ~90% of bits, so recall
+  //   stays ~98% while the candidate set shrinks 32x)
+  private def planeSigns(p: Int): Array[Long] = graft.functions.LshPlanes.signs(p)
 
-  /** One B-bit code per table, as an array column (explode to bucket).
-    * Fine for small frames/tests; the query path uses [[lshCodeFrame]] —
-    * the 144 `aggregate(zip_with(...))` lambdas here are interpreted per
-    * element and dominate runtime on large inputs.
+  /** One B-bit code per table via Column composition — the interpreted
+    * reference twin of the native `lsh_codes` expression (OpsSpec pins
+    * them bit-identical). Query paths use [[lshCodeFrame]].
     */
   def lshCodes(v: Column, bits: Int = Bits): Column = {
     val codes = (0 until Tables_).map { t =>
       (0 until bits).map { j =>
-        val signs = planeSigns(t * NearDupBits + j).map(_.toLong)
+        val signs = planeSigns(t * NearDupBits + j).toSeq
         val proj = aggregate(
           zip_with(v, typedLit(signs),
             (x, s) => round(x.cast("double") * 1e6, 0).cast("long") * s),
@@ -68,29 +64,23 @@ object VectorOps {
     array(codes: _*)
   }
 
-  /** Codegen-friendly LSH coding: one posexplode + ONE hash aggregate
-    * computing all plane projections as plain `sum(xi * element_at(...))`
-    * expressions (whole-stage codegen, no lambda interpretation), then a
-    * narrow projection to (vec_id, t, code) bucket rows.
+  /** MAP-ONLY LSH coding: the native codegen'd `lsh_codes` expression
+    * computes all `Tables_` bucket codes per row in one tight integer
+    * loop, then a posexplode emits the (vec_id, t, code) bucket rows —
+    * scan → project → generate, ZERO shuffle to code a 100 TB corpus.
+    * (Round 2 posexploded every vector into 64 element rows and ran an
+    * 84-column hash aggregate — a full n×64-row shuffle for values that
+    * are a pure per-row function of the embedding.)
     *
     * Projections run over the 1e-6-quantized INTEGER elements, so the
     * bucket codes (sign of an exact integer sum) are bit-identical in
     * any engine — which is what lets v2/v3 carry full DuckDB oracles.
     */
   def lshCodeFrame(emb: DataFrame, bits: Int): DataFrame = {
-    val el = elements(emb)
-    val projExprs = for {
-      t <- 0 until Tables_; j <- 0 until bits
-    } yield sum(col("xi") *
-      element_at(typedLit(planeSigns(t * NearDupBits + j).map(_.toLong)), col("pos") + 1))
-      .as(s"pr_${t}_$j")
-    val proj = el.groupBy("vec_id").agg(projExprs.head, projExprs.tail: _*)
-    val codeCols = (0 until Tables_).map { t =>
-      (0 until bits).map { j =>
-        when(col(s"pr_${t}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    proj.select(col("vec_id"), posexplode(array(codeCols: _*)).as(Seq("t", "code")))
+    graft.functions.NativeFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"),
+      posexplode(call_function("lsh_codes", col("embedding"), lit(bits)))
+        .as(Seq("t", "code")))
   }
 
   // ---- shared oracle scaffolding (generated from the same constants) --
@@ -125,15 +115,10 @@ object VectorOps {
 
   // ---- v1: oracled brute-force KNN on quantized vectors ---------------
 
-  /** vec_id, pos, xi — element stream with 1e-6 integer quantization
-    * (identical in both engines: float→double widening is exact, one
-    * multiply, one round).
+  /** vec_id, pos, xi — oracle-side element stream with 1e-6 integer
+    * quantization (identical in both engines: float→double widening is
+    * exact, one multiply, one round).
     */
-  private def elements(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("pos"),
-        round(col("x").cast("double") * 1e6, 0).cast("long").as("xi"))
-
   private val elementsSql =
     """SELECT vec_id, pos, CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xi
       |FROM (SELECT vec_id,
@@ -214,18 +199,19 @@ object VectorOps {
          |SELECT query_id, rn, cand_id, cos FROM scored WHERE rn <= 10
          |ORDER BY query_id, rn""".stripMargin
     }) { (s, d) =>
-      // The (vec_id, t, code) frame is tiny (n×12 rows) but its lineage
-      // is the wide projection aggregate — materialize once for the two
-      // consumers below instead of recomputing per branch.
-      val emb = lshCodeFrame(Tables.embeddings(s, d), Bits).localCheckpoint()
+      // Codes are now a map-only per-row function (native lsh_codes
+      // expression), so no checkpoint: the query side prunes vec_id<10
+      // at the scan and is broadcast-tiny; the candidate side codes the
+      // corpus in the same pass that feeds the bucket join.
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
       // Dedup candidate pairs on IDs ONLY (never shuffle the 64-float
       // arrays through the distinct), then join embeddings back to score.
-      val q = emb.filter(col("vec_id") < 10)
+      val q = lshCodeFrame(vecs.filter(col("vec_id") < 10), Bits)
         .select(col("vec_id").as("query_id"), col("t"), col("code"))
-      val cand = emb.select(col("vec_id").as("cand_id"), col("t"), col("code"))
-      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cand = lshCodeFrame(vecs, Bits)
+        .select(col("vec_id").as("cand_id"), col("t"), col("code"))
       graft.functions.NativeFunctions.register(s)
-      q.join(cand, Seq("t", "code"))
+      broadcast(q).join(cand, Seq("t", "code"))
         .filter(col("cand_id") =!= col("query_id"))
         .select("query_id", "cand_id").distinct() // dedup across tables
         .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -267,10 +253,11 @@ object VectorOps {
       val planted = emb.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       graft.functions.NativeFunctions.register(s)
-      // corpus feeds the code frame plus both score-join sides; codes
-      // feed both self-join sides — materialize each once.
+      // corpus feeds four consumers (both code sides, both score-join
+      // sides) — materialize it once; the code frame itself is now a
+      // map-only projection off the checkpoint, cheap to run per side.
       val corpus = emb.union(planted).localCheckpoint()
-      val all = lshCodeFrame(corpus, NearDupBits).localCheckpoint()
+      val all = lshCodeFrame(corpus, NearDupBits)
       val a = all.select(col("vec_id").as("v1"), col("t"), col("code"))
       val b = all.select(col("vec_id").as("v2"), col("t"), col("code"))
       a.join(b, Seq("t", "code"))

@@ -85,6 +85,24 @@ class OpsSpec extends SparkSpec {
     assert(codes(0).length == VectorOps.Tables_)
   }
 
+  test("native lsh_codes equals the Column composition bit-for-bit (7 and 12 bits)") {
+    graft.functions.NativeFunctions.register(spark)
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(64)(j => (math.sin(i * 64 + j) * 0.4).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    for (bits <- Seq(VectorOps.Bits, VectorOps.NearDupBits)) {
+      val both = df.select(
+        VectorOps.lshCodes(col("embedding"), bits).as("ref"),
+        call_function("lsh_codes", col("embedding"), lit(bits)).as("native"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      both.foreach { case (ref, native) => assert(ref == native) }
+    }
+    // null element → null codes (matches the aggregate formulation)
+    val withNull = spark.sql(
+      "SELECT lsh_codes(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), 7) AS c")
+    assert(withNull.first().isNullAt(0))
+  }
+
   test("native cosine_sim equals the zip_with composition bit-for-bit") {
     graft.functions.NativeFunctions.register(spark)
     val vecs = (1 to 50).map(i =>
@@ -121,8 +139,16 @@ class OpsSpec extends SparkSpec {
     // unit basis vector: norms are exactly 1, so self-cos is exactly 1.0
     val v = Literal.create(Seq(1.0f, 0.0f), ArrayType(FloatType))
     for ((name, builder) <- graft.functions.GraftExtensions.functions) {
-      val r = builder(Seq(v, v)).eval(null)
-      assert(r == 1.0d, s"$name self-similarity should be exactly 1.0, got $r")
+      name match {
+        case "lsh_codes" =>
+          val r = builder(Seq(v, Literal(7))).eval(null)
+          val codes = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          assert(codes.numElements() == graft.functions.LshPlanes.Tables,
+            s"$name should emit one code per table")
+        case _ =>
+          val r = builder(Seq(v, v)).eval(null)
+          assert(r == 1.0d, s"$name self-similarity should be exactly 1.0, got $r")
+      }
     }
   }
 
