@@ -74,26 +74,19 @@ object ScaleOps {
     */
   def partitionedEventsScan(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    // sf-keyed: a staged artifact from one scale factor must never be
-    // served for another (Verify at sf0.01 then Bench at sf0.1 share cwd)
-    val dir = s"${s.conf.get("spark.sql.warehouse.dir")}/events_by_day_${new java.io.File(d).getName}"
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // A bare exists() check would trust a partial directory left by a
-    // crashed prior run; gate on the _SUCCESS marker and rebuild from a
-    // temp dir + atomic rename so readers never see a half-written layout.
-    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    if (!fs.exists(success)) {
-      if (fs.exists(path)) fs.delete(path, true)
-      val tmp = new org.apache.hadoop.fs.Path(s"${dir}__tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+    // sf-keyed base + source fingerprint: an artifact from one scale
+    // factor (or a regenerated source at the same path) must never be
+    // served for another. VersionedStore publishes via immutable
+    // version dir + atomic single-object pointer flip — object-store-
+    // safe (no directory rename), and readers never see a half-written
+    // layout: the pointer only ever names a completed write.
+    val base = s"${s.conf.get("spark.sql.warehouse.dir")}/events_by_day_${new java.io.File(d).getName}"
+    val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/events.parquet")
+    graft.sinks.VersionedStore.readOrBuild(s, base, fp) { out =>
       Tables.events(s, d)
         .withColumn("day", to_date(col("ts")))
-        .write.partitionBy("day").parquet(tmp.toString)
-      if (!fs.rename(tmp, path))
-        throw new java.io.IOException(s"rename $tmp -> $path failed")
+        .write.partitionBy("day").parquet(out)
     }
-    s.read.parquet(dir)
       .filter(col("day") === "2024-01-05")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy("event_type")

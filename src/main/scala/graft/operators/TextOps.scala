@@ -114,29 +114,24 @@ object TextOps {
     * and running MANY passes over it (Jaccard, containment, MinHash,
     * clustering) is how a 100 TB dedup pipeline actually amortizes its
     * dominant cost — at that scale the index is a first-class table,
-    * not a per-query recomputation. sf-keyed + _SUCCESS-gated +
-    * temp-dir/atomic-rename like every staged artifact here (a partial
-    * write from a crashed run is never trusted). The DuckDB oracles
-    * still recompute from raw text, so the index contents stay
+    * not a per-query recomputation. Published through
+    * [[graft.sinks.VersionedStore]] (immutable version dir + atomic
+    * single-object pointer flip — object-store-safe, no directory
+    * rename), keyed by an sf-specific base AND a fingerprint of the
+    * source parquet files, so regenerating `documents` at the same path
+    * invalidates the cache instead of serving a stale index. The DuckDB
+    * oracles still recompute from raw text, so the index contents stay
     * end-to-end verified.
     */
   def shingleIndex(s: SparkSession, d: String, withPlantedDupes: Boolean): DataFrame = {
     val variant = if (withPlantedDupes) "dupes" else "plain"
-    val dir = s"${s.conf.get("spark.sql.warehouse.dir")}/shingle_idx_${variant}_${new java.io.File(d).getName}"
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    if (!fs.exists(success)) {
-      if (fs.exists(path)) fs.delete(path, true)
-      val tmp = new org.apache.hadoop.fs.Path(s"${dir}__tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+    val base = s"${s.conf.get("spark.sql.warehouse.dir")}/shingle_idx_${variant}_${new java.io.File(d).getName}"
+    val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/documents.parquet")
+    graft.sinks.VersionedStore.readOrBuild(s, base, fp) { out =>
       val corpus = if (withPlantedDupes) withDupes(Tables.documents(s, d))
         else Tables.documents(s, d).select("doc_id", "text")
-      shingles(corpus).write.parquet(tmp.toString)
-      if (!fs.rename(tmp, path))
-        throw new java.io.IOException(s"rename $tmp -> $path failed")
+      shingles(corpus).write.parquet(out)
     }
-    s.read.parquet(dir)
   }
 
   /** Shared candidate-pair mechanics of d3 (Jaccard) and d6

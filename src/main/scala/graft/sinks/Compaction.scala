@@ -3,55 +3,72 @@ package graft.sinks
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-/** Small-files compaction for parquet directories — the operational
+/** Small-files compaction for parquet stores — the operational
   * counterpart of a streaming file sink. Append-mode micro-batches
   * write one file per partition per batch; at 100 TB/day that is
   * millions of kilobyte files, and scan planning starts to cost more
-  * than scanning. Compaction rewrites a directory into ~target-sized
-  * files with an atomic-swap publish:
+  * than scanning. Compaction rewrites the store into ~target-sized
+  * files:
   *
-  *  1. read the live dir, repartition to ceil(bytes/target) partitions
-  *     (repartition, not coalesce — even file sizes are the point),
-  *  2. write to `<dir>__compact_tmp`,
-  *  3. swap via two renames (live → __old, tmp → live) and delete
-  *     __old. A reader sees the old or the new layout, never a mix of
-  *     both; the only unreadable instant is between the two renames —
-  *     on a real deployment the swap is a metastore/table-format
-  *     pointer flip (Iceberg/Delta commit) instead of directory
-  *     renames, but the rewrite stage is identical.
+  *  1. read the live version, repartition to ceil(bytes/target)
+  *     partitions (repartition, not coalesce — even file sizes are the
+  *     point),
+  *  2. publish through [[VersionedStore]]: write a fresh immutable
+  *     version dir, then atomically flip the single-object `LATEST`
+  *     pointer. No directory rename anywhere, so the protocol holds on
+  *     S3A (where dir rename is a non-atomic O(n) copy), and a reader
+  *     sees the old or the new layout, never a mix — the same
+  *     pointer-flip shape as an Iceberg/Delta commit.
+  *
+  * A store laid out the old way (parquet files directly at `dir`) is
+  * migrated into the versioned layout on first touch: the files are
+  * moved into a version dir and the pointer is flipped only once all of
+  * them are in place (a crash mid-migration leaves the pointer absent
+  * and the remaining files still at the root — rerunning resumes).
   */
 object Compaction {
 
-  /** Compact `dir` (a parquet directory) into files of roughly
+  /** Compact the store at `dir` into files of roughly
     * `targetFileBytes`. Returns the number of files written.
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val live = new Path(dir)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Crash recovery: a death between the two swap renames leaves live
-    // missing with the data stranded in __compact_old — restore it
-    // before doing anything else (same branch as the upsert sink).
-    val oldP = new Path(s"${dir}__compact_old")
-    if (!fs.exists(live) && fs.exists(oldP) && !fs.rename(oldP, live))
-      throw new java.io.IOException(s"recovery rename $oldP -> $live failed")
-    val bytes = fs.getContentSummary(live).getLength
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcDir = VersionedStore.resolve(spark, dir)
+      .getOrElse(migrateLegacy(spark, dir))
+    val bytes = fs.getContentSummary(srcDir).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-
-    val tmp = new Path(s"${dir}__compact_tmp")
-    val old = new Path(s"${dir}__compact_old")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(old)) fs.delete(old, true)
-
-    spark.read.parquet(dir).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-
-    if (!fs.rename(live, old)) throw new java.io.IOException(s"rename $live -> $old failed")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(old, live) // roll back; leave tmp for inspection
-      throw new java.io.IOException(s"rename $tmp -> $live failed (rolled back)")
+    // publish prunes the superseded version after the pointer flip
+    VersionedStore.publish(spark, dir) { out =>
+      spark.read.parquet(srcDir.toString).repartition(nFiles)
+        .write.parquet(out)
     }
-    fs.delete(old, true)
     nFiles
+  }
+
+  /** One-time migration of a plain parquet directory into the
+    * versioned layout: move the root-level files into a fresh version
+    * dir, then flip the pointer. File moves are per-object (safe to
+    * resume); the pointer flips only after every file is in place.
+    */
+  private def migrateLegacy(spark: SparkSession, dir: String): Path = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedStore.publish(spark, dir) { out =>
+      val outPath = new Path(out)
+      fs.mkdirs(outPath)
+      fs.listStatus(base)
+        .filter(st => st.isFile && st.getPath.getName != "LATEST" &&
+          !st.getPath.getName.startsWith(".LATEST"))
+        .foreach { st =>
+          val dst = new Path(outPath, st.getPath.getName)
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"migrate ${st.getPath} -> $dst failed")
+        }
+      // a legacy dir always has _SUCCESS from its original Spark write;
+      // create one if it predates that convention
+      val marker = new Path(outPath, "_SUCCESS")
+      if (!fs.exists(marker)) fs.create(marker, true).close()
+    }
   }
 }

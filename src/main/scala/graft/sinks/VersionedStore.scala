@@ -1,0 +1,148 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Object-store-safe publish protocol for staged/derived artifacts
+  * (materialized indexes, compacted stores, upsert snapshots).
+  *
+  * The round-1/2 publish idiom — write to `<dir>__tmp`, `rename(tmp,
+  * dir)` — is atomic only where directory rename is atomic (POSIX,
+  * HDFS). On S3A, the reference's actual sink (reference
+  * docker-compose.yml minio + spark-apps/weather_streaming.py:170-177
+  * write `s3a://`), a directory rename is a non-atomic O(n) copy:
+  * readers can observe half a directory and a crash strands a half
+  * copy. This committer never renames a data directory:
+  *
+  *  1. data is written to a fresh immutable version dir
+  *     `<base>/v_<millis>_<uuid>` (Spark's job committer puts `_SUCCESS`
+  *     there when the write completes);
+  *  2. the single-object pointer file `<base>/LATEST` (version name +
+  *     source fingerprint) is atomically replaced LAST —
+  *     `FileContext.rename(OVERWRITE)` on HDFS/local, and on an object
+  *     store a one-key copy, i.e. one atomic PUT;
+  *  3. readers resolve `LATEST` and only ever see a version dir whose
+  *     write finished — a crash anywhere before (2) leaves the previous
+  *     version live and at worst an orphan dir that pruning removes.
+  *
+  * Old versions are pruned best-effort after a successful flip (a real
+  * deployment would keep a grace window for in-flight scans of the
+  * previous version; in this single-process testbed immediate pruning
+  * is safe because resolution happens at plan time).
+  *
+  * The fingerprint stored in the pointer keys the artifact to its
+  * SOURCE data (file names/sizes/mtimes), so regenerating a dataset at
+  * the same path invalidates every cache built from it — the round-2
+  * stale-shingle-index advisory.
+  */
+object VersionedStore {
+
+  /** Pointer contents: which version is live, built from what source. */
+  final case class Pointer(version: String, fingerprint: String)
+
+  private def latestPath(base: Path) = new Path(base, "LATEST")
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fingerprint of a source dataset directory: name, length, and mtime
+    * of every data file (order-free XOR so listing order is
+    * irrelevant). Cheap — one LIST, no data read.
+    */
+  def fingerprintOf(spark: SparkSession, srcDir: String): String = {
+    val p = new Path(srcDir)
+    val f = fs(spark, p)
+    val acc = f.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      .foldLeft(0L) { (h, st) =>
+        h ^ scala.util.hashing.MurmurHash3.stringHash(
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").toLong
+      }
+    java.lang.Long.toHexString(acc)
+  }
+
+  def readPointer(spark: SparkSession, base: String): Option[Pointer] = {
+    val latest = latestPath(new Path(base))
+    val f = fs(spark, latest)
+    if (!f.exists(latest)) None
+    else {
+      val in = f.open(latest)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      // split with -1 limit: an empty fingerprint leaves a trailing
+      // empty field that a bare split would silently drop
+      content.split("\t", -1) match {
+        case Array(v, fp) => Some(Pointer(v.trim, fp.trim))
+        case _ => None
+      }
+    }
+  }
+
+  /** The live, fully-written version dir — None if there is no pointer,
+    * the pointed dir is gone/incomplete, or (when `fingerprint` is
+    * given) the artifact was built from different source data.
+    */
+  def resolve(spark: SparkSession, base: String,
+      fingerprint: Option[String] = None): Option[Path] =
+    readPointer(spark, base).flatMap { ptr =>
+      val dir = new Path(base, ptr.version)
+      val ok = fingerprint.forall(_ == ptr.fingerprint) &&
+        fs(spark, dir).exists(new Path(dir, "_SUCCESS"))
+      if (ok) Some(dir) else None
+    }
+
+  /** Write one new version via `write(dirString)` (must produce
+    * `_SUCCESS`, as every Spark parquet write does), then flip the
+    * pointer and prune superseded versions. Returns the version dir.
+    */
+  def publish(spark: SparkSession, base: String, fingerprint: String = "")(
+      write: String => Unit): Path = {
+    val basePath = new Path(base)
+    val f = fs(spark, basePath)
+    f.mkdirs(basePath)
+    val version = s"v_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(basePath, version)
+    write(dir.toString)
+    if (!f.exists(new Path(dir, "_SUCCESS")))
+      throw new java.io.IOException(s"publish to $dir left no _SUCCESS marker")
+    // Single-object atomic pointer flip — never a directory rename.
+    val tmp = new Path(basePath, s".LATEST.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(s"$version\t$fingerprint".getBytes(UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(basePath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, latestPath(basePath), Options.Rename.OVERWRITE)
+    prune(f, basePath, keep = version)
+    dir
+  }
+
+  /** Best-effort removal of superseded version dirs and stray pointer
+    * temp files (crash leftovers).
+    */
+  private def prune(f: FileSystem, base: Path, keep: String): Unit =
+    try f.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith("v_") && n != keep) || n.startsWith(".LATEST.tmp_"))
+        f.delete(st.getPath, true)
+    } catch { case _: java.io.IOException => () }
+
+  /** Read the live version (throws if nothing was ever published). */
+  def read(spark: SparkSession, base: String): DataFrame =
+    resolve(spark, base) match {
+      case Some(dir) => spark.read.parquet(dir.toString)
+      case None => throw new java.io.FileNotFoundException(
+        s"no published version at $base")
+    }
+
+  /** Serve the artifact at `base` if its pointer matches `fingerprint`,
+    * else (re)build it via `write` and serve the fresh version — the
+    * read-through-cache shape every materialized artifact here uses.
+    */
+  def readOrBuild(spark: SparkSession, base: String, fingerprint: String)(
+      write: String => Unit): DataFrame = {
+    val dir = resolve(spark, base, Some(fingerprint))
+      .getOrElse(publish(spark, base, fingerprint)(write))
+    spark.read.parquet(dir.toString)
+  }
+}

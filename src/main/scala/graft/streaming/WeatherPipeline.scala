@@ -88,14 +88,16 @@ object WeatherPipeline {
 
   /** Keyed UPSERT sink (latest-wins materialized view) via foreachBatch:
     * each micro-batch merges into a parquet store keeping only the
-    * newest row per key, published with an atomic directory swap — so
-    * replays (foreachBatch is at-least-once) converge to the same store
-    * instead of appending duplicates: merge is idempotent by
-    * construction. The testbed swap is two renames; on a real
-    * deployment the same merge writes an Iceberg/Delta commit (a
-    * metadata pointer flip) and the store is partitioned/bucketed by
+    * newest row per key, published through [[graft.sinks.VersionedStore]]
+    * — a fresh immutable version dir plus a single-object pointer flip,
+    * the same commit shape an Iceberg/Delta MERGE uses, and safe on
+    * object stores where directory renames are non-atomic. Replays
+    * (foreachBatch is at-least-once) converge to the same store instead
+    * of appending duplicates: merge is idempotent by construction, and a
+    * crash before the pointer flip leaves the previous version live. On
+    * a real deployment the store is additionally partitioned/bucketed by
     * key so the rewrite touches only changed partitions instead of the
-    * whole table.
+    * whole table. Read the store with `VersionedStore.read`.
     */
   def startUpsertLatest(enriched: DataFrame, storeDir: String, checkpointDir: String,
       key: Seq[String] = Seq("city_name"), tsCol: String = "timestamp_dt",
@@ -106,19 +108,9 @@ object WeatherPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(storeDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val live = new org.apache.hadoop.fs.Path(storeDir)
-        val old = new org.apache.hadoop.fs.Path(s"${storeDir}__upsert_old")
-        // Crash recovery FIRST: a death between the two swap renames
-        // leaves live missing and old holding the only copy of the
-        // store — restore it before merging, or the replay would merge
-        // against an empty store and the later delete(old) would
-        // destroy every previously upserted key.
-        if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
-          throw new java.io.IOException(s"recovery rename $old -> $live failed")
-        val existing =
-          if (fs.exists(live)) spark.read.parquet(storeDir) else batch.limit(0)
+        val existing = graft.sinks.VersionedStore.resolve(spark, storeDir)
+          .map(v => spark.read.parquet(v.toString))
+          .getOrElse(batch.limit(0))
         val dataCols = batch.columns.toSeq
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(key.map(col): _*)
@@ -132,17 +124,11 @@ object WeatherPipeline {
           .unionByName(existing.withColumn("__src", lit(1)))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn", "__src")
-        val tmp = new org.apache.hadoop.fs.Path(s"${storeDir}__upsert_tmp")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(old)) fs.delete(old, true)
-        if (fs.exists(live) && !fs.rename(live, old))
-          throw new java.io.IOException(s"rename $live -> $old failed")
-        if (!fs.rename(tmp, live)) {
-          if (fs.exists(old)) fs.rename(old, live)
-          throw new java.io.IOException(s"rename $tmp -> $live failed (rolled back)")
+        // existing is consumed inside the write (before the flip prunes
+        // the version it reads from)
+        graft.sinks.VersionedStore.publish(spark, storeDir) { out =>
+          merged.write.parquet(out)
         }
-        fs.delete(old, true)
         ()
       }
       .start()

@@ -233,37 +233,66 @@ class OpsSpec extends SparkSpec {
   }
 
   test("compaction: many tiny files collapse to few, rows and values intact") {
-    import graft.sinks.Compaction
+    import graft.sinks.{Compaction, VersionedStore}
     val dir = tmpDir("graft-compact") + "/events_sink"
     // simulate a streaming sink's fragmentation: 64 single-row-ish files
     spark.range(0, 1000).toDF("id").repartition(64)
       .write.parquet(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .count(_.getPath.getName.endsWith(".parquet"))
-    assert(parquetFiles() == 64)
+    def parquetFilesIn(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    assert(parquetFilesIn(new org.apache.hadoop.fs.Path(dir)) == 64)
     val before = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
     val written = Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
-    assert(written == 1 && parquetFiles() == 1)
-    val after = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+    val live = VersionedStore.resolve(spark, dir).get
+    assert(written == 1 && parquetFilesIn(live) == 1)
+    // migration moved the legacy root files into the versioned layout,
+    // and the pre-compaction version was pruned after the pointer flip
+    assert(parquetFilesIn(new org.apache.hadoop.fs.Path(dir)) == 0)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.startsWith("v_")) == 1)
+    val after = VersionedStore.read(spark, dir).as[Long].collect().sorted.toSeq
     assert(after == before)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_tmp")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_old")))
   }
 
-  test("compaction recovers the directory after a crash between swap renames") {
-    import graft.sinks.Compaction
+  test("versioned store: a crash before the pointer flip leaves the old version live") {
+    import graft.sinks.{Compaction, VersionedStore}
     val dir = tmpDir("graft-compact-crash") + "/store"
     spark.range(0, 100).toDF("id").repartition(8).write.parquet(dir)
+    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024) // migrates + compacts
+    // simulate a writer that died AFTER writing its version dir (with
+    // _SUCCESS) but BEFORE flipping the pointer: bogus data, no flip
+    val orphan = new org.apache.hadoop.fs.Path(dir, "v_9999999999999_dead")
+    spark.range(0, 3).toDF("id").write.parquet(orphan.toString)
+    // readers never see the unflipped version...
+    assert(VersionedStore.read(spark, dir).count() == 100)
+    // ...and the next successful publish prunes the orphan
+    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(VersionedStore.read(spark, dir).count() == 100)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate a death between rename(live -> old) and rename(tmp -> live)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(dir + "__compact_old")))
-    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
-    assert(spark.read.parquet(dir).count() == 100)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_old")))
+    assert(!fs.exists(orphan))
+  }
+
+  test("versioned store: fingerprint change invalidates a cached artifact") {
+    import graft.sinks.VersionedStore
+    val src = tmpDir("graft-vstore-src") + "/tbl"
+    val store = tmpDir("graft-vstore") + "/artifact"
+    spark.range(0, 10).toDF("id").write.parquet(src)
+    def build() = VersionedStore.readOrBuild(spark, store,
+      VersionedStore.fingerprintOf(spark, src)) { out =>
+      spark.read.parquet(src).write.parquet(out)
+    }
+    assert(build().count() == 10)
+    val v1 = VersionedStore.resolve(spark, store).get
+    assert(build().count() == 10) // cache hit: same version served
+    assert(VersionedStore.resolve(spark, store).get == v1)
+    // regenerate the SOURCE at the same path -> fingerprint changes ->
+    // the stale artifact must be rebuilt, not served (round-2 advisory)
+    spark.range(0, 25).toDF("id").write.mode("overwrite").parquet(src)
+    assert(build().count() == 25)
+    assert(VersionedStore.resolve(spark, store).get != v1)
   }
 
   test("forward as-of join: strictly-later match per key, nulls when none") {
@@ -331,8 +360,11 @@ class OpsSpec extends SparkSpec {
       case q: QueryStageExec => scans(q.plan)
     }.flatten
     val scan = scans(df.queryExecution.executedPlan).head
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val dayFiles = new java.io.File(s"$warehouse/events_by_day_sf0.001/day=2024-01-05")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val liveVersion = graft.sinks.VersionedStore
+      .resolve(spark, s"$warehouse/events_by_day_sf0.001").get.toString
+    val dayFiles = new java.io.File(
+      s"${liveVersion.stripPrefix("file:")}/day=2024-01-05")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(scan.metrics("numFiles").value == dayFiles,
       s"read ${scan.metrics("numFiles").value} files, partition has $dayFiles")

@@ -208,12 +208,12 @@ class StreamingSpec extends SparkSpec {
     in.addData(at(t0 + 120, 20, "X")) // update X, leave Y
     q.processAllAvailable()
     q.stop()
-    val rows = spark.read.parquet(store)
+    val rows = graft.sinks.VersionedStore.read(spark, store)
       .select("city_name", "temperature").as[(String, Int)].collect().toMap
     assert(rows == Map("X" -> 20, "Y" -> 5))
   }
 
-  test("upsert sink recovers the store after a crash between swap renames") {
+  test("upsert sink survives a crash before the version-pointer flip") {
     implicit val sc = spark.sqlContext
     val store = tmpDir("graft-upsert-crash") + "/latest_by_city"
     val cp = tmpDir("graft-upsert-crash-cp")
@@ -229,20 +229,25 @@ class StreamingSpec extends SparkSpec {
     in.addData(at(t0, 10, "X"), at(t0, 5, "Y"))
     q1.processAllAvailable()
     q1.stop()
-    // simulate a death between rename(live -> old) and rename(tmp -> live)
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
-      new org.apache.hadoop.fs.Path(store + "__upsert_old")))
+    // simulate a batch that died AFTER writing its merged version dir
+    // (with _SUCCESS) but BEFORE flipping the pointer: an empty bogus
+    // version that must never be trusted by the next merge
+    val orphan = new org.apache.hadoop.fs.Path(store, "v_9999999999999_dead")
+    graft.sinks.VersionedStore.read(spark, store).limit(0)
+      .write.parquet(orphan.toString)
     val q2 = WeatherPipeline.startUpsertLatest(
       WeatherPipeline.enriched(in.toDF()), store, cp)
     in.addData(at(t0 + 60, 20, "X")) // batch mentions X only
     q2.processAllAvailable()
     q2.stop()
-    val rows = spark.read.parquet(store)
+    val rows = graft.sinks.VersionedStore.read(spark, store)
       .select("city_name", "temperature").as[(String, Int)].collect().toMap
-    // Y must survive the recovery; X takes the update
+    // Y must survive (merge ran against the POINTED version, not the
+    // orphan); X takes the update; the orphan was pruned by the flip
     assert(rows == Map("X" -> 20, "Y" -> 5))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(orphan))
   }
 
   test("stream-stream interval join matches within the time bound only") {
