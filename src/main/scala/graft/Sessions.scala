@@ -27,6 +27,9 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-query progress + batch-action metrics (the reference's
+    // Prometheus/JMX signal, engine-side) — idempotent per session
+    graft.observe.Metrics.register(spark)
     spark
   }
 }

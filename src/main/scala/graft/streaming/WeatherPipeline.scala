@@ -20,13 +20,36 @@ import graft.schema.Schemas
   */
 object WeatherPipeline {
 
+  /** Kafka source option surface (S1/ST8 parity) as a pure, validated
+    * map — split out so CI can fail on a typo'd or contradictory option
+    * set without a broker or even the kafka connector jar on the
+    * classpath (the sandbox has neither; `.load()` is the first point
+    * that needs them). Keys match the Spark Kafka source contract:
+    * `kafka.`-prefixed options go to the Kafka consumer, the rest to
+    * the source itself.
+    */
+  def kafkaOptions(bootstrap: String, topic: String,
+      startingOffsets: String = "latest"): Map[String, String] = {
+    require(bootstrap.trim.nonEmpty, "kafka.bootstrap.servers must be non-empty")
+    require(topic.trim.nonEmpty, "subscribe topic must be non-empty")
+    require(!topic.contains(",") || topic.split(',').forall(_.trim.nonEmpty),
+      s"malformed topic list: '$topic'")
+    // per Kafka source contract: latest, earliest, or a JSON map of
+    // per-partition offsets
+    require(Set("latest", "earliest")(startingOffsets) ||
+      startingOffsets.trim.startsWith("{"),
+      s"startingOffsets must be latest/earliest or a JSON offset map, got '$startingOffsets'")
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets)
+  }
+
   /** Kafka source (S1 parity): value bytes carry Schema-A JSON. */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
+      .options(kafkaOptions(bootstrap, topic))
       .load()
 
   /** The enrichment DAG over any raw frame bearing a `value` column

@@ -21,6 +21,47 @@ class StreamingSpec extends SparkSpec {
        |"min_temp":"0","wind_speed":"1.0","température":"$temp","max_temp":"0",
        |"timestamp":"1761661906","longitude":"0"}""".stripMargin.replace("\n", "")
 
+  test("metrics listeners capture streaming progress and batch actions") {
+    implicit val sc = spark.sqlContext
+    graft.observe.Metrics.register(spark) // idempotent with Sessions.local
+    graft.observe.Metrics.reset()
+    val in = MemoryStream[String]
+    val q = WeatherPipeline.enriched(in.toDF())
+      .writeStream.format("memory").queryName("metrics_probe").outputMode("append")
+      .start()
+    in.addData(goldenJson, alertJson(45.0), alertJson(2.0))
+    q.processAllAvailable()
+    q.stop()
+    // listener events are delivered async on the listener bus — poll
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def probeRows = graft.observe.Metrics.streamSnapshot
+      .filter(_.queryName == "metrics_probe").map(_.numInputRows).sum
+    while (probeRows < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(probeRows == 3, s"expected 3 input rows across batches, saw $probeRows")
+    assert(graft.observe.Metrics.streamSnapshot
+      .filter(_.queryName == "metrics_probe").forall(_.triggerDurationMs >= 0))
+    // batch side: any action on the session lands a BatchRun record
+    spark.range(0, 10).count()
+    while (graft.observe.Metrics.batchSnapshot.isEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    val runs = graft.observe.Metrics.batchSnapshot
+    assert(runs.nonEmpty && runs.forall(r => !r.failed && r.durationMs >= 0))
+  }
+
+  test("kafka option surface rejects typos and malformed values in CI") {
+    val opts = WeatherPipeline.kafkaOptions("broker:9092", "weather-events")
+    // exactly the Kafka-source contract keys, no misspellings
+    assert(opts.keySet == Set("kafka.bootstrap.servers", "subscribe", "startingOffsets"))
+    assert(opts("subscribe") == "weather-events" && opts("startingOffsets") == "latest")
+    assert(WeatherPipeline.kafkaOptions("b:9092", "t",
+      """{"t":{"0":-2}}""")("startingOffsets").startsWith("{"))
+    intercept[IllegalArgumentException](WeatherPipeline.kafkaOptions("", "topic"))
+    intercept[IllegalArgumentException](WeatherPipeline.kafkaOptions("b:9092", " "))
+    intercept[IllegalArgumentException](WeatherPipeline.kafkaOptions("b:9092", "a,,b"))
+    intercept[IllegalArgumentException](
+      WeatherPipeline.kafkaOptions("b:9092", "t", "newest")) // typo'd offset mode
+  }
+
   test("streaming pipeline enriches the golden record through a memory sink") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[String]
