@@ -87,7 +87,10 @@ object Multimodal {
 
   /** Single source for the oracle's stub-feature derivation (used by
     * m2/m3/m4 — keep in lockstep with [[decodeBatch]]): n_bytes and the
-    * portable 60-bit md5 hash per document.
+    * portable 60-bit md5 hash per document. NOTE DuckDB `strlen` is
+    * BYTE length (UTF-8 octets; `length` is the char count —
+    * strlen('héllo')=6, length('héllo')=5), so it matches the engine's
+    * `media.length` byte semantics for non-ASCII documents too.
     */
   private val featsSql: String =
     """f AS (

@@ -370,6 +370,21 @@ class OpsSpec extends SparkSpec {
       s"read ${scan.metrics("numFiles").value} files, partition has $dayFiles")
   }
 
+  test("every events column is non-null somewhere at each sf (p5 oracle assumption)") {
+    // p5_dropna_cols' oracle hardcodes the surviving projection, which
+    // is only valid while no real events column is entirely NULL — pin
+    // that assumption per dataset so a regenerated corpus that breaks
+    // it fails HERE, not as a confusing p5 hash mismatch.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val ev = graft.sources.Tables.events(spark, s"/root/testdata/$sf")
+      val counts = ev.select(ev.columns.map(c =>
+        count(col(c)).as(c)).toSeq: _*).first()
+      ev.columns.zipWithIndex.foreach { case (c, i) =>
+        assert(counts.getLong(i) > 0, s"events.$c is all-NULL at $sf")
+      }
+    }
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
