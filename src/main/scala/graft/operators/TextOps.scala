@@ -25,6 +25,12 @@ object TextOps {
   val phashSql: String => String =
     x => s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
+  // PII regexes shared by the t7 engine and oracle sides (single-quoted
+  // into the SQL verbatim — no dialect-divergent metacharacters).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  private val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
   // Marker-word sets for the n-gram language-ID heuristic.
   private val enRe = "\\b(the|a|of|and|in|to|is)\\b"
   private val esRe = "\\b(el|la|de|los|las|una|es)\\b"
@@ -450,6 +456,135 @@ object TextOps {
         .filter(col("hamming") <= 3)
         .select("doc1", "doc2", "hamming")
         .orderBy("doc1", "doc2")
+    },
+
+    // T7: PII scrubbing — the redaction pass every training-data
+    // pipeline runs before anything else. The corpus is synthetic
+    // word-soup with no real PII, so each doc gets one email, phone,
+    // and SSN planted DETERMINISTICALLY (derived from doc_id,
+    // identically in both dialects); the operator under test is the
+    // regex scrub itself: replace-all + a residual count proving no
+    // pattern survives. Narrow per-row work — map-only at any scale.
+    QueryDef.sql("t7_pii_scrub", {
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |         '@mail.example or call +1-555-' ||
+         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |         ' ssn 123-45-6789' AS t
+         |  FROM documents),
+         |scrubbed AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(t, '$EmailRe')) +
+         |         len(regexp_extract_all(t, '$PhoneRe')) +
+         |         len(regexp_extract_all(t, '$SsnRe')) AS n_pii,
+         |         regexp_replace(regexp_replace(regexp_replace(t,
+         |           '$EmailRe', '<EMAIL>', 'g'),
+         |           '$PhoneRe', '<PHONE>', 'g'),
+         |           '$SsnRe', '<SSN>', 'g') AS st
+         |  FROM planted)
+         |SELECT doc_id, n_pii,
+         |       len(regexp_extract_all(st, '$EmailRe')) +
+         |       len(regexp_extract_all(st, '$PhoneRe')) +
+         |       len(regexp_extract_all(st, '$SsnRe')) AS residual,
+         |       right(st, 46) AS scrub_tail
+         |FROM scrubbed ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example or call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ssn 123-45-6789")).as("t"))
+      def piiCount(c: Column): Column =
+        regexp_count(c, lit(EmailRe)) + regexp_count(c, lit(PhoneRe)) +
+          regexp_count(c, lit(SsnRe))
+      planted
+        .select(col("doc_id"), piiCount(col("t")).as("n_pii"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            lit(EmailRe), lit("<EMAIL>")),
+            lit(PhoneRe), lit("<PHONE>")),
+            lit(SsnRe), lit("<SSN>")).as("st"))
+        .select(col("doc_id"), col("n_pii"),
+          piiCount(col("st")).as("residual"),
+          substring(col("st"), -46, 46).as("scrub_tail"))
+        .orderBy("doc_id")
+    },
+
+    // T8: repetition statistics (the Gopher-style repetition filter's
+    // inputs): per-doc duplicate-word and duplicate-bigram fractions.
+    // One explode feeds both stat branches via a checkpoint — the
+    // 100 TB cost is one tokenized pass + two doc-keyed aggregations
+    // (the wp frame is token-scale; materializing it trades one narrow
+    // recompute for shuffle input locality, same call as t6's tf).
+    // Counts are integral; the two fractions are single IEEE divisions.
+    QueryDef.sql("t8_repetition",
+      """WITH wp AS (
+        |  SELECT doc_id, pos, w,
+        |         CASE WHEN lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+        |              THEN w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) END AS bigram
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |               generate_subscripts(string_split(text, ' '), 1) AS pos
+        |        FROM documents)),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS c FROM wp GROUP BY doc_id, w),
+        |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |              COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_cnt
+        |       FROM tf GROUP BY doc_id),
+        |bs AS (SELECT doc_id, COUNT(DISTINCT bigram) AS nb_distinct, COUNT(*) AS nb_total
+        |       FROM wp WHERE bigram IS NOT NULL GROUP BY doc_id)
+        |SELECT ws.doc_id, n_words, n_distinct,
+        |       CAST(top_cnt AS DOUBLE) / n_words AS top_frac,
+        |       1.0 - CAST(nb_distinct AS DOUBLE) / nb_total AS bigram_rep
+        |FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+        |ORDER BY ws.doc_id""".stripMargin) { (s, d) =>
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val lw = lead(col("w"), 1).over(win)
+      val wp = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("bigram", when(lw.isNotNull, concat(col("w"), lit(" "), lw)))
+        .localCheckpoint() // two stat branches below share one tokenize+window
+      val ws = wp.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_words"),
+          count(lit(1)).as("n_distinct"), max("c").as("top_cnt"))
+      val bs = wp.filter(col("bigram").isNotNull).groupBy("doc_id")
+        .agg(countDistinct(col("bigram")).as("nb_distinct"),
+          count(lit(1)).as("nb_total"))
+      ws.join(bs, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          (col("top_cnt").cast("double") / col("n_words")).as("top_frac"),
+          (lit(1.0) - col("nb_distinct").cast("double") / col("nb_total")).as("bigram_rep"))
+        .orderBy("doc_id")
+    },
+
+    // D7: benchmark-contamination screen — which corpus docs contain a
+    // benchmark n-gram verbatim (the decontamination check run before
+    // any training corpus ships). The "benchmark set" is the first
+    // 3-gram of docs 0-4 (self-derived => deterministic + oracled; in
+    // production it is an external tiny table). The bench side is
+    // broadcast (5 rows), so the screen is one map-only substring pass
+    // over the corpus — a BroadcastNestedLoopJoin, never a shuffle,
+    // exactly the j6 literal-band-dim shape. Space-padding makes the
+    // match whole-word-aligned.
+    QueryDef.sql("d7_contamination",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bench AS (
+        |  SELECT doc_id AS bench_id,
+        |         ' ' || ws[1] || ' ' || ws[2] || ' ' || ws[3] || ' ' AS needle
+        |  FROM sp WHERE doc_id < 5)
+        |SELECT d.doc_id, b.bench_id
+        |FROM documents d CROSS JOIN bench b
+        |WHERE instr(' ' || d.text || ' ', b.needle) > 0
+        |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("bench_id"),
+          concat(lit(" "),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
+            lit(" ")).as("needle"))
+      docs.select(col("doc_id"), concat(lit(" "), col("text"), lit(" ")).as("hay"))
+        .crossJoin(broadcast(bench))
+        .filter(expr("instr(hay, needle) > 0"))
+        .select("doc_id", "bench_id")
+        .orderBy("doc_id", "bench_id")
     }
   )
 }

@@ -51,6 +51,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("LSH coding is map-only: zero exchanges, zero aggregates to code a corpus") {
+    import graft.operators.VectorOps
+    import graft.sources.Tables
+    val df = VectorOps.lshCodeFrame(Tables.embeddings(spark, sf), VectorOps.Bits)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val aggs = collectWithSubqueries(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(exchanges.isEmpty,
+      s"coding 100 TB of vectors must not shuffle, found ${exchanges.length} exchanges")
+    assert(aggs.isEmpty,
+      s"codes are a per-row function, found ${aggs.length} aggregates")
+    assert(plan.toString.contains("lsh_codes"), plan.toString.take(500))
+  }
+
+  test("v2 ANN: tiny query-code side broadcasts into the bucket join") {
+    val p = planString(SparkEntry.queries("v2_ann_lsh")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("d7 contamination screen: bench set broadcasts; corpus never shuffles for the join") {
+    val p = planString(SparkEntry.queries("d7_contamination")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), s"bench join fell back to sort-merge:\n$p")
+  }
+
   test("parity_enrich: the whole enrichment collapses to a map-only scan (no mid-plan exchange)") {
     // Count exchanges: only the final oracle ORDER BY may shuffle.
     val df = SparkEntry.queries("parity_enrich")(spark, sf)
