@@ -36,11 +36,17 @@ object LshPlanes {
     * bank. Called from both interpreted eval and the generated Java of
     * [[LshCodes]] (a single static call keeps the enclosing stage in
     * whole-stage codegen with zero per-element virtual dispatch).
-    * Returns null on a null element (matching the aggregate-based
-    * formulation's null propagation).
+    *
+    * STRICT input contract: a vector that is not exactly `Dim` elements
+    * or has any null element yields NULL codes — the row is excluded
+    * from every bucket, so a corrupt embedding can never become an
+    * ANN/near-dup candidate (and `posexplode(NULL)` drops it with zero
+    * rows rather than bucketing garbage). The Column-composition twin
+    * in VectorOps enforces the same contract.
     */
   def codes(arr: ArrayData, bits: Int): ArrayData = {
     val n = arr.numElements()
+    if (n != Dim) return null
     val xs = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -48,7 +54,6 @@ object LshPlanes {
       xs(i) = CosineSimilarityQ.quantize(arr.getFloat(i))
       i += 1
     }
-    val m = if (n < Dim) n else Dim
     val out = new Array[Long](Tables)
     var t = 0
     while (t < Tables) {
@@ -58,7 +63,7 @@ object LshPlanes {
         val s = signs(t * Stride + j)
         var proj = 0L
         var k = 0
-        while (k < m) { proj += xs(k) * s(k); k += 1 }
+        while (k < Dim) { proj += xs(k) * s(k); k += 1 }
         if (proj > 0) code |= (1L << j)
         j += 1
       }

@@ -41,10 +41,16 @@ object Metrics {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val streamEvents = new ConcurrentLinkedDeque[StreamProgress]()
   private val batchEvents = new ConcurrentLinkedDeque[BatchRun]()
+  // element counts tracked separately: ConcurrentLinkedDeque.size() is
+  // an O(n) traversal, too hot for a per-event listener path
+  private val streamCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val batchCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def push[A](q: ConcurrentLinkedDeque[A], a: A): Unit = {
+  private def push[A](q: ConcurrentLinkedDeque[A],
+      n: java.util.concurrent.atomic.AtomicInteger, a: A): Unit = {
     q.addLast(a)
-    while (q.size() > MaxEvents) q.pollFirst() // bounded: drop oldest
+    if (n.incrementAndGet() > MaxEvents && q.pollFirst() != null)
+      n.decrementAndGet() // bounded: drop oldest
   }
 
   final class GraftStreamingListener extends StreamingQueryListener {
@@ -56,7 +62,7 @@ object Metrics {
         p.processedRowsPerSecond,
         Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L),
         p.timestamp)
-      push(streamEvents, rec)
+      push(streamEvents, streamCount, rec)
       log.info("stream_progress query={} batch={} rows={} trigger_ms={}",
         rec.queryName, rec.batchId.toString, rec.numInputRows.toString,
         rec.triggerDurationMs.toString)
@@ -68,10 +74,11 @@ object Metrics {
   final class GraftBatchListener extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit =
-      push(batchEvents, BatchRun(funcName, durationNs / 1000000L, failed = false))
+      push(batchEvents, batchCount,
+        BatchRun(funcName, durationNs / 1000000L, failed = false))
     override def onFailure(funcName: String, qe: QueryExecution,
         exception: Exception): Unit =
-      push(batchEvents, BatchRun(funcName, -1L, failed = true))
+      push(batchEvents, batchCount, BatchRun(funcName, -1L, failed = true))
   }
 
   /** Register both listeners on a session, once per session (guarded by
@@ -89,5 +96,8 @@ object Metrics {
   def batchSnapshot: Seq[BatchRun] = batchEvents.asScala.toSeq
 
   /** Test hook: empty both buffers. */
-  def reset(): Unit = { streamEvents.clear(); batchEvents.clear() }
+  def reset(): Unit = {
+    streamEvents.clear(); batchEvents.clear()
+    streamCount.set(0); batchCount.set(0)
+  }
 }

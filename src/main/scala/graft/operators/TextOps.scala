@@ -575,11 +575,16 @@ object TextOps {
         |WHERE instr(' ' || d.text || ' ', b.needle) > 0
         |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id", "text")
+      // element_at (NULL past the end, ANSI off) + null-propagating
+      // concat mirror DuckDB's ws[i]/|| NULL semantics exactly: a bench
+      // doc shorter than 3 words yields a NULL needle and matches
+      // nothing in BOTH dialects (concat_ws over slice would instead
+      // build a shorter needle only on the Spark side).
+      val w = split(col("text"), " ")
       val bench = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("bench_id"),
-          concat(lit(" "),
-            concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
-            lit(" ")).as("needle"))
+          concat(lit(" "), element_at(w, 1), lit(" "), element_at(w, 2),
+            lit(" "), element_at(w, 3), lit(" ")).as("needle"))
       docs.select(col("doc_id"), concat(lit(" "), col("text"), lit(" ")).as("hay"))
         .crossJoin(broadcast(bench))
         .filter(expr("instr(hay, needle) > 0"))

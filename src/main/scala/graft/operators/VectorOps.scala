@@ -48,7 +48,10 @@ object VectorOps {
 
   /** One B-bit code per table via Column composition — the interpreted
     * reference twin of the native `lsh_codes` expression (OpsSpec pins
-    * them bit-identical). Query paths use [[lshCodeFrame]].
+    * them bit-identical, including the strict input contract: a vector
+    * that is not exactly 64 elements or carries a null element codes to
+    * NULL and so never enters a bucket). Query paths use
+    * [[lshCodeFrame]].
     */
   def lshCodes(v: Column, bits: Int = Bits): Column = {
     val codes = (0 until Tables_).map { t =>
@@ -61,7 +64,8 @@ object VectorOps {
         when(proj > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    array(codes: _*)
+    when(size(v) === graft.functions.LshPlanes.Dim &&
+      !exists(v, x => x.isNull), array(codes: _*))
   }
 
   /** MAP-ONLY LSH coding: the native codegen'd `lsh_codes` expression

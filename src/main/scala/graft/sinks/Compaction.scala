@@ -34,6 +34,8 @@ object Compaction {
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir)))
+      throw new java.io.FileNotFoundException(s"no store at $dir")
     val srcDir = VersionedStore.resolve(spark, dir)
       .getOrElse(migrateLegacy(spark, dir))
     val bytes = fs.getContentSummary(srcDir).getLength
@@ -47,9 +49,16 @@ object Compaction {
   }
 
   /** One-time migration of a plain parquet directory into the
-    * versioned layout: move the root-level files into a fresh version
-    * dir, then flip the pointer. File moves are per-object (safe to
-    * resume); the pointer flips only after every file is in place.
+    * versioned layout: move the root-level entries — files AND
+    * partition subdirectories (`day=.../part-*.parquet` layouts) —
+    * into a fresh version dir, then flip the pointer. Moves are
+    * per-entry (safe to resume); the pointer flips only after every
+    * entry is in place. Because no pointer exists yet, any `v_*` dir
+    * found here is a PREVIOUS crashed migration — its contents are
+    * pulled into the new version too, so a rerun recovers the files an
+    * interrupted attempt already moved instead of stranding them (the
+    * post-flip prune would otherwise delete them). Migrating an empty
+    * dir throws BEFORE the pointer flip: no pointer-to-nothing.
     */
   private def migrateLegacy(spark: SparkSession, dir: String): Path = {
     val base = new Path(dir)
@@ -57,16 +66,31 @@ object Compaction {
     VersionedStore.publish(spark, dir) { out =>
       val outPath = new Path(out)
       fs.mkdirs(outPath)
-      fs.listStatus(base)
-        .filter(st => st.isFile && st.getPath.getName != "LATEST" &&
-          !st.getPath.getName.startsWith(".LATEST"))
-        .foreach { st =>
-          val dst = new Path(outPath, st.getPath.getName)
-          if (!fs.rename(st.getPath, dst))
-            throw new java.io.IOException(s"migrate ${st.getPath} -> $dst failed")
-        }
-      // a legacy dir always has _SUCCESS from its original Spark write;
-      // create one if it predates that convention
+      // returns 1 only for DATA entries, so a legacy dir holding just a
+      // _SUCCESS marker still fails the nothing-to-migrate check
+      def move(st: org.apache.hadoop.fs.FileStatus): Int = {
+        val name = st.getPath.getName
+        val dst = new Path(outPath, name)
+        if (fs.exists(dst) && name == "_SUCCESS") 0 // dup marker
+        else if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"migrate ${st.getPath} -> $dst failed")
+        else if (name.startsWith("_")) 0
+        else 1
+      }
+      val entries = fs.listStatus(base).filterNot { st =>
+        val n = st.getPath.getName
+        n == "LATEST" || n.startsWith(".LATEST") || n == outPath.getName
+      }
+      val (orphans, plain) = entries.partition(st =>
+        st.isDirectory && st.getPath.getName.startsWith("v_"))
+      var moved = plain.map(move).sum
+      // contents of crashed prior migrations (no pointer => unflipped)
+      orphans.foreach { o =>
+        moved += fs.listStatus(o.getPath).map(move).sum
+        fs.delete(o.getPath, true)
+      }
+      if (moved == 0)
+        throw new java.io.IOException(s"nothing to migrate at $dir")
       val marker = new Path(outPath, "_SUCCESS")
       if (!fs.exists(marker)) fs.create(marker, true).close()
     }

@@ -32,7 +32,9 @@ object WeatherPipeline {
       startingOffsets: String = "latest"): Map[String, String] = {
     require(bootstrap.trim.nonEmpty, "kafka.bootstrap.servers must be non-empty")
     require(topic.trim.nonEmpty, "subscribe topic must be non-empty")
-    require(!topic.contains(",") || topic.split(',').forall(_.trim.nonEmpty),
+    // -1 limit: a bare split drops trailing empty fields, letting
+    // 'topic,' through
+    require(!topic.contains(",") || topic.split(",", -1).forall(_.trim.nonEmpty),
       s"malformed topic list: '$topic'")
     // per Kafka source contract: latest, earliest, or a JSON map of
     // per-partition offsets
@@ -131,8 +133,23 @@ object WeatherPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing = graft.sinks.VersionedStore.resolve(spark, storeDir)
+        val fs = new org.apache.hadoop.fs.Path(storeDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // A store written by the pre-versioned rename-swap protocol has
+        // its parquet directly at the root (no pointer) — merge against
+        // THOSE files rather than silently starting from empty, which
+        // would publish a store containing only this batch's keys.
+        def legacyFiles: Seq[org.apache.hadoop.fs.Path] =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) Seq.empty
+          else fs.listStatus(new org.apache.hadoop.fs.Path(storeDir))
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath).toSeq
+        val resolved = graft.sinks.VersionedStore.resolve(spark, storeDir)
+        val legacy = if (resolved.isEmpty) legacyFiles else Seq.empty
+        val existing = resolved
           .map(v => spark.read.parquet(v.toString))
+          .orElse(if (legacy.nonEmpty)
+            Some(spark.read.parquet(legacy.map(_.toString): _*)) else None)
           .getOrElse(batch.limit(0))
         val dataCols = batch.columns.toSeq
         val w = org.apache.spark.sql.expressions.Window
@@ -152,6 +169,9 @@ object WeatherPipeline {
         graft.sinks.VersionedStore.publish(spark, storeDir) { out =>
           merged.write.parquet(out)
         }
+        // legacy roots are merged into the published version above —
+        // clear them so they aren't re-merged or mistaken for data
+        legacy.foreach(fs.delete(_, false))
         ()
       }
       .start()

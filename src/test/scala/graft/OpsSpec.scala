@@ -97,10 +97,18 @@ class OpsSpec extends SparkSpec {
         .as[(Seq[Long], Seq[Long])].collect()
       both.foreach { case (ref, native) => assert(ref == native) }
     }
-    // null element → null codes (matches the aggregate formulation)
-    val withNull = spark.sql(
-      "SELECT lsh_codes(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), 7) AS c")
-    assert(withNull.first().isNullAt(0))
+    // strict contract, BOTH formulations: null element or wrong
+    // dimensionality → NULL codes (the row never enters a bucket)
+    val bad = Seq(
+      (1L, Array.tabulate(64)(i => if (i == 7) null
+        else java.lang.Float.valueOf(0.1f * i))), // null element
+      (2L, Array.tabulate(60)(i => java.lang.Float.valueOf(0.1f * i)))) // 60-dim
+      .toDF("vec_id", "embedding")
+    val strict = bad.select(
+      VectorOps.lshCodes(col("embedding"), 7).as("ref"),
+      call_function("lsh_codes", col("embedding"), lit(7)).as("native"))
+      .collect()
+    strict.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1), r.toString) }
   }
 
   test("native cosine_sim equals the zip_with composition bit-for-bit") {
@@ -141,7 +149,11 @@ class OpsSpec extends SparkSpec {
     for ((name, builder) <- graft.functions.GraftExtensions.functions) {
       name match {
         case "lsh_codes" =>
-          val r = builder(Seq(v, Literal(7))).eval(null)
+          // strict contract: exactly Dim elements
+          val v64 = Literal.create(
+            Seq.tabulate(graft.functions.LshPlanes.Dim)(i => 0.01f * (i + 1)),
+            ArrayType(FloatType))
+          val r = builder(Seq(v64, Literal(7))).eval(null)
           val codes = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           assert(codes.numElements() == graft.functions.LshPlanes.Tables,
             s"$name should emit one code per table")
@@ -273,6 +285,28 @@ class OpsSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(orphan))
+  }
+
+  test("legacy migration resumes after a mid-move crash without losing files") {
+    import graft.sinks.{Compaction, VersionedStore}
+    val dir = tmpDir("graft-migrate-crash") + "/store"
+    spark.range(0, 500).toDF("id").repartition(8).write.parquet(dir)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a migration that died halfway: some files already moved
+    // into an unflipped v_ dir, the rest still at the root
+    val dead = new org.apache.hadoop.fs.Path(dir, "v_0000000000000_dead")
+    fs.mkdirs(dead)
+    val roots = fs.listStatus(base)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    roots.take(3).foreach { st =>
+      assert(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(dead, st.getPath.getName)))
+    }
+    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    // every row survives: the rerun pulled the orphan's files back in
+    assert(VersionedStore.read(spark, dir).count() == 500)
+    assert(!fs.exists(dead))
   }
 
   test("versioned store: fingerprint change invalidates a cached artifact") {

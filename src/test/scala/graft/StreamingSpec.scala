@@ -41,9 +41,11 @@ class StreamingSpec extends SparkSpec {
     assert(graft.observe.Metrics.streamSnapshot
       .filter(_.queryName == "metrics_probe").forall(_.triggerDurationMs >= 0))
     // batch side: any action on the session lands a BatchRun record
+    // (fresh deadline — the streaming poll may have consumed the first)
     spark.range(0, 10).count()
+    val deadline2 = System.nanoTime() + 10L * 1000 * 1000 * 1000
     while (graft.observe.Metrics.batchSnapshot.isEmpty &&
-      System.nanoTime() < deadline) Thread.sleep(50)
+      System.nanoTime() < deadline2) Thread.sleep(50)
     val runs = graft.observe.Metrics.batchSnapshot
     assert(runs.nonEmpty && runs.forall(r => !r.failed && r.durationMs >= 0))
   }
@@ -289,6 +291,49 @@ class StreamingSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(orphan))
+  }
+
+  test("upsert sink merges a pre-versioned legacy store instead of discarding it") {
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-upsert-legacy") + "/latest_by_city"
+    val cp = tmpDir("graft-upsert-legacy-cp")
+    val cp2 = tmpDir("graft-upsert-legacy-cp2")
+    val in = MemoryStream[String]
+    def at(epoch: Long, temp: Double, city: String) =
+      s"""{"date":"d","weather_description":"clear","latitude":"0","pression":"1000",
+         |"humidité":"50","feels_like":"0","city_name":"$city","local_time":"t",
+         |"min_temp":"0","wind_speed":"1.0","température":"$temp","max_temp":"0",
+         |"timestamp":"$epoch","longitude":"0"}""".stripMargin.replace("\n", "")
+    val t0 = 1700000000L
+    val q1 = WeatherPipeline.startUpsertLatest(
+      WeatherPipeline.enriched(in.toDF()), store, cp)
+    in.addData(at(t0, 10, "X"), at(t0, 5, "Y"))
+    q1.processAllAvailable()
+    q1.stop()
+    // rewind the store to the pre-versioned layout: parquet at the
+    // root, no pointer (what the old rename-swap protocol left behind)
+    val base = new org.apache.hadoop.fs.Path(store)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = graft.sinks.VersionedStore.resolve(spark, store).get
+    fs.listStatus(live).foreach { st =>
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(base, st.getPath.getName))
+    }
+    fs.delete(live, true)
+    fs.delete(new org.apache.hadoop.fs.Path(base, "LATEST"), false)
+    // fresh checkpoint => the batch replays from scratch against the
+    // legacy store; Y must be carried into the versioned publish
+    val in2 = MemoryStream[String]
+    val q2 = WeatherPipeline.startUpsertLatest(
+      WeatherPipeline.enriched(in2.toDF()), store, cp2)
+    in2.addData(at(t0 + 60, 20, "X"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = graft.sinks.VersionedStore.read(spark, store)
+      .select("city_name", "temperature").as[(String, Int)].collect().toMap
+    assert(rows == Map("X" -> 20, "Y" -> 5))
+    // the merged legacy roots were cleaned up after the publish
+    assert(fs.listStatus(base).count(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")) == 0)
   }
 
   test("stream-stream interval join matches within the time bound only") {
