@@ -233,9 +233,11 @@ object GraftExtensions {
     val spark = graft.Sessions.local(cpus = "2", appName = "graft-ext-check")
     val c = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))," +
-        " cosine_sim_q(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
+        " cosine_sim_q(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))," +
+        " size(lsh_codes(array_repeat(CAST(1.0 AS FLOAT), 64), 7))")
       .first()
     require(c.getDouble(0) == 1.0 && c.getDouble(1) == 1.0)
+    require(c.getInt(2) == LshPlanes.Tables)
     println("[extensions-check] OK: native functions resolved via spark.sql.extensions")
     spark.stop()
   }

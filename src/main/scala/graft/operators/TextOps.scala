@@ -590,6 +590,53 @@ object TextOps {
         .filter(expr("instr(hay, needle) > 0"))
         .select("doc_id", "bench_id")
         .orderBy("doc_id", "bench_id")
+    },
+
+    // E2E: the corpus-prep stages CHAINED the way a real training-data
+    // pipeline runs them — quality gate (t3's exact formula) → exact
+    // dedup keeping the min-id representative (d1's idiom) → final
+    // per-doc stats — one composed plan, proving the operators stack
+    // without intermediate materialization. Runs on the dupe-injected
+    // corpus so the dedup stage has observable work. Plan shape: one
+    // narrow quality pass, one hash shuffle for dedup, a semi join back;
+    // at 100 TB each stage is the same shape its standalone query has.
+    QueryDef.sql("e2e_corpus_prep", {
+      val qualitySql =
+        s"""0.4 * LEAST(CAST(len(regexp_extract_all(text, '[a-z]+')) AS DOUBLE) / 50.0, 1.0)
+           | + 0.3 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0))
+           | + 0.3 * LEAST(CAST(len(regexp_extract_all(text, '$enRe')) AS DOUBLE) / NULLIF(len(regexp_extract_all(text, '[a-z]+')), 0) * 5.0, 1.0)""".stripMargin.replace("\n", "")
+      s"""WITH c AS ($withDupesSql),
+         |q AS (
+         |  SELECT doc_id, text,
+         |         len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
+         |         $qualitySql AS quality
+         |  FROM c),
+         |kept AS (SELECT * FROM q WHERE quality >= 0.5),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+         |SELECT k.doc_id, k.n_tokens, round(k.quality, 6) AS quality,
+         |       md5(k.text) AS fp
+         |FROM kept k JOIN reps r ON k.doc_id = r.doc_id
+         |ORDER BY k.doc_id""".stripMargin
+    }) { (s, d) =>
+      val nTok = regexp_count(col("text"), lit("[a-z]+"))
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+        nullif(length(col("text")), lit(0))
+      val stop = regexp_count(col("text"), lit(enRe)).cast("double") /
+        nullif(nTok, lit(0))
+      val q = lit(0.4) * least(nTok.cast("double") / 50.0, lit(1.0)) +
+        lit(0.3) * alpha + lit(0.3) * least(stop * 5.0, lit(1.0))
+      // kept feeds the dedup agg and the join-back — checkpoint once
+      val kept = withDupes(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"), nTok.as("n_tokens"), q.as("quality"))
+        .filter(col("quality") >= 0.5)
+        .localCheckpoint()
+      val reps = kept.groupBy(md5(col("text")).as("k"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      kept.join(reps, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("quality"), 6).as("quality"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
     }
   )
 }
