@@ -58,6 +58,32 @@ object TextOps {
       .when(col("es_hits") >= col("fr_hits"), "es")
       .otherwise("fr")
 
+  // Quality formula, single-sourced for t3 (per-doc scoring) and
+  // e2e_corpus_prep (its gate) in BOTH dialects — the gate only means
+  // something if it applies exactly the score t3 ships. The features
+  // (n_tokens, alpha_ratio, stop_ratio) are computed once as aliases
+  // and the formula references the aliases (never re-derives from
+  // text). SQL fragments stay single-line (stripMargin eats a leading
+  // '|' of any embedded multi-line fragment).
+  private val qualityFeaturesSql: String =
+    s"len(regexp_extract_all(text, '[a-z]+')) AS n_tokens, " +
+      "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0) AS alpha_ratio, " +
+      s"CAST(len(regexp_extract_all(text, '$enRe')) AS DOUBLE) / NULLIF(len(regexp_extract_all(text, '[a-z]+')), 0) AS stop_ratio"
+  private val qualityFormulaSql: String =
+    "0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * alpha_ratio + 0.3 * LEAST(stop_ratio * 5.0, 1.0)"
+  private def qualityFeatureCols: Seq[Column] = Seq(
+    regexp_count(col("text"), lit("[a-z]+")).as("n_tokens"),
+    // NULLIF: Spark (ANSI off) gives NULL for x/0, DuckDB gives IEEE
+    // NaN/inf — force NULL in both engines
+    (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+      nullif(length(col("text")), lit(0))).as("alpha_ratio"),
+    (regexp_count(col("text"), lit(enRe)).cast("double") /
+      nullif(regexp_count(col("text"), lit("[a-z]+")), lit(0))).as("stop_ratio"))
+  private def qualityCol: Column =
+    lit(0.4) * least(col("n_tokens").cast("double") / 50.0, lit(1.0)) +
+      lit(0.3) * col("alpha_ratio") +
+      lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0))
+
   /** Duplicate-injected corpus: every doc with doc_id % 10 = 0 appears
     * again under doc_id+1000000 (the raw table has no exact dupes, so
     * dedup needs planted ones to have observable behavior). Shared by
@@ -244,35 +270,20 @@ object TextOps {
         .orderBy("lang_label", "lang_guess")
     },
 
-    // T3: quality scoring — length/stopword/alpha-ratio features + bucket.
+    // T3: quality scoring — length/stopword/alpha-ratio features + bucket
+    // (formula single-sourced with the e2e_corpus_prep gate).
     QueryDef.sql("t3_quality_score",
       s"""SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
-         |       round(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-         |             + 0.3 * alpha_ratio + 0.3 * LEAST(stop_ratio * 5.0, 1.0), 6) AS quality,
-         |       CASE WHEN 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-         |                 + 0.3 * alpha_ratio + 0.3 * LEAST(stop_ratio * 5.0, 1.0) >= 0.75 THEN 'high'
-         |            WHEN 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-         |                 + 0.3 * alpha_ratio + 0.3 * LEAST(stop_ratio * 5.0, 1.0) >= 0.5 THEN 'medium'
+         |       round(q, 6) AS quality,
+         |       CASE WHEN q >= 0.75 THEN 'high'
+         |            WHEN q >= 0.5 THEN 'medium'
          |            ELSE 'low' END AS quality_bucket
-         |FROM (SELECT doc_id,
-         |             len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
-         |             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0) AS alpha_ratio,
-         |             CAST(len(regexp_extract_all(text, '$enRe')) AS DOUBLE)
-         |               / NULLIF(len(regexp_extract_all(text, '[a-z]+')), 0) AS stop_ratio
-         |      FROM documents)
+         |FROM (SELECT doc_id, n_tokens, alpha_ratio, stop_ratio, $qualityFormulaSql AS q
+         |      FROM (SELECT doc_id, $qualityFeaturesSql FROM documents))
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val base = Tables.documents(s, d).select(
-        col("doc_id"),
-        regexp_count(col("text"), lit("[a-z]+")).as("n_tokens"),
-        // NULLIF: Spark (ANSI off) gives NULL for x/0, DuckDB gives IEEE
-        // NaN/inf — force NULL in both engines
-        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-          nullif(length(col("text")), lit(0))).as("alpha_ratio"),
-        (regexp_count(col("text"), lit(enRe)).cast("double") /
-          nullif(regexp_count(col("text"), lit("[a-z]+")), lit(0))).as("stop_ratio"))
-      val q = lit(0.4) * least(col("n_tokens").cast("double") / 50.0, lit(1.0)) +
-        lit(0.3) * col("alpha_ratio") +
-        lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id") +: qualityFeatureCols: _*)
+      val q = qualityCol
       base.select(col("doc_id"), col("n_tokens"), col("alpha_ratio"), col("stop_ratio"),
           round(q, 6).as("quality"),
           when(q >= 0.75, "high").when(q >= 0.5, "medium").otherwise("low")
@@ -593,49 +604,39 @@ object TextOps {
     },
 
     // E2E: the corpus-prep stages CHAINED the way a real training-data
-    // pipeline runs them — quality gate (t3's exact formula) → exact
-    // dedup keeping the min-id representative (d1's idiom) → final
-    // per-doc stats — one composed plan, proving the operators stack
-    // without intermediate materialization. Runs on the dupe-injected
-    // corpus so the dedup stage has observable work. Plan shape: one
-    // narrow quality pass, one hash shuffle for dedup, a semi join back;
-    // at 100 TB each stage is the same shape its standalone query has.
-    QueryDef.sql("e2e_corpus_prep", {
-      val qualitySql =
-        s"""0.4 * LEAST(CAST(len(regexp_extract_all(text, '[a-z]+')) AS DOUBLE) / 50.0, 1.0)
-           | + 0.3 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0))
-           | + 0.3 * LEAST(CAST(len(regexp_extract_all(text, '$enRe')) AS DOUBLE) / NULLIF(len(regexp_extract_all(text, '[a-z]+')), 0) * 5.0, 1.0)""".stripMargin.replace("\n", "")
+    // pipeline runs them — quality gate (t3's single-sourced formula) →
+    // exact dedup keeping the min-id representative (d1's idiom) →
+    // final per-doc stats. Runs on the dupe-injected corpus so the
+    // dedup stage has observable work. The raw text is reduced to
+    // (doc_id, n_tokens, quality, fp) IN the quality pass, so the one
+    // materialization (the checkpoint feeding the dedup agg and the
+    // join-back) holds a few dozen bytes per doc, never the corpus
+    // body. At 100 TB each stage keeps the same plan shape as its
+    // standalone query: narrow scoring pass, one hash shuffle for
+    // dedup, a semi join back.
+    QueryDef.sql("e2e_corpus_prep",
       s"""WITH c AS ($withDupesSql),
-         |q AS (
-         |  SELECT doc_id, text,
-         |         len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
-         |         $qualitySql AS quality
-         |  FROM c),
-         |kept AS (SELECT * FROM q WHERE quality >= 0.5),
-         |reps AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text))
-         |SELECT k.doc_id, k.n_tokens, round(k.quality, 6) AS quality,
-         |       md5(k.text) AS fp
+         |q AS (SELECT doc_id, text, n_tokens, $qualityFormulaSql AS quality
+         |      FROM (SELECT doc_id, text, $qualityFeaturesSql FROM c)),
+         |kept AS (SELECT doc_id, n_tokens, quality, md5(text) AS fp
+         |         FROM q WHERE quality >= 0.5),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
+         |SELECT k.doc_id, k.n_tokens, round(k.quality, 6) AS quality, k.fp
          |FROM kept k JOIN reps r ON k.doc_id = r.doc_id
-         |ORDER BY k.doc_id""".stripMargin
-    }) { (s, d) =>
-      val nTok = regexp_count(col("text"), lit("[a-z]+"))
-      val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-        nullif(length(col("text")), lit(0))
-      val stop = regexp_count(col("text"), lit(enRe)).cast("double") /
-        nullif(nTok, lit(0))
-      val q = lit(0.4) * least(nTok.cast("double") / 50.0, lit(1.0)) +
-        lit(0.3) * alpha + lit(0.3) * least(stop * 5.0, lit(1.0))
-      // kept feeds the dedup agg and the join-back — checkpoint once
+         |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+      // kept feeds the dedup agg and the join-back — checkpoint the
+      // NARROW stats frame once (text already reduced to its md5)
       val kept = withDupes(Tables.documents(s, d))
-        .select(col("doc_id"), col("text"), nTok.as("n_tokens"), q.as("quality"))
+        .select(Seq(col("doc_id"), col("text")) ++ qualityFeatureCols: _*)
+        .select(col("doc_id"), col("n_tokens"), qualityCol.as("quality"),
+          md5(col("text")).as("fp"))
         .filter(col("quality") >= 0.5)
         .localCheckpoint()
-      val reps = kept.groupBy(md5(col("text")).as("k"))
-        .agg(min("doc_id").as("doc_id"))
+      val reps = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       kept.join(reps, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("n_tokens"),
-          round(col("quality"), 6).as("quality"), md5(col("text")).as("fp"))
+          round(col("quality"), 6).as("quality"), col("fp"))
         .orderBy("doc_id")
     }
   )
