@@ -185,6 +185,75 @@ object CosineSimilarityQ {
   }
 }
 
+/** Native expression `dot_q(a, b)` → BIGINT: the raw integer dot
+  * product of two 1e-6-quantized `array<float>` vectors. Exposed
+  * separately from `cosine_sim_q` for rankings that normalize by ONE
+  * side only (e.g. k-means cell assignment, where the per-vector norm
+  * is constant inside the argmax): the oracle can reproduce
+  * `dot / sqrt(centroid_norm)` bit-for-bit from the same integer sums,
+  * which a pre-divided cosine wouldn't allow. Null on length mismatch
+  * or null element, like its siblings.
+  */
+case class DotQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_q expects two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += CosineSimilarityQ.quantize(x.getFloat(i)) *
+        CosineSimilarityQ.quantize(y.getFloat(i))
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val anyNull = ctx.freshName("anyNull")
+      val q = classOf[CosineSimilarityQ].getName
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |    $dot += $q$$.MODULE$$.quantize($a.getFloat($i)) *
+         |      $q$$.MODULE$$.quantize($b.getFloat($i));
+         |  }
+         |  if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeFunctions {
   /** Register engine-native SQL functions on a session (idempotent).
     * Usage after registration: `expr("cosine_sim(a, b)")`. Sessions
@@ -222,7 +291,8 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1))),
     ("cosine_sim_q", exprs => CosineSimilarityQ(exprs(0), exprs(1))),
-    ("lsh_codes", exprs => LshCodes(exprs(0), exprs(1))))
+    ("lsh_codes", exprs => LshCodes(exprs(0), exprs(1))),
+    ("dot_q", exprs => DotQ(exprs(0), exprs(1))))
 
   /** Forked sanity main: proves an extensions-built session resolves
     * the native functions in plain SQL with no register() call

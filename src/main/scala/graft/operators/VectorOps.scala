@@ -356,6 +356,82 @@ object VectorOps {
         .filter(col("rn") <= 10)
         .select("query_id", "rn", "cand_id", "cos")
         .orderBy("query_id", "rn")
+    },
+
+    // V5: TRAINED IVF coarse quantizer — Lloyd's k-means (2 iterations,
+    // deterministic: seed centroids = vectors 0..15, cosine assignment
+    // ranked by dot/sqrt(centroid_norm) — the per-vector norm is
+    // constant inside the argmax — with cent_id tiebreak, centroid
+    // update = per-position ROUNDED mean back onto the 1e-6 integer
+    // grid). Fully oracled: every score is an integer dot over
+    // quantized elements divided by one sqrt, every updated centroid an
+    // integer, so Spark and DuckDB agree bit-for-bit including argmax
+    // ties. Engine shape per iteration: map-only assignment (16 native
+    // dot_q calls per row against centroid literals, argmax via
+    // array_max over (score, -cent_id) structs — no join, no shuffle),
+    // then one (cell, pos) aggregation whose 16x64-row result is
+    // collected and inlined as the next iteration's literals — the
+    // classic k-means update, driver traffic bounded by K*dim, corpus
+    // never re-partitioned.
+    QueryDef.sql("v5_kmeans", {
+      def iterSql(cPrev: String, dN: String, aN: String, mN: String): String =
+        s"""cn_$cPrev AS (SELECT cent_id, CAST(SUM(xi * xi) AS BIGINT) AS n2
+           |          FROM $cPrev GROUP BY cent_id),
+           |$dN AS (SELECT e.vec_id, c.cent_id, CAST(SUM(e.xi * c.xi) AS BIGINT) AS dot
+           |       FROM el e JOIN $cPrev c ON e.pos = c.pos GROUP BY e.vec_id, c.cent_id),
+           |$aN AS (SELECT vec_id, cent_id,
+           |              row_number() OVER (PARTITION BY vec_id
+           |                ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) DESC, cent_id) AS rn
+           |       FROM $dN JOIN cn_$cPrev USING (cent_id)),
+           |$mN AS (SELECT vec_id, cent_id AS cell FROM $aN WHERE rn = 1)""".stripMargin
+      s"""WITH el AS ($elementsSql),
+         |c0 AS (SELECT vec_id AS cent_id, pos, xi FROM el WHERE vec_id < $NCells),
+         |${iterSql("c0", "d0", "a0", "m0")},
+         |u1 AS (SELECT m0.cell AS cent_id, e.pos,
+         |              CAST(round(CAST(SUM(e.xi) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS xi
+         |       FROM m0 JOIN el e ON m0.vec_id = e.vec_id GROUP BY m0.cell, e.pos),
+         |c1 AS (SELECT c0.cent_id, c0.pos, COALESCE(u1.xi, c0.xi) AS xi
+         |       FROM c0 LEFT JOIN u1 ON c0.cent_id = u1.cent_id AND c0.pos = u1.pos),
+         |${iterSql("c1", "d1", "a1", "m1")}
+         |SELECT vec_id, cell FROM m1 ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+      // K*dim centroid state lives on the driver between iterations —
+      // bounded, like v1's query set and v4's codebook
+      var cents: Seq[(Int, Array[Long])] = emb.filter(col("vec_id") < NCells)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(quantF).toArray)).toSeq
+      // centroid longs ride into dot_q as floats; round-trip is exact
+      // while |c| < 0.5 / (2^-24 * 1e6) ≈ 8.3e6 (quantize(float(c/1e6))
+      // == c) — assert the envelope so a hotter corpus fails loudly
+      def centFloats(c: Array[Long]): Seq[Float] = c.map { v =>
+        require(math.abs(v) < 8000000L, s"centroid element $v outside exact float envelope")
+        (v.toDouble / 1e6).toFloat
+      }.toSeq
+      def assigned(): DataFrame = {
+        val scored = cents.map { case (cid, arr) =>
+          val n2 = arr.map(v => v * v).sum // <= 64 * (4e6)^2 ~ 1e15 < 2^53
+          struct(
+            (call_function("dot_q", col("embedding"), typedLit(centFloats(arr)))
+              .cast("double") / lit(math.sqrt(n2.toDouble))).as("s"),
+            lit(-cid).as("nc"))
+        }
+        emb.withColumn("cell", -array_max(array(scored: _*)).getField("nc"))
+      }
+      val upd = assigned()
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos"),
+          round(col("x").cast("double") * 1e6, 0).cast("long").as("xi"))
+        .groupBy("cell", "pos")
+        .agg(round(sum("xi").cast("double") / count(lit(1)), 0).cast("long").as("nxi"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, old.indices.map(p => upd.getOrElse((cid, p), old(p))).toArray)
+      }
+      assigned().select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -157,6 +157,10 @@ class OpsSpec extends SparkSpec {
           val codes = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           assert(codes.numElements() == graft.functions.LshPlanes.Tables,
             s"$name should emit one code per table")
+        case "dot_q" =>
+          // unit basis vector quantizes to (1e6, 0) -> self-dot 1e12
+          val r = builder(Seq(v, v)).eval(null)
+          assert(r == 1000000000000L, s"$name self-dot should be 1e12, got $r")
         case _ =>
           val r = builder(Seq(v, v)).eval(null)
           assert(r == 1.0d, s"$name self-similarity should be exactly 1.0, got $r")
