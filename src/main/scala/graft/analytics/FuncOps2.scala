@@ -448,6 +448,34 @@ object FuncOps2 {
         .filter(col("bucket") < 5)
         .select("doc_id", "source", "bucket")
         .orderBy("doc_id")
+    },
+
+    // S3: source-mixing — per-source target weights applied as a
+    // deterministic hash-mod sample, the "data mixing" stage that sets
+    // a training corpus' source proportions. Weights cycle 0.25/0.5/
+    // 0.75/1.0 by source index (a stand-in for an external weights
+    // table); keep iff slot < weight·1000. Per-row narrow filter —
+    // map-only at any scale, re-runnable bit-for-bit.
+    QueryDef.sql("s3_source_mix",
+      s"""SELECT source, COUNT(*) AS n_total,
+         |       CAST(SUM(CASE WHEN slot < wq * 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN slot < wq * 250 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_frac,
+         |       wq * 250 AS target_permille
+         |FROM (SELECT source,
+         |             ${TextOps.phashSql("CAST(doc_id AS VARCHAR)")} % 1000 AS slot,
+         |             1 + (CAST(substr(source, 4) AS INT) % 4) AS wq
+         |      FROM documents)
+         |GROUP BY source, wq ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d).select(col("source"),
+        (TextOps.phash(col("doc_id").cast("string")) % 1000).as("slot"),
+        (lit(1) + substring(col("source"), 4, 10).cast("int") % 4).as("wq"))
+      w.groupBy("source", "wq")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("slot") < col("wq") * 250, 1).otherwise(0)).as("n_kept"))
+        .select(col("source"), col("n_total"), col("n_kept"),
+          (col("n_kept").cast("double") / col("n_total")).as("kept_frac"),
+          (col("wq") * 250).as("target_permille"))
+        .orderBy("source")
     }
   )
 }
