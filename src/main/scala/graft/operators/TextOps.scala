@@ -177,6 +177,25 @@ object TextOps {
     // are GC-released (see MinHash.nearDupPairs).
     shinglePairsFrom(shingles(docs).localCheckpoint(), dfCap)
 
+  /** Materialized candidate-pair table `(doc1, doc2, inter, n1, n2)`,
+    * the second-stage artifact over [[shingleIndex]]: Jaccard (d3) and
+    * containment (d6) are different SCORES of the same pair stats, so a
+    * corpus-prep pipeline computes the inverted-index self-join once
+    * and derives every similarity measure from it. Published through
+    * [[graft.sinks.VersionedStore]], keyed by the same source
+    * fingerprint as the index (regenerated corpus ⇒ rebuild). Oracles
+    * still recompute pairs from raw text, keeping the artifact
+    * end-to-end verified.
+    */
+  def pairsArtifact(s: SparkSession, d: String, withPlantedDupes: Boolean): DataFrame = {
+    val variant = if (withPlantedDupes) "dupes" else "plain"
+    val base = s"${s.conf.get("spark.sql.warehouse.dir")}/shingle_pairs_${variant}_${new java.io.File(d).getName}"
+    val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/documents.parquet")
+    graft.sinks.VersionedStore.readOrBuild(s, base, fp) { out =>
+      shinglePairsFrom(shingleIndex(s, d, withPlantedDupes)).write.parquet(out)
+    }
+  }
+
   /** [[shinglePairs]] over an already-materialized shingle frame
     * (e.g. [[shingleIndex]]).
     */
@@ -342,7 +361,7 @@ object TextOps {
          |FROM pairstats
          |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.05
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      shinglePairsFrom(shingleIndex(s, d, withPlantedDupes = false))
+      pairsArtifact(s, d, withPlantedDupes = false)
         .withColumn("jaccard",
           col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
         .filter(col("jaccard") >= 0.05)
@@ -363,7 +382,7 @@ object TextOps {
          |FROM pairstats
          |WHERE CAST(inter AS DOUBLE) / LEAST(n1, n2) >= 0.6
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      shinglePairsFrom(shingleIndex(s, d, withPlantedDupes = true))
+      pairsArtifact(s, d, withPlantedDupes = true)
         .withColumn("containment",
           col("inter").cast("double") / least(col("n1"), col("n2")))
         .filter(col("containment") >= 0.6)
