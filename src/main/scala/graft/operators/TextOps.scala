@@ -464,14 +464,19 @@ object TextOps {
          |SELECT doc1, doc2, bit_count(xor(sh1, sh2)) AS hamming
          |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      // sig feeds both sides of the band self-join; compute the
-      // explode+md5+32-bit aggregate once (localCheckpoint, GC-released).
-      val sig = withDupes(Tables.documents(s, d))
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), phash(col("w")).as("h"))
-        .groupBy("doc_id")
-        .agg(expr(simhashBitsSqlSpark).as("simhash"))
-        .localCheckpoint()
+      // sig is a fingerprint-keyed VersionedStore artifact (the
+      // explode+md5+32-bit aggregate runs once per corpus, like the
+      // MinHash signature table); both band-join sides read it.
+      val sigBase = s"${s.conf.get("spark.sql.warehouse.dir")}/simhash_sig_dupes_${new java.io.File(d).getName}"
+      val sigFp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/documents.parquet")
+      val sig = graft.sinks.VersionedStore.readOrBuild(s, sigBase, sigFp) { out =>
+        withDupes(Tables.documents(s, d))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"), phash(col("w")).as("h"))
+          .groupBy("doc_id")
+          .agg(expr(simhashBitsSqlSpark).as("simhash"))
+          .write.parquet(out)
+      }
       val bands = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("band_val", expr("shiftright(simhash, 8 * b) & 255"))
