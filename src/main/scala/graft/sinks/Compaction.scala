@@ -29,10 +29,19 @@ import org.apache.spark.sql.SparkSession
 object Compaction {
 
   /** Compact the store at `dir` into files of roughly
-    * `targetFileBytes`. Returns the number of files written.
+    * `targetFileBytes`. Returns the number of files written (shuffle
+    * partitions for a partitioned store — actual file count there is
+    * per partition value).
+    *
+    * `partitionBy` preserves a hive-partitioned layout (`day=.../...`):
+    * the rewrite clusters rows by the partition columns and re-writes
+    * with `partitionBy`, so partition pruning still works on the
+    * compacted store. Omitting it on a partitioned store would flatten
+    * the layout (rows kept, pruning lost).
     */
   def compact(spark: SparkSession, dir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Seq.empty): Int = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir)))
       throw new java.io.FileNotFoundException(s"no store at $dir")
@@ -42,8 +51,12 @@ object Compaction {
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // publish prunes the superseded version after the pointer flip
     VersionedStore.publish(spark, dir) { out =>
-      spark.read.parquet(srcDir.toString).repartition(nFiles)
-        .write.parquet(out)
+      val src = spark.read.parquet(srcDir.toString)
+      if (partitionBy.isEmpty)
+        src.repartition(nFiles).write.parquet(out)
+      else
+        src.repartition(nFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+          .write.partitionBy(partitionBy: _*).parquet(out)
     }
     nFiles
   }

@@ -272,6 +272,26 @@ class OpsSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("partition-aware compaction keeps the hive layout and every row") {
+    import graft.sinks.{Compaction, VersionedStore}
+    val dir = tmpDir("graft-compact-part") + "/events_by_day"
+    spark.range(0, 400).toDF("id")
+      .withColumn("day", (col("id") % 4).cast("string"))
+      .repartition(16)
+      .write.partitionBy("day").parquet(dir)
+    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024,
+      partitionBy = Seq("day"))
+    val live = VersionedStore.resolve(spark, dir).get
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // layout survives: day=... subdirs inside the live version
+    val dayDirs = fs.listStatus(live)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+    assert(dayDirs.length == 4, dayDirs.map(_.getPath.getName).mkString(","))
+    val back = VersionedStore.read(spark, dir)
+    assert(back.count() == 400)
+    assert(back.select("day").distinct().count() == 4)
+  }
+
   test("versioned store: a crash before the pointer flip leaves the old version live") {
     import graft.sinks.{Compaction, VersionedStore}
     val dir = tmpDir("graft-compact-crash") + "/store"
