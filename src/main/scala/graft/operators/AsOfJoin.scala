@@ -44,10 +44,10 @@ object AsOfJoin {
         struct(col(rightTime).as("t") +: payloadCols.map(col): _*).as("__payload"))
       .withColumn("__is_left", lit(0))
     val unioned = l.select((col(key) +: left.columns.filterNot(_ == key).map(col)
-        :+ col("__t") :+ col("__is_left") :+ col("__payload")): _*)
+        :+ col("__t") :+ col("__is_left") :+ col("__payload")).toIndexedSeq: _*)
       .unionByName(r.select((col(key) +: left.columns.filterNot(_ == key)
         .map(c => lit(null).cast(left.schema(c).dataType).as(c))
-        :+ col("__t") :+ col("__is_left") :+ col("__payload")): _*))
+        :+ col("__t") :+ col("__is_left") :+ col("__payload")).toIndexedSeq: _*))
     // left rows sort BEFORE right rows at equal time => strict match only
     val tOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(key).orderBy(tOrd, desc("__is_left"))

@@ -335,7 +335,7 @@ object VectorOps {
           call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("ccos"))
       }
       val ranked = emb
-        .select(col("vec_id"), explode(array(centCos: _*)).as("c"))
+        .select(col("vec_id"), explode(array(centCos.toIndexedSeq: _*)).as("c"))
         .select(col("vec_id"), col("c.cent_id"), col("c.ccos"))
         .withColumn("crn", row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))

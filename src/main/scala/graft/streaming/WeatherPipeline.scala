@@ -29,7 +29,8 @@ object WeatherPipeline {
     * the source itself.
     */
   def kafkaOptions(bootstrap: String, topic: String,
-      startingOffsets: String = "latest"): Map[String, String] = {
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] = {
     require(bootstrap.trim.nonEmpty, "kafka.bootstrap.servers must be non-empty")
     require(topic.trim.nonEmpty, "subscribe topic must be non-empty")
     // -1 limit: a bare split drops trailing empty fields, letting
@@ -41,10 +42,15 @@ object WeatherPipeline {
     require(Set("latest", "earliest")(startingOffsets) ||
       startingOffsets.trim.startsWith("{"),
       s"startingOffsets must be latest/earliest or a JSON offset map, got '$startingOffsets'")
+    // rate control (ST8): caps a micro-batch after downtime, so catch-up
+    // is bounded batches rather than one giant batch that OOMs
+    maxOffsetsPerTrigger.foreach(n =>
+      require(n > 0, s"maxOffsetsPerTrigger must be positive, got $n"))
     Map(
       "kafka.bootstrap.servers" -> bootstrap,
       "subscribe" -> topic,
-      "startingOffsets" -> startingOffsets)
+      "startingOffsets" -> startingOffsets) ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
   }
 
   /** Kafka source (S1 parity): value bytes carry Schema-A JSON. */

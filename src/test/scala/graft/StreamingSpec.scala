@@ -62,6 +62,11 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](WeatherPipeline.kafkaOptions("b:9092", "a,,b"))
     intercept[IllegalArgumentException](
       WeatherPipeline.kafkaOptions("b:9092", "t", "newest")) // typo'd offset mode
+    // rate control rides along only when requested, and must be sane
+    assert(WeatherPipeline.kafkaOptions("b:9092", "t",
+      maxOffsetsPerTrigger = Some(50000L))("maxOffsetsPerTrigger") == "50000")
+    intercept[IllegalArgumentException](WeatherPipeline.kafkaOptions(
+      "b:9092", "t", maxOffsetsPerTrigger = Some(0L)))
   }
 
   test("streaming pipeline enriches the golden record through a memory sink") {
