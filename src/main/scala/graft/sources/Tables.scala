@@ -33,4 +33,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register every testbed table as a temp view, so the engine's full
+    * surface is reachable from plain `spark.sql` (with the native
+    * functions injected by GraftExtensions) without any Scala loader
+    * calls — the catalog a SQL-only user expects. `events` goes through
+    * its nanos→µs timestamp conversion.
+    */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => table(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+  }
 }

@@ -443,6 +443,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("registerAll exposes the whole schema to plain spark.sql") {
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
+    assert(r.count() == 5)
+    // events went through the nanos->us conversion: ts is a timestamp
+    assert(spark.sql("SELECT ts FROM events LIMIT 1").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // native functions work in the same SQL surface
+    graft.functions.NativeFunctions.register(spark)
+    val c = spark.sql(
+      "SELECT cosine_sim_q(embedding, embedding) FROM embeddings LIMIT 1")
+    // self-cos is n2/(sqrt(n2)*sqrt(n2)) — 1.0 up to one ulp unless the
+    // squared norm happens to be a perfect square
+    assert(math.abs(c.first().getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
