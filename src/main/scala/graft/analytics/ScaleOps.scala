@@ -80,9 +80,8 @@ object ScaleOps {
     // version dir + atomic single-object pointer flip — object-store-
     // safe (no directory rename), and readers never see a half-written
     // layout: the pointer only ever names a completed write.
-    val base = s"${s.conf.get("spark.sql.warehouse.dir")}/events_by_day_${new java.io.File(d).getName}"
-    val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/events.parquet")
-    graft.sinks.VersionedStore.readOrBuild(s, base, fp) { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "events_by_day",
+      srcTable = "events") { out =>
       Tables.events(s, d)
         .withColumn("day", to_date(col("ts")))
         .write.partitionBy("day").parquet(out)

@@ -59,14 +59,11 @@ object MinHash {
     * threshold-independent, so every downstream consumer reads one
     * artifact; oracles recompute from raw text.
     */
-  def signaturesArtifact(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val base = s"${s.conf.get("spark.sql.warehouse.dir")}/minhash_sig_dupes_${new java.io.File(d).getName}"
-    val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/documents.parquet")
-    graft.sinks.VersionedStore.readOrBuild(s, base, fp) { out =>
+  def signaturesArtifact(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "minhash_sig_dupes") { out =>
       signaturesFrom(TextOps.shingleIndex(s, d, withPlantedDupes = true))
         .write.parquet(out)
     }
-  }
 
   /** Candidate pairs from banded bucket join + signature-estimated
     * Jaccard, thresholded.

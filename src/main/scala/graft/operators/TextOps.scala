@@ -157,9 +157,7 @@ object TextOps {
     */
   def shingleIndex(s: SparkSession, d: String, withPlantedDupes: Boolean): DataFrame = {
     val variant = if (withPlantedDupes) "dupes" else "plain"
-    val base = s"${s.conf.get("spark.sql.warehouse.dir")}/shingle_idx_${variant}_${new java.io.File(d).getName}"
-    val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/documents.parquet")
-    graft.sinks.VersionedStore.readOrBuild(s, base, fp) { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, s"shingle_idx_$variant") { out =>
       val corpus = if (withPlantedDupes) withDupes(Tables.documents(s, d))
         else Tables.documents(s, d).select("doc_id", "text")
       shingles(corpus).write.parquet(out)
@@ -189,9 +187,7 @@ object TextOps {
     */
   def pairsArtifact(s: SparkSession, d: String, withPlantedDupes: Boolean): DataFrame = {
     val variant = if (withPlantedDupes) "dupes" else "plain"
-    val base = s"${s.conf.get("spark.sql.warehouse.dir")}/shingle_pairs_${variant}_${new java.io.File(d).getName}"
-    val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/documents.parquet")
-    graft.sinks.VersionedStore.readOrBuild(s, base, fp) { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, s"shingle_pairs_$variant") { out =>
       shinglePairsFrom(shingleIndex(s, d, withPlantedDupes)).write.parquet(out)
     }
   }
@@ -467,9 +463,7 @@ object TextOps {
       // sig is a fingerprint-keyed VersionedStore artifact (the
       // explode+md5+32-bit aggregate runs once per corpus, like the
       // MinHash signature table); both band-join sides read it.
-      val sigBase = s"${s.conf.get("spark.sql.warehouse.dir")}/simhash_sig_dupes_${new java.io.File(d).getName}"
-      val sigFp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/documents.parquet")
-      val sig = graft.sinks.VersionedStore.readOrBuild(s, sigBase, sigFp) { out =>
+      val sig = graft.sinks.VersionedStore.corpusArtifact(s, d, "simhash_sig_dupes") { out =>
         withDupes(Tables.documents(s, d))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .select(col("doc_id"), phash(col("w")).as("h"))

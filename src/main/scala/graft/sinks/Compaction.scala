@@ -29,19 +29,22 @@ import org.apache.spark.sql.SparkSession
 object Compaction {
 
   /** Compact the store at `dir` into files of roughly
-    * `targetFileBytes`. Returns the number of files written (shuffle
-    * partitions for a partitioned store — actual file count there is
-    * per partition value).
+    * `targetFileBytes`. Returns the number of files written.
     *
     * `partitionBy` preserves a hive-partitioned layout (`day=.../...`):
-    * the rewrite clusters rows by the partition columns and re-writes
-    * with `partitionBy`, so partition pruning still works on the
-    * compacted store. Omitting it on a partitioned store would flatten
-    * the layout (rows kept, pruning lost).
+    * rows are clustered by (partition columns, per-value hash bucket)
+    * and re-written with `partitionBy`, so partition pruning still
+    * works AND a skewed partition value is split across
+    * ceil(its-bytes/target) buckets instead of collapsing into one
+    * giant file (bucket counts derive from per-value row counts × the
+    * store's average row size — one cheap count aggregation). Omitting
+    * `partitionBy` on a partitioned store would flatten the layout
+    * (rows kept, pruning lost).
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Seq.empty): Int = {
+    import org.apache.spark.sql.functions._
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir)))
       throw new java.io.FileNotFoundException(s"no store at $dir")
@@ -49,16 +52,35 @@ object Compaction {
       .getOrElse(migrateLegacy(spark, dir))
     val bytes = fs.getContentSummary(srcDir).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    var written = nFiles
     // publish prunes the superseded version after the pointer flip
     VersionedStore.publish(spark, dir) { out =>
       val src = spark.read.parquet(srcDir.toString)
       if (partitionBy.isEmpty)
         src.repartition(nFiles).write.parquet(out)
-      else
-        src.repartition(nFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else {
+        val pcols = partitionBy.map(col)
+        val counts = src.groupBy(pcols: _*).count()
+        val totalRows = math.max(1L,
+          counts.agg(sum("count")).first().getLong(0))
+        val bytesPerRow = bytes.toDouble / totalRows
+        val buckets = counts.withColumn("__buckets",
+          greatest(lit(1L),
+            ceil(col("count") * bytesPerRow / targetFileBytes)))
+          .drop("count")
+        written = buckets.agg(sum("__buckets")).first().getLong(0).toInt
+        val dataCols = src.columns.filterNot(partitionBy.contains).map(col)
+        src.join(broadcast(buckets), partitionBy)
+          .withColumn("__b", pmod(xxhash64(dataCols.toIndexedSeq: _*), col("__buckets")))
+          // explicit partition count: a bare repartition(cols) lets AQE
+          // coalesce the tiny shuffle into one task, re-merging the
+          // buckets it exists to create
+          .repartition(math.max(written, nFiles), (pcols :+ col("__b")): _*)
+          .drop("__buckets", "__b")
           .write.partitionBy(partitionBy: _*).parquet(out)
+      }
     }
-    nFiles
+    written
   }
 
   /** One-time migration of a plain parquet directory into the

@@ -145,4 +145,17 @@ object VersionedStore {
       .getOrElse(publish(spark, base, fingerprint)(write))
     spark.read.parquet(dir.toString)
   }
+
+  /** The standard corpus-derived-artifact cache: warehouse-dir base
+    * named `<name>_<sf-basename>`, keyed by the fingerprint of
+    * `<sfDir>/<srcTable>.parquet`. One definition of the path scheme
+    * and keying for every staged artifact (shingle index, pair table,
+    * MinHash/SimHash signatures, partitioned layouts), so a change to
+    * the scheme lands in one place.
+    */
+  def corpusArtifact(spark: SparkSession, sfDir: String, name: String,
+      srcTable: String = "documents")(write: String => Unit): DataFrame = {
+    val base = s"${spark.conf.get("spark.sql.warehouse.dir")}/${name}_${new java.io.File(sfDir).getName}"
+    readOrBuild(spark, base, fingerprintOf(spark, s"$sfDir/$srcTable.parquet"))(write)
+  }
 }

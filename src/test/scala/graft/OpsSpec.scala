@@ -272,23 +272,36 @@ class OpsSpec extends SparkSpec {
     assert(after == before)
   }
 
-  test("partition-aware compaction keeps the hive layout and every row") {
+  test("partition-aware compaction keeps the hive layout, rows, and splits skew") {
     import graft.sinks.{Compaction, VersionedStore}
     val dir = tmpDir("graft-compact-part") + "/events_by_day"
-    spark.range(0, 400).toDF("id")
-      .withColumn("day", (col("id") % 4).cast("string"))
+    // skewed: day 'hot' holds 900 of 999 rows
+    spark.range(0, 999).toDF("id")
+      .withColumn("day", when(col("id") < 900, "hot").otherwise((col("id") % 3).cast("string")))
       .repartition(16)
       .write.partitionBy("day").parquet(dir)
-    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024,
+    val srcBytes = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+    }
+    // target ~ an eighth of the store, so 'hot' must split into several
+    // buckets while the three cold days stay at one file each
+    Compaction.compact(spark, dir, targetFileBytes = srcBytes / 8,
       partitionBy = Seq("day"))
     val live = VersionedStore.resolve(spark, dir).get
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // layout survives: day=... subdirs inside the live version
     val dayDirs = fs.listStatus(live)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
     assert(dayDirs.length == 4, dayDirs.map(_.getPath.getName).mkString(","))
+    def filesIn(name: String) = fs.listStatus(new org.apache.hadoop.fs.Path(live, name))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(filesIn("day=hot") >= 2,
+      s"skewed partition should split, got ${filesIn("day=hot")} file(s)")
+    Seq("day=0", "day=1", "day=2").foreach(d =>
+      assert(filesIn(d) == 1, s"$d should stay a single file"))
     val back = VersionedStore.read(spark, dir)
-    assert(back.count() == 400)
+    assert(back.count() == 999)
     assert(back.select("day").distinct().count() == 4)
   }
 
