@@ -84,6 +84,21 @@ object TextOps {
       lit(0.3) * col("alpha_ratio") +
       lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0))
 
+  /** (doc_id, h) distinct 8-word-block hashes per doc — the d8 passage
+    * fingerprint stage, exposed for the partial-overlap unit test.
+    * Blocks come from a pure array transform (narrow, deterministic
+    * order — collect_list after an explode would not be).
+    */
+  def passageBlockHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, CAST(ceil(size(ws) / 8.0) AS INT) - 1)," +
+            " i -> concat_ws(' ', slice(ws, i * 8 + 1, 8)))")).as("block"))
+      .select(col("doc_id"), phash(col("block")).as("h"))
+      .distinct()
+
   /** Duplicate-injected corpus: every doc with doc_id % 10 = 0 appears
     * again under doc_id+1000000 (the raw table has no exact dupes, so
     * dedup needs planted ones to have observable behavior). Shared by
@@ -619,6 +634,42 @@ object TextOps {
         .filter(expr("instr(hay, needle) > 0"))
         .select("doc_id", "bench_id")
         .orderBy("doc_id", "bench_id")
+    },
+
+    // D8: passage-level exact dedup — the copy-paste-passage detector
+    // (C4-style): docs are cut into non-overlapping 8-word blocks
+    // NARROWLY (pure array transform over the token array — no window,
+    // no sort, no shuffle to build blocks), blocks are hashed, and doc
+    // pairs sharing a block hash surface with their shared-block count.
+    // Catches verbatim passage reuse that whole-doc hashing (d1) misses
+    // and similarity shingles (d3) only score fuzzily. df-capped like
+    // d3 so a boilerplate block shared by thousands of docs can't
+    // explode the self-join at scale.
+    QueryDef.sql("d8_passage_dedup", {
+      s"""WITH c AS ($withDupesSql),
+         |sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM c),
+         |b AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(generate_series(0, CAST(ceil(len(ws) / 8.0) AS INT) - 1),
+         |                               i -> array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' '))) AS block
+         |  FROM sp),
+         |bh AS (SELECT DISTINCT doc_id, ${phashSql("block")} AS h FROM b),
+         |capped AS (SELECT h FROM bh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 20)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS shared_blocks
+         |FROM bh a JOIN capped USING (h) JOIN bh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY doc1, doc2
+         |ORDER BY doc1, doc2""".stripMargin
+    }) { (s, d) =>
+      val bh = passageBlockHashes(withDupes(Tables.documents(s, d)))
+        .localCheckpoint() // feeds the df-cap and both self-join sides
+      val capped = bh.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 20).select("h")
+      val a = bh.join(capped, "h").select(col("doc_id").as("doc1"), col("h"))
+      val b = bh.select(col("doc_id").as("doc2"), col("h"))
+      a.join(b, Seq("h"))
+        .filter(col("doc1") < col("doc2"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared_blocks"))
+        .orderBy("doc1", "doc2")
     },
 
     // E2E: the corpus-prep stages CHAINED the way a real training-data

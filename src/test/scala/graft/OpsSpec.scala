@@ -441,6 +441,23 @@ class OpsSpec extends SparkSpec {
       s"read ${scan.metrics("numFiles").value} files, partition has $dayFiles")
   }
 
+  test("passage blocks detect partial verbatim reuse, not just whole-doc copies") {
+    import graft.operators.TextOps
+    val passage = (1 to 8).map(i => s"tok$i").mkString(" ") // one exact block
+    val docs = Seq(
+      (1L, passage + " " + (1 to 8).map(i => s"a$i").mkString(" ")),
+      (2L, passage + " " + (1 to 8).map(i => s"b$i").mkString(" ")), // shares block 0 only
+      (3L, (1 to 16).map(i => s"c$i").mkString(" "))) // shares nothing
+      .toDF("doc_id", "text")
+    val bh = TextOps.passageBlockHashes(docs)
+    assert(bh.groupBy("doc_id").count().orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    val shared = bh.as("a").join(bh.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+    assert(shared.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
   test("every events column is non-null somewhere at each sf (p5 oracle assumption)") {
     // p5_dropna_cols' oracle hardcodes the surviving projection, which
     // is only valid while no real events column is entirely NULL — pin
