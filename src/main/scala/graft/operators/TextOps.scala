@@ -655,8 +655,8 @@ object TextOps {
          |  FROM sp),
          |bh AS (SELECT DISTINCT doc_id, ${phashSql("block")} AS h FROM b),
          |capped AS (SELECT h FROM bh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 20)
-         |SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS shared_blocks
-         |FROM bh a JOIN capped USING (h) JOIN bh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |SELECT lhs.doc_id AS doc1, rhs.doc_id AS doc2, COUNT(*) AS shared_blocks
+         |FROM bh lhs JOIN capped USING (h) JOIN bh rhs ON lhs.h = rhs.h AND lhs.doc_id < rhs.doc_id
          |GROUP BY doc1, doc2
          |ORDER BY doc1, doc2""".stripMargin
     }) { (s, d) =>

@@ -29,58 +29,56 @@ import org.apache.spark.sql.SparkSession
 object Compaction {
 
   /** Compact the store at `dir` into files of roughly
-    * `targetFileBytes`. Returns the number of files written.
+    * `targetFileBytes`. Returns the EXACT number of data files written
+    * (counted from the published version).
     *
     * `partitionBy` preserves a hive-partitioned layout (`day=.../...`):
-    * rows are clustered by (partition columns, per-value hash bucket)
-    * and re-written with `partitionBy`, so partition pruning still
-    * works AND a skewed partition value is split across
-    * ceil(its-bytes/target) buckets instead of collapsing into one
-    * giant file (bucket counts derive from per-value row counts × the
-    * store's average row size — one cheap count aggregation). Omitting
-    * `partitionBy` on a partitioned store would flatten the layout
-    * (rows kept, pruning lost).
+    * rows are clustered by the partition columns (explicit partition
+    * count — a bare repartition(cols) lets AQE coalesce the shuffle)
+    * and the writer splits each task's output at `maxRecordsPerFile` =
+    * target/avg-row-bytes, so a skewed partition value still lands in
+    * ~target-sized files. Positional splitting handles NULL partition
+    * values and duplicate-heavy data that any content-hash bucketing
+    * scheme would collapse. Omitting `partitionBy` on a partitioned
+    * store would flatten the layout (rows kept, pruning lost).
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Seq.empty): Int = {
-    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.functions.col
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir)))
       throw new java.io.FileNotFoundException(s"no store at $dir")
     val srcDir = VersionedStore.resolve(spark, dir)
       .getOrElse(migrateLegacy(spark, dir))
+    def countParquet(p: Path): Int = fs.listStatus(p).map { st =>
+      if (st.isDirectory) countParquet(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) 1 else 0
+    }.sum
+    // a legitimately empty store (a _SUCCESS-only version) is already
+    // as compact as it gets — rewriting it would only fail schema
+    // inference on zero files
+    if (countParquet(srcDir) == 0) return 0
     val bytes = fs.getContentSummary(srcDir).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    var written = nFiles
     // publish prunes the superseded version after the pointer flip
-    VersionedStore.publish(spark, dir) { out =>
+    val version = VersionedStore.publish(spark, dir) { out =>
       val src = spark.read.parquet(srcDir.toString)
       if (partitionBy.isEmpty)
         src.repartition(nFiles).write.parquet(out)
       else {
-        val pcols = partitionBy.map(col)
-        val counts = src.groupBy(pcols: _*).count()
-        val totalRows = math.max(1L,
-          counts.agg(sum("count")).first().getLong(0))
-        val bytesPerRow = bytes.toDouble / totalRows
-        val buckets = counts.withColumn("__buckets",
-          greatest(lit(1L),
-            ceil(col("count") * bytesPerRow / targetFileBytes)))
-          .drop("count")
-        written = buckets.agg(sum("__buckets")).first().getLong(0).toInt
-        val dataCols = src.columns.filterNot(partitionBy.contains).map(col)
-        src.join(broadcast(buckets), partitionBy)
-          .withColumn("__b", pmod(xxhash64(dataCols.toIndexedSeq: _*), col("__buckets")))
-          // explicit partition count: a bare repartition(cols) lets AQE
-          // coalesce the tiny shuffle into one task, re-merging the
-          // buckets it exists to create
-          .repartition(math.max(written, nFiles), (pcols :+ col("__b")): _*)
-          .drop("__buckets", "__b")
-          .write.partitionBy(partitionBy: _*).parquet(out)
+        val totalRows = src.count()
+        val rowsPerFile = // avg-row-size estimate; 0 rows -> no cap needed
+          if (totalRows == 0) Long.MaxValue
+          else math.max(1L, (targetFileBytes / (bytes.toDouble / totalRows)).toLong)
+        src.repartition(nFiles, partitionBy.map(col): _*)
+          .write.option("maxRecordsPerFile", rowsPerFile)
+          .partitionBy(partitionBy: _*).parquet(out)
       }
     }
-    written
+    // exact count, honest across both paths (hash placement and the
+    // per-file cap make any prediction approximate)
+    countParquet(version)
   }
 
   /** One-time migration of a plain parquet directory into the
@@ -101,10 +99,13 @@ object Compaction {
     VersionedStore.publish(spark, dir) { out =>
       val outPath = new Path(out)
       fs.mkdirs(outPath)
-      // returns 1 only for DATA entries, so a legacy dir holding just a
-      // _SUCCESS marker still fails the nothing-to-migrate check
+      // returns 1 only for DATA entries; a _SUCCESS marker alone still
+      // proves a real (legitimately empty) store — tracked separately
+      // so a bare directory with neither fails the check below
+      var sawMarker = false
       def move(st: org.apache.hadoop.fs.FileStatus): Int = {
         val name = st.getPath.getName
+        if (name == "_SUCCESS") sawMarker = true
         val dst = new Path(outPath, name)
         if (fs.exists(dst) && name == "_SUCCESS") 0 // dup marker
         else if (!fs.rename(st.getPath, dst))
@@ -124,7 +125,7 @@ object Compaction {
         moved += fs.listStatus(o.getPath).map(move).sum
         fs.delete(o.getPath, true)
       }
-      if (moved == 0)
+      if (moved == 0 && !sawMarker)
         throw new java.io.IOException(s"nothing to migrate at $dir")
       val marker = new Path(outPath, "_SUCCESS")
       if (!fs.exists(marker)) fs.create(marker, true).close()

@@ -305,6 +305,28 @@ class OpsSpec extends SparkSpec {
     assert(back.select("day").distinct().count() == 4)
   }
 
+  test("partition-aware compaction keeps NULL partition values and survives empty stores") {
+    import graft.sinks.{Compaction, VersionedStore}
+    // NULL partition values land in __HIVE_DEFAULT_PARTITION__ and must
+    // survive the rewrite (an equi-join-based bucketing would drop them)
+    val dir = tmpDir("graft-compact-null") + "/store"
+    spark.range(0, 100).toDF("id")
+      .withColumn("day", when(col("id") < 90, "d1"))
+      .write.partitionBy("day").parquet(dir)
+    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024,
+      partitionBy = Seq("day"))
+    val back = VersionedStore.read(spark, dir)
+    assert(back.count() == 100)
+    assert(back.filter(col("day").isNull).count() == 10)
+    // an all-empty store compacts without error
+    val empty = tmpDir("graft-compact-empty") + "/store"
+    spark.range(0, 1).toDF("id").withColumn("day", lit("x")).filter(lit(false))
+      .write.partitionBy("day").parquet(empty)
+    Compaction.compact(spark, empty, targetFileBytes = 64L * 1024 * 1024,
+      partitionBy = Seq("day"))
+    assert(VersionedStore.resolve(spark, empty).nonEmpty)
+  }
+
   test("versioned store: a crash before the pointer flip leaves the old version live") {
     import graft.sinks.{Compaction, VersionedStore}
     val dir = tmpDir("graft-compact-crash") + "/store"
