@@ -395,31 +395,44 @@ object VectorOps {
          |${iterSql("c1", "d1", "a1", "m1")}
          |SELECT vec_id, cell FROM m1 ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
-      graft.functions.NativeFunctions.register(s)
-      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
-      // K*dim centroid state lives on the driver between iterations —
-      // bounded, like v1's query set and v4's codebook
-      var cents: Seq[(Int, Array[Long])] = emb.filter(col("vec_id") < NCells)
-        .collect().sortBy(_.getLong(0))
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(quantF).toArray)).toSeq
-      // centroid longs ride into dot_q as floats; round-trip is exact
-      // while |c| < 0.5 / (2^-24 * 1e6) ≈ 8.3e6 (quantize(float(c/1e6))
-      // == c) — assert the envelope so a hotter corpus fails loudly
-      def centFloats(c: Array[Long]): Seq[Float] = c.map { v =>
-        require(math.abs(v) < 8000000L, s"centroid element $v outside exact float envelope")
-        (v.toDouble / 1e6).toFloat
-      }.toSeq
-      def assigned(): DataFrame = {
-        val scored = cents.map { case (cid, arr) =>
-          val n2 = arr.map(v => v * v).sum // <= 64 * (4e6)^2 ~ 1e15 < 2^53
-          struct(
-            (call_function("dot_q", col("embedding"), typedLit(centFloats(arr)))
-              .cast("double") / lit(math.sqrt(n2.toDouble))).as("s"),
-            lit(-cid).as("nc"))
-        }
-        emb.withColumn("cell", -array_max(array(scored: _*)).getField("nc"))
+      kmeansAssign(s, Tables.embeddings(s, d).select("vec_id", "embedding"),
+        k = NCells, iters = 2)
+    }
+  )
+
+  /** The v5 k-means core (exposed for the empty-cell spec): `iters`
+    * deterministic Lloyd rounds seeded from vectors `vec_id < k`,
+    * returning the final (vec_id, cell) assignment ordered by vec_id.
+    * K*dim centroid state lives on the driver between iterations —
+    * bounded, like v1's query set and v4's codebook. A cell that loses
+    * all members (e.g. two seed vectors are identical, so the higher id
+    * empties on the tie-break) keeps its previous centroid, matching
+    * the oracle's COALESCE.
+    */
+  def kmeansAssign(s: SparkSession, emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+    var cents: Seq[(Int, Array[Long])] = emb.filter(col("vec_id") < k)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(quantF).toArray)).toSeq
+    // centroid longs ride into dot_q as floats; round-trip is exact
+    // while |c| < 0.5 / (2^-24 * 1e6) ≈ 8.3e6 (quantize(float(c/1e6))
+    // == c) — assert the envelope so a hotter corpus fails loudly
+    def centFloats(c: Array[Long]): Seq[Float] = c.map { v =>
+      require(math.abs(v) < 8000000L, s"centroid element $v outside exact float envelope")
+      (v.toDouble / 1e6).toFloat
+    }.toSeq
+    def assigned(): DataFrame = {
+      val scored = cents.map { case (cid, arr) =>
+        val n2 = arr.map(v => v * v).sum // <= 64 * (4e6)^2 ~ 1e15 < 2^53
+        struct(
+          (call_function("dot_q", col("embedding"), typedLit(centFloats(arr)))
+            .cast("double") / lit(math.sqrt(n2.toDouble))).as("s"),
+          lit(-cid).as("nc"))
       }
+      emb.withColumn("cell", -array_max(array(scored: _*)).getField("nc"))
+    }
+    for (_ <- 1 until iters) {
       val upd = assigned()
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .select(col("cell"), col("pos"),
@@ -430,8 +443,8 @@ object VectorOps {
       cents = cents.map { case (cid, old) =>
         (cid, old.indices.map(p => upd.getOrElse((cid, p), old(p))).toArray)
       }
-      assigned().select(col("vec_id"), col("cell").cast("long").as("cell"))
-        .orderBy("vec_id")
     }
-  )
+    assigned().select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .orderBy("vec_id")
+  }
 }

@@ -463,6 +463,31 @@ class OpsSpec extends SparkSpec {
       s"read ${scan.metrics("numFiles").value} files, partition has $dayFiles")
   }
 
+  test("k-means: an emptied cell keeps its centroid and ties pick the lower id") {
+    // seed vectors 0 and 1 are IDENTICAL: every vector scoring 1.0
+    // against both assigns to cell 0 on the tie-break, so cell 1
+    // empties after round 1 — the keep-old-centroid path (the sf data
+    // never empties a cell, so only this spec exercises it)
+    val base = Array.tabulate(64)(i => (math.sin(i) * 0.4).toFloat)
+    val far = Array.tabulate(64)(i => (math.cos(i * 3) * 0.4).toFloat)
+    val vecs = Seq(
+      (0L, base), (1L, base), // identical seeds
+      (2L, far),
+      (3L, base.map(v => v * 0.9f)), // same direction as base
+      (4L, far.map(v => v * 1.1f))) // same direction as far
+      .toDF("vec_id", "embedding")
+    // round 1: identical centroids -> every vector ties to cell 0, so
+    // cell 1 empties. Update: c0 becomes the blend of all 5 vectors,
+    // c1 KEEPS the exact base centroid (the COALESCE path). Round 2:
+    // base-direction vectors score 1.0 against the kept c1 and move
+    // there; far-direction vectors stay closer to the blended c0.
+    val out = graft.operators.VectorOps.kmeansAssign(spark, vecs, k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 1L && out(1L) == 1L && out(3L) == 1L,
+      s"base vectors should land on the kept centroid: $out")
+    assert(out(2L) == 0L && out(4L) == 0L, s"far vectors stay on the blend: $out")
+  }
+
   test("passage blocks detect partial verbatim reuse, not just whole-doc copies") {
     import graft.operators.TextOps
     val passage = (1 to 8).map(i => s"tok$i").mkString(" ") // one exact block
