@@ -112,11 +112,16 @@ object TpchOps {
         |      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |      GROUP BY o_orderkey)
         |GROUP BY cnt_items ORDER BY cnt_items""".stripMargin) { (s, d) =>
-      val o = Tables.orders(s, d)
-      val li = Tables.lineitem(s, d)
-      o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
-        .groupBy(o("o_orderkey"))
-        .agg(count(li("l_orderkey")).as("cnt_items"))
+      // Pre-aggregate lineitem to per-order counts BEFORE the join
+      // (map-side combine shrinks the join's right side from every line
+      // item to one row per order); unmatched orders coalesce to 0 —
+      // identical to COUNT(l_orderkey) over the raw left join, without
+      // shuffling the full join output through a second aggregate.
+      val cnt = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      Tables.orders(s, d).select("o_orderkey")
+        .join(cnt, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("cnt_items"))
         .groupBy("cnt_items").agg(count(lit(1)).as("n_orders"))
         .orderBy("cnt_items")
     },
