@@ -27,10 +27,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     write finished — a crash anywhere before (2) leaves the previous
   *     version live and at worst an orphan dir that pruning removes.
   *
-  * Old versions are pruned best-effort after a successful flip (a real
-  * deployment would keep a grace window for in-flight scans of the
-  * previous version; in this single-process testbed immediate pruning
-  * is safe because resolution happens at plan time).
+  * After a successful flip, the version the pointer PREVIOUSLY named
+  * is kept as a one-deep grace window — a reader that resolved it just
+  * before the flip can finish its scan — and everything older (plus
+  * never-pointed orphans from crashed writers) is pruned best-effort.
+  * Storage overhead is bounded at one superseded version per store.
   *
   * The fingerprint stored in the pointer keys the artifact to its
   * SOURCE data (file names/sizes/mtimes), so regenerating a dataset at
@@ -106,6 +107,9 @@ object VersionedStore {
     write(dir.toString)
     if (!f.exists(new Path(dir, "_SUCCESS")))
       throw new java.io.IOException(s"publish to $dir left no _SUCCESS marker")
+    // the version being superseded survives one publish as a grace
+    // window for in-flight readers that resolved it pre-flip
+    val grace = readPointer(spark, base).map(_.version)
     // Single-object atomic pointer flip — never a directory rename.
     val tmp = new Path(basePath, s".LATEST.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
@@ -113,17 +117,18 @@ object VersionedStore {
     val fc = FileContext.getFileContext(basePath.toUri,
       spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, latestPath(basePath), Options.Rename.OVERWRITE)
-    prune(f, basePath, keep = version)
+    prune(f, basePath, keep = Set(version) ++ grace)
     dir
   }
 
-  /** Best-effort removal of superseded version dirs and stray pointer
-    * temp files (crash leftovers).
+  /** Best-effort removal of version dirs outside the keep set (older
+    * superseded versions + never-pointed orphans from crashed writers)
+    * and stray pointer temp files.
     */
-  private def prune(f: FileSystem, base: Path, keep: String): Unit =
+  private def prune(f: FileSystem, base: Path, keep: Set[String]): Unit =
     try f.listStatus(base).foreach { st =>
       val n = st.getPath.getName
-      if ((n.startsWith("v_") && n != keep) || n.startsWith(".LATEST.tmp_"))
+      if ((n.startsWith("v_") && !keep(n)) || n.startsWith(".LATEST.tmp_"))
         f.delete(st.getPath, true)
     } catch { case _: java.io.IOException => () }
 

@@ -263,11 +263,12 @@ class OpsSpec extends SparkSpec {
     val written = Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
     val live = VersionedStore.resolve(spark, dir).get
     assert(written == 1 && parquetFilesIn(live) == 1)
-    // migration moved the legacy root files into the versioned layout,
-    // and the pre-compaction version was pruned after the pointer flip
+    // migration moved the legacy root files into the versioned layout;
+    // after the compaction flip the migrated version survives as the
+    // one-deep reader grace window (live + 1 superseded, nothing older)
     assert(parquetFilesIn(new org.apache.hadoop.fs.Path(dir)) == 0)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .count(_.getPath.getName.startsWith("v_")) == 1)
+      .count(_.getPath.getName.startsWith("v_")) == 2)
     val after = VersionedStore.read(spark, dir).as[Long].collect().sorted.toSeq
     assert(after == before)
   }
