@@ -49,7 +49,10 @@ object Compaction {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir)))
       throw new java.io.FileNotFoundException(s"no store at $dir")
+    // resolution order: live pointer → lost-pointer repair (re-point to
+    // the newest complete version; never merges) → legacy migration
     val srcDir = VersionedStore.resolve(spark, dir)
+      .orElse(VersionedStore.repair(spark, dir))
       .getOrElse(migrateLegacy(spark, dir))
     def countParquet(p: Path): Int = fs.listStatus(p).map { st =>
       if (st.isDirectory) countParquet(st.getPath)
@@ -61,7 +64,8 @@ object Compaction {
     if (countParquet(srcDir) == 0) return 0
     val bytes = fs.getContentSummary(srcDir).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    // publish prunes the superseded version after the pointer flip
+    // publish flips the pointer, keeps srcDir one round as the reader
+    // grace window, and prunes anything older
     val version = VersionedStore.publish(spark, dir) { out =>
       val src = spark.read.parquet(srcDir.toString)
       if (partitionBy.isEmpty)
@@ -71,6 +75,12 @@ object Compaction {
         val rowsPerFile = // avg-row-size estimate; 0 rows -> no cap needed
           if (totalRows == 0) Long.MaxValue
           else math.max(1L, (targetFileBytes / (bytes.toDouble / totalRows)).toLong)
+        // TRADEOFF: one write task per partition value (file sizes stay
+        // ~target via the per-file cap, but a hot value is rewritten
+        // serially). The parallel alternative — per-value hash buckets —
+        // needs a NULL-safe counts join and a position-based (not
+        // content-based) salt to split duplicate-heavy values; for an
+        // offline maintenance pass, correctness-simple wins here.
         src.repartition(nFiles, partitionBy.map(col): _*)
           .write.option("maxRecordsPerFile", rowsPerFile)
           .partitionBy(partitionBy: _*).parquet(out)
@@ -86,12 +96,17 @@ object Compaction {
     * partition subdirectories (`day=.../part-*.parquet` layouts) —
     * into a fresh version dir, then flip the pointer. Moves are
     * per-entry (safe to resume); the pointer flips only after every
-    * entry is in place. Because no pointer exists yet, any `v_*` dir
-    * found here is a PREVIOUS crashed migration — its contents are
-    * pulled into the new version too, so a rerun recovers the files an
-    * interrupted attempt already moved instead of stranding them (the
-    * post-flip prune would otherwise delete them). Migrating an empty
-    * dir throws BEFORE the pointer flip: no pointer-to-nothing.
+    * entry is in place.
+    *
+    * Crash discipline: the target dir gets a `_MIGRATING` marker FIRST
+    * and loses it LAST, so a rerun can tell a crashed migration (merge
+    * its contents back in) from a complete-but-unpointed version — a
+    * crashed publish, or a grace-window version whose pointer was lost
+    * — which is NEVER merged (merging a complete version alongside the
+    * same data would silently duplicate every row; the lost-pointer
+    * case is handled by [[VersionedStore.repair]] before this runs).
+    * Migrating an empty dir throws BEFORE the pointer flip: no
+    * pointer-to-nothing.
     */
   private def migrateLegacy(spark: SparkSession, dir: String): Path = {
     val base = new Path(dir)
@@ -99,6 +114,8 @@ object Compaction {
     VersionedStore.publish(spark, dir) { out =>
       val outPath = new Path(out)
       fs.mkdirs(outPath)
+      val migrating = new Path(outPath, VersionedStore.MigratingMarker)
+      fs.create(migrating, true).close()
       // returns 1 only for DATA entries; a _SUCCESS marker alone still
       // proves a real (legitimately empty) store — tracked separately
       // so a bare directory with neither fails the check below
@@ -107,7 +124,7 @@ object Compaction {
         val name = st.getPath.getName
         if (name == "_SUCCESS") sawMarker = true
         val dst = new Path(outPath, name)
-        if (fs.exists(dst) && name == "_SUCCESS") 0 // dup marker
+        if (fs.exists(dst) && name.startsWith("_")) 0 // dup marker
         else if (!fs.rename(st.getPath, dst))
           throw new java.io.IOException(s"migrate ${st.getPath} -> $dst failed")
         else if (name.startsWith("_")) 0
@@ -117,16 +134,21 @@ object Compaction {
         val n = st.getPath.getName
         n == "LATEST" || n.startsWith(".LATEST") || n == outPath.getName
       }
-      val (orphans, plain) = entries.partition(st =>
+      val (versionDirs, plain) = entries.partition(st =>
         st.isDirectory && st.getPath.getName.startsWith("v_"))
       var moved = plain.map(move).sum
-      // contents of crashed prior migrations (no pointer => unflipped)
-      orphans.foreach { o =>
-        moved += fs.listStatus(o.getPath).map(move).sum
-        fs.delete(o.getPath, true)
+      versionDirs.foreach { o =>
+        if (fs.exists(new Path(o.getPath, VersionedStore.MigratingMarker))) {
+          // crashed prior migration: pull its already-moved files in
+          moved += fs.listStatus(o.getPath)
+            .filterNot(_.getPath.getName == VersionedStore.MigratingMarker)
+            .map(move).sum
+          fs.delete(o.getPath, true)
+        } // else: complete or crashed PUBLISH — left for prune/repair
       }
       if (moved == 0 && !sawMarker)
         throw new java.io.IOException(s"nothing to migrate at $dir")
+      fs.delete(migrating, false)
       val marker = new Path(outPath, "_SUCCESS")
       if (!fs.exists(marker)) fs.create(marker, true).close()
     }

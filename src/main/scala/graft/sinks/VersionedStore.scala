@@ -80,6 +80,21 @@ object VersionedStore {
     }
   }
 
+  /** Marker a legacy-migration writer drops FIRST and removes LAST in
+    * its version dir: its presence is what distinguishes a crashed
+    * migration (whose contents a rerun must pull back in) from a
+    * complete-but-unpointed version (which must NOT be merged — doing
+    * so would silently duplicate rows).
+    */
+  val MigratingMarker = "_MIGRATING"
+
+  /** A version dir whose write finished: `_SUCCESS` present and no
+    * in-progress migration marker.
+    */
+  def isComplete(f: FileSystem, dir: Path): Boolean =
+    f.exists(new Path(dir, "_SUCCESS")) &&
+      !f.exists(new Path(dir, MigratingMarker))
+
   /** The live, fully-written version dir — None if there is no pointer,
     * the pointed dir is gone/incomplete, or (when `fingerprint` is
     * given) the artifact was built from different source data.
@@ -89,9 +104,39 @@ object VersionedStore {
     readPointer(spark, base).flatMap { ptr =>
       val dir = new Path(base, ptr.version)
       val ok = fingerprint.forall(_ == ptr.fingerprint) &&
-        fs(spark, dir).exists(new Path(dir, "_SUCCESS"))
+        isComplete(fs(spark, dir), dir)
       if (ok) Some(dir) else None
     }
+
+  /** Recovery for a store whose POINTER was lost/corrupted but whose
+    * version dirs survive (e.g. live + grace window): re-point to the
+    * newest complete version. Returns None when root-level data files
+    * exist (that is the legacy-migration case, not a lost pointer) or
+    * no complete version is found. The fingerprint is reset — a
+    * fingerprint-keyed artifact will conservatively rebuild.
+    */
+  def repair(spark: SparkSession, base: String): Option[Path] = {
+    val basePath = new Path(base)
+    val f = fs(spark, basePath)
+    if (!f.exists(basePath)) return None
+    val entries = f.listStatus(basePath)
+    val rootData = entries.exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (rootData) return None
+    val candidates = entries
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_") &&
+        isComplete(f, st.getPath))
+      .map(_.getPath.getName).sorted // v_<13-digit-millis>_<uuid>: lexicographic = temporal
+    candidates.lastOption.map { version =>
+      val tmp = new Path(basePath, s".LATEST.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      try out.write(s"$version\t".getBytes(UTF_8)) finally out.close()
+      FileContext.getFileContext(basePath.toUri,
+        spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, latestPath(basePath), Options.Rename.OVERWRITE)
+      new Path(basePath, version)
+    }
+  }
 
   /** Write one new version via `write(dirString)` (must produce
     * `_SUCCESS`, as every Spark parquet write does), then flip the

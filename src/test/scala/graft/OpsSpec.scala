@@ -354,9 +354,12 @@ class OpsSpec extends SparkSpec {
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // simulate a migration that died halfway: some files already moved
-    // into an unflipped v_ dir, the rest still at the root
+    // into an unflipped v_ dir still carrying the _MIGRATING marker,
+    // the rest at the root (real migrations drop the marker first)
     val dead = new org.apache.hadoop.fs.Path(dir, "v_0000000000000_dead")
     fs.mkdirs(dead)
+    fs.create(new org.apache.hadoop.fs.Path(dead,
+      graft.sinks.VersionedStore.MigratingMarker), true).close()
     val roots = fs.listStatus(base)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     roots.take(3).foreach { st =>
@@ -367,6 +370,23 @@ class OpsSpec extends SparkSpec {
     // every row survives: the rerun pulled the orphan's files back in
     assert(VersionedStore.read(spark, dir).count() == 500)
     assert(!fs.exists(dead))
+  }
+
+  test("a lost pointer repairs to the newest version — never duplicates rows") {
+    import graft.sinks.{Compaction, VersionedStore}
+    val dir = tmpDir("graft-lost-pointer") + "/store"
+    spark.range(0, 200).toDF("id").repartition(4).write.parquet(dir)
+    // two compactions leave live + grace versions on disk
+    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(base).count(_.getPath.getName.startsWith("v_")) >= 2)
+    // lose the pointer: the old merge-everything recovery would union
+    // live + grace into 400 rows
+    fs.delete(new org.apache.hadoop.fs.Path(base, "LATEST"), false)
+    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(VersionedStore.read(spark, dir).count() == 200)
   }
 
   test("versioned store: fingerprint change invalidates a cached artifact") {
