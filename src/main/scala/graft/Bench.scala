@@ -30,15 +30,17 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Truncation-proofing (round-2 BENCH artifact kept only the tail of
-    // stdout and ate the head of this ~3 KB line): emit the full line
-    // early, persist it to a file, and re-emit it as the very LAST
-    // stdout line (after spark.stop(), so no shutdown logs follow it).
+    // Truncation-proofing, round 3 edition: the driver's tail window is
+    // smaller than the ~4 KB full line (BENCH_r02/r03 both came back
+    // "parsed": null when the re-emitted full line lost its head). So:
+    // full line early + persisted to BENCH_LOCAL.json for humans, and a
+    // SHORT total-only line (no per-query map, always fits) as the very
+    // LAST stdout line after spark.stop().
     println(full)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
-    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
   }
 }

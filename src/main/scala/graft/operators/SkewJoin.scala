@@ -37,12 +37,24 @@ object SkewJoin {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       val li = graft.sources.Tables.lineitem(s, d)
+      // project BEFORE replicating: saltedJoin shuffles the right side
+      // factor× — every column dropped here is paid for 4× less
       val o = graft.sources.Tables.orders(s, d)
-        .withColumnRenamed("o_orderkey", "l_orderkey")
-      saltedJoin(li, o, "l_orderkey", factor = 4)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      // The final aggregate is algebraic (count + exact decimal sum), so
+      // push a partial aggregate below the join: lineitem collapses to
+      // one row per l_orderkey BEFORE being salted and joined against the
+      // factor×-replicated orders — ~4× less join input and shuffle
+      // volume, and the per-key partials re-combine exactly (decimal
+      // addition is order-free). Same pattern as j5 (TpchOps).
+      val liAgg = li.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("__cnt"),
+          sum(col("l_extendedprice").cast("decimal(28,10)")).as("__price"))
+      saltedJoin(liAgg, o, "l_orderkey", factor = 4)
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_items"),
-          graft.Exact.moneySum(col("l_extendedprice")).as("revenue"))
+        .agg(sum(col("__cnt")).as("n_items"),
+          (round(sum(col("__price")) * 100, 0).cast("long") / lit(100.0))
+            .as("revenue"))
         .orderBy("o_orderstatus")
     }
   )

@@ -48,19 +48,32 @@ object VersionedStore {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Fingerprint of a source dataset directory: name, length, and mtime
-    * of every data file (order-free XOR so listing order is
-    * irrelevant). Cheap — one LIST, no data read.
+  /** Fingerprint of a source dataset directory: one 64-bit hash over
+    * the SORTED concatenation of per-file `relpath:len:mtime` records,
+    * recursing into subdirectories (hive-partitioned sources change in
+    * their leaves). Sorting makes listing order irrelevant without an
+    * XOR/commutative fold — the round-3 XOR-of-32-bit version had ~32
+    * bits of effective entropy and let paired per-file changes cancel,
+    * so a stale artifact could be served as fresh. Cheap — LISTs only,
+    * no data read.
     */
   def fingerprintOf(spark: SparkSession, srcDir: String): String = {
-    val p = new Path(srcDir)
-    val f = fs(spark, p)
-    val acc = f.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
-      .foldLeft(0L) { (h, st) =>
-        h ^ scala.util.hashing.MurmurHash3.stringHash(
-          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").toLong
+    val root = new Path(srcDir)
+    val f = fs(spark, root)
+    val records = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(dir: Path, prefix: String): Unit =
+      f.listStatus(dir).filterNot(_.getPath.getName.startsWith("_")).foreach { st =>
+        val rel = prefix + st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, rel + "/")
+        else records += s"$rel:${st.getLen}:${st.getModificationTime}"
       }
-    java.lang.Long.toHexString(acc)
+    if (f.getFileStatus(root).isDirectory) walk(root, "")
+    else records += s"${root.getName}:${f.getFileStatus(root).getLen}:${f.getFileStatus(root).getModificationTime}"
+    val blob = records.sorted.mkString("\n")
+    // two independently-seeded 32-bit murmurs → one 64-bit value
+    val hi = scala.util.hashing.MurmurHash3.stringHash(blob, 0x9747b28c)
+    val lo = scala.util.hashing.MurmurHash3.stringHash(blob, 0x85ebca6b)
+    java.lang.Long.toHexString((hi.toLong << 32) | (lo.toLong & 0xffffffffL))
   }
 
   def readPointer(spark: SparkSession, base: String): Option[Pointer] = {
@@ -110,19 +123,24 @@ object VersionedStore {
 
   /** Recovery for a store whose POINTER was lost/corrupted but whose
     * version dirs survive (e.g. live + grace window): re-point to the
-    * newest complete version. Returns None when root-level data files
-    * exist (that is the legacy-migration case, not a lost pointer) or
-    * no complete version is found. The fingerprint is reset — a
-    * fingerprint-keyed artifact will conservatively rebuild.
+    * newest complete version. A COMPLETE version always wins over
+    * root-level data files: the versioned protocol never legitimately
+    * leaves both (a genuine legacy store has no complete `v_` dirs, and
+    * a crashed migration's dir still carries `_MIGRATING`), so
+    * root-files-plus-complete-version means a finished publish whose
+    * root sweep crashed — re-pointing at the version is right, and
+    * falling into legacy migration would resurrect stale pre-merge
+    * data while pruning the newer merged store. Returns None when
+    * root-level data files exist WITHOUT any complete version (true
+    * legacy-migration case) or nothing complete is found. The
+    * fingerprint is reset — a fingerprint-keyed artifact will
+    * conservatively rebuild.
     */
   def repair(spark: SparkSession, base: String): Option[Path] = {
     val basePath = new Path(base)
     val f = fs(spark, basePath)
     if (!f.exists(basePath)) return None
     val entries = f.listStatus(basePath)
-    val rootData = entries.exists(st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (rootData) return None
     val candidates = entries
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_") &&
         isComplete(f, st.getPath))
@@ -141,6 +159,13 @@ object VersionedStore {
   /** Write one new version via `write(dirString)` (must produce
     * `_SUCCESS`, as every Spark parquet write does), then flip the
     * pointer and prune superseded versions. Returns the version dir.
+    *
+    * CONCURRENCY CONTRACT: one writer per base at a time. Concurrent
+    * publishes are last-flip-wins on the pointer (each flip is atomic),
+    * but each writer's prune runs with its own keep-set — as a
+    * belt-and-braces guard, prune re-reads the pointer and always
+    * keeps the currently-pointed version, so even a losing writer
+    * cannot delete the version the winner just pointed LATEST at.
     */
   def publish(spark: SparkSession, base: String, fingerprint: String = "")(
       write: String => Unit): Path = {
@@ -162,20 +187,27 @@ object VersionedStore {
     val fc = FileContext.getFileContext(basePath.toUri,
       spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, latestPath(basePath), Options.Rename.OVERWRITE)
-    prune(f, basePath, keep = Set(version) ++ grace)
+    prune(spark, basePath, keep = Set(version) ++ grace)
     dir
   }
 
   /** Best-effort removal of version dirs outside the keep set (older
     * superseded versions + never-pointed orphans from crashed writers)
-    * and stray pointer temp files.
+    * and stray pointer temp files. Re-reads the pointer at delete time
+    * and unconditionally keeps the version it names — if a concurrent
+    * publish won the pointer race after our flip, its version must
+    * survive our prune (see publish's concurrency contract).
     */
-  private def prune(f: FileSystem, base: Path, keep: Set[String]): Unit =
+  private def prune(spark: SparkSession, base: Path, keep: Set[String]): Unit = {
+    val f = fs(spark, base)
+    val pointed = readPointer(spark, base.toString).map(_.version)
+    val keepAll = keep ++ pointed
     try f.listStatus(base).foreach { st =>
       val n = st.getPath.getName
-      if ((n.startsWith("v_") && !keep(n)) || n.startsWith(".LATEST.tmp_"))
+      if ((n.startsWith("v_") && !keepAll(n)) || n.startsWith(".LATEST.tmp_"))
         f.delete(st.getPath, true)
     } catch { case _: java.io.IOException => () }
+  }
 
   /** Read the live version (throws if nothing was ever published). */
   def read(spark: SparkSession, base: String): DataFrame =

@@ -150,7 +150,13 @@ object WeatherPipeline {
           else fs.listStatus(new org.apache.hadoop.fs.Path(storeDir))
             .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
             .map(_.getPath).toSeq
+        // resolve, then repair: a lost/corrupt LATEST pointer with
+        // surviving version dirs must NOT read as "empty store" — that
+        // would publish only this batch's keys and prune every prior
+        // version (silent permanent loss of all previously upserted
+        // keys). Same resolution order as Compaction.compact.
         val resolved = graft.sinks.VersionedStore.resolve(spark, storeDir)
+          .orElse(graft.sinks.VersionedStore.repair(spark, storeDir))
         val legacy = if (resolved.isEmpty) legacyFiles else Seq.empty
         val existing = resolved
           .map(v => spark.read.parquet(v.toString))
@@ -175,9 +181,12 @@ object WeatherPipeline {
         graft.sinks.VersionedStore.publish(spark, storeDir) { out =>
           merged.write.parquet(out)
         }
-        // legacy roots are merged into the published version above —
-        // clear them so they aren't re-merged or mistaken for data
-        legacy.foreach(fs.delete(_, false))
+        // Sweep ALL stray root-level parquet, not just the ones merged
+        // this batch: when `resolved` was defined, any root files are
+        // known-merged leftovers from a crash between a previous
+        // publish and its delete — left in place they'd poison a later
+        // repair/migration (stale pre-merge data becoming live).
+        legacyFiles.foreach(fs.delete(_, false))
         ()
       }
       .start()

@@ -389,6 +389,45 @@ class OpsSpec extends SparkSpec {
     assert(VersionedStore.read(spark, dir).count() == 200)
   }
 
+  test("repair prefers a complete version over stale root files") {
+    import graft.sinks.{Compaction, VersionedStore}
+    val dir = tmpDir("graft-stale-root") + "/store"
+    spark.range(0, 100).toDF("id").write.parquet(dir)
+    Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between publish and the root sweep leaves already-merged
+    // parquet at the root; later the pointer is lost too — the old
+    // repair() refused (rootData) and migration would resurrect the
+    // stale rows while pruning the newer merged version
+    val stale = tmpDir("graft-stale-src") + "/old"
+    spark.range(0, 7).toDF("id").coalesce(1).write.parquet(stale)
+    val staleFile = fs.listStatus(new org.apache.hadoop.fs.Path(stale))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(staleFile, new org.apache.hadoop.fs.Path(base, "stale-legacy.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(base, "LATEST"), false)
+    val repaired = VersionedStore.repair(spark, dir)
+    assert(repaired.nonEmpty)
+    assert(VersionedStore.read(spark, dir).count() == 100) // not 7, not 107
+  }
+
+  test("fingerprintOf sees leaf-file changes inside partitioned sources") {
+    import graft.sinks.VersionedStore
+    val src = tmpDir("graft-fp-nested") + "/tbl"
+    spark.range(0, 20).toDF("id")
+      .withColumn("day", (col("id") % 2).cast("string"))
+      .write.partitionBy("day").parquet(src)
+    val fp1 = VersionedStore.fingerprintOf(spark, src)
+    assert(fp1 == VersionedStore.fingerprintOf(spark, src)) // deterministic
+    // rewrite ONE partition's leaves: top-level entry names are
+    // unchanged (day=0/, day=1/), so the old non-recursive listing
+    // could miss this entirely
+    Thread.sleep(1100) // ensure a coarse-mtime filesystem ticks over
+    spark.range(100, 120).toDF("id").withColumn("day", lit("1"))
+      .write.mode("overwrite").parquet(s"$src/day=1")
+    assert(VersionedStore.fingerprintOf(spark, src) != fp1)
+  }
+
   test("versioned store: fingerprint change invalidates a cached artifact") {
     import graft.sinks.VersionedStore
     val src = tmpDir("graft-vstore-src") + "/tbl"

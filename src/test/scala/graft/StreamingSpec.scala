@@ -298,6 +298,39 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(orphan))
   }
 
+  test("upsert sink repairs a lost pointer instead of starting from empty") {
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-upsert-lostptr") + "/latest_by_city"
+    val cp = tmpDir("graft-upsert-lostptr-cp")
+    val in = MemoryStream[String]
+    def at(epoch: Long, temp: Double, city: String) =
+      s"""{"date":"d","weather_description":"clear","latitude":"0","pression":"1000",
+         |"humidité":"50","feels_like":"0","city_name":"$city","local_time":"t",
+         |"min_temp":"0","wind_speed":"1.0","température":"$temp","max_temp":"0",
+         |"timestamp":"$epoch","longitude":"0"}""".stripMargin.replace("\n", "")
+    val t0 = 1700000000L
+    val q1 = WeatherPipeline.startUpsertLatest(
+      WeatherPipeline.enriched(in.toDF()), store, cp)
+    in.addData(at(t0, 10, "X"), at(t0, 5, "Y"))
+    q1.processAllAvailable()
+    q1.stop()
+    // lose ONLY the pointer — version dirs survive. Without the
+    // resolve→repair fallback the next merge would see an empty store,
+    // publish a version holding just this batch's keys, and the prune
+    // would permanently delete Y.
+    val base = new org.apache.hadoop.fs.Path(store)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base, "LATEST"), false)
+    val q2 = WeatherPipeline.startUpsertLatest(
+      WeatherPipeline.enriched(in.toDF()), store, cp)
+    in.addData(at(t0 + 60, 20, "X")) // batch mentions X only
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = graft.sinks.VersionedStore.read(spark, store)
+      .select("city_name", "temperature").as[(String, Int)].collect().toMap
+    assert(rows == Map("X" -> 20, "Y" -> 5))
+  }
+
   test("upsert sink merges a pre-versioned legacy store instead of discarding it") {
     implicit val sc = spark.sqlContext
     val store = tmpDir("graft-upsert-legacy") + "/latest_by_city"
