@@ -50,6 +50,57 @@ class StreamingSpec extends SparkSpec {
     assert(runs.nonEmpty && runs.forall(r => !r.failed && r.durationMs >= 0))
   }
 
+  test("prometheus exposition renders the ring buffers and serves /metrics") {
+    implicit val sc = spark.sqlContext
+    graft.observe.Metrics.register(spark)
+    graft.observe.Metrics.reset()
+    val in = MemoryStream[String]
+    val q = WeatherPipeline.enriched(in.toDF())
+      .writeStream.format("memory").queryName("prom_probe").outputMode("append")
+      .start()
+    in.addData(goldenJson, alertJson(45.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.range(0, 5).count() // one batch action
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def ready = graft.observe.Metrics.streamSnapshot.exists(p =>
+      p.queryName == "prom_probe" && p.numInputRows > 0) &&
+      graft.observe.Metrics.batchSnapshot.nonEmpty
+    while (!ready && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(ready)
+    val text = graft.observe.Prometheus.render()
+    // exposition format: HELP/TYPE per family, the stream query as a
+    // label, counters carrying the observed totals
+    assert(text.contains("# TYPE graft_stream_input_rows_total counter"))
+    assert(text.contains("""graft_stream_input_rows_total{query="prom_probe"} 2"""))
+    assert(text.contains("""graft_stream_batches_total{query="prom_probe"}"""))
+    assert(text.contains("# TYPE graft_batch_actions_total counter"))
+    assert(text.contains("graft_batch_failures_total 0"))
+    // every non-comment line parses as `name{labels} value`
+    text.linesIterator.filterNot(l => l.startsWith("#") || l.isEmpty).foreach { l =>
+      assert(l.matches("""[a-z_]+(\{[^}]*\})? (-?[0-9.E+-]+|NaN)"""), s"bad line: $l")
+    }
+    // label escaping: quote/backslash/newline cannot corrupt the format
+    assert(graft.observe.Prometheus.escapeLabel("a\"b\\c\nd") == "a\\\"b\\\\c\\nd")
+    // HTTP surface: GET /metrics returns 200 + the same body
+    val server = graft.observe.Prometheus.serve(port = 0)
+    try {
+      val port = server.getAddress.getPort
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("text/plain"))
+      val body = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      assert(body.contains("""graft_stream_input_rows_total{query="prom_probe"} 2"""))
+    } finally server.stop(0)
+    // textfile-collector surface: atomic write lands the same content
+    val f = tmpDir("graft-prom") + "/graft.prom"
+    graft.observe.Prometheus.writeTextfile(f)
+    val onDisk = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), "UTF-8")
+    assert(onDisk.contains("graft_stream_batches_total"))
+  }
+
   test("kafka option surface rejects typos and malformed values in CI") {
     val opts = WeatherPipeline.kafkaOptions("broker:9092", "weather-events")
     // exactly the Kafka-source contract keys, no misspellings
