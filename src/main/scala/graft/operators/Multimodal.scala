@@ -68,10 +68,39 @@ object Multimodal {
         (f.width.toLong * box / m).toInt, (f.height.toLong * box / m).toInt)
     }
 
+  /** Non-ASCII probe planted in the media fixture (doc_id -1): 2-byte
+    * (é/ö), 3-byte (CJK + em dash), and 4-byte (emoji) UTF-8 sequences.
+    * The corpus in documents.parquet is ASCII, so without this row the
+    * byte-vs-char length split (DuckDB strlen vs length; Spark
+    * length(binary) vs length(string)) would pass untested — exactly
+    * the latent trap the round-3 audit flagged. The SAME literal is
+    * union'd on both the Spark and oracle sides, so the m1-m4
+    * hash-match genuinely exercises byte semantics end to end.
+    */
+  val NonAsciiProbe = "héllo wörld — 多模态 🎬 café"
+
+  /** The m-table document source: documents plus the probe row. */
+  def mediaDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("doc_id", "text", "source", "n_chars")
+    val probe = Seq((-1L, NonAsciiProbe, "synthetic")).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long")) // CHAR count, like the corpus column
+    Tables.documents(s, d).select(cols.map(col): _*)
+      .unionByName(probe.select(cols.map(col): _*))
+  }
+
+  /** Oracle twin of [[mediaDocs]] (a CTE both engines agree on). */
+  private val docsSql: String =
+    s"""docs AS (
+      |  SELECT doc_id, text, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), '$NonAsciiProbe', 'synthetic',
+      |         CAST(length('$NonAsciiProbe') AS BIGINT))""".stripMargin
+
   /** documents → media table: text bytes stand in for the media payload. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    Tables.documents(s, d)
+    mediaDocs(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("media"),
         col("source"), col("n_chars"))
       .as[MediaRow]
@@ -93,22 +122,24 @@ object Multimodal {
     * `media.length` byte semantics for non-ASCII documents too.
     */
   private val featsSql: String =
-    """f AS (
+    s"""$docsSql,
+      |f AS (
       |  SELECT doc_id,
       |         CAST(strlen(text) AS BIGINT) AS n_bytes,
       |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
-      |  FROM documents)""".stripMargin
+      |  FROM docs)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
     // M1: media catalog — binary payload length + content digest
     // (oracle-checkable part of the multimodal surface).
     QueryDef.sql("m1_media_catalog",
-      """SELECT doc_id, source, n_chars,
+      s"""WITH $docsSql
+        |SELECT doc_id, source, n_chars,
         |       strlen(text) AS media_bytes,
         |       md5(text) AS media_md5
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+        |FROM docs ORDER BY doc_id""".stripMargin) { (s, d) =>
+      mediaDocs(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"),
           length(col("text").cast("binary")).cast("long").as("media_bytes"),
           md5(col("text").cast("binary")).as("media_md5"))

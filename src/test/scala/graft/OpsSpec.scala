@@ -606,5 +606,11 @@ class OpsSpec extends SparkSpec {
     assert(f1.toSeq == f2.toSeq) // deterministic
     assert(f1.forall(f => f.width >= 64 && f.mean_level >= 0 && f.mean_level <= 1))
     assert(f1.length == media.count())
+    // the planted non-ASCII probe must expose the byte-vs-char split:
+    // its UTF-8 payload is strictly longer in bytes than in codepoints
+    val probe = f1.find(_.doc_id == -1L).get
+    val codepoints = Multimodal.NonAsciiProbe
+      .codePointCount(0, Multimodal.NonAsciiProbe.length)
+    assert(probe.n_bytes > codepoints)
   }
 }

@@ -120,6 +120,35 @@ class StreamingSpec extends SparkSpec {
       "b:9092", "t", maxOffsetsPerTrigger = Some(0L)))
   }
 
+  test("kafkaSource().load() resolves the streaming relation with validated options") {
+    // the connector jar is absent in this sandbox; FakeKafkaProvider
+    // registers the same `kafka` short name on the TEST classpath, so
+    // .load() goes through real ServiceLoader source resolution
+    val df = WeatherPipeline.kafkaSource(spark, "broker:9092", "weather-events")
+    assert(df.isStreaming)
+    assert(df.schema == FakeKafkaProvider.kafkaSchema) // connector contract
+    val opts = FakeKafkaProvider.lastOptions
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "weather-events")
+    assert(opts("startingoffsets") == "latest")
+    // rate control (ST8) survives the trip through the reader too
+    val withRate = spark.readStream.format("kafka")
+      .options(WeatherPipeline.kafkaOptions("b:9092", "t",
+        startingOffsets = "earliest", maxOffsetsPerTrigger = Some(500L)))
+      .load()
+    assert(withRate.isStreaming)
+    assert(FakeKafkaProvider.lastOptions("maxoffsetspertrigger") == "500")
+    assert(FakeKafkaProvider.lastOptions("startingoffsets") == "earliest")
+    // the enrich DAG composes on the kafka frame (binary value) and the
+    // query lifecycle runs end to end — zero batches, clean stop
+    val q = WeatherPipeline.enriched(df)
+      .writeStream.format("memory").queryName("kafka_probe").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("kafka_probe").count() == 0)
+  }
+
   test("streaming pipeline enriches the golden record through a memory sink") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[String]
