@@ -19,10 +19,10 @@ import graft.sources.Tables
   * aggregate, all distributed. Lineage is truncated per round with
   * localCheckpoint — an iterative plan would otherwise grow by two
   * joins per round and overwhelm the optimizer long before 100 TB.
-  * (At extreme diameters the same loop upgrades to the large-star/
-  * small-star contraction of Kiveris et al., which converges in
-  * O(log n) rounds; plain propagation is the right trade for
-  * short-chain duplicate graphs.)
+  * (At extreme diameters use [[connectedComponentsStar]] — the
+  * large-star/small-star contraction of Kiveris et al., converging in
+  * O(log n) rounds behind the same API; plain propagation is the right
+  * trade for short-chain duplicate graphs and stays d5's default.)
   *
   * The driver only sees a per-round convergence COUNT (a scalar), never
   * the data. Deterministic: min-propagation has no tie ambiguity.
@@ -61,6 +61,90 @@ object DedupCluster {
       labels = next
     }
     labels
+  }
+
+  /** Large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the long-chain
+    * upgrade the plain-propagation Scaladoc names: converges in
+    * O(log diameter) rounds instead of O(diameter), at the cost of two
+    * shuffle rounds per iteration instead of one. Same contract as
+    * [[connectedComponents]]: (doc_id, cluster_id = component min).
+    *
+    * Each round alternates:
+    *  - large-star: every node u attaches its strictly-LARGER neighbors
+    *    to m(u) = min(N(u) ∪ {u}) — long tails fold onto small ids;
+    *  - small-star: every node u attaches its smaller neighbors (and
+    *    itself) to their minimum — stars flatten.
+    * At the fixpoint every component is a star centered at its minimum
+    * node; labels read straight off the edges. Both phases are one
+    * groupBy + one join over the edge list — fully distributed, driver
+    * sees only a convergence checksum per round. Edge lists are
+    * localCheckpoint'd per round (same lineage discipline as plain
+    * propagation).
+    */
+  def connectedComponentsStar(docs: DataFrame, pairs: DataFrame): DataFrame =
+    starContraction(docs, pairs)._1
+
+  /** [[connectedComponentsStar]] plus the round count (for the
+    * O(log n) convergence property test).
+    */
+  private[graft] def starContraction(docs: DataFrame,
+      pairs: DataFrame): (DataFrame, Int) = {
+    // canonical directed edge (a, b): a > b, no self-loops, distinct
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+    // convergence checksum: (count, order-free content hash-sum) — two
+    // scalars to the driver per round, never the data
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // (v, m) for v > u: v > u ≥ m, so already canonical, never a loop
+      canon(nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e canonical ⇒ the smaller-neighborhood of a is exactly its b's
+      val mins = e.groupBy("a").agg(min("b").as("m"))
+      val reattach = e.join(mins, "a").filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b")) // b > m by minimality
+      val center = mins.select(col("a"), col("m").as("b")) // a > m
+      canon(reattach.union(center))
+    }
+
+    var edges = canon(pairs.select(col("doc1").as("a"), col("doc2").as("b")))
+      .localCheckpoint()
+    var prev = checksum(edges)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val sum = checksum(next)
+      rounds += 1
+      converged = sum == prev
+      prev = sum
+      edges = next
+    }
+    // fixpoint edges are stars (v → component-min center); min(b) guards
+    // the (harmless) case of a node still carrying two star edges
+    val labels = docs.select(col("doc_id"))
+      .join(edges.groupBy(col("a").as("doc_id")).agg(min("b").as("ctr")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ctr"), col("doc_id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   val defs: Seq[QueryDef] = Seq(

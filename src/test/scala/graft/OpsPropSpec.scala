@@ -49,6 +49,44 @@ class OpsPropSpec extends SparkSpec {
     run("components-vs-union-find", prop, 5)
   }
 
+  test("star-contraction components match plain propagation on random graphs") {
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 10)
+      m <- Gen.chooseNum(0, 12)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n - 1L)
+        b <- Gen.chooseNum(0L, n - 1L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, edges.distinct)
+    val prop = Prop.forAll(graphGen) { case (n, edges) =>
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+        else edges.toDF("doc1", "doc2")
+      val plain = DedupCluster.connectedComponents(docs, pairs)
+        .as[(Long, Long)].collect().toMap
+      val star = DedupCluster.connectedComponentsStar(docs, pairs)
+        .as[(Long, Long)].collect().toMap
+      star == plain
+    }
+    run("star-vs-propagation", prop, 5)
+  }
+
+  test("star-contraction converges in O(log n) rounds on a planted chain") {
+    // a 20-link path (diameter 20): plain propagation needs ~20 rounds;
+    // star contraction must collapse it exponentially faster
+    val n = 21L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val (labels, rounds) = DedupCluster.starContraction(docs, pairs)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap) // one component, min id 0
+    // ceil(log2(20)) = 5 star rounds + 1 fixpoint-confirmation round,
+    // with slack for the alternation; far below the 20 of propagation
+    assert(rounds <= 8, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
   test("quantize matches Spark round(x*1e6, 0) on arbitrary floats") {
     val floatsGen = Gen.listOfN(64,
       Gen.oneOf(Gen.chooseNum(-4.0f, 4.0f), Gen.chooseNum(-1e-6f, 1e-6f)))

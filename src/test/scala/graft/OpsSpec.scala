@@ -137,6 +137,21 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("star-contraction equals plain propagation on the d5 corpus") {
+    import graft.operators.{DedupCluster, MinHash, TextOps}
+    val sf = "/root/testdata/sf0.001"
+    val corpus = TextOps.withDupes(graft.sources.Tables.documents(spark, sf))
+      .select("doc_id")
+    val pairs = MinHash.nearDupPairsFromSignatures(
+      MinHash.signaturesArtifact(spark, sf), 0.5).select("doc1", "doc2")
+    val plain = DedupCluster.connectedComponents(corpus, pairs)
+      .as[(Long, Long)].collect().toMap
+    val star = DedupCluster.connectedComponentsStar(corpus, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(plain.nonEmpty && star == plain)
+    assert(plain.exists { case (d, c) => d != c }) // real clusters formed
+  }
+
   test("GraftExtensions builders construct working native expressions") {
     // the end-to-end extensions path needs its own JVM (getOrCreate here
     // would reuse the test session) — covered by the forked
