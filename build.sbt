@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two pieces of sbt framing defeated that for three rounds
+// (BENCH_r02-r04 all "parsed": null): the logger prefixes forked-process
+// stdout with "[info] ", and sbt appends "[success] Total time: ..."
+// after it. Inherit stdout directly and kill the success line so the
+// bench's short JSON really is the final bare stdout line.
+ThisBuild / showSuccess := false
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,11 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registered query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query executes
-  * twice and reports the faster run — the first execution of anything
-  * in a fresh JVM measures JIT/codegen compilation more than the query;
-  * min-of-2 is the standard steady-state convention and matches how a
-  * long-lived cluster actually runs these plans.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query gets one
+  * untimed warm-up execution (absorbs JIT + codegen compilation, which
+  * in a fresh JVM dominates the first run) and then reports the MEDIAN
+  * of three timed runs. Round 4's min-of-2 was too noisy at the
+  * 0.1-0.7 s range — a single GC pause or compile stall in one of two
+  * samples produced phantom 2× "regressions" on untouched queries
+  * (ts1_gap_fill, BENCH_r04 vs r03); the median of three post-warm-up
+  * samples is robust to one outlier in either direction.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,9 +24,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = timeOnce(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val warm = timeOnce(fn) // untimed warm-up; only its failure matters
+      val samples = if (warm < 0) Nil else Seq.fill(3)(timeOnce(fn))
+      name -> (if (warm < 0 || samples.exists(_ < 0)) -1.0
+               else samples.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
