@@ -81,6 +81,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("SortMergeJoin"), s"bench join fell back to sort-merge:\n$p")
   }
 
+  test("skew1: lineitem pre-aggregates below the salted join and stays narrow") {
+    // The r4 perf fix (SkewJoin.scala): lineitem collapses to one row per
+    // l_orderkey BEFORE being salted and joined — a refactor that joins
+    // full-width lineitem first would 4× the shuffle volume silently.
+    val df = SparkEntry.queries("skew1_salted_join")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    // the salted equi-join is the one keyed on (l_orderkey, __salt)
+    val salted = joins.filter(_.leftKeys.exists(_.toString.contains("__salt")))
+    assert(salted.nonEmpty, s"no join keyed on __salt in:\n${plan.toString.take(1200)}")
+    val j = salted.head
+    // the optimizer may swap sides; the pre-aggregated lineitem side is
+    // the one carrying the partial columns
+    val aggSide = Seq(j.left, j.right)
+      .find(_.output.exists(_.name == "__cnt"))
+      .getOrElse(fail(s"neither join side carries __cnt:\n${j.toString.take(1200)}"))
+    assert(aggSide.output.map(_.name).toSet == Set("l_orderkey", "__salt", "__cnt", "__price"),
+      s"join input must carry ONLY the narrow partials, got: ${aggSide.output.map(_.name).mkString(", ")}")
+    val aggsBelow = collectWithSubqueries(aggSide) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggsBelow.nonEmpty,
+      s"lineitem must aggregate per l_orderkey BELOW the join:\n${aggSide.toString.take(1200)}")
+  }
+
   test("parity_enrich: the whole enrichment collapses to a map-only scan (no mid-plan exchange)") {
     // Count exchanges: only the final oracle ORDER BY may shuffle.
     val df = SparkEntry.queries("parity_enrich")(spark, sf)
