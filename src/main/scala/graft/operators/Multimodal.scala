@@ -97,13 +97,45 @@ object Multimodal {
       |  SELECT CAST(-1 AS BIGINT), '$NonAsciiProbe', 'synthetic',
       |         CAST(length('$NonAsciiProbe') AS BIGINT))""".stripMargin
 
-  /** documents → media table: text bytes stand in for the media payload. */
-  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+  /** Binary probe (doc_id -2): bytes that are NOT valid UTF-8 — 0xFF
+    * (never legal in UTF-8), an embedded NUL, and a truncated 2-byte
+    * sequence (0xC3 followed by 0x28). The UTF-8 probe above fixed
+    * byte-vs-char LENGTH semantics, but every payload was still text
+    * cast to binary; this row proves the md5/length path over arbitrary
+    * bytes. DuckDB's `md5` only accepts VARCHAR (no BLOB overload), so
+    * the oracle side carries the independently precomputed constants
+    * below (Python hashlib over the same 11 bytes) instead of computing
+    * them in SQL — still an engine-independent check of Spark's
+    * md5-over-binary. n_chars is -1: char count is undefined for a
+    * non-text payload (sentinel on both sides).
+    */
+  val BinaryProbeHex = "FF00C328DEADBEEF41429F"
+  val BinaryProbeBytes = 11L
+  val BinaryProbeMd5 = "e7f3948628b1d9a17f3ce3e9f5041407" // hashlib.md5
+  val BinaryProbeH = 1044616621626957210L // int(md5[:15], 16)
+
+  /** The binary-level media table: docs text cast to UTF-8 bytes, plus
+    * the non-UTF-8 probe row. This is the frame m1-m4 read — every
+    * oracle-checked media query sees the arbitrary-bytes row.
+    */
+  def mediaBin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val probe = Seq((-2L, BinaryProbeHex, "synthetic", -1L))
+      .toDF("doc_id", "hex", "source", "n_chars")
+      .select(col("doc_id"), unhex(col("hex")).as("media"),
+        col("source"), col("n_chars"))
     mediaDocs(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("media"),
         col("source"), col("n_chars"))
-      .as[MediaRow]
+      .unionByName(probe)
+  }
+
+  /** documents → media table: text bytes stand in for the media payload
+    * (plus the non-UTF-8 probe row).
+    */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    mediaBin(s, d).as[MediaRow]
   }
 
   /** The batched decode stage: per-partition, grouped into BatchSize
@@ -127,22 +159,33 @@ object Multimodal {
       |  SELECT doc_id,
       |         CAST(strlen(text) AS BIGINT) AS n_bytes,
       |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
-      |  FROM docs)""".stripMargin
+      |  FROM docs
+      |  UNION ALL
+      |  SELECT CAST(-2 AS BIGINT), CAST($BinaryProbeBytes AS BIGINT),
+      |         CAST($BinaryProbeH AS BIGINT))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
     // M1: media catalog — binary payload length + content digest
-    // (oracle-checkable part of the multimodal surface).
+    // (oracle-checkable part of the multimodal surface). The engine
+    // computes md5/length over the binary column — including the
+    // non-UTF-8 probe, whose oracle row is the precomputed constant
+    // (see BinaryProbeMd5).
     QueryDef.sql("m1_media_catalog",
       s"""WITH $docsSql
-        |SELECT doc_id, source, n_chars,
-        |       strlen(text) AS media_bytes,
-        |       md5(text) AS media_md5
-        |FROM docs ORDER BY doc_id""".stripMargin) { (s, d) =>
-      mediaDocs(s, d)
+        |SELECT doc_id, source, n_chars, media_bytes, media_md5 FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(strlen(text) AS BIGINT) AS media_bytes,
+        |         md5(text) AS media_md5
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(-2 AS BIGINT), 'synthetic', CAST(-1 AS BIGINT),
+        |         CAST($BinaryProbeBytes AS BIGINT), '$BinaryProbeMd5')
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      mediaBin(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          length(col("text").cast("binary")).cast("long").as("media_bytes"),
-          md5(col("text").cast("binary")).as("media_md5"))
+          length(col("media")).cast("long").as("media_bytes"),
+          md5(col("media")).as("media_md5"))
         .orderBy("doc_id")
     },
 

@@ -627,5 +627,16 @@ class OpsSpec extends SparkSpec {
     val codepoints = Multimodal.NonAsciiProbe
       .codePointCount(0, Multimodal.NonAsciiProbe.length)
     assert(probe.n_bytes > codepoints)
+    // the binary probe must stay NON-UTF-8 — a strict decode of its
+    // bytes must fail, or the arbitrary-bytes md5/length coverage that
+    // m1/m2's oracle constants pin would silently degrade back to text
+    val binBytes = Multimodal.BinaryProbeHex.grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    val strictUtf8 = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    assertThrows[java.nio.charset.CharacterCodingException] {
+      strictUtf8.decode(java.nio.ByteBuffer.wrap(binBytes))
+    }
+    val bin = f1.find(_.doc_id == -2L).get
+    assert(bin.n_bytes == Multimodal.BinaryProbeBytes)
   }
 }
