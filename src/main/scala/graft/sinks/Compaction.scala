@@ -120,16 +120,30 @@ object Compaction {
       // proves a real (legitimately empty) store — tracked separately
       // so a bare directory with neither fails the check below
       var sawMarker = false
-      def move(st: org.apache.hadoop.fs.FileStatus): Int = {
+      // Moves are per-FILE even for partition subdirectories (`day=...`):
+      // a directory rename is a non-atomic O(n) copy on an object store —
+      // the exact idiom this layout exists to avoid (ObjectStoreSpec runs
+      // this path with directory renames forbidden). Subdirs are
+      // recreated at the destination and their files moved one by one;
+      // per-file moves also stay resumable after a crash.
+      def moveInto(st: org.apache.hadoop.fs.FileStatus, dstDir: Path): Int = {
         val name = st.getPath.getName
-        if (name == "_SUCCESS") sawMarker = true
-        val dst = new Path(outPath, name)
-        if (fs.exists(dst) && name.startsWith("_")) 0 // dup marker
-        else if (!fs.rename(st.getPath, dst))
-          throw new java.io.IOException(s"migrate ${st.getPath} -> $dst failed")
-        else if (name.startsWith("_")) 0
-        else 1
+        val dst = new Path(dstDir, name)
+        if (st.isDirectory) {
+          fs.mkdirs(dst)
+          val n = fs.listStatus(st.getPath).map(moveInto(_, dst)).sum
+          fs.delete(st.getPath, true) // only dup markers can remain
+          n
+        } else {
+          if (name == "_SUCCESS") sawMarker = true
+          if (fs.exists(dst) && name.startsWith("_")) 0 // dup marker
+          else if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"migrate ${st.getPath} -> $dst failed")
+          else if (name.startsWith("_")) 0
+          else 1
+        }
       }
+      def move(st: org.apache.hadoop.fs.FileStatus): Int = moveInto(st, outPath)
       val entries = fs.listStatus(base).filterNot { st =>
         val n = st.getPath.getName
         n == "LATEST" || n.startsWith(".LATEST") || n == outPath.getName

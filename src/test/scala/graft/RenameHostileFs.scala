@@ -1,0 +1,48 @@
+package graft
+
+import java.io.IOException
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{DelegateToFileSystem, Path, RawLocalFileSystem}
+
+/** Test double of an object store's rename semantics, registered under
+  * the `s3x://` scheme: any DIRECTORY rename throws. On S3A a directory
+  * rename is a non-atomic O(n) server-side copy — the exact failure mode
+  * [[graft.sinks.VersionedStore]]'s publish protocol exists to avoid —
+  * so running the full store/compaction/repair spec family on this FS
+  * proves the "never renames a data directory" invariant mechanically
+  * instead of by code inspection. Single-FILE renames stay allowed: that
+  * is the pointer-flip primitive (one-object copy+delete, i.e. one
+  * atomic PUT on a real store).
+  *
+  * One exemption: paths under the committer's `_temporary` tree. Spark's
+  * stock FileOutputCommitter merges task dirs by directory rename; on a
+  * real object store that committer is replaced wholesale (S3A magic
+  * committer), which is orthogonal to the store protocol under test.
+  * Everything the VersionedStore/Compaction code itself does runs with
+  * directory renames forbidden.
+  */
+class RenameHostileFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "s3x"
+  override def getUri: URI = URI.create("s3x:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val exempt = src.toString.contains("_temporary") ||
+      dst.toString.contains("_temporary")
+    if (!exempt && exists(src) && getFileStatus(src).isDirectory)
+      throw new IOException(
+        s"object-store contract violation: directory rename $src -> $dst " +
+          "(non-atomic O(n) copy on S3A)")
+    super.rename(src, dst)
+  }
+}
+
+/** FileContext-side twin: [[graft.sinks.VersionedStore]] flips pointers
+  * through `FileContext.rename(OVERWRITE)`, which resolves an
+  * AbstractFileSystem, not a FileSystem — this delegate routes those
+  * calls into the same hostile rename above.
+  */
+class RenameHostileAbstractFs(uri: URI, conf: Configuration)
+  extends DelegateToFileSystem(
+    uri, new RenameHostileFileSystem(), conf, "s3x", false)
