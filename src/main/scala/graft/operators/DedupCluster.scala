@@ -19,10 +19,12 @@ import graft.sources.Tables
   * aggregate, all distributed. Lineage is truncated per round with
   * localCheckpoint — an iterative plan would otherwise grow by two
   * joins per round and overwhelm the optimizer long before 100 TB.
-  * (At extreme diameters use [[connectedComponentsStar]] — the
-  * large-star/small-star contraction of Kiveris et al., converging in
-  * O(log n) rounds behind the same API; plain propagation is the right
-  * trade for short-chain duplicate graphs and stays d5's default.)
+  * (At extreme diameters [[connectedComponentsStar]] — the
+  * large-star/small-star contraction of Kiveris et al. — converges in
+  * O(log n) rounds behind the same API. d5 goes through
+  * [[connectedComponentsAuto]], which probes with plain propagation and
+  * routes to star-contraction itself when the probe doesn't converge,
+  * so the scale-safe path needs no caller opt-in.)
   *
   * The driver only sees a per-round convergence COUNT (a scalar), never
   * the data. Deterministic: min-propagation has no tie ambiguity.
@@ -32,7 +34,15 @@ object DedupCluster {
   /** Fixpoint min-label propagation. `docs` must carry `doc_id`;
     * `pairs` must carry `doc1`/`doc2`. Returns (doc_id, cluster_id).
     */
-  def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame =
+    propagateBounded(docs, pairs, Int.MaxValue)._1
+
+  /** Min-label propagation capped at `maxRounds`; returns the labels as
+    * of the last round plus whether the fixpoint was actually reached
+    * (labels are only valid cluster ids when it was).
+    */
+  private[graft] def propagateBounded(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int): (DataFrame, Boolean) = {
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .localCheckpoint() // edge list reused every round; compute the pair pipeline once
@@ -46,7 +56,8 @@ object DedupCluster {
       df.agg(coalesce(sum("cluster_id"), lit(0L))).first().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
-    while (!converged) {
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nbr_label")), "b")
         .groupBy(col("a").as("doc_id")).agg(min("nbr_label").as("nbr_min"))
@@ -59,8 +70,32 @@ object DedupCluster {
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
+      rounds += 1
     }
-    labels
+    (labels, converged)
+  }
+
+  /** Self-selecting entry point: probe with plain propagation (the right
+    * trade for the short-diameter graphs dedup pairs actually form —
+    * one shuffle round per diameter step), and if the label sum is STILL
+    * moving after `probeRounds` rounds, restart with the O(log n)
+    * large-star/small-star contraction. The probe cost is bounded at
+    * `probeRounds` joins; the pathological case it guards against —
+    * a high-diameter chain, O(diameter) rounds — is unbounded. Callers
+    * no longer have to know which graph shape they hold.
+    */
+  def connectedComponentsAuto(docs: DataFrame, pairs: DataFrame,
+      probeRounds: Int = 4): DataFrame =
+    autoSelect(docs, pairs, probeRounds)._1
+
+  /** [[connectedComponentsAuto]] plus which algorithm served the result
+    * ("propagation" | "star") — exposed for the routing test.
+    */
+  private[graft] def autoSelect(docs: DataFrame, pairs: DataFrame,
+      probeRounds: Int): (DataFrame, String) = {
+    val (labels, converged) = propagateBounded(docs, pairs, probeRounds)
+    if (converged) (labels, "propagation")
+    else (connectedComponentsStar(docs, pairs), "star")
   }
 
   /** Large-star/small-star contraction (Kiveris et al., "Connected
@@ -176,7 +211,7 @@ object DedupCluster {
       val pairs = MinHash.nearDupPairsFromSignatures(
         MinHash.signaturesArtifact(s, d), 0.5)
         .select("doc1", "doc2")
-      connectedComponents(corpus.select("doc_id"), pairs)
+      connectedComponentsAuto(corpus.select("doc_id"), pairs)
         .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
         .withColumn("is_rep", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")

@@ -152,6 +152,29 @@ class OpsSpec extends SparkSpec {
     assert(plain.exists { case (d, c) => d != c }) // real clusters formed
   }
 
+  test("auto-select routes long chains to star-contraction, duplicate-shaped graphs to propagation") {
+    import graft.operators.DedupCluster
+    // a planted 41-node chain: diameter 40, so plain propagation needs
+    // ~40 rounds — the probe must give up and hand over to the O(log n)
+    // contraction, and the labels must still all collapse to the min
+    val chainDocs = (0L to 40L).toDF("doc_id")
+    val chainPairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val (chainLabels, chainAlgo) =
+      DedupCluster.autoSelect(chainDocs, chainPairs, probeRounds = 4)
+    assert(chainAlgo == "star")
+    val got = chainLabels.as[(Long, Long)].collect().toMap
+    assert(got == (0L to 40L).map(_ -> 0L).toMap)
+    // a duplicate-shaped graph (tiny components) converges inside the
+    // probe and never pays star-contraction's second shuffle per round
+    val smallDocs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val smallPairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc1", "doc2")
+    val (smallLabels, smallAlgo) =
+      DedupCluster.autoSelect(smallDocs, smallPairs, probeRounds = 4)
+    assert(smallAlgo == "propagation")
+    assert(smallLabels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
   test("GraftExtensions builders construct working native expressions") {
     // the end-to-end extensions path needs its own JVM (getOrCreate here
     // would reuse the test session) — covered by the forked
