@@ -5,12 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every registered query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query gets one
   * untimed warm-up execution (absorbs JIT + codegen compilation, which
-  * in a fresh JVM dominates the first run) and then reports the MEDIAN
-  * of three timed runs. Round 4's min-of-2 was too noisy at the
-  * 0.1-0.7 s range — a single GC pause or compile stall in one of two
-  * samples produced phantom 2× "regressions" on untouched queries
-  * (ts1_gap_fill, BENCH_r04 vs r03); the median of three post-warm-up
-  * samples is robust to one outlier in either direction.
+  * in a fresh JVM dominates the first run), then TWO timed runs; a
+  * THIRD is taken only when the first two disagree by more than 20%,
+  * in which case the median of three is reported. Round 4's min-of-2
+  * was too noisy at the 0.1-0.7 s range — a single GC pause or compile
+  * stall in one of two samples produced phantom 2× "regressions" on
+  * untouched queries (ts1_gap_fill, BENCH_r04 vs r03) — and round 5's
+  * unconditional warm-up + 3 samples doubled bench wall time; the
+  * adaptive third sample keeps the outlier robustness at ~3 executions
+  * per query instead of 4.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,9 +28,18 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val warm = timeOnce(fn) // untimed warm-up; only its failure matters
-      val samples = if (warm < 0) Nil else Seq.fill(3)(timeOnce(fn))
-      name -> (if (warm < 0 || samples.exists(_ < 0)) -1.0
-               else samples.sorted.apply(1))
+      name -> (if (warm < 0) -1.0
+      else {
+        val (a, b) = (timeOnce(fn), timeOnce(fn))
+        if (a < 0 || b < 0) -1.0
+        // agreeing samples: min (both are real measurements and differ
+        // <20% from the median-of-3 anyway); disagreeing: break the tie
+        else if (math.abs(a - b) <= 0.2 * math.min(a, b)) math.min(a, b)
+        else {
+          val c = timeOnce(fn)
+          if (c < 0) -1.0 else Seq(a, b, c).sorted.apply(1)
+        }
+      })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

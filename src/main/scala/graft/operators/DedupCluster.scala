@@ -31,6 +31,20 @@ import graft.sources.Tables
   */
 object DedupCluster {
 
+  /** Drop a localCheckpoint'd DataFrame's cached blocks. localCheckpoint
+    * stores its data as persisted RDD blocks that Dataset.unpersist does
+    * NOT reach (the cache manager only tracks cached QUERIES), so an
+    * iterative algorithm that checkpoints per round leaks one block set
+    * per round for the life of the session unless freed explicitly.
+    * ONLY safe once every dependent frame is itself checkpointed and
+    * materialized — a local checkpoint's blocks ARE its data; there is
+    * no lineage left to recompute from.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+    }
+
   /** Fixpoint min-label propagation. `docs` must carry `doc_id`;
     * `pairs` must carry `doc1`/`doc2`. Returns (doc_id, cluster_id).
     */
@@ -67,11 +81,16 @@ object DedupCluster {
             .as("cluster_id"))
         .localCheckpoint()
       val nextSum = labelSum(next)
+      // labelSum materialized next's blocks; the previous round's are
+      // now unreachable and can be dropped (see freeCheckpoint)
+      freeCheckpoint(labels)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
       rounds += 1
     }
+    // the returned labels are checkpointed — they no longer read edges
+    freeCheckpoint(edges)
     (labels, converged)
   }
 
@@ -95,7 +114,13 @@ object DedupCluster {
       probeRounds: Int): (DataFrame, String) = {
     val (labels, converged) = propagateBounded(docs, pairs, probeRounds)
     if (converged) (labels, "propagation")
-    else (connectedComponentsStar(docs, pairs), "star")
+    else {
+      // the probe's labels are abandoned — drop their checkpoint blocks
+      // before the restart, or repeated calls in a long-lived session
+      // accumulate one dead block set per probe
+      freeCheckpoint(labels)
+      (connectedComponentsStar(docs, pairs), "star")
+    }
   }
 
   /** Large-star/small-star contraction (Kiveris et al., "Connected
@@ -166,7 +191,8 @@ object DedupCluster {
     var converged = edges.isEmpty
     while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      val sum = checksum(next)
+      val sum = checksum(next) // materializes next; previous round freeable
+      freeCheckpoint(edges)
       rounds += 1
       converged = sum == prev
       prev = sum

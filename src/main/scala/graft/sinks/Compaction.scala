@@ -135,7 +135,10 @@ object Compaction {
           fs.delete(st.getPath, true) // only dup markers can remain
           n
         } else {
-          if (name == "_SUCCESS") sawMarker = true
+          // only a ROOT-level _SUCCESS proves a real (possibly empty)
+          // store; a partition-level marker (day=0/_SUCCESS) with zero
+          // data files must still fail the nothing-to-migrate guard
+          if (name == "_SUCCESS" && dstDir == outPath) sawMarker = true
           if (fs.exists(dst) && name.startsWith("_")) 0 // dup marker
           else if (!fs.rename(st.getPath, dst))
             throw new java.io.IOException(s"migrate ${st.getPath} -> $dst failed")

@@ -366,6 +366,22 @@ class OpsSpec extends SparkSpec {
     assert(VersionedStore.resolve(spark, empty).nonEmpty)
   }
 
+  test("migration rejects a dir whose only marker is partition-level (no root _SUCCESS, no data)") {
+    import graft.sinks.Compaction
+    // a partition subdir holding ONLY a _SUCCESS (e.g. an aborted writer
+    // cleaned its data but not its marker) must not pass for a
+    // legitimately-empty store: that proof is a ROOT-level _SUCCESS
+    val dir = tmpDir("graft-migrate-nested-marker") + "/store"
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(base, "day=0")
+    fs.mkdirs(part)
+    fs.create(new org.apache.hadoop.fs.Path(part, "_SUCCESS"), true).close()
+    val err = intercept[java.io.IOException](
+      Compaction.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024))
+    assert(err.getMessage.contains("nothing to migrate"))
+  }
+
   test("versioned store: a crash before the pointer flip leaves the old version live") {
     import graft.sinks.{Compaction, VersionedStore}
     val dir = tmpDir("graft-compact-crash") + "/store"

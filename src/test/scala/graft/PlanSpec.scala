@@ -91,22 +91,26 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val joins = collectWithSubqueries(plan) {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
-    // the salted equi-join is the one keyed on (l_orderkey, __salt)
+    // salted equi-joins are the ones keyed on the salt column; assert
+    // over ALL of them (a second salted join must not escape the pin),
+    // and key the narrowness check on output WIDTH, not internal column
+    // names — a rename of __cnt/__price must not silently defuse it
     val salted = joins.filter(_.leftKeys.exists(_.toString.contains("__salt")))
     assert(salted.nonEmpty, s"no join keyed on __salt in:\n${plan.toString.take(1200)}")
-    val j = salted.head
-    // the optimizer may swap sides; the pre-aggregated lineitem side is
-    // the one carrying the partial columns
-    val aggSide = Seq(j.left, j.right)
-      .find(_.output.exists(_.name == "__cnt"))
-      .getOrElse(fail(s"neither join side carries __cnt:\n${j.toString.take(1200)}"))
-    assert(aggSide.output.map(_.name).toSet == Set("l_orderkey", "__salt", "__cnt", "__price"),
-      s"join input must carry ONLY the narrow partials, got: ${aggSide.output.map(_.name).mkString(", ")}")
-    val aggsBelow = collectWithSubqueries(aggSide) {
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    salted.foreach { j =>
+      // the optimizer may swap sides; the pre-aggregated lineitem side
+      // is the one with a partial aggregate below it
+      val aggSide = Seq(j.left, j.right).find { side =>
+        collectWithSubqueries(side) {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty
+      }.getOrElse(fail(
+        s"no join side aggregates lineitem BELOW the join:\n${j.toString.take(1200)}"))
+      // key + salt + a handful of partials; full-width lineitem is 16+ cols
+      assert(aggSide.output.length <= 4,
+        s"pre-aggregated side must stay narrow (key, salt, partials), got " +
+          s"${aggSide.output.length} cols: ${aggSide.output.map(_.name).mkString(", ")}")
     }
-    assert(aggsBelow.nonEmpty,
-      s"lineitem must aggregate per l_orderkey BELOW the join:\n${aggSide.toString.take(1200)}")
   }
 
   test("parity_enrich: the whole enrichment collapses to a map-only scan (no mid-plan exchange)") {

@@ -28,8 +28,11 @@ class RenameHostileFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("s3x:///")
 
   override def rename(src: Path, dst: Path): Boolean = {
-    val exempt = src.toString.contains("_temporary") ||
-      dst.toString.contains("_temporary")
+    // exact path-SEGMENT match, not a substring test — a store path that
+    // merely contains "_temporary" in a file name must not escape the check
+    def inCommitterTree(p: Path): Boolean =
+      p.toUri.getPath.split('/').contains("_temporary")
+    val exempt = inCommitterTree(src) || inCommitterTree(dst)
     if (!exempt && exists(src) && getFileStatus(src).isDirectory)
       throw new IOException(
         s"object-store contract violation: directory rename $src -> $dst " +
