@@ -149,7 +149,8 @@ object Compaction {
       def move(st: org.apache.hadoop.fs.FileStatus): Int = moveInto(st, outPath)
       val entries = fs.listStatus(base).filterNot { st =>
         val n = st.getPath.getName
-        n == "LATEST" || n.startsWith(".LATEST") || n == outPath.getName
+        n == "LATEST" || n.startsWith(".LATEST") ||
+          n.startsWith(".INTENT.") || n == outPath.getName
       }
       val (versionDirs, plain) = entries.partition(st =>
         st.isDirectory && st.getPath.getName.startsWith("v_"))

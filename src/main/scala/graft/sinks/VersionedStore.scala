@@ -81,9 +81,21 @@ object VersionedStore {
     val f = fs(spark, latest)
     if (!f.exists(latest)) None
     else {
-      val in = f.open(latest)
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+      // Two local-FS-only torn-read transients map to "no pointer right
+      // now" (a caller that needs the pointer re-reads): the file can
+      // vanish between exists() and open() where rename-OVERWRITE is
+      // emulated as delete-then-rename, and ChecksumFileSystem replaces
+      // LATEST and its .crc sidecar non-atomically under a concurrent
+      // flip. Neither exists on HDFS (server-side atomic rename) or
+      // object stores (atomic PUT, no client-side crc sidecar).
+      val content = try {
+        val in = f.open(latest)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException => return None
+        case _: org.apache.hadoop.fs.ChecksumException => return None
+      }
       // split with -1 limit: an empty fingerprint leaves a trailing
       // empty field that a bare split would silently drop
       content.split("\t", -1) match {
@@ -146,26 +158,99 @@ object VersionedStore {
         isComplete(f, st.getPath))
       .map(_.getPath.getName).sorted // v_<13-digit-millis>_<uuid>: lexicographic = temporal
     candidates.lastOption.map { version =>
-      val tmp = new Path(basePath, s".LATEST.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = f.create(tmp, true)
-      try out.write(s"$version\t".getBytes(UTF_8)) finally out.close()
-      FileContext.getFileContext(basePath.toUri,
-        spark.sparkContext.hadoopConfiguration)
-        .rename(tmp, latestPath(basePath), Options.Rename.OVERWRITE)
+      flipPointer(spark, basePath, s"$version\t")
       new Path(basePath, version)
     }
   }
+
+  /** Atomically replace the `LATEST` pointer: write the content to a
+    * uniquely-named temp file, then `FileContext.rename(OVERWRITE)` it
+    * over the pointer — one atomic object replace on HDFS and object
+    * stores. The LOCAL filesystem emulates OVERWRITE as delete-then-
+    * rename, so two concurrent flips can collide there with
+    * FileAlreadyExistsException (the destination reappears between one
+    * flip's delete and its rename); a bounded retry resolves that
+    * emulation-only race — each individual rename is still a complete
+    * pointer replacement, so readers never observe a partial pointer.
+    */
+  /** Per-base JVM locks serializing pointer flips. On HDFS the flip is
+    * one server-side atomic rename and on object stores one atomic PUT,
+    * so concurrent flips are inherently safe there. The LOCAL filesystem
+    * emulates rename-OVERWRITE as delete-then-rename of TWO files (the
+    * pointer and its ChecksumFileSystem .crc sidecar); two interleaved
+    * flips can strand LATEST's content from one writer with the crc of
+    * the other — a TORN pointer that fails every read until the next
+    * flip. Serializing same-process flips removes that interleaving;
+    * the bounded retry below covers cross-process local collisions.
+    */
+  private val flipLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def flipPointer(spark: SparkSession, basePath: Path, content: String): Unit =
+    flipLocks.computeIfAbsent(basePath.toString, _ => new Object).synchronized {
+      flipPointerExclusive(spark, basePath, content)
+    }
+
+  private def flipPointerExclusive(spark: SparkSession, basePath: Path, content: String): Unit = {
+    val f = fs(spark, basePath)
+    val tmp = new Path(basePath, s".LATEST.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(basePath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try {
+        fc.rename(tmp, latestPath(basePath), Options.Rename.OVERWRITE)
+        done = true
+      } catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts >= 20) throw e
+          Thread.sleep(1)
+      }
+    }
+  }
+
+  /** Prefix of the intent-lease file a writer drops at the base BEFORE
+    * creating its version dir and removes AFTER its pointer flip. A
+    * concurrent prune cannot tell an in-flight writer's not-yet-pointed
+    * version from a crashed writer's orphan by looking at the dir alone
+    * — both are complete-looking and unpointed — so without the lease a
+    * racing publisher's prune could delete a version another writer is
+    * about to point LATEST at. With it, prune skips leased versions and
+    * only reclaims a leased orphan once the lease has gone stale
+    * (writer presumed crashed) — the same TTL-gated orphan GC shape as
+    * Iceberg's remove-orphan-files / Delta's vacuum.
+    */
+  private val IntentPrefix = ".INTENT."
+
+  private def intentPath(base: Path, version: String) =
+    new Path(base, IntentPrefix + version)
+
+  /** How long an in-flight writer's lease (and a stray pointer temp)
+    * is honored before prune presumes the writer crashed and reclaims.
+    * Must exceed the longest expected version write; the cost of a
+    * large value is only deferred GC of genuinely crashed writes.
+    */
+  private def intentTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.store.intentTtlMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
 
   /** Write one new version via `write(dirString)` (must produce
     * `_SUCCESS`, as every Spark parquet write does), then flip the
     * pointer and prune superseded versions. Returns the version dir.
     *
-    * CONCURRENCY CONTRACT: one writer per base at a time. Concurrent
-    * publishes are last-flip-wins on the pointer (each flip is atomic),
-    * but each writer's prune runs with its own keep-set — as a
-    * belt-and-braces guard, prune re-reads the pointer and always
-    * keeps the currently-pointed version, so even a losing writer
-    * cannot delete the version the winner just pointed LATEST at.
+    * CONCURRENCY CONTRACT: concurrent publishers are safe —
+    * last-flip-wins on the pointer (each flip is an atomic single-object
+    * replace), and prune can never break a racing writer: it re-reads
+    * the pointer at delete time and unconditionally keeps the version it
+    * names (a losing writer cannot delete what the winner just pointed
+    * at), it honors in-flight writers' intent leases (it cannot delete a
+    * version that is about to be pointed at), and it leaves fresh
+    * pointer temp files alone (it cannot break a flip mid-rename).
+    * StoreConcurrencySpec drives interleaved publishers plus a polling
+    * reader over randomized schedules to hold this contract to account.
     */
   def publish(spark: SparkSession, base: String, fingerprint: String = "")(
       write: String => Unit): Path = {
@@ -174,38 +259,65 @@ object VersionedStore {
     f.mkdirs(basePath)
     val version = s"v_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = new Path(basePath, version)
-    write(dir.toString)
-    if (!f.exists(new Path(dir, "_SUCCESS")))
-      throw new java.io.IOException(s"publish to $dir left no _SUCCESS marker")
-    // the version being superseded survives one publish as a grace
-    // window for in-flight readers that resolved it pre-flip
-    val grace = readPointer(spark, base).map(_.version)
-    // Single-object atomic pointer flip — never a directory rename.
-    val tmp = new Path(basePath, s".LATEST.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, true)
-    try out.write(s"$version\t$fingerprint".getBytes(UTF_8)) finally out.close()
-    val fc = FileContext.getFileContext(basePath.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, latestPath(basePath), Options.Rename.OVERWRITE)
-    prune(spark, basePath, keep = Set(version) ++ grace)
-    dir
+    val intent = intentPath(basePath, version)
+    f.create(intent, true).close()
+    try {
+      write(dir.toString)
+      if (!f.exists(new Path(dir, "_SUCCESS")))
+        throw new java.io.IOException(s"publish to $dir left no _SUCCESS marker")
+      // the version being superseded survives one publish as a grace
+      // window for in-flight readers that resolved it pre-flip
+      val grace = readPointer(spark, base).map(_.version)
+      // Single-object atomic pointer flip — never a directory rename.
+      flipPointer(spark, basePath, s"$version\t$fingerprint")
+      prune(spark, basePath, keep = Set(version) ++ grace)
+      dir
+    } finally {
+      // flip done (we are pointed/kept) or write failed (our dir is a
+      // true orphan): either way the lease has served its purpose
+      try f.delete(intent, false) catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Best-effort removal of version dirs outside the keep set (older
-    * superseded versions + never-pointed orphans from crashed writers)
-    * and stray pointer temp files. Re-reads the pointer at delete time
-    * and unconditionally keeps the version it names — if a concurrent
-    * publish won the pointer race after our flip, its version must
-    * survive our prune (see publish's concurrency contract).
+    * superseded versions + orphans from crashed writers), stale intent
+    * leases, and stale pointer temp files. Safety against racing
+    * publishers, in order: (1) re-reads the pointer at delete time and
+    * unconditionally keeps the version it names; (2) skips any version
+    * under a live intent lease — an in-flight writer that has not
+    * flipped yet; (3) only removes pointer temps older than the lease
+    * TTL, so a concurrent flip's temp file is never yanked mid-rename.
     */
   private def prune(spark: SparkSession, base: Path, keep: Set[String]): Unit = {
     val f = fs(spark, base)
-    val pointed = readPointer(spark, base.toString).map(_.version)
-    val keepAll = keep ++ pointed
-    try f.listStatus(base).foreach { st =>
-      val n = st.getPath.getName
-      if ((n.startsWith("v_") && !keepAll(n)) || n.startsWith(".LATEST.tmp_"))
-        f.delete(st.getPath, true)
+    val now = System.currentTimeMillis()
+    val ttl = intentTtlMs(spark)
+    try {
+      // ORDER MATTERS: list first, read the pointer second. A version is
+      // lease-covered from creation until just AFTER its flip, so a
+      // version that appears in the listing WITHOUT a live lease had
+      // already flipped before our (later) pointer read — if that read
+      // doesn't name it, it is genuinely superseded. Reading the pointer
+      // before listing reopens the race this closes: a flip landing
+      // between the two makes the new version look like an unleased,
+      // unpointed orphan and prune would delete the live version.
+      val entries = f.listStatus(base)
+      val pointed = readPointer(spark, base.toString).map(_.version)
+      val keepAll = keep ++ pointed
+      val leased = entries.filter { st =>
+        st.getPath.getName.startsWith(IntentPrefix) &&
+          now - st.getModificationTime < ttl
+      }.map(_.getPath.getName.stripPrefix(IntentPrefix)).toSet
+      entries.foreach { st =>
+        val n = st.getPath.getName
+        val stale = now - st.getModificationTime >= ttl
+        if (n.startsWith("v_") && !keepAll(n) && !leased(n))
+          f.delete(st.getPath, true)
+        else if (n.startsWith(".LATEST.tmp_") && stale)
+          f.delete(st.getPath, false)
+        else if (n.startsWith(IntentPrefix) && stale)
+          f.delete(st.getPath, false)
+      }
     } catch { case _: java.io.IOException => () }
   }
 
