@@ -234,6 +234,44 @@ class StreamingSpec extends SparkSpec {
     assert(alerts.select("alert_type").first().getString(0) == "EXTREME_TEMPERATURE")
   }
 
+  test("enrich-DAG throughput stays above the smoke floor (CI gate for BENCH_STREAM regressions)") {
+    // BenchStream's 20k rows/s is unguarded by CI; this is its bounded
+    // smoke twin — 5 batches x 5k rows through the same enrich DAG into
+    // a checkpointed parquet sink must sustain >=5k rows/s of ACTIVE
+    // throughput (rows / summed triggerExecution time, immune to a
+    // loaded test box stalling between triggers). ~4x headroom vs the
+    // bench; a real enrich-DAG regression (a UDF slipping in, codegen
+    // falling out) cuts throughput by far more than that.
+    implicit val sc = spark.sqlContext
+    val dir = tmpDir("graft-stream-throughput")
+    val in = MemoryStream[String]
+    val q = WeatherPipeline.enriched(in.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode("append").start()
+    def batch(b: Int): Seq[String] = (0 until 5000).map { i =>
+      val temp = (i % 55) - 10 + (b % 3) * 0.5
+      s"""{"date":"d","weather_description":"clear","latitude":"${i % 90}","pression":"${990 + i % 40}",""" +
+        s""""humidité":"${30 + i % 60}","feels_like":"${temp - 1}","city_name":"c${i % 997}","local_time":"t",""" +
+        s""""min_temp":"${temp - 2}","wind_speed":"${i % 30 / 2.0}","température":"$temp","max_temp":"${temp + 2}",""" +
+        s""""timestamp":"${1700000000L + b * 3600L + i}","longitude":"${i % 180}"}"""
+    }
+    in.addData(batch(0)) // warm-up: first trigger pays codegen compile
+    q.processAllAvailable()
+    val warmBatches = q.recentProgress.count(_.numInputRows > 0)
+    (1 to 5).foreach { b => in.addData(batch(b)); q.processAllAvailable() }
+    val timed = q.recentProgress.filter(_.numInputRows > 0).drop(warmBatches)
+    q.stop()
+    val rows = timed.map(_.numInputRows).sum
+    val activeMs = timed.map(_.durationMs.get("triggerExecution").toLong).sum
+    assert(rows == 25000L, s"expected 25000 timed rows, saw $rows")
+    val rps = rows * 1000.0 / activeMs
+    assert(rps >= 5000.0,
+      f"enrich-DAG active throughput $rps%.0f rows/s fell below the 5k floor " +
+        f"(activeMs=$activeMs over ${timed.length} batches)")
+  }
+
   test("JSON file sink (reference S3 shape) writes readable JSON lines") {
     implicit val sc = spark.sqlContext
     val out = tmpDir("graft-json-out")
