@@ -123,12 +123,41 @@ object VectorOps {
     * quantization (identical in both engines: float→double widening is
     * exact, one multiply, one round).
     */
+  private def elementsSqlFor(corpusSql: String) =
+    s"""SELECT vec_id, pos, CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xi
+       |FROM (SELECT vec_id,
+       |             unnest(embedding) AS x,
+       |             generate_subscripts(embedding, 1) - 1 AS pos
+       |      FROM ($corpusSql))""".stripMargin
+
   private val elementsSql =
-    """SELECT vec_id, pos, CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xi
-      |FROM (SELECT vec_id,
-      |             unnest(embedding) AS x,
-      |             generate_subscripts(embedding, 1) - 1 AS pos
-      |      FROM embeddings)""".stripMargin
+    elementsSqlFor("SELECT vec_id, embedding FROM embeddings")
+
+  /** The oracled 2-iteration Lloyd chain (v5's CTE body, shared with
+    * d9): expects a CTE `el(vec_id, pos, xi)` already bound, defines
+    * `m1(vec_id, cell)` as the final assignment. Seeds = vectors with
+    * vec_id < NCells; every score integer-exact (see v5's Scaladoc).
+    */
+  private def kmeansChainSql: String = {
+    def iterSql(cPrev: String, dN: String, aN: String, mN: String): String =
+      s"""cn_$cPrev AS (SELECT cent_id, CAST(SUM(xi * xi) AS BIGINT) AS n2
+         |          FROM $cPrev GROUP BY cent_id),
+         |$dN AS (SELECT e.vec_id, c.cent_id, CAST(SUM(e.xi * c.xi) AS BIGINT) AS dot
+         |       FROM el e JOIN $cPrev c ON e.pos = c.pos GROUP BY e.vec_id, c.cent_id),
+         |$aN AS (SELECT vec_id, cent_id,
+         |              row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) DESC, cent_id) AS rn
+         |       FROM $dN JOIN cn_$cPrev USING (cent_id)),
+         |$mN AS (SELECT vec_id, cent_id AS cell FROM $aN WHERE rn = 1)""".stripMargin
+    s"""c0 AS (SELECT vec_id AS cent_id, pos, xi FROM el WHERE vec_id < $NCells),
+       |${iterSql("c0", "d0", "a0", "m0")},
+       |u1 AS (SELECT m0.cell AS cent_id, e.pos,
+       |              CAST(round(CAST(SUM(e.xi) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS xi
+       |       FROM m0 JOIN el e ON m0.vec_id = e.vec_id GROUP BY m0.cell, e.pos),
+       |c1 AS (SELECT c0.cent_id, c0.pos, COALESCE(u1.xi, c0.xi) AS xi
+       |       FROM c0 LEFT JOIN u1 ON c0.cent_id = u1.cent_id AND c0.pos = u1.pos),
+       |${iterSql("c1", "d1", "a1", "m1")}""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -373,30 +402,159 @@ object VectorOps {
     // collected and inlined as the next iteration's literals — the
     // classic k-means update, driver traffic bounded by K*dim, corpus
     // never re-partitioned.
-    QueryDef.sql("v5_kmeans", {
-      def iterSql(cPrev: String, dN: String, aN: String, mN: String): String =
-        s"""cn_$cPrev AS (SELECT cent_id, CAST(SUM(xi * xi) AS BIGINT) AS n2
-           |          FROM $cPrev GROUP BY cent_id),
-           |$dN AS (SELECT e.vec_id, c.cent_id, CAST(SUM(e.xi * c.xi) AS BIGINT) AS dot
-           |       FROM el e JOIN $cPrev c ON e.pos = c.pos GROUP BY e.vec_id, c.cent_id),
-           |$aN AS (SELECT vec_id, cent_id,
-           |              row_number() OVER (PARTITION BY vec_id
-           |                ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) DESC, cent_id) AS rn
-           |       FROM $dN JOIN cn_$cPrev USING (cent_id)),
-           |$mN AS (SELECT vec_id, cent_id AS cell FROM $aN WHERE rn = 1)""".stripMargin
+    QueryDef.sql("v5_kmeans",
       s"""WITH el AS ($elementsSql),
-         |c0 AS (SELECT vec_id AS cent_id, pos, xi FROM el WHERE vec_id < $NCells),
-         |${iterSql("c0", "d0", "a0", "m0")},
-         |u1 AS (SELECT m0.cell AS cent_id, e.pos,
-         |              CAST(round(CAST(SUM(e.xi) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS xi
-         |       FROM m0 JOIN el e ON m0.vec_id = e.vec_id GROUP BY m0.cell, e.pos),
-         |c1 AS (SELECT c0.cent_id, c0.pos, COALESCE(u1.xi, c0.xi) AS xi
-         |       FROM c0 LEFT JOIN u1 ON c0.cent_id = u1.cent_id AND c0.pos = u1.pos),
-         |${iterSql("c1", "d1", "a1", "m1")}
-         |SELECT vec_id, cell FROM m1 ORDER BY vec_id""".stripMargin
-    }) { (s, d) =>
+         |$kmeansChainSql
+         |SELECT vec_id, cell FROM m1 ORDER BY vec_id""".stripMargin) { (s, d) =>
       kmeansAssign(s, Tables.embeddings(s, d).select("vec_id", "embedding"),
         k = NCells, iters = 2)
+    },
+
+    // V6: ANN recall@10 eval — the number that makes v2's recall/cost
+    // dial (Tables_ × Bits) OPERABLE: per query, how much of v1's exact
+    // top-10 the LSH index recovers. A production pipeline runs this on
+    // a sampled query set after every index (re)build — recall decay is
+    // how embedding drift and a stale index surface. Composition of two
+    // already-oracled subplans (v1's map-only literal scoring, v2's
+    // broadcast bucket join), so the eval itself adds only three tiny
+    // per-query aggregates — nothing here shuffles the corpus again.
+    QueryDef.sql("v6_ann_recall", {
+      val score =
+        """CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))"""
+      s"""WITH ${lshSql("SELECT vec_id, embedding FROM embeddings", Bits)},
+         |xdots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         CAST(SUM(q.xi * c.xi) AS BIGINT) AS dot
+         |  FROM el q JOIN el c ON q.pos = c.pos AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY query_id, cand_id),
+         |xtop AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY $score DESC, cand_id) AS rn
+         |    FROM xdots JOIN norms nq ON query_id = nq.vec_id
+         |               JOIN norms nc ON cand_id = nc.vec_id)
+         |  WHERE rn <= 10),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |adots AS (
+         |  SELECT cand.query_id, cand.cand_id, CAST(SUM(e1.xi * e2.xi) AS BIGINT) AS dot
+         |  FROM cand JOIN el e1 ON e1.vec_id = cand.query_id
+         |            JOIN el e2 ON e2.vec_id = cand.cand_id AND e2.pos = e1.pos
+         |  GROUP BY cand.query_id, cand.cand_id),
+         |atop AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY $score DESC, cand_id) AS rn
+         |    FROM adots JOIN norms nq ON query_id = nq.vec_id
+         |               JOIN norms nc ON cand_id = nc.vec_id)
+         |  WHERE rn <= 10),
+         |xn AS (SELECT query_id, COUNT(*) AS n_exact FROM xtop GROUP BY query_id),
+         |an AS (SELECT query_id, COUNT(*) AS n_ann FROM atop GROUP BY query_id),
+         |hits AS (
+         |  SELECT x.query_id, COUNT(*) AS n_hit
+         |  FROM xtop x JOIN atop a ON x.query_id = a.query_id AND x.cand_id = a.cand_id
+         |  GROUP BY x.query_id)
+         |SELECT xn.query_id, xn.n_exact,
+         |       CAST(COALESCE(an.n_ann, 0) AS BIGINT) AS n_ann,
+         |       CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / xn.n_exact AS recall_at_10
+         |FROM xn LEFT JOIN an USING (query_id) LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries = vecs.filter(col("vec_id") < 10)
+      def top10(scored: DataFrame): DataFrame = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))))
+        .filter(col("rn") <= 10).select("query_id", "cand_id")
+      // exact side = v1's shape: query set inlined as literals, map-only
+      val qlit = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val qCos = qlit.map { case (qid, arr) =>
+        struct(lit(qid).as("query_id"),
+          call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("cos"))
+      }
+      val exact = top10(vecs
+        .select(col("vec_id").as("cand_id"), explode(array(qCos.toSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.cos"))
+        .filter(col("cand_id") =!= col("query_id")))
+      // ANN side = v2's shape: broadcast bucket join, ids-only distinct
+      val qc = lshCodeFrame(queries, Bits)
+        .select(col("vec_id").as("query_id"), col("t"), col("code"))
+      val cc = lshCodeFrame(vecs, Bits)
+        .select(col("vec_id").as("cand_id"), col("t"), col("code"))
+      val ann = top10(broadcast(qc).join(cc, Seq("t", "code"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .select("query_id", "cand_id").distinct()
+        .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+        .join(vecs.select(col("vec_id").as("cand_id"), col("embedding").as("cv")), "cand_id")
+        .withColumn("cos", expr("cosine_sim_q(qv, cv)")))
+      val xn = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val an = ann.groupBy("query_id").agg(count(lit(1)).as("n_ann"))
+      val hits = exact.join(ann, Seq("query_id", "cand_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      xn.join(an, Seq("query_id"), "left").join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+            .as("recall_at_10"))
+        .orderBy("query_id")
+    },
+
+    // D9: semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540)
+    // — the embedding-space sibling of d2/d4: cluster the corpus with
+    // the SAME trained k-means as v5, then compare pairs only WITHIN a
+    // cluster and drop every doc with a lower-id >=0.95-cosine neighbor
+    // in its cell. The clustering is what makes it a 100 TB operator:
+    // pairwise cost is sum(cell_size^2), not n^2, and the paper's k
+    // grows with corpus size to hold cell sizes bounded; the pair join
+    // is one shuffle on cell, scoring is the native codegen'd
+    // cosine_sim_q, and the assignment itself is v5's map-only pass.
+    // Planted +1000000 copies (as v3) give the drop-set observable rows.
+    QueryDef.sql("d9_semantic_dedup", {
+      val corpus = """SELECT vec_id, embedding FROM embeddings
+                     | UNION ALL
+                     | SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+      s"""WITH el AS (${elementsSqlFor(corpus)}),
+         |$kmeansChainSql,
+         |norms AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM el GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM m1 a JOIN m1 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dots AS (
+         |  SELECT p.v1, p.v2, CAST(SUM(e1.xi * e2.xi) AS BIGINT) AS dot
+         |  FROM pairs p JOIN el e1 ON e1.vec_id = p.v1
+         |               JOIN el e2 ON e2.vec_id = p.v2 AND e2.pos = e1.pos
+         |  GROUP BY p.v1, p.v2),
+         |dup AS (
+         |  SELECT DISTINCT d.v2 AS vec_id
+         |  FROM dots d JOIN norms na ON d.v1 = na.vec_id
+         |              JOIN norms nb ON d.v2 = nb.vec_id
+         |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.95)
+         |SELECT m1.vec_id, m1.cell, dup.vec_id IS NULL AS is_kept
+         |FROM m1 LEFT JOIN dup ON m1.vec_id = dup.vec_id
+         |ORDER BY m1.vec_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      // corpus feeds the k-means pass and both pair-join sides
+      val corpus = emb.union(planted).localCheckpoint()
+      val assigned = kmeansAssign(s, corpus, k = NCells, iters = 2)
+        .join(corpus, "vec_id") // vec_id, cell, embedding
+        .localCheckpoint() // one assignment pass, three consumers below
+      val a = assigned.select(col("vec_id").as("v1"), col("cell"), col("embedding").as("e1"))
+      val b = assigned.select(col("vec_id").as("v2"), col("cell"), col("embedding").as("e2"))
+      val dup = a.join(b, "cell").filter(col("v1") < col("v2"))
+        .filter(expr("cosine_sim_q(e1, e2)") >= 0.95)
+        .select(col("v2").as("vec_id")).distinct()
+      assigned.join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("is_dup").isNull.as("is_kept"))
+        .orderBy("vec_id")
     }
   )
 

@@ -286,6 +286,57 @@ class OpsSpec extends SparkSpec {
       s"approx median $approxMed outside exact [$lo, $hi] around $exact")
   }
 
+  test("semantic dedup: planted copies share their original's cell and are the drop set") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d9_semantic_dedup")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val planted = out.keys.filter(_ >= 1000000)
+    assert(planted.nonEmpty)
+    planted.foreach { pid =>
+      val orig = pid - 1000000
+      // an identical embedding scores identically against every
+      // centroid, so the copy must land in the original's cell...
+      assert(out(pid)._1 == out(orig)._1,
+        s"copy $pid cell ${out(pid)._1} != original cell ${out(orig)._1}")
+      // ...and cos(copy, original)=1 >= tau with the original's id lower,
+      // so the copy is dropped while the original survives
+      assert(!out(pid)._2, s"planted copy $pid should be dropped")
+      assert(out(orig)._2, s"original $orig should be kept")
+    }
+  }
+
+  test("incremental dedup: every verdict observable, corpus precedence over batch") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d10_incremental_dedup")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // planted cross-batch copies of existing docs: already in the store
+    val crossBatch = out.keys.filter(k => k >= 2000000 && k < 3000000)
+    assert(crossBatch.nonEmpty)
+    crossBatch.foreach(k => assert(out(k) == "dup_of_corpus", s"$k -> ${out(k)}"))
+    // planted in-batch copies of incoming docs: lower-id twin is in the
+    // SAME batch and not in the corpus -> dup_in_batch
+    val inBatch = out.keys.filter(_ >= 3000000)
+    assert(inBatch.nonEmpty)
+    inBatch.foreach(k => assert(out(k) == "dup_in_batch", s"$k -> ${out(k)}"))
+    // the incoming slice itself is disjoint from the corpus by
+    // construction (no cross-slice duplicate text in the raw table)
+    assert(out.filter(_._1 < 2000000).values.forall(_ == "new"))
+  }
+
+  test("ann recall eval: hits bounded by both sides and recall in [0,1]") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("v6_ann_recall")(spark, d).collect()
+    assert(rows.length == 10) // one row per query vector
+    rows.foreach { r =>
+      val (nExact, nAnn, nHit, recall) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nExact == 10)
+      assert(nHit <= math.min(nExact, nAnn))
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(recall == nHit.toDouble / nExact)
+    }
+  }
+
   test("compaction: many tiny files collapse to few, rows and values intact") {
     import graft.sinks.{Compaction, VersionedStore}
     val dir = tmpDir("graft-compact") + "/events_sink"
