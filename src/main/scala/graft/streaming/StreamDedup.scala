@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming incremental exact dedup — d10's streaming twin, and the
+  * 100 TB answer to the obvious-but-wrong alternative. Spark's own
+  * `dropDuplicates` on a stream keeps every seen key in EXECUTOR STATE:
+  * unbounded growth (a corpus-lifetime hash set pinned in the state
+  * store), lost on checkpoint schema changes, and private to one query.
+  * Here the seen-set lives in a STORE on disk instead:
+  *
+  *  - each micro-batch is hashed, deduped within itself (min doc_id per
+  *    hash — deterministic on replay), and screened against the store
+  *    with a left-anti join;
+  *  - the surviving (h, doc_id) rows are written as a batchId-keyed
+  *    DELTA dir (`delta_b<id>`), `mode(overwrite)` — the classic
+  *    foreachBatch idempotence idiom: a replayed batch rewrites the SAME
+  *    dir with the SAME deterministic content, so at-least-once
+  *    foreachBatch converges to exactly-once store contents;
+  *  - the screen reads only deltas with id < the current batchId, so a
+  *    half-written delta from a crashed attempt of THIS batch can never
+  *    mask its own rows on replay;
+  *  - deltas fold periodically ([[foldDeltas]]) into a range file
+  *    (`fold_0_<hi>`), written BEFORE the covered deltas are deleted —
+  *    a crash between the two leaves duplicate hashes across fold and
+  *    deltas, which is benign: the store is a SET and the screen is an
+  *    anti-join.
+  *
+  * Store bytes are hashes + ids (tens of bytes per doc), ~1000× smaller
+  * than the corpus; the per-batch cost is one anti-join of a small batch
+  * against the hash set, never a rescan of corpus text. Reference
+  * streaming surface: spark-apps/weather_streaming.py:161-177 (the
+  * foreachBatch/file-sink shape this extends).
+  */
+object StreamDedup {
+
+  private val DeltaRe = "delta_b(\\d+)".r
+  private val FoldRe = "fold_0_(\\d+)".r
+
+  /** Hash set visible to the screen of batch `boundExclusive`: all
+    * deltas and folds whose batch id is strictly below it. Duplicate
+    * hashes across fold/delta overlap are fine — consumers treat the
+    * store as a set.
+    */
+  def storeBefore(spark: SparkSession, storeDir: String,
+      boundExclusive: Long = Long.MaxValue): DataFrame = {
+    val dirs = listParts(spark, storeDir).collect {
+      case (p, id) if id < boundExclusive => p.toString
+    }
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** The deduped id set the store currently endorses (for readers). */
+  def keptIds(spark: SparkSession, storeDir: String): DataFrame =
+    storeBefore(spark, storeDir).select("doc_id").distinct()
+
+  private def listParts(spark: SparkSession, storeDir: String): Seq[(Path, Long)] = {
+    val base = new Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case DeltaRe(id) if st.isDirectory => Some((st.getPath, id.toLong))
+        case FoldRe(hi) if st.isDirectory => Some((st.getPath, hi.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  /** Start the dedup stream over a `(doc_id, text)` source. Emits
+    * nothing downstream itself — the STORE is the output: `keptIds`
+    * (or a join back to the corpus) is the deduped dataset.
+    */
+  def start(docs: DataFrame, storeDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointDir/dedup")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        // in-batch winner: min doc_id per hash — replay-deterministic
+        val first = hashed
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("h").orderBy(col("doc_id").asc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        val seen = storeBefore(spark, storeDir, boundExclusive = batchId)
+        first.join(seen.select("h").distinct(), Seq("h"), "left_anti")
+          .select("h", "doc_id")
+          .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
+        ()
+      }
+      .start()
+
+  /** Fold every delta (and the previous fold) into one `fold_0_<hi>`
+    * range dir — the small-files maintenance pass, safe to run offline
+    * between (not during) stream runs. Write-then-delete order makes a
+    * crash leave overlap, never loss. Returns the number of dirs folded.
+    */
+  def foldDeltas(spark: SparkSession, storeDir: String): Int = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (folds, deltas) = listParts(spark, storeDir).partition(p =>
+      FoldRe.pattern.matcher(p._1.getName).matches())
+    // resume a crashed delete first: anything the newest fold already
+    // covers (older folds, deltas with id <= its hi) is pure overlap
+    val newest = folds.sortBy(_._2).lastOption
+    newest.foreach { case (fp, fhi) =>
+      (folds.filterNot(_._1 == fp) ++ deltas.filter(_._2 <= fhi))
+        .foreach(p => fs.delete(p._1, true))
+    }
+    val live = deltas.filter(d => newest.forall(d._2 > _._2))
+    val inputs = newest.toSeq ++ live
+    if (live.isEmpty || inputs.size < 2) return 0
+    // hi comes from a LIVE delta, strictly above any fold's hi, so the
+    // destination is never one of the inputs. Written DIRECTLY (no
+    // directory rename — the store discipline): a crash mid-write leaves
+    // only the committer's hidden _temporary under dst, which readers
+    // ignore, and the inputs are still in place — at worst overlap,
+    // never loss. Deletes run only after the fold (incl. _SUCCESS) is
+    // fully committed.
+    val dst = new Path(storeDir, s"fold_0_${live.map(_._2).max}")
+    spark.read.parquet(inputs.map(_._1.toString): _*)
+      .distinct()
+      .coalesce(1) // hash rows are tiny; one file per fold
+      .write.mode("overwrite").parquet(dst.toString)
+    inputs.foreach { case (p, _) => fs.delete(p, true) }
+    inputs.size
+  }
+}

@@ -193,8 +193,11 @@ object WeatherPipeline {
 
   /** Streaming dedup-on-ingest (the dedup family's streaming form):
     * drop records whose content hash was already seen, with state
-    * bounded by the event-time watermark — at 100 TB of stream this is
-    * the only dedup whose state doesn't grow forever.
+    * bounded by the event-time watermark — dedup WITHIN a recency
+    * horizon whose state doesn't grow forever. For corpus-LIFETIME
+    * dedup (no horizon), executor state is the wrong home for the seen
+    * set; that is [[StreamDedup]], which keeps it in a disk store and
+    * screens each batch with an anti-join.
     */
   def dedupedStream(enriched: DataFrame, watermark: String = "1 hour"): DataFrame =
     enriched

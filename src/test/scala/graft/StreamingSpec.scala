@@ -234,6 +234,70 @@ class StreamingSpec extends SparkSpec {
     assert(alerts.select("alert_type").first().getString(0) == "EXTREME_TEMPERATURE")
   }
 
+  test("streaming incremental dedup: store-backed screen across batches, restarts, and folds") {
+    import graft.streaming.StreamDedup
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-sdedup-store") + "/store"
+    val cp = tmpDir("graft-sdedup-cp")
+    val in = MemoryStream[(Long, String)]
+    def docsDf = in.toDF().toDF("doc_id", "text")
+
+    val q1 = StreamDedup.start(docsDf, store, cp)
+    // batch 0: b repeated in-batch -> min doc_id (2) wins
+    in.addData((1L, "a"), (2L, "b"), (3L, "b"))
+    q1.processAllAvailable()
+    // batch 1: a is a cross-batch dup; c is new
+    in.addData((4L, "a"), (5L, "c"))
+    q1.processAllAvailable()
+    q1.stop()
+    def kept: Set[Long] = StreamDedup.keptIds(spark, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L), s"after two batches: $kept")
+
+    // restart from the checkpoint: the store (not Spark state) is the
+    // seen-set, so dedup continues exactly where it left off
+    val q2 = StreamDedup.start(docsDf, store, cp)
+    in.addData((6L, "b"), (7L, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(kept == Set(1L, 2L, 5L, 7L), s"after restart: $kept")
+
+    // fold the deltas; the seen-set and the screen must be unchanged
+    assert(StreamDedup.foldDeltas(spark, store) >= 2)
+    assert(kept == Set(1L, 2L, 5L, 7L), s"after fold: $kept")
+    assert(StreamDedup.foldDeltas(spark, store) == 0) // idempotent
+    val q3 = StreamDedup.start(docsDf, store, cp)
+    in.addData((8L, "d"), (9L, "e"))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(kept == Set(1L, 2L, 5L, 7L, 9L), s"after fold + stream: $kept")
+  }
+
+  test("streaming dedup fold: a crashed delete's leftover delta is overlap, resumed without loss") {
+    import graft.streaming.StreamDedup
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-sdedup-crash") + "/store"
+    val cp = tmpDir("graft-sdedup-crash-cp")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamDedup.start(in.toDF().toDF("doc_id", "text"), store, cp)
+    in.addData((1L, "a")); q.processAllAvailable()
+    in.addData((2L, "b")); q.processAllAvailable()
+    q.stop()
+    assert(StreamDedup.foldDeltas(spark, store) == 2)
+    // crashed delete: a delta the fold already covers survives on disk
+    spark.createDataFrame(Seq((org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.lit("a")).toString, 1L))).toDF("h", "doc_id")
+      .limit(0) // content is irrelevant — only its id range matters
+      .write.parquet(s"$store/delta_b0")
+    // resume deletes the covered leftover; nothing new to fold
+    assert(StreamDedup.foldDeltas(spark, store) == 0)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/delta_b0")))
+    val kept = StreamDedup.keptIds(spark, store).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("enrich-DAG throughput stays above the smoke floor (CI gate for BENCH_STREAM regressions)") {
     // BenchStream's 20k rows/s is unguarded by CI; this is its bounded
     // smoke twin — 5 batches x 5k rows through the same enrich DAG into
