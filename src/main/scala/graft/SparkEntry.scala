@@ -13,7 +13,7 @@ object SparkEntry {
     analytics.EventWeather.defs ++ analytics.Dashboard.defs ++
       analytics.TpchOps.defs ++ operators.TextOps.defs ++
       operators.MinHash.defs ++ operators.DedupCluster.defs ++
-      operators.IncrementalDedup.defs ++
+      operators.IncrementalDedup.defs ++ operators.Chunking.defs ++
       operators.VectorOps.defs ++
       operators.Multimodal.defs ++ operators.AsOfJoin.defs ++
       operators.SkewJoin.defs ++

@@ -337,6 +337,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking: window/stride arithmetic covers every token exactly once per stride") {
+    val d = "/root/testdata/sf0.001"
+    import graft.sources.Tables
+    val n = Tables.documents(spark, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = SparkEntry.queries("c1_chunking")(spark, d)
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == n.keySet) // every doc chunks, even tiny ones
+    chunks.foreach { case (doc, cs) =>
+      val expected = 1 + math.ceil(math.max(n(doc) - 32, 0) / 24.0).toLong
+      assert(cs.length == expected, s"doc $doc: ${cs.length} chunks, expected $expected")
+      // every chunk but the last is full; the last covers the tail
+      val sorted = cs.sortBy(_._2)
+      sorted.init.foreach(c => assert(c._3 == 32L, s"doc $doc chunk ${c._2} not full"))
+      assert(sorted.last._3 == n(doc) - (expected - 1) * 24)
+    }
+  }
+
+  test("sequence packing: two-phase prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("p11_sequence_packing")(spark, d)
+    // naive single-partition cumsum — correct but unscalable; the
+    // engine's bucketed two-phase form must be row-identical
+    val naive = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("cb", coalesce(sum("n").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr("cb div 256").as("first_example"),
+        expr("(cb + n - 1) div 256").as("last_example"),
+        expr("(cb + n - 1) div 256 - cb div 256 + 1").as("n_examples"))
+      .orderBy("doc_id")
+    assert(out.collect().toSeq == naive.collect().toSeq)
+    // global closure: the final doc's last example is the stream total's
+    val rows = out.collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(rows.last.getLong(3) == (total - 1) / 256)
+    assert(rows.head.getLong(2) == 0L)
+  }
+
   test("compaction: many tiny files collapse to few, rows and values intact") {
     import graft.sinks.{Compaction, VersionedStore}
     val dir = tmpDir("graft-compact") + "/events_sink"
