@@ -292,7 +292,8 @@ object GraftExtensions {
     ("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1))),
     ("cosine_sim_q", exprs => CosineSimilarityQ(exprs(0), exprs(1))),
     ("lsh_codes", exprs => LshCodes(exprs(0), exprs(1))),
-    ("dot_q", exprs => DotQ(exprs(0), exprs(1))))
+    ("dot_q", exprs => DotQ(exprs(0), exprs(1))),
+    ("nfc_normalize", exprs => NfcNormalize(exprs(0))))
 
   /** Forked sanity main: proves an extensions-built session resolves
     * the native functions in plain SQL with no register() call
@@ -304,10 +305,12 @@ object GraftExtensions {
     val c = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))," +
         " cosine_sim_q(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))," +
-        " size(lsh_codes(array_repeat(CAST(1.0 AS FLOAT), 64), 7))")
+        " size(lsh_codes(array_repeat(CAST(1.0 AS FLOAT), 64), 7))," +
+        " nfc_normalize('café')")
       .first()
     require(c.getDouble(0) == 1.0 && c.getDouble(1) == 1.0)
     require(c.getInt(2) == LshPlanes.Tables)
+    require(c.getString(3) == "café")
     println("[extensions-check] OK: native functions resolved via spark.sql.extensions")
     spark.stop()
   }

@@ -599,6 +599,57 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // T9: text normalization — the cleaning stage that runs BEFORE any
+    // hashing/dedup/stats, so semantically-identical byte variants
+    // collapse to one canonical form: Unicode NFC composition (the
+    // native codegen'd `nfc_normalize` expression; DuckDB's built-in of
+    // the same name is the oracle twin), control-character strip
+    // (keeping tab/newline for the whitespace pass), whitespace-run
+    // collapse, trim. Map-only — one projection, no shuffle beyond the
+    // oracle ORDER BY. The corpus is mostly clean ASCII, so three probe
+    // rows (decomposed e+U+0301, a BEL control + space runs, an
+    // already-clean line) are union'd on BOTH sides to make every
+    // cleaning rule observable — the m1-m4 probe-row idiom.
+    QueryDef.sql("t9_normalize", {
+      val cleanDuck =
+        """trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          | '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g'))""".stripMargin.replace("\n", "")
+      s"""WITH c AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT CAST(v.id AS BIGINT), v.t FROM (VALUES
+         |    (-1, 'caf' || chr(101) || chr(769) || ' au lait'),
+         |    (-2, 'a' || chr(7) || '  b' || chr(9) || 'c'),
+         |    (-3, 'already clean')) AS v(id, t)),
+         |n AS (SELECT doc_id, text, $cleanDuck AS cleaned FROM c)
+         |SELECT doc_id, md5(cleaned) AS clean_md5,
+         |       length(text) AS n_before, length(cleaned) AS n_after,
+         |       text <> cleaned AS changed
+         |FROM n ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      graft.functions.NativeFunctions.register(s)
+      val probe = Seq(
+        // decomposed e + COMBINING ACUTE (chr(101)||chr(769) on the
+        // oracle side) so NFC has composition work; BEL strips; the
+        // space runs and the tab collapse
+        (-1L, "caf" + "e\u0301" + " au lait"),
+        (-2L, "a\u0007  b\tc"),
+        (-3L, "already clean")).toDF("doc_id", "text")
+      // patterns via the functions API (plain Java regex strings) —
+      // an expr() SQL literal adds its own escape layer on top
+      val cleaned = trim(regexp_replace(regexp_replace(
+        call_function("nfc_normalize", col("text")),
+        "[\\x00-\\x08\\x0b-\\x1f\\x7f]", ""), "\\s+", " "))
+      Tables.documents(s, d).select(col("doc_id"), col("text")).union(probe)
+        .withColumn("cleaned", cleaned)
+        .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
+          length(col("text")).cast("long").as("n_before"),
+          length(col("cleaned")).cast("long").as("n_after"),
+          (col("text") =!= col("cleaned")).as("changed"))
+        .orderBy("doc_id")
+    },
+
     // D7: benchmark-contamination screen — which corpus docs contain a
     // benchmark n-gram verbatim (the decontamination check run before
     // any training corpus ships). The "benchmark set" is the first

@@ -199,6 +199,9 @@ class OpsSpec extends SparkSpec {
           // unit basis vector quantizes to (1e6, 0) -> self-dot 1e12
           val r = builder(Seq(v, v)).eval(null)
           assert(r == 1000000000000L, s"$name self-dot should be 1e12, got $r")
+        case "nfc_normalize" =>
+          val r = builder(Seq(Literal("plain"))).eval(null)
+          assert(r.toString == "plain", s"$name should be identity on NFC input")
         case _ =>
           val r = builder(Seq(v, v)).eval(null)
           assert(r == 1.0d, s"$name self-similarity should be exactly 1.0, got $r")
@@ -335,6 +338,30 @@ class OpsSpec extends SparkSpec {
       assert(recall >= 0.0 && recall <= 1.0)
       assert(recall == nHit.toDouble / nExact)
     }
+  }
+
+  test("nfc_normalize: codegen and interpreted agree; t9 probes clean as designed") {
+    graft.functions.NativeFunctions.register(spark)
+    import spark.implicits._
+    // codegen path (whole-stage) — decomposed e+U+0301 composes to 1 char
+    val out = Seq("café", "café", "plain", null.asInstanceOf[String])
+      .toDF("t").select(call_function("nfc_normalize", col("t")).as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out(0).contains("café") && out(0).get.length == 4)
+    assert(out(1).contains("café")) // already-NFC: identity
+    assert(out(2).contains("plain"))
+    assert(out(3).isEmpty) // null propagates
+    // interpreted path must agree with codegen
+    val e = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal("café"))
+    assert(e.eval(null).toString == "café")
+    // t9's probe rows: NFC + control-strip + collapse all observable
+    val t9 = SparkEntry.queries("t9_normalize")(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(t9(-1L) == ((13L, 12L, true))) // decomposed 13 chars compose to 12
+    assert(t9(-2L) == ((7L, 5L, true))) // BEL stripped, runs collapsed
+    assert(t9(-3L) == ((13L, 13L, false))) // already clean: unchanged
   }
 
   test("chunking: window/stride arithmetic covers every token exactly once per stride") {
