@@ -321,6 +321,48 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // S4: quality-aware selection under a per-source token budget — the
+    // data-selection stage between scoring (t3) and mixing (s3): rank
+    // each source's docs by t3's quality score (its exact single-sourced
+    // formula, rounded to the same 6 places t3 hash-proves identical —
+    // raw-double ordering would be tie-fragile cross-engine) and keep
+    // docs while cumulative tokens stay within 50% of the source's
+    // total. Every window is PARTITIONED BY source — rank, running sum,
+    // and total all shuffle once on source and never serialize through
+    // a global ordering, so the operator holds at any corpus size.
+    QueryDef.sql("s4_token_budget",
+      s"""WITH f AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS nt,
+         |         $qualityFeaturesSql
+         |  FROM documents),
+         |q AS (SELECT doc_id, source, nt, round($qualityFormulaSql, 6) AS q FROM f),
+         |r AS (
+         |  SELECT doc_id, source, nt, q,
+         |         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS q_rank
+         |  FROM q),
+         |c AS (
+         |  SELECT doc_id, source, nt, q_rank,
+         |         SUM(nt) OVER (PARTITION BY source ORDER BY q_rank) AS cum,
+         |         SUM(nt) OVER (PARTITION BY source) AS tot
+         |  FROM r)
+         |SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens, CAST(q_rank AS BIGINT) AS q_rank,
+         |       CAST(cum AS BIGINT) AS cum_tokens, cum <= 0.5 * tot AS kept
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d).select(Seq(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt")) ++ qualityFeatureCols: _*)
+      val r = f.withColumn("q", round(qualityCol, 6))
+        .withColumn("q_rank", row_number().over(
+          Window.partitionBy("source").orderBy(desc("q"), asc("doc_id"))))
+      r.withColumn("cum", sum("nt").over(
+          Window.partitionBy("source").orderBy("q_rank")))
+        .withColumn("tot", sum("nt").over(Window.partitionBy("source")))
+        .select(col("doc_id"), col("source"), col("nt").as("n_tokens"),
+          col("q_rank").cast("long").as("q_rank"),
+          col("cum").as("cum_tokens"),
+          (col("cum") <= lit(0.5) * col("tot")).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // T4: document fingerprinting — md5 of whitespace-normalized text +
     // portable 60-bit numeric fingerprint.
     QueryDef.sql("t4_fingerprint",

@@ -364,6 +364,27 @@ class OpsSpec extends SparkSpec {
     assert(t9(-3L) == ((13L, 13L, false))) // already clean: unchanged
   }
 
+  test("token budget: kept set is a quality-rank prefix and the budget binds") {
+    val rows = SparkEntry.queries("s4_token_budget")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(2), r.getBoolean(5)))
+      .groupBy(_._1)
+    rows.foreach { case (source, docs) =>
+      val byRank = docs.sortBy(_._2)
+      val keptFlags = byRank.map(_._4)
+      // kept is a PREFIX of the ranking: once over budget, never kept again
+      assert(!keptFlags.dropWhile(identity).contains(true),
+        s"$source: kept set is not a rank prefix")
+      val total = byRank.map(_._3).sum
+      val keptTokens = byRank.filter(_._4).map(_._3).sum
+      assert(keptTokens <= 0.5 * total, s"$source: budget exceeded")
+      // the budget BINDS: the first dropped doc would overflow it
+      byRank.find(!_._4).foreach { firstDropped =>
+        assert(keptTokens + firstDropped._3 > 0.5 * total,
+          s"$source: first dropped doc would still fit — not a tight prefix")
+      }
+    }
+  }
+
   test("chunking: window/stride arithmetic covers every token exactly once per stride") {
     val d = "/root/testdata/sf0.001"
     import graft.sources.Tables
