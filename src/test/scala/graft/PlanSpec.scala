@@ -113,6 +113,47 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("p11 packing: the only unpartitioned window sits above an aggregate (bucket offsets)") {
+    // The two-phase prefix sum exists to keep the doc-level running sum
+    // OFF a single partition; a refactor back to one global window would
+    // still be correct and silently serialize the corpus through one
+    // task. Contract: any WindowExec with an empty partitionSpec must
+    // consume an aggregate (the tiny per-bucket totals), never raw rows.
+    val df = SparkEntry.queries("p11_sequence_packing")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggBelow = collectWithSubqueries(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window over raw rows (single-partition scale-killer):\n${w.toString.take(800)}")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the doc-level running sum must be a PARTITIONED window")
+  }
+
+  test("t9/c1: cleaning and chunking stay map-only (one exchange, the oracle ORDER BY)") {
+    for (q <- Seq("t9_normalize", "c1_chunking")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length <= 1,
+        s"$q should shuffle only for the final sort, found ${exchanges.length} exchanges")
+    }
+  }
+
+  test("v6 recall eval: the ANN side keeps v2's broadcast bucket join") {
+    val p = planString(SparkEntry.queries("v6_ann_recall")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("parity_enrich: the whole enrichment collapses to a map-only scan (no mid-plan exchange)") {
     // Count exchanges: only the final oracle ORDER BY may shuffle.
     val df = SparkEntry.queries("parity_enrich")(spark, sf)
