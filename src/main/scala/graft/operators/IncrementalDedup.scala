@@ -48,6 +48,42 @@ object IncrementalDedup {
         .write.parquet(out)
     }
 
+  /** The incoming batch of the test fixture: the held-out corpus slice
+    * plus planted cross-batch and in-batch copies (see object doc).
+    */
+  def incomingBatch(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .union(docs.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 20 === 1)
+        .select((col("doc_id") + 2000000).as("doc_id"), md5(col("text")).as("h")))
+      .union(docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"), md5(col("text")).as("h")))
+  }
+
+  /** The full-scale screen shape the d10 Scaladoc names: the
+    * fingerprint store WRITTEN BUCKETED by hash (the scale_bucketed_join
+    * technique), so the per-batch anti-join shuffles only the small
+    * incoming batch into the store's bucketing and the store itself is
+    * read in place — no store-side Exchange, ever (PlanSpec-pinned).
+    * Returns the `new`-docs frame, result-identical to the plain screen.
+    */
+  def bucketedScreen(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val sfTag = new java.io.File(d).getName.replace('.', '_')
+    val table = s"incdedup_fps_b_$sfTag"
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0)
+        .select(md5(col("text")).as("h")).distinct()
+        .write.bucketBy(16, "h").sortBy("h")
+        .mode("overwrite").saveAsTable(table)
+    }
+    incomingBatch(s, d).join(s.table(table), Seq("h"), "left_anti")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql("d10_incremental_dedup",
@@ -71,14 +107,7 @@ object IncrementalDedup {
         |            WHEN batch_min < doc_id THEN 'dup_in_batch'
         |            ELSE 'new' END AS verdict
         |FROM marked ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val incoming = docs.filter(col("doc_id") % 4 === 0)
-        .select(col("doc_id"), md5(col("text")).as("h"))
-        .union(docs.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 20 === 1)
-          .select((col("doc_id") + 2000000).as("doc_id"), md5(col("text")).as("h")))
-        .union(docs.filter(col("doc_id") % 40 === 0)
-          .select((col("doc_id") + 3000000).as("doc_id"), md5(col("text")).as("h")))
-      incoming
+      incomingBatch(s, d)
         .join(fingerprintStore(s, d).withColumn("in_corpus", lit(true)), Seq("h"), "left")
         .withColumn("batch_min", min("doc_id").over(Window.partitionBy("h")))
         .select(col("doc_id"),

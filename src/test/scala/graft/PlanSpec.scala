@@ -149,6 +149,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("d10 bucketed screen: the store side joins in place — zero store-side Exchange") {
+    import graft.operators.IncrementalDedup
+    val screened = IncrementalDedup.bucketedScreen(spark, sf)
+    screened.collect()
+    val plan = stripAQEPlan(screened.queryExecution.executedPlan)
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    val storeSide = joins.map(_.right) // anti-join: store is the build/right side
+    storeSide.foreach { side =>
+      val exchanges = collectWithSubqueries(side) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed store must be read in place, found Exchange:\n${side.toString.take(800)}")
+    }
+    // result parity with the plain (unbucketed) screen
+    val plain = IncrementalDedup.incomingBatch(spark, sf)
+      .join(IncrementalDedup.fingerprintStore(spark, sf), Seq("h"), "left_anti")
+    assert(screened.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("v6 recall eval: the ANN side keeps v2's broadcast bucket join") {
     val p = planString(SparkEntry.queries("v6_ann_recall")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
