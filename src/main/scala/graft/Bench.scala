@@ -32,9 +32,10 @@ object Bench {
       else {
         val (a, b) = (timeOnce(fn), timeOnce(fn))
         if (a < 0 || b < 0) -1.0
-        // agreeing samples: min (both are real measurements and differ
-        // <20% from the median-of-3 anyway); disagreeing: break the tie
-        else if (math.abs(a - b) <= 0.2 * math.min(a, b)) math.min(a, b)
+        // agreeing samples: the MEAN — expectation-level-consistent with
+        // round 5's median-of-3, where min-of-2 would bias every number
+        // low and fabricate round-over-round deltas on untouched queries
+        else if (math.abs(a - b) <= 0.2 * math.min(a, b)) (a + b) / 2.0
         else {
           val c = timeOnce(fn)
           if (c < 0) -1.0 else Seq(a, b, c).sorted.apply(1)

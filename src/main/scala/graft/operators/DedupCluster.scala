@@ -38,9 +38,10 @@ object DedupCluster {
     * per round for the life of the session unless freed explicitly.
     * ONLY safe once every dependent frame is itself checkpointed and
     * materialized — a local checkpoint's blocks ARE its data; there is
-    * no lineage left to recompute from.
+    * no lineage left to recompute from. Shared with d9's corpus staging
+    * (private[operators]).
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[operators] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
     }

@@ -547,6 +547,10 @@ object VectorOps {
       val assigned = kmeansAssign(s, corpus, k = NCells, iters = 2)
         .join(corpus, "vec_id") // vec_id, cell, embedding
         .localCheckpoint() // one assignment pass, three consumers below
+      // assigned's (eager) checkpoint is the only thing downstream reads
+      // — the corpus staging blocks would otherwise pin storage for the
+      // session lifetime on every execution (Bench runs this 3-4×)
+      DedupCluster.freeCheckpoint(corpus)
       val a = assigned.select(col("vec_id").as("v1"), col("cell"), col("embedding").as("e1"))
       val b = assigned.select(col("vec_id").as("v2"), col("cell"), col("embedding").as("e2"))
       val dup = a.join(b, "cell").filter(col("v1") < col("v2"))

@@ -67,10 +67,17 @@ object StreamDedup {
     val base = new Path(storeDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
+    // COMPLETE parts only (_SUCCESS): a fold whose write crashed
+    // mid-job-commit can hold a subset of its input rows — treating it
+    // as real would let the resume step delete deltas whose rows the
+    // partial fold lacks (loss, not overlap). Incomplete dirs are
+    // invisible to readers and reclaimed by the next foldDeltas.
     fs.listStatus(base).toSeq.flatMap { st =>
+      val complete = st.isDirectory &&
+        fs.exists(new Path(st.getPath, "_SUCCESS"))
       st.getPath.getName match {
-        case DeltaRe(id) if st.isDirectory => Some((st.getPath, id.toLong))
-        case FoldRe(hi) if st.isDirectory => Some((st.getPath, hi.toLong))
+        case DeltaRe(id) if complete => Some((st.getPath, id.toLong))
+        case FoldRe(hi) if complete => Some((st.getPath, hi.toLong))
         case _ => None
       }
     }
@@ -102,10 +109,18 @@ object StreamDedup {
       }
       .start()
 
-  /** Fold every delta (and the previous fold) into one `fold_0_<hi>`
-    * range dir — the small-files maintenance pass, safe to run offline
+  /** Fold deltas (and the previous fold) into one `fold_0_<hi>` range
+    * dir — the small-files maintenance pass, safe to run offline
     * between (not during) stream runs. Write-then-delete order makes a
     * crash leave overlap, never loss. Returns the number of dirs folded.
+    *
+    * The NEWEST delta is never folded: only the last batch can be
+    * uncommitted in the checkpoint (batch N+1 starts only after N
+    * commits), and a replay of that batch screens with
+    * `boundExclusive = its id` — a fold that swallowed the newest delta
+    * would carry its id and be excluded from its own replay's screen,
+    * re-admitting every previously-seen hash. Keeping the newest delta
+    * out means every fold's hi is strictly below any replayable batch.
     */
   def foldDeltas(spark: SparkSession, storeDir: String): Int = {
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -118,17 +133,17 @@ object StreamDedup {
       (folds.filterNot(_._1 == fp) ++ deltas.filter(_._2 <= fhi))
         .foreach(p => fs.delete(p._1, true))
     }
-    val live = deltas.filter(d => newest.forall(d._2 > _._2))
-    val inputs = newest.toSeq ++ live
-    if (live.isEmpty || inputs.size < 2) return 0
-    // hi comes from a LIVE delta, strictly above any fold's hi, so the
-    // destination is never one of the inputs. Written DIRECTLY (no
+    val live = deltas.filter(d => newest.forall(d._2 > _._2)).sortBy(_._2)
+    val foldable = live.dropRight(1) // newest delta: possibly uncommitted
+    val inputs = newest.toSeq ++ foldable
+    if (foldable.isEmpty || inputs.size < 2) return 0
+    // hi comes from a FOLDABLE delta, strictly above any fold's hi, so
+    // the destination is never one of the inputs. Written DIRECTLY (no
     // directory rename — the store discipline): a crash mid-write leaves
-    // only the committer's hidden _temporary under dst, which readers
-    // ignore, and the inputs are still in place — at worst overlap,
-    // never loss. Deletes run only after the fold (incl. _SUCCESS) is
-    // fully committed.
-    val dst = new Path(storeDir, s"fold_0_${live.map(_._2).max}")
+    // an incomplete dir without _SUCCESS that listParts ignores, and the
+    // inputs are still in place — at worst overlap, never loss. Deletes
+    // run only after the fold (incl. _SUCCESS) is fully committed.
+    val dst = new Path(storeDir, s"fold_0_${foldable.map(_._2).max}")
     spark.read.parquet(inputs.map(_._1.toString): _*)
       .distinct()
       .coalesce(1) // hash rows are tiny; one file per fold

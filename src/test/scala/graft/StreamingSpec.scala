@@ -282,7 +282,9 @@ class StreamingSpec extends SparkSpec {
     val q = StreamDedup.start(in.toDF().toDF("doc_id", "text"), store, cp)
     in.addData((1L, "a")); q.processAllAvailable()
     in.addData((2L, "b")); q.processAllAvailable()
+    in.addData((3L, "c")); q.processAllAvailable()
     q.stop()
+    // folds b0+b1; b2 stays out — the newest batch could be uncommitted
     assert(StreamDedup.foldDeltas(spark, store) == 2)
     // crashed delete: a delta the fold already covers survives on disk
     spark.createDataFrame(Seq((org.apache.spark.sql.functions.md5(
@@ -295,7 +297,7 @@ class StreamingSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/delta_b0")))
     val kept = StreamDedup.keptIds(spark, store).collect().map(_.getLong(0)).toSet
-    assert(kept == Set(1L, 2L))
+    assert(kept == Set(1L, 2L, 3L))
   }
 
   test("enrich-DAG throughput stays above the smoke floor (CI gate for BENCH_STREAM regressions)") {
