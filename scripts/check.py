@@ -48,6 +48,16 @@ for name, sql in sorted(oracle.items()):
     bad = []
     for c in got.columns:
         a, b = got[c], exp[c]
+        # The driver's hash is dtype-sensitive: an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB SUM(BIGINT) -> HUGEINT ->
+        # pandas float64) hash-mismatches even when every value is equal.
+        # Surface that here instead of silently coercing (r6: p11).
+        ai, bi = pd.api.types.is_integer_dtype(a), pd.api.types.is_integer_dtype(b)
+        af_, bf_ = pd.api.types.is_float_dtype(a), pd.api.types.is_float_dtype(b)
+        if (ai and bf_) or (af_ and bi):
+            bad.append(f"{c} dtype skew: spark {a.dtype} vs oracle {b.dtype} "
+                       f"(driver hash would mismatch — cast in the oracle SQL)")
+            continue
         if pd.api.types.is_datetime64_any_dtype(a) or pd.api.types.is_datetime64_any_dtype(b):
             a = pd.to_datetime(a).astype("datetime64[us]")
             b = pd.to_datetime(b).astype("datetime64[us]")

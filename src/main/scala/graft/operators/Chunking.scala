@@ -68,9 +68,9 @@ object Chunking {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
          |  FROM t)
          |SELECT doc_id, n AS n_tokens,
-         |       cb // $L AS first_example,
-         |       (cb + n - 1) // $L AS last_example,
-         |       (cb + n - 1) // $L - cb // $L + 1 AS n_examples
+         |       CAST(cb // $L AS BIGINT) AS first_example,
+         |       CAST((cb + n - 1) // $L AS BIGINT) AS last_example,
+         |       CAST((cb + n - 1) // $L - cb // $L + 1 AS BIGINT) AS n_examples
          |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       val t = Tables.documents(s, d)
         .select(col("doc_id"),
