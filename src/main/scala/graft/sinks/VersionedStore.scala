@@ -308,10 +308,22 @@ object VersionedStore {
         st.getPath.getName.startsWith(IntentPrefix) &&
           now - st.getModificationTime < ttl
       }.map(_.getPath.getName.stripPrefix(IntentPrefix)).toSet
+      // The listing is a snapshot — and on paginated object-store
+      // listings (S3A ListObjectsV2, HDFS partial listings) not even a
+      // consistent one: '.INTENT.x' sorts before 'v_x', so a lease
+      // created between pages can be absent from `entries` while its
+      // later-created version dir is present. Deleting on the listing
+      // alone would kill an in-flight writer's unpointed version — the
+      // exact race the lease exists to close. So before deleting, point-
+      // check the lease with a direct getFileStatus (one HEAD per delete
+      // candidate — rare); a point read cannot miss due to paging.
+      def liveLease(n: String): Boolean = try {
+        now - f.getFileStatus(intentPath(base, n)).getModificationTime < ttl
+      } catch { case _: java.io.FileNotFoundException => false }
       entries.foreach { st =>
         val n = st.getPath.getName
         val stale = now - st.getModificationTime >= ttl
-        if (n.startsWith("v_") && !keepAll(n) && !leased(n))
+        if (n.startsWith("v_") && !keepAll(n) && !leased(n) && !liveLease(n))
           f.delete(st.getPath, true)
         else if (n.startsWith(".LATEST.tmp_") && stale)
           f.delete(st.getPath, false)

@@ -80,6 +80,38 @@ class ObjectStoreSpec extends SparkSpec {
     assert(build().count() == 12)
   }
 
+  test("prune point-checks the lease: a listing that misses a just-created intent cannot kill an in-flight version") {
+    hconf.set("fs.s3p.impl", classOf[PagedListingFileSystem].getName)
+    hconf.set("fs.AbstractFileSystem.s3p.impl",
+      classOf[PagedListingAbstractFs].getName)
+    val store = s"s3p://${tmpDir("s3p-prune")}/artifact"
+    def pub(n: Int) = VersionedStore.publish(spark, store) { out =>
+      spark.range(0, n).toDF("id").write.parquet(out)
+    }
+    pub(1); pub(2)
+    val base = new Path(store)
+    val f = base.getFileSystem(hconf)
+    // an in-flight second writer: live lease + partially-written version
+    // dir, pointer not yet flipped
+    val inflight = "v_9999999999999_deadbeef"
+    f.mkdirs(new Path(base, inflight))
+    f.create(new Path(base, s".INTENT.$inflight"), true).close()
+    // the paginated listing genuinely misses the lease...
+    assert(!f.listStatus(base).exists(_.getPath.getName.startsWith(".INTENT.")))
+    // ...while a point read still sees it (the HEAD the fix relies on)
+    assert(f.exists(new Path(base, s".INTENT.$inflight")))
+    val before = f.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("v_")).toSet
+    pub(3) // prune runs: keep = {v3, grace v2}; v1 unleased, inflight leased
+    val after = f.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("v_")).toSet
+    assert(after.contains(inflight),
+      "leased in-flight version must survive a lease-blind listing")
+    // and prune still prunes: exactly the unpointed, unleased v1 is gone
+    assert((before -- after).size == 1 && !(before -- after).contains(inflight))
+    assert(VersionedStore.read(spark, store).count() == 3)
+  }
+
   test("legacy migration + compaction of a fragmented store never rename a directory") {
     val dir = s3x("s3x-compact") + "/events_sink"
     spark.range(0, 500).toDF("id").repartition(16).write.parquet(dir)

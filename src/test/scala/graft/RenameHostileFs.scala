@@ -4,7 +4,7 @@ import java.io.IOException
 import java.net.URI
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{DelegateToFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{DelegateToFileSystem, FileStatus, Path, RawLocalFileSystem}
 
 /** Test double of an object store's rename semantics, registered under
   * the `s3x://` scheme: any DIRECTORY rename throws. On S3A a directory
@@ -49,3 +49,24 @@ class RenameHostileFileSystem extends RawLocalFileSystem {
 class RenameHostileAbstractFs(uri: URI, conf: Configuration)
   extends DelegateToFileSystem(
     uri, new RenameHostileFileSystem(), conf, "s3x", false)
+
+/** Models object-store listing inconsistency on top of the rename-hostile
+  * semantics, under the `s3p://` scheme: `listStatus` NEVER returns
+  * `.INTENT.*` lease objects — the worst case of S3A ListObjectsV2
+  * pagination, where '.INTENT.x' sorts before 'v_x' and a lease created
+  * after its page was served is invisible while the later-created version
+  * dir IS listed. Point reads (`getFileStatus`/`exists`) still see the
+  * lease, exactly as a HEAD does on a real store. Prune logic that trusts
+  * the listing alone deletes an in-flight writer's version on this FS;
+  * the point-check survives it.
+  */
+class PagedListingFileSystem extends RenameHostileFileSystem {
+  override def getScheme: String = "s3p"
+  override def getUri: URI = URI.create("s3p:///")
+  override def listStatus(p: Path): Array[FileStatus] =
+    super.listStatus(p).filterNot(_.getPath.getName.startsWith(".INTENT."))
+}
+
+class PagedListingAbstractFs(uri: URI, conf: Configuration)
+  extends DelegateToFileSystem(
+    uri, new PagedListingFileSystem(), conf, "s3p", false)
