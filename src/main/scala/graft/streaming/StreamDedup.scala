@@ -30,6 +30,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    deltas, which is benign: the store is a SET and the screen is an
   *    anti-join.
   *
+  *  - the store is OWNED by one checkpoint: batch ids are only monotone
+  *    within a checkpoint's lifetime, so the store records its owning
+  *    query id (`_QUERY_ID`) and any run from a different checkpoint is
+  *    refused before it can write ([[verifyStoreOwnership]]).
+  *
   * Store bytes are hashes + ids (tens of bytes per doc), ~1000× smaller
   * than the corpus; the per-batch cost is one anti-join of a small batch
   * against the hash set, never a rescan of corpus text. Reference
@@ -40,6 +45,71 @@ object StreamDedup {
 
   private val DeltaRe = "delta_b(\\d+)".r
   private val FoldRe = "fold_0_(\\d+)".r
+  private val QueryIdMarker = "_QUERY_ID"
+
+  /** The streaming query id Spark persisted into the checkpoint's
+    * `metadata` file — stable across restarts FROM THAT CHECKPOINT, and
+    * different for every new checkpoint. That is exactly the identity
+    * the store must be keyed by: batch ids are only monotone within one
+    * checkpoint's lifetime.
+    */
+  private def checkpointQueryId(spark: SparkSession, cpDir: String): Option[String] = {
+    val p = new Path(cpDir, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(content).map(_.group(1))
+    }
+  }
+
+  /** Fail fast when a NEW checkpoint is pointed at an EXISTING store.
+    * batchId keys both the delta dirs and the screen bound, and a fresh
+    * checkpoint restarts batch ids at 0 — batch 0 would screen against
+    * nothing (boundExclusive = 0) and `mode(overwrite)` would clobber
+    * the old `delta_b0`: silent re-admission of every seen hash plus
+    * loss of prior store content. The store records the query id of the
+    * checkpoint that owns it ([[QueryIdMarker]], written BEFORE the
+    * first delta so a crash between the two cannot leave an unclaimed
+    * delta); any other query id is refused. For pre-marker stores the
+    * fallback screen refuses when the store holds parts with id above
+    * the current batch — ids a same-checkpoint run could not have left.
+    */
+  private def verifyStoreOwnership(spark: SparkSession, storeDir: String,
+      cpDir: String, batchId: Long): Unit = {
+    val base = new Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qid = checkpointQueryId(spark, cpDir).getOrElse(
+      // metadata is written at query start, before any batch runs
+      throw new IllegalStateException(
+        s"no streaming metadata at $cpDir — cannot establish store ownership"))
+    val marker = new Path(base, QueryIdMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val owner =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (owner != qid) throw new IllegalStateException(
+        s"dedup store $storeDir belongs to streaming query $owner, but this " +
+          s"query is $qid (a different checkpoint): its batch ids restart at " +
+          s"0, so batch $batchId would screen against nothing and overwrite " +
+          "existing deltas — silently re-admitting seen hashes. Resume from " +
+          "the original checkpoint, or point at a fresh store dir.")
+    } else {
+      val maxPart = listParts(spark, storeDir).map(_._2).maxOption
+      if (maxPart.exists(_ > batchId)) throw new IllegalStateException(
+        s"dedup store $storeDir has no ownership marker but holds parts up " +
+          s"to batch ${maxPart.get} while this query is at batch $batchId — " +
+          "it was written by a different checkpoint. Resume from the " +
+          "original checkpoint, or point at a fresh store dir.")
+      fs.mkdirs(base)
+      val out = fs.create(marker, true)
+      try out.write(qid.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** Hash set visible to the screen of batch `boundExclusive`: all
     * deltas and folds whose batch id is strictly below it. Duplicate
@@ -88,13 +158,20 @@ object StreamDedup {
     * (or a join back to the corpus) is the deduped dataset.
     */
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    // one ownership check per run (driver-side closure state; a driver
+    // restart just re-verifies once on its first batch)
+    var ownershipVerified = false
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointDir/dedup")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        if (!ownershipVerified) {
+          verifyStoreOwnership(spark, storeDir, s"$checkpointDir/dedup", batchId)
+          ownershipVerified = true
+        }
         val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
         // in-batch winner: min doc_id per hash — replay-deterministic
         val first = hashed
@@ -108,6 +185,7 @@ object StreamDedup {
         ()
       }
       .start()
+  }
 
   /** Fold deltas (and the previous fold) into one `fold_0_<hi>` range
     * dir — the small-files maintenance pass, safe to run offline

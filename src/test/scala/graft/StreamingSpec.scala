@@ -273,6 +273,46 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L, 7L, 9L), s"after fold + stream: $kept")
   }
 
+  test("streaming dedup refuses a new checkpoint over an existing store (batch-id epoch guard)") {
+    import graft.streaming.StreamDedup
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-sdedup-epoch") + "/store"
+    val cp1 = tmpDir("graft-sdedup-epoch-cp1")
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamDedup.start(in1.toDF().toDF("doc_id", "text"), store, cp1)
+    in1.addData((1L, "a"), (2L, "b")); q1.processAllAvailable()
+    in1.addData((3L, "c")); q1.processAllAvailable()
+    q1.stop()
+    def kept: Set[Long] = StreamDedup.keptIds(spark, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+
+    // a NEW checkpoint restarts batch ids at 0: batch 0 would screen
+    // against nothing and overwrite delta_b0 — must be refused BEFORE
+    // any write happens
+    val cp2 = tmpDir("graft-sdedup-epoch-cp2")
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamDedup.start(in2.toDF().toDF("doc_id", "text"), store, cp2)
+    in2.addData((9L, "a")) // a seen hash that would be re-admitted
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).toList
+    assert(chain.exists(c => Option(c.getMessage)
+      .exists(_.contains("different checkpoint"))), s"unexpected: $ex")
+    // nothing was clobbered or re-admitted
+    assert(kept == Set(1L, 2L, 3L))
+    assert(spark.read.parquet(s"$store/delta_b0").count() == 2)
+
+    // the rightful checkpoint still resumes and screens correctly
+    val q3 = StreamDedup.start(in1.toDF().toDF("doc_id", "text"), store, cp1)
+    in1.addData((4L, "a"), (5L, "d"))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(kept == Set(1L, 2L, 3L, 5L))
+  }
+
   test("streaming dedup fold: a crashed delete's leftover delta is overlap, resumed without loss") {
     import graft.streaming.StreamDedup
     implicit val sc = spark.sqlContext
