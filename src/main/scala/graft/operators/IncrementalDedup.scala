@@ -69,9 +69,19 @@ object IncrementalDedup {
     * Returns the `new`-docs frame, result-identical to the plain screen.
     */
   def bucketedScreen(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val sfTag = new java.io.File(d).getName.replace('.', '_')
+    val sfTag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
     val table = s"incdedup_fps_b_$sfTag"
-    if (!s.catalog.tableExists(table)) {
+    // Cache keyed on the SOURCE fingerprint (same key discipline as
+    // fingerprintStore's VersionedStore cache), carried as a table
+    // property — existence alone would serve a stale screen after the
+    // source dataset is regenerated at the same path.
+    val fpKey = "graft.source_fingerprint"
+    val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/documents.parquet")
+    val fresh = s.catalog.tableExists(table) &&
+      s.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .exists(r => r.getString(0) == fpKey && r.getString(1) == fp)
+    if (!fresh) {
+      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE $table")
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -80,6 +90,7 @@ object IncrementalDedup {
         .select(md5(col("text")).as("h")).distinct()
         .write.bucketBy(16, "h").sortBy("h")
         .mode("overwrite").saveAsTable(table)
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$fpKey' = '$fp')")
     }
     incomingBatch(s, d).join(s.table(table), Seq("h"), "left_anti")
   }

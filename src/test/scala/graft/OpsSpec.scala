@@ -326,6 +326,26 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(_._1 < 2000000).values.forall(_ == "new"))
   }
 
+  test("d10 bucketed screen rebuilds when the source is regenerated at the same path") {
+    import graft.operators.IncrementalDedup
+    val dir = tmpDir("graft-incdedup-stale")
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(rows).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def screened: Set[Long] = IncrementalDedup.bucketedScreen(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // v1: all texts distinct. corpus = ids %4 != 0; incoming = {0, 4} +
+    // planted 2000001 (text of corpus doc 1) + 3000000 (text of doc 0)
+    writeDocs((0L to 7L).map(i => i -> s"text-$i"))
+    assert(screened == Set(0L, 4L, 3000000L)) // 2000001 screened out by the store
+    // v2: regenerate AT THE SAME PATH with corpus doc 2 now sharing doc
+    // 0's text — the store must pick it up, screening out 0 and 3000000.
+    // A catalog-existence-only cache would keep serving the v1 answer.
+    writeDocs((0L to 7L).map(i => i -> (if (i == 2) "text-0" else s"text-$i")))
+    assert(screened == Set(4L),
+      "bucketed screen served a stale fingerprint table after source regeneration")
+  }
+
   test("ann recall eval: hits bounded by both sides and recall in [0,1]") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("v6_ann_recall")(spark, d).collect()
