@@ -346,6 +346,16 @@ class OpsSpec extends SparkSpec {
       "bucketed screen served a stale fingerprint table after source regeneration")
   }
 
+  test("d9 pins no new storage blocks per execution (artifact-backed, not checkpoint-backed)") {
+    val d = "/root/testdata/sf0.001"
+    SparkEntry.queries("d9_semantic_dedup")(spark, d).collect()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    SparkEntry.queries("d9_semantic_dedup")(spark, d).collect()
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 == after1,
+      s"each d9 execution pins another block set: $after1 -> $after2")
+  }
+
   test("ann recall eval: hits bounded by both sides and recall in [0,1]") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("v6_ann_recall")(spark, d).collect()
