@@ -5,15 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every registered query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query gets one
   * untimed warm-up execution (absorbs JIT + codegen compilation, which
-  * in a fresh JVM dominates the first run), then TWO timed runs; a
-  * THIRD is taken only when the first two disagree by more than 20%,
-  * in which case the median of three is reported. Round 4's min-of-2
-  * was too noisy at the 0.1-0.7 s range — a single GC pause or compile
-  * stall in one of two samples produced phantom 2× "regressions" on
-  * untouched queries (ts1_gap_fill, BENCH_r04 vs r03) — and round 5's
-  * unconditional warm-up + 3 samples doubled bench wall time; the
-  * adaptive third sample keeps the outlier robustness at ~3 executions
-  * per query instead of 4.
+  * in a fresh JVM dominates the first run), then THREE timed runs with
+  * the MEDIAN reported — one estimator, every query, every round.
+  * History: round 4's min-of-2 was too noisy at the 0.1-0.7 s range (a
+  * single GC pause produced phantom 2× "regressions" on untouched
+  * queries); rounds 5-6's adaptive scheme (mean-of-2 when agreeing,
+  * median-of-3 otherwise) mixed ESTIMATORS across rounds, so a query
+  * could drift mean→median round-over-round and read as a small
+  * regression with no code change. The unconditional median-of-3 costs
+  * one extra execution per query (~0.15 s each) and makes every
+  * cross-round delta like-for-like.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,16 +31,8 @@ object Bench {
       val warm = timeOnce(fn) // untimed warm-up; only its failure matters
       name -> (if (warm < 0) -1.0
       else {
-        val (a, b) = (timeOnce(fn), timeOnce(fn))
-        if (a < 0 || b < 0) -1.0
-        // agreeing samples: the MEAN — expectation-level-consistent with
-        // round 5's median-of-3, where min-of-2 would bias every number
-        // low and fabricate round-over-round deltas on untouched queries
-        else if (math.abs(a - b) <= 0.2 * math.min(a, b)) (a + b) / 2.0
-        else {
-          val c = timeOnce(fn)
-          if (c < 0) -1.0 else Seq(a, b, c).sorted.apply(1)
-        }
+        val xs = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
+        if (xs.exists(_ < 0)) -1.0 else xs.sorted.apply(1)
       })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
