@@ -14,6 +14,7 @@ object SparkEntry {
       analytics.TpchOps.defs ++ operators.TextOps.defs ++
       operators.MinHash.defs ++ operators.DedupCluster.defs ++
       operators.IncrementalDedup.defs ++ operators.Chunking.defs ++
+      operators.SortedNeighborhood.defs ++ operators.ZOrder.defs ++
       operators.Audit.defs ++
       operators.VectorOps.defs ++
       operators.Multimodal.defs ++ operators.AsOfJoin.defs ++

@@ -346,6 +346,54 @@ class OpsSpec extends SparkSpec {
       "bucketed screen served a stale fingerprint table after source regeneration")
   }
 
+  test("z-order layout clusters the non-leading dimension; a single-column sort scatters it") {
+    import graft.operators.ZOrder
+    val d = "/root/testdata/sf0.01"
+    val out = tmpDir("graft-zorder")
+    val zf = ZOrder.zframe(spark, d) // doc_id, x, y, zval
+    // two physical layouts of the same rows, 16 files each: sorted by
+    // the single leading column x, vs sorted by the interleaved z-value
+    zf.repartitionByRange(16, col("x"), col("doc_id"))
+      .write.parquet(s"$out/by_x")
+    zf.repartitionByRange(16, col("zval"), col("doc_id"))
+      .write.parquet(s"$out/by_z")
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path).filter(col("y").between(96, 111))
+        .select(input_file_name()).distinct().count()
+    val (byX, byZ) = (filesTouched(s"$out/by_x"), filesTouched(s"$out/by_z"))
+    // y is uniform and independent of x, so a 16/256 y-band lands in
+    // nearly every x-sorted file; the z-layout's top bits interleave y,
+    // confining the band to the file ranges whose y bit-prefix matches.
+    // This distinct-file count is exactly what row-group/file min-max
+    // pruning skips on a real lake layout.
+    assert(byZ * 2 <= byX,
+      s"z-layout should touch at most half the files for a y-band: by_x=$byX by_z=$byZ")
+  }
+
+  test("d11 sorted-neighborhood: planted exact and near copies are caught in-window") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d11_sorted_neighborhood")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2))).toMap
+    // exact planted copies (+5000000): verbatim text sorts IMMEDIATELY
+    // adjacent to its original (tie on k, broken by doc_id) — always
+    // within the window, always Jaccard 1.0
+    val exact = out.keys.filter(_ >= 5000000)
+    assert(exact.nonEmpty)
+    exact.foreach { k =>
+      assert(out(k)._2, s"exact copy $k not flagged")
+      assert(out(k)._1.exists(_ < k), s"exact copy $k matched a later id")
+    }
+    // near copies (+4000000, two tokens appended): same block (prefix
+    // unchanged), high word overlap — flagged unless real corpus
+    // neighbors crowd the window; require the bulk caught
+    val near = out.keys.filter(k => k >= 4000000 && k < 5000000)
+    assert(near.nonEmpty)
+    val caught = near.count(out(_)._2)
+    assert(caught * 10 >= near.size * 9,
+      s"only $caught of ${near.size} planted near-copies flagged")
+  }
+
   test("d9 pins no new storage blocks per execution (artifact-backed, not checkpoint-backed)") {
     val d = "/root/testdata/sf0.001"
     SparkEntry.queries("d9_semantic_dedup")(spark, d).collect()

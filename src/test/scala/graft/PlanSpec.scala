@@ -137,8 +137,8 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "the doc-level running sum must be a PARTITIONED window")
   }
 
-  test("t9/c1: cleaning and chunking stay map-only (one exchange, the oracle ORDER BY)") {
-    for (q <- Seq("t9_normalize", "c1_chunking")) {
+  test("t9/c1/z1: cleaning, chunking, z-keying stay map-only (one exchange, the oracle ORDER BY)") {
+    for (q <- Seq("t9_normalize", "c1_chunking", "z1_zorder_key")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
