@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Plan-shape regression tests: the scale properties the engine
   * depends on (pushdown, pruning, broadcast choice, generated-column
@@ -171,6 +172,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .join(IncrementalDedup.fingerprintStore(spark, sf), Seq("h"), "left_anti")
     assert(screened.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("runtime bloom filter: a selective dim predicate reaches the fact side as a bloom probe") {
+    // The 100 TB case: a shuffle join whose dim side is filtered hard.
+    // Spark's runtime-filter rule builds a bloom filter from the dim
+    // keys and injects might_contain() on the fact side, so fact rows
+    // that can't join die AT THE SCAN, before the shuffle. Local sizes
+    // are below the production thresholds, so the test lowers the
+    // application-side floor (and disables broadcast, the one join kind
+    // that needs no runtime filter) to prove the rule fires on our
+    // join shape — production configs keep the defaults.
+    import graft.sources.Tables
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.get(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val df = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy().agg(sum("l_quantity").as("q"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${opt.take(1500)}")
+      df.collect() // and the filtered plan still executes
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("v6 recall eval: the ANN side keeps v2's broadcast bucket join") {
