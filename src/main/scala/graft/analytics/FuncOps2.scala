@@ -476,6 +476,62 @@ object FuncOps2 {
           (col("n_kept").cast("double") / col("n_total")).as("kept_frac"),
           (col("wq") * 250).as("target_permille"))
         .orderBy("source")
+    },
+
+    // S5: temperature-scaled source mixing — the multilingual /
+    // multi-source α-sampling rule (q_s ∝ p_s^α, here α = 0.5) that
+    // up-weights small sources and flattens large ones when composing a
+    // training mixture under a fixed document budget. Everything stays
+    // integer-exact: the only IEEE ops are one sqrt and one multiply
+    // (identical single expressions in both engines), immediately
+    // quantized to a BIGINT; the quota and the keep test are then pure
+    // integer arithmetic, so the sample is bit-reproducible anywhere.
+    // Shape at scale: one per-source agg (tiny output, #sources rows), a
+    // window over () on that BOUNDED frame only, then the quota table
+    // BROADCASTS back onto the corpus — the second pass is map-only.
+    QueryDef.sql("s5_temperature_mix",
+      s"""WITH per_src AS (
+         |  SELECT source, COUNT(*) AS n_total, SUM(n_chars) AS mass
+         |  FROM documents GROUP BY source),
+         |quota AS (
+         |  SELECT source, n_total,
+         |         CAST(round(sqrt(CAST(mass AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS sq
+         |  FROM per_src),
+         |quota2 AS (
+         |  SELECT source, n_total, sq,
+         |         CAST(SUM(sq) OVER () AS BIGINT) AS total_sq FROM quota),
+         |quota3 AS (
+         |  SELECT source, n_total,
+         |         LEAST(1000000, 300 * sq * 1000000 // (total_sq * n_total)) AS quota_ppm
+         |  FROM quota2)
+         |SELECT d.source, q.n_total, q.quota_ppm,
+         |       CAST(SUM(CASE WHEN ${TextOps.phashSql(
+               "concat(CAST(d.doc_id AS VARCHAR), ':mix5')")} % 1000000 < q.quota_ppm
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN quota3 q ON d.source = q.source
+         |GROUP BY d.source, q.n_total, q.quota_ppm
+         |ORDER BY d.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val perSrc = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_total"), sum("n_chars").as("mass"))
+        .withColumn("sq",
+          round(sqrt(col("mass").cast("double")) * 1000000.0, 0).cast("long"))
+      // window over () is safe here: the frame is the per-source agg,
+      // bounded at #sources rows, never the corpus
+      val quota = perSrc
+        .withColumn("total_sq", sum("sq").over(Window.partitionBy()))
+        // `div` (not `/`): integer division, matching DuckDB's `//`
+        .withColumn("quota_ppm",
+          least(lit(1000000L),
+            expr("(300 * sq * 1000000) div (total_sq * n_total)")))
+        .select("source", "n_total", "quota_ppm")
+      docs.join(broadcast(quota), Seq("source"))
+        .groupBy("source", "n_total", "quota_ppm")
+        .agg(sum(when(TextOps.phash(
+          concat(col("doc_id").cast("string"), lit(":mix5"))) % 1000000
+          < col("quota_ppm"), 1).otherwise(0)).as("n_kept"))
+        .select("source", "n_total", "quota_ppm", "n_kept")
+        .orderBy("source")
     }
   )
 }

@@ -52,6 +52,57 @@ object SnapshotDiff {
             .when(col("o.h") =!= col("n.h"), "updated")
             .otherwise("unchanged").as("change"))
         .orderBy("doc_id")
+    },
+
+    /* MERGE apply — the other half of the CDC pair: cdc1 DERIVES a
+     * changeset from two snapshots; cdc2 APPLIES one (upserts + deletes)
+     * to a base snapshot, i.e. `MERGE INTO base USING changes` (the
+     * Delta/Iceberg MERGE semantics: WHEN MATCHED AND op='delete' THEN
+     * DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT).
+     *
+     * Shape at 100 TB: a changeset is orders of magnitude smaller than
+     * the snapshot it lands on, so the touched-key screen BROADCASTS —
+     * the base is scanned map-only (anti-join against a broadcast hash
+     * set), never shuffled, and the upsert rows union in afterward. A
+     * same-size merge would flip to the cdc1 shape (one key shuffle,
+     * hashes-only); the two queries bracket both regimes.
+     *
+     * Fixture: base = doc_id % 5 <> 4 (cdc1's OLD); changeset = revised
+     * text for doc_id % 7 == 0 (upsert: updates when the key is in base,
+     * inserts the % 5 == 4 ones that are not) + deletes for doc_id % 11
+     * == 3 not already upserted. Rows are reduced to (doc_id, md5) before
+     * the merge — body bytes never cross the join.
+     */
+    QueryDef.sql("cdc2_merge_apply",
+      """WITH base AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 4),
+        |chg AS (
+        |  SELECT doc_id, md5(text || ' [rev2]') AS h, 'upsert' AS op
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS h, 'delete' AS op
+        |  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 7 <> 0),
+        |merged AS (
+        |  SELECT b.doc_id, b.h, 'kept' AS action FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.doc_id = b.doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, h, 'upserted' AS action FROM chg WHERE op = 'upsert')
+        |SELECT doc_id, h, action FROM merged ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val chg = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), md5(concat(col("text"), lit(" [rev2]"))).as("h"),
+          lit("upsert").as("op"))
+        .union(docs.filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), lit(null).cast("string").as("h"),
+            lit("delete").as("op")))
+      val untouched = base.join(broadcast(chg.select("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("action", lit("kept"))
+      untouched
+        .union(chg.filter(col("op") === "upsert")
+          .select(col("doc_id"), col("h"), lit("upserted").as("action")))
+        .orderBy("doc_id")
     }
   )
 }

@@ -899,4 +899,66 @@ class OpsSpec extends SparkSpec {
     val bin = f1.find(_.doc_id == -2L).get
     assert(bin.n_bytes == Multimodal.BinaryProbeBytes)
   }
+
+  test("cdc2 merge-apply: result keys are exactly (base \\ deletes) ∪ upserts") {
+    val d = "/root/testdata/sf0.001"
+    val ids = graft.sources.Tables.documents(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    val base = ids.filter(_ % 5 != 4)
+    val upserts = ids.filter(_ % 7 == 0)
+    val deletes = ids.filter(id => id % 11 == 3 && id % 7 != 0)
+    val out = SparkEntry.queries("cdc2_merge_apply")(spark, d)
+      .select(col("doc_id"), col("action")).as[(Long, String)].collect().toMap
+    assert(out.keySet == (base -- deletes -- upserts) ++ upserts)
+    upserts.foreach(id => assert(out(id) == "upserted", s"$id should be upserted"))
+    deletes.foreach(id => assert(!out.contains(id), s"$id should be deleted"))
+    (base -- deletes -- upserts).foreach(id => assert(out(id) == "kept"))
+    // an upserted row's hash differs from the base row's (text revised)
+    val origH = graft.sources.Tables.documents(spark, d)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), md5(col("text"))).as[(Long, String)].collect().toMap
+    val newH = SparkEntry.queries("cdc2_merge_apply")(spark, d)
+      .filter(col("action") === "upserted")
+      .select(col("doc_id"), col("h")).as[(Long, String)].collect().toMap
+    newH.foreach { case (id, h) => assert(origH(id) != h) }
+  }
+
+  test("s5 temperature mix: quotas spend the budget and flatten the source skew") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("s5_temperature_mix")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nTotal, quotaPpm, nKept) =>
+      assert(quotaPpm >= 0 && quotaPpm <= 1000000L)
+      assert(nKept >= 0 && nKept <= nTotal)
+    }
+    // expected kept = Σ n_total·quota/1e6 ≈ the 300-doc budget, unless the
+    // corpus is smaller than the budget (then every quota caps at 100%)
+    val expected = rows.map { case (_, n, q, _) => n * q }.sum / 1000000.0
+    val corpus = rows.map(_._2).sum
+    if (corpus > 350) {
+      assert(expected <= 300.0 + rows.length,
+        s"integer quotas can only round the budget down per source: $expected")
+      assert(expected >= 300.0 - rows.length,
+        s"budget underspent: $expected")
+    } else rows.foreach { case (_, _, q, _) => assert(q == 1000000L) }
+    // α=0.5 flattening: a source with less mass never gets a LOWER keep
+    // probability per doc than a heavier source with the same row count
+    // (quota ∝ sqrt(mass)/n); verify the direction on the extremes
+    val masses = graft.sources.Tables.documents(spark, d)
+      .groupBy("source").agg(sum("n_chars").as("m"))
+      .select(col("source"), col("m")).as[(String, Long)].collect().toMap
+    val sameN = rows.groupBy(_._2).filter(_._2.length >= 2)
+    sameN.values.foreach { grp =>
+      val sorted = grp.sortBy(r => masses(r._1)).toSeq
+      sorted.sliding(2).foreach {
+        case Seq((_, _, qLight, _), (sHeavy, n, qHeavy, _)) =>
+          // per-doc quota grows with mass but sub-linearly; with equal n
+          // the heavier source has the (weakly) larger quota
+          assert(qHeavy >= qLight || qLight == 1000000L,
+            s"quota should grow with mass at equal n: $sHeavy")
+        case _ => ()
+      }
+    }
+  }
 }
