@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -75,6 +76,90 @@ object Audit {
         .select(col("n_docs"), col("n_vecs"), col("docs_missing_vec"),
           col("vecs_missing_doc"), col("wrong_dim"), col("zero_norm"),
           col("with_nan"), col("empty_texts"))
+    },
+
+    /* Column-level profile — the schema-health half of the audit (what
+     * `ANALYZE TABLE` / Deequ's profiler emit): per column, null count,
+     * exact distinct cardinality, and min/max bounds, one output row per
+     * column. ONE pass over the corpus: a single wide aggregate computes
+     * all 20 statistics, then a `stack` unpivots the one result row into
+     * the per-column report — the corpus is never scanned per column.
+     *
+     * Scale dial: the 5 exact COUNT(DISTINCT)s in one aggregate plan
+     * through Expand (a 5x row multiply before the partial agg). That is
+     * the honest exact shape; at 100 TB you flip cardinality to
+     * approx_count_distinct (the mergeable HLL sketch this repo already
+     * fields as scale_approx_distinct) and the Expand disappears. Bounds
+     * are reported as strings (substr'd for text) so one schema fits all
+     * column types; profiled columns here are int64/string only, whose
+     * casts format identically in both engines.
+     *
+     * A probe row with NULL text/lang/n_chars is planted on both sides
+     * (the qa1 idiom) — the synthetic table is fully non-null, and the
+     * null counters must be observably non-zero.
+     */
+    QueryDef.sql("qa2_column_profile",
+      """WITH d AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |         'probe', CAST(NULL AS BIGINT))
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS col,
+        |         CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |         COUNT(DISTINCT doc_id) AS n_distinct,
+        |         CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+        |         CAST(MAX(doc_id) AS VARCHAR) AS max_v
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'text',
+        |         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT text),
+        |         substr(MIN(text), 1, 24), substr(MAX(text), 1, 24)
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'lang',
+        |         CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT lang), MIN(lang), MAX(lang)
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'source',
+        |         CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT source), MIN(source), MAX(source)
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'n_chars',
+        |         CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT n_chars),
+        |         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+        |  FROM d)
+        |ORDER BY col""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .union(Seq((-1L, null.asInstanceOf[String], null.asInstanceOf[String],
+          "probe", null.asInstanceOf[java.lang.Long]))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      def stats(c: String, minMax: Column => Column): Seq[Column] = Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nn"),
+        count_distinct(col(c)).as(s"${c}_nd"),
+        minMax(min(col(c))).as(s"${c}_min"),
+        minMax(max(col(c))).as(s"${c}_max"))
+      val asStr = (x: Column) => x.cast("string")
+      val trunc = (x: Column) => substring(x, 1, 24)
+      val allStats = stats("doc_id", asStr) ++ stats("text", trunc) ++
+        stats("lang", identity) ++ stats("source", identity) ++
+        stats("n_chars", asStr)
+      val wide = docs.agg(allStats.head, allStats.tail: _*)
+      wide.selectExpr(
+        """stack(5,
+          |  'doc_id',  doc_id_nn,  doc_id_nd,  doc_id_min,  doc_id_max,
+          |  'text',    text_nn,    text_nd,    text_min,    text_max,
+          |  'lang',    lang_nn,    lang_nd,    lang_min,    lang_max,
+          |  'source',  source_nn,  source_nd,  source_min,  source_max,
+          |  'n_chars', n_chars_nn, n_chars_nd, n_chars_min, n_chars_max
+          |) AS (col, n_null, n_distinct, min_v, max_v)""".stripMargin)
+        .orderBy("col")
     }
   )
 }

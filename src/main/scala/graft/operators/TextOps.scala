@@ -800,6 +800,82 @@ object TextOps {
         .select(col("doc_id"), col("n_tokens"),
           round(col("quality"), 6).as("quality"), col("fp"))
         .orderBy("doc_id")
+    },
+
+    /* T10: boilerplate removal — the CCNet/RefinedWeb step that strips
+     * content REPEATED ACROSS documents (cookie banners, nav text,
+     * footers) while keeping each document's unique body. Unit of
+     * removal = the d8 non-overlapping 8-word block (this corpus has no
+     * newlines, so blocks stand in for CCNet's paragraphs); a block is
+     * boilerplate when it occurs in >= 3 distinct documents. The doc is
+     * then REASSEMBLED from its surviving blocks in order — this is the
+     * one dedup-family operator that rewrites the text rather than
+     * flagging the doc.
+     *
+     * Shape at scale: one narrow pass builds blocks per row (array
+     * transform, no shuffle), one hash shuffle counts per-block document
+     * frequency (map-side combine on the block hash), and the verdict
+     * joins back on the hash. The reassembly groups by doc_id —
+     * positions and blocks only, never the original body — and
+     * boilerplate rows are few, so the second shuffle carries the corpus
+     * once in blocks, the same budget as d8's index build.
+     *
+     * Fixture: the synthetic corpus repeats nothing, so docs with
+     * doc_id % 4 == 0 get an 8-word banner PREPENDED (prepending keeps
+     * it block-aligned at position 0 — the planted boilerplate shared by
+     * a quarter of the corpus), making removal observable: those docs
+     * must come back equal to their original re-blocked text.
+     */
+    QueryDef.sql("t10_boilerplate",
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 4 = 0
+         |              THEN 'please subscribe to our newsletter for more updates ' || text
+         |              ELSE text END AS text
+         |  FROM documents),
+         |sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM c),
+         |b AS (
+         |  SELECT doc_id, i AS bi, len(ws) AS nw,
+         |         array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ') AS block
+         |  FROM sp, unnest(generate_series(0, CAST(ceil(len(ws) / 8.0) AS INT) - 1)) AS t(i)),
+         |df AS (
+         |  SELECT ${phashSql("block")} AS h, COUNT(DISTINCT doc_id) AS n_docs
+         |  FROM b WHERE (bi + 1) * 8 <= nw GROUP BY 1),
+         |flagged AS (
+         |  SELECT b.doc_id, b.bi, b.block,
+         |         COALESCE(df.n_docs, 0) >= 3 AND (b.bi + 1) * 8 <= b.nw AS boiler
+         |  FROM b LEFT JOIN df ON ${phashSql("b.block")} = df.h)
+         |SELECT doc_id,
+         |       COUNT(*) AS n_blocks,
+         |       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       md5(COALESCE(string_agg(CASE WHEN NOT boiler THEN block END, ' ' ORDER BY bi), '')) AS cleaned_fp
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("please subscribe to our newsletter for more updates "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val blocks = c
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("nw"),
+          posexplode(expr(
+            "transform(sequence(0, CAST(ceil(size(ws) / 8.0) AS INT) - 1)," +
+              " i -> concat_ws(' ', slice(ws, i * 8 + 1, 8)))")).as(Seq("bi", "block")))
+        .withColumn("h", phash(col("block")))
+      // partial tail blocks (< 8 words) never count toward document
+      // frequency and are never removed — only full blocks can be
+      // boilerplate (CCNet counts only sufficiently long lines)
+      val full = col("bi") * 8 + 8 <= col("nw")
+      val df_ = blocks.filter(full).groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+      blocks.join(df_, Seq("h"), "left")
+        .withColumn("boiler", coalesce(col("n_docs"), lit(0L)) >= 3 && full)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("boiler"), 1).otherwise(0)).as("n_removed"),
+          md5(coalesce(array_join(expr(
+            "transform(filter(array_sort(collect_list(struct(bi, boiler, block)))," +
+              " x -> NOT x.boiler), x -> x.block)"), " "), lit(""))).as("cleaned_fp"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -900,6 +900,44 @@ class OpsSpec extends SparkSpec {
     assert(bin.n_bytes == Multimodal.BinaryProbeBytes)
   }
 
+  test("qa2 column profile: probe nulls counted, key column clean, bounds sane") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("qa2_column_profile")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(rows.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    // exactly the planted probe row is null in text/lang/n_chars
+    assert(rows("text")._1 == 1L && rows("lang")._1 == 1L && rows("n_chars")._1 == 1L)
+    assert(rows("doc_id")._1 == 0L && rows("source")._1 == 0L)
+    val nDocs = graft.sources.Tables.documents(spark, d).count()
+    assert(rows("doc_id")._2 == nDocs + 1) // every id distinct, probe included
+    assert(rows("doc_id")._3 == "-1") // probe id is the minimum
+    assert(rows("source")._2 >= 2) // real sources + 'probe'
+    assert(rows("n_chars")._3.toLong <= rows("n_chars")._4.toLong)
+  }
+
+  test("t10 boilerplate: planted banner removed; clean reassembly restores the original") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("t10_boilerplate")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val texts = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), md5(col("text"))).as[(Long, String)].collect().toMap
+    val banner = out.keys.filter(_ % 4 == 0)
+    assert(banner.nonEmpty)
+    // the prepended banner block is shared by a quarter of the corpus —
+    // always over the df >= 3 bar, always removed
+    banner.foreach(id => assert(out(id)._2 >= 1, s"banner not removed for $id"))
+    // prepending 8 words is block-aligned: stripping ONLY the banner
+    // reassembles the original text byte-for-byte
+    val onlyBanner = banner.filter(out(_)._2 == 1)
+    assert(onlyBanner.nonEmpty)
+    onlyBanner.foreach(id => assert(out(id)._3 == texts(id),
+      s"cleaned text for $id is not the original"))
+    // docs without any removal reassemble to themselves too
+    out.collect { case (id, (_, 0L, fp)) if id % 4 != 0 =>
+      assert(fp == texts(id), s"untouched doc $id was rewritten") }
+  }
+
   test("cdc2 merge-apply: result keys are exactly (base \\ deletes) ∪ upserts") {
     val d = "/root/testdata/sf0.001"
     val ids = graft.sources.Tables.documents(spark, d)
