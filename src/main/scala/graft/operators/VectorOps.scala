@@ -566,8 +566,134 @@ object VectorOps {
       assigned.join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"), col("is_dup").isNull.as("is_kept"))
         .orderBy("vec_id")
+    },
+
+    // V7: product quantization (Jégou et al., "Product Quantization for
+    // Nearest Neighbor Search", TPAMI 2011) — the memory-compression
+    // half of a production ANN index: split each 64-dim vector into
+    // M=4 subspaces of 16 dims, train an independent K=8 codebook per
+    // subspace (deterministic Lloyd, one update round, seeded from
+    // vec_id < 8 — v5's recipe applied per subspace), and store each
+    // vector as 4 code ids (12 bits vs 256 bytes, a 170x compression)
+    // plus its integer squared reconstruction error.
+    //
+    // Assignment is by exact integer L2: argmin_k ||x - c_k||² =
+    // argmin_k (||c_k||² - 2·x·c_k) with ||x||² constant per subspace,
+    // so the argmax structs carry (2·dot_q - |c|², -cent_id) — pure
+    // BIGINT, no IEEE op anywhere in the decision, ties to the lowest
+    // cent_id, bit-identical in any engine. Shape at scale: codebook
+    // state is M·K·16 = 512 ints on the driver (bounded like v5), both
+    // assignment passes are MAP-ONLY over centroid literals (native
+    // dot_q inside codegen, no join, no shuffle), and the one Lloyd
+    // update is a single (m, cell, pos)-keyed aggregate whose 512-row
+    // result is collected — the corpus is never re-partitioned. The
+    // per-vector sq_err feeds the same index-quality gate as v6: rising
+    // reconstruction error is how embedding drift surfaces post-build.
+    QueryDef.sql("v7_pq",
+      s"""WITH el AS ($elementsSql),
+         |sub AS (SELECT vec_id, CAST(pos // 16 AS INT) AS m, pos % 16 AS p, xi FROM el),
+         |s0 AS (SELECT m, vec_id AS cent_id, p, xi FROM sub WHERE vec_id < 8),
+         |d0 AS (SELECT e.vec_id, e.m, c.cent_id,
+         |              CAST(SUM((e.xi - c.xi) * (e.xi - c.xi)) AS BIGINT) AS dist
+         |       FROM sub e JOIN s0 c ON e.m = c.m AND e.p = c.p
+         |       GROUP BY e.vec_id, e.m, c.cent_id),
+         |m0 AS (SELECT vec_id, m, cent_id FROM (
+         |         SELECT vec_id, m, cent_id,
+         |                row_number() OVER (PARTITION BY vec_id, m
+         |                                   ORDER BY dist, cent_id) AS rn
+         |         FROM d0) WHERE rn = 1),
+         |u1 AS (SELECT e.m, m0.cent_id, e.p,
+         |              CAST(round(CAST(SUM(e.xi) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS xi
+         |       FROM m0 JOIN sub e ON m0.vec_id = e.vec_id AND m0.m = e.m
+         |       GROUP BY e.m, m0.cent_id, e.p),
+         |c1 AS (SELECT s0.m, s0.cent_id, s0.p, COALESCE(u1.xi, s0.xi) AS xi
+         |       FROM s0 LEFT JOIN u1
+         |         ON s0.m = u1.m AND s0.cent_id = u1.cent_id AND s0.p = u1.p),
+         |d1 AS (SELECT e.vec_id, e.m, c.cent_id,
+         |              CAST(SUM((e.xi - c.xi) * (e.xi - c.xi)) AS BIGINT) AS dist
+         |       FROM sub e JOIN c1 c ON e.m = c.m AND e.p = c.p
+         |       GROUP BY e.vec_id, e.m, c.cent_id),
+         |ch AS (SELECT vec_id, m, cent_id, dist FROM (
+         |         SELECT vec_id, m, cent_id, dist,
+         |                row_number() OVER (PARTITION BY vec_id, m
+         |                                   ORDER BY dist, cent_id) AS rn
+         |         FROM d1) WHERE rn = 1)
+         |SELECT vec_id,
+         |       MAX(CASE WHEN m = 0 THEN cent_id END) AS c0,
+         |       MAX(CASE WHEN m = 1 THEN cent_id END) AS c1,
+         |       MAX(CASE WHEN m = 2 THEN cent_id END) AS c2,
+         |       MAX(CASE WHEN m = 3 THEN cent_id END) AS c3,
+         |       CAST(SUM(dist) AS BIGINT) AS sq_err
+         |FROM ch GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+      pqEncode(s, Tables.embeddings(s, d).select("vec_id", "embedding"))
     }
   )
+
+  /** PQ constants: M subspaces × P dims each (M·P = the corpus dim),
+    * K centroids per subspace codebook.
+    */
+  private val PqM = 4
+  private val PqP = 16
+  private val PqK = 8
+
+  /** v7's encoder: per-subspace deterministic Lloyd (seed from
+    * vec_id < K, one update round), then map-only code assignment with
+    * the trained codebooks inlined as literals. Returns
+    * (vec_id, c0..c{M-1}, sq_err) ordered by vec_id.
+    */
+  def pqEncode(s: SparkSession, emb: DataFrame): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+    // codebooks(m)(k) = quantized 16-dim centroid — M*K*P = 512 longs
+    var books: Array[Array[Array[Long]]] = {
+      val seeds = emb.filter(col("vec_id") < PqK)
+        .collect().sortBy(_.getLong(0))
+        .map(r => r.getSeq[Float](1).map(quantF).toArray)
+      Array.tabulate(PqM, PqK) { (m, k) =>
+        seeds(k).slice(m * PqP, (m + 1) * PqP)
+      }
+    }
+    def centFloats(c: Array[Long]): Seq[Float] = c.map { v =>
+      require(math.abs(v) < 8000000L, s"centroid element $v outside exact float envelope")
+      (v.toDouble / 1e6).toFloat
+    }.toSeq
+    def subCol(m: Int): Column = slice(col("embedding"), m * PqP + 1, PqP)
+    // argmin_k ||x-c_k||² as argmax over (2·dot - |c|², -k) — all BIGINT
+    def assigned(): DataFrame = (0 until PqM).foldLeft(emb) { (df, m) =>
+      val scored = (0 until PqK).map { k =>
+        val c = books(m)(k)
+        val c2 = c.map(v => v * v).sum // <= 16 * (8e6)² ≈ 1e15 < 2^63
+        struct(
+          (lit(2L) * call_function("dot_q", subCol(m), typedLit(centFloats(c)))
+            - lit(c2)).as("s"),
+          lit(-k.toLong).as("nc"))
+      }
+      val best = array_max(array(scored: _*))
+      df.withColumn(s"c$m", -best.getField("nc"))
+        .withColumn(s"err$m",
+          call_function("dot_q", subCol(m), subCol(m)) - best.getField("s"))
+    }
+    // one Lloyd round: per-(subspace, cell, position) rounded mean,
+    // collected as at most M*K*P = 512 rows of bounded driver state
+    val upd = assigned()
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")) +:
+        (0 until PqM).map(m => col(s"c$m")): _*)
+      .select((col("pos") / PqP).cast("int").as("m"), (col("pos") % PqP).as("p"),
+        element_at(array((0 until PqM).map(m => col(s"c$m")): _*),
+          (col("pos") / PqP).cast("int") + 1).as("cell"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("xi"))
+      .groupBy("m", "cell", "p")
+      .agg(round(sum("xi").cast("double") / count(lit(1)), 0).cast("long").as("nxi"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1).toInt, r.getInt(2)), r.getLong(3))).toMap
+    books = Array.tabulate(PqM, PqK) { (m, k) =>
+      books(m)(k).indices.map(p => upd.getOrElse((m, k, p), books(m)(k)(p))).toArray
+    }
+    assigned()
+      .select(col("vec_id") +:
+        (0 until PqM).map(m => col(s"c$m")) :+
+        (0 until PqM).map(m => col(s"err$m")).reduce(_ + _).as("sq_err"): _*)
+      .orderBy("vec_id")
+  }
 
   /** The v5 k-means core (exposed for the empty-cell spec): `iters`
     * deterministic Lloyd rounds seeded from vectors `vec_id < k`,

@@ -900,6 +900,28 @@ class OpsSpec extends SparkSpec {
     assert(bin.n_bytes == Multimodal.BinaryProbeBytes)
   }
 
+  test("v7 pq: codes in range, identical vectors get identical codes and error") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val out = graft.operators.VectorOps.pqEncode(spark, emb.union(planted))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getLong(5))).toMap
+    assert(out.size == emb.count() + planted.count())
+    out.values.foreach { case ((c0, c1, c2, c3), err) =>
+      Seq(c0, c1, c2, c3).foreach(c => assert(c >= 0 && c < 8))
+      assert(err >= 0)
+    }
+    // PQ is a pure per-row function of the embedding once trained:
+    // a byte-identical vector must encode to the same codes + error
+    out.keys.filter(_ >= 1000000).foreach { id =>
+      assert(out(id) == out(id - 1000000), s"copy $id encoded differently")
+    }
+    // the codebook actually discriminates: not all vectors share one code
+    assert(out.values.map(_._1).toSet.size > 1)
+  }
+
   test("qa2 column profile: probe nulls counted, key column clean, bounds sane") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("qa2_column_profile")(spark, d)
