@@ -217,4 +217,74 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(exchanges.length <= 1, s"enrichment should be map-only, found ${exchanges.length} exchanges")
   }
+
+  test("v7 pq: code assignment is map-only — one exchange (final sort), no aggregate, native dot_q") {
+    // pqEncode's TRAINING pass aggregates (bounded 512-row collect); the
+    // RETURNED encoder frame must stay a per-row function of the
+    // embedding: scan → project over centroid literals → sort. A
+    // refactor that joins a codebook table instead of inlining literals
+    // would shuffle the corpus to encode it.
+    import graft.operators.VectorOps
+    import graft.sources.Tables
+    val df = VectorOps.pqEncode(spark, Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding"))
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val aggs = collectWithSubqueries(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(exchanges.length <= 1,
+      s"encoding must only shuffle for the output sort, found ${exchanges.length}")
+    assert(aggs.isEmpty, s"encoding is per-row, found ${aggs.length} aggregates")
+    assert(plan.toString.contains("dot_q"), plan.toString.take(500))
+  }
+
+  test("cdc2 merge: the changeset screen broadcasts — the base snapshot never shuffles for it") {
+    val df = SparkEntry.queries("cdc2_merge_apply")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val anti = joins.filter(_.joinType == LeftAnti)
+    assert(anti.nonEmpty, s"no anti join in:\n${plan.toString.take(800)}")
+    assert(anti.forall(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"changeset screen fell back to a shuffle join:\n${anti.head.toString.take(800)}")
+  }
+
+  test("s5 temperature mix: quota broadcasts onto the corpus; the () window sees only the agg") {
+    val df = SparkEntry.queries("s5_temperature_mix")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"quota join fell back to a shuffle join:\n${plan.toString.take(800)}")
+    // the unpartitioned window (total_sq) must consume the per-source
+    // AGGREGATE, never corpus rows — same contract as p11's offsets
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggBelow = collectWithSubqueries(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window over raw corpus rows:\n${w.toString.take(800)}")
+    }
+  }
+
+  test("qa2 profile: all 20 statistics come from ONE scan of the corpus") {
+    val df = SparkEntry.queries("qa2_column_profile")(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1,
+      s"profiling must not rescan per column: ${scans.length} parquet scans")
+  }
 }
