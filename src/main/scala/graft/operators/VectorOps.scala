@@ -591,33 +591,7 @@ object VectorOps {
     // reconstruction error is how embedding drift surfaces post-build.
     QueryDef.sql("v7_pq",
       s"""WITH el AS ($elementsSql),
-         |sub AS (SELECT vec_id, CAST(pos // 16 AS INT) AS m, pos % 16 AS p, xi FROM el),
-         |s0 AS (SELECT m, vec_id AS cent_id, p, xi FROM sub WHERE vec_id < 8),
-         |d0 AS (SELECT e.vec_id, e.m, c.cent_id,
-         |              CAST(SUM((e.xi - c.xi) * (e.xi - c.xi)) AS BIGINT) AS dist
-         |       FROM sub e JOIN s0 c ON e.m = c.m AND e.p = c.p
-         |       GROUP BY e.vec_id, e.m, c.cent_id),
-         |m0 AS (SELECT vec_id, m, cent_id FROM (
-         |         SELECT vec_id, m, cent_id,
-         |                row_number() OVER (PARTITION BY vec_id, m
-         |                                   ORDER BY dist, cent_id) AS rn
-         |         FROM d0) WHERE rn = 1),
-         |u1 AS (SELECT e.m, m0.cent_id, e.p,
-         |              CAST(round(CAST(SUM(e.xi) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS xi
-         |       FROM m0 JOIN sub e ON m0.vec_id = e.vec_id AND m0.m = e.m
-         |       GROUP BY e.m, m0.cent_id, e.p),
-         |c1 AS (SELECT s0.m, s0.cent_id, s0.p, COALESCE(u1.xi, s0.xi) AS xi
-         |       FROM s0 LEFT JOIN u1
-         |         ON s0.m = u1.m AND s0.cent_id = u1.cent_id AND s0.p = u1.p),
-         |d1 AS (SELECT e.vec_id, e.m, c.cent_id,
-         |              CAST(SUM((e.xi - c.xi) * (e.xi - c.xi)) AS BIGINT) AS dist
-         |       FROM sub e JOIN c1 c ON e.m = c.m AND e.p = c.p
-         |       GROUP BY e.vec_id, e.m, c.cent_id),
-         |ch AS (SELECT vec_id, m, cent_id, dist FROM (
-         |         SELECT vec_id, m, cent_id, dist,
-         |                row_number() OVER (PARTITION BY vec_id, m
-         |                                   ORDER BY dist, cent_id) AS rn
-         |         FROM d1) WHERE rn = 1)
+         |$pqChainSql
          |SELECT vec_id,
          |       MAX(CASE WHEN m = 0 THEN cent_id END) AS c0,
          |       MAX(CASE WHEN m = 1 THEN cent_id END) AS c1,
@@ -626,56 +600,157 @@ object VectorOps {
          |       CAST(SUM(dist) AS BIGINT) AS sq_err
          |FROM ch GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
       pqEncode(s, Tables.embeddings(s, d).select("vec_id", "embedding"))
+    },
+
+    // V8: ADC search over the PQ index (the query half of v7 — Jégou's
+    // asymmetric distance computation): approximate each query↔vector
+    // distance as Σ_m ||q_m - c_{code_m}||², i.e. look the vector's 4
+    // code ids up in a per-query distance table instead of touching the
+    // raw floats. This is WHY a 100 TB index compresses: the search
+    // pass scans the 4-short-int code table (a ~170× smaller scan than
+    // the embeddings), and each query's LUT is M×K = 32 integers
+    // computed once on the driver and inlined as literals — scoring is
+    // map-only element_at over those literals, no join, no float math;
+    // the only shuffle is the per-query top-k window (v1's budget, on a
+    // far narrower row). LUT entries are integer L2 on quantized
+    // elements, so ranks and distances are bit-identical cross-engine.
+    QueryDef.sql("v8_pq_adc",
+      s"""WITH el AS ($elementsSql),
+         |$pqChainSql,
+         |qd AS (SELECT q.vec_id AS query_id, c.m, c.cent_id,
+         |              CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dist
+         |       FROM sub q JOIN c1 c ON q.m = c.m AND q.p = c.p
+         |       WHERE q.vec_id < 10
+         |       GROUP BY q.vec_id, c.m, c.cent_id),
+         |sc AS (SELECT qd.query_id, ch.vec_id AS cand_id,
+         |              CAST(SUM(qd.dist) AS BIGINT) AS adist
+         |       FROM ch JOIN qd ON ch.m = qd.m AND ch.cent_id = qd.cent_id
+         |       GROUP BY qd.query_id, ch.vec_id),
+         |ranked AS (SELECT query_id, cand_id, adist,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY adist, cand_id) AS rn
+         |           FROM sc WHERE cand_id <> query_id)
+         |SELECT query_id, rn, cand_id, adist FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val books = pqTrain(s, emb)
+      def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+      // the compressed index: vec_id + M code ids, nothing else
+      val codes = pqAssign(emb, books)
+        .select(col("vec_id").as("cand_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+      // per-query LUT: lut(m)(k) = ||q_m - c_mk||² — M·K = 32 BIGINTs
+      val qs = emb.filter(col("vec_id") < 10).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(quantF).toArray))
+      val qCols = qs.map { case (qid, qv) =>
+        val adist = (0 until PqM).map { m =>
+          val lut: Seq[Long] = (0 until PqK).map { k =>
+            (0 until PqP).map { p =>
+              val dlt = qv(m * PqP + p) - books(m)(k)(p); dlt * dlt
+            }.sum
+          }
+          element_at(typedLit(lut), col(s"c$m").cast("int") + 1)
+        }.reduce(_ + _)
+        struct(lit(qid).as("query_id"), adist.as("adist"))
+      }
+      codes.select(col("cand_id"), explode(array(qCols.toSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.adist"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("adist"), asc("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "cand_id", "adist")
+        .orderBy("query_id", "rn")
     }
   )
 
   /** PQ constants: M subspaces × P dims each (M·P = the corpus dim),
-    * K centroids per subspace codebook.
+    * K centroids per subspace codebook. `final val` literals so they
+    * constant-fold: `defs` (declared above) interpolates them through
+    * [[pqChainSql]] during object init, BEFORE later plain vals would
+    * have been assigned.
     */
-  private val PqM = 4
-  private val PqP = 16
-  private val PqK = 8
+  private final val PqM = 4
+  private final val PqP = 16
+  private final val PqK = 8
 
-  /** v7's encoder: per-subspace deterministic Lloyd (seed from
-    * vec_id < K, one update round), then map-only code assignment with
-    * the trained codebooks inlined as literals. Returns
-    * (vec_id, c0..c{M-1}, sq_err) ordered by vec_id.
+  /** The oracled PQ training + assignment chain (v7/v8's shared CTE
+    * body): expects `el(vec_id, pos, xi)` bound; defines `c1` as the
+    * trained per-subspace codebook and `ch(vec_id, m, cent_id, dist)`
+    * as the final per-subspace assignment with its integer squared
+    * residual. The SQL twin of [[pqTrain]] + [[pqAssign]].
     */
-  def pqEncode(s: SparkSession, emb: DataFrame): DataFrame = {
-    graft.functions.NativeFunctions.register(s)
-    def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
-    // codebooks(m)(k) = quantized 16-dim centroid — M*K*P = 512 longs
-    var books: Array[Array[Array[Long]]] = {
-      val seeds = emb.filter(col("vec_id") < PqK)
-        .collect().sortBy(_.getLong(0))
-        .map(r => r.getSeq[Float](1).map(quantF).toArray)
-      Array.tabulate(PqM, PqK) { (m, k) =>
-        seeds(k).slice(m * PqP, (m + 1) * PqP)
-      }
-    }
-    def centFloats(c: Array[Long]): Seq[Float] = c.map { v =>
-      require(math.abs(v) < 8000000L, s"centroid element $v outside exact float envelope")
-      (v.toDouble / 1e6).toFloat
-    }.toSeq
-    def subCol(m: Int): Column = slice(col("embedding"), m * PqP + 1, PqP)
-    // argmin_k ||x-c_k||² as argmax over (2·dot - |c|², -k) — all BIGINT
-    def assigned(): DataFrame = (0 until PqM).foldLeft(emb) { (df, m) =>
+  private def pqChainSql: String =
+    s"""sub AS (SELECT vec_id, CAST(pos // $PqP AS INT) AS m, pos % $PqP AS p, xi FROM el),
+       |s0 AS (SELECT m, vec_id AS cent_id, p, xi FROM sub WHERE vec_id < $PqK),
+       |d0 AS (SELECT e.vec_id, e.m, c.cent_id,
+       |              CAST(SUM((e.xi - c.xi) * (e.xi - c.xi)) AS BIGINT) AS dist
+       |       FROM sub e JOIN s0 c ON e.m = c.m AND e.p = c.p
+       |       GROUP BY e.vec_id, e.m, c.cent_id),
+       |m0 AS (SELECT vec_id, m, cent_id FROM (
+       |         SELECT vec_id, m, cent_id,
+       |                row_number() OVER (PARTITION BY vec_id, m
+       |                                   ORDER BY dist, cent_id) AS rn
+       |         FROM d0) WHERE rn = 1),
+       |u1 AS (SELECT e.m, m0.cent_id, e.p,
+       |              CAST(round(CAST(SUM(e.xi) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS xi
+       |       FROM m0 JOIN sub e ON m0.vec_id = e.vec_id AND m0.m = e.m
+       |       GROUP BY e.m, m0.cent_id, e.p),
+       |c1 AS (SELECT s0.m, s0.cent_id, s0.p, COALESCE(u1.xi, s0.xi) AS xi
+       |       FROM s0 LEFT JOIN u1
+       |         ON s0.m = u1.m AND s0.cent_id = u1.cent_id AND s0.p = u1.p),
+       |d1 AS (SELECT e.vec_id, e.m, c.cent_id,
+       |              CAST(SUM((e.xi - c.xi) * (e.xi - c.xi)) AS BIGINT) AS dist
+       |       FROM sub e JOIN c1 c ON e.m = c.m AND e.p = c.p
+       |       GROUP BY e.vec_id, e.m, c.cent_id),
+       |ch AS (SELECT vec_id, m, cent_id, dist FROM (
+       |         SELECT vec_id, m, cent_id, dist,
+       |                row_number() OVER (PARTITION BY vec_id, m
+       |                                   ORDER BY dist, cent_id) AS rn
+       |         FROM d1) WHERE rn = 1)""".stripMargin
+
+  private def centFloats(c: Array[Long]): Seq[Float] = c.map { v =>
+    require(math.abs(v) < 8000000L, s"centroid element $v outside exact float envelope")
+    (v.toDouble / 1e6).toFloat
+  }.toSeq
+
+  private def pqSubCol(m: Int): Column = slice(col("embedding"), m * PqP + 1, PqP)
+
+  /** Map-only PQ assignment against fixed codebooks: adds c0..c{M-1}
+    * (code ids) and err0..err{M-1} (integer squared residuals) to `emb`.
+    * argmin_k ||x-c_k||² as argmax over (2·dot - |c|², -k) — all BIGINT.
+    */
+  private def pqAssign(emb: DataFrame, books: Array[Array[Array[Long]]]): DataFrame =
+    (0 until PqM).foldLeft(emb) { (df, m) =>
       val scored = (0 until PqK).map { k =>
         val c = books(m)(k)
         val c2 = c.map(v => v * v).sum // <= 16 * (8e6)² ≈ 1e15 < 2^63
         struct(
-          (lit(2L) * call_function("dot_q", subCol(m), typedLit(centFloats(c)))
+          (lit(2L) * call_function("dot_q", pqSubCol(m), typedLit(centFloats(c)))
             - lit(c2)).as("s"),
           lit(-k.toLong).as("nc"))
       }
       val best = array_max(array(scored: _*))
       df.withColumn(s"c$m", -best.getField("nc"))
         .withColumn(s"err$m",
-          call_function("dot_q", subCol(m), subCol(m)) - best.getField("s"))
+          call_function("dot_q", pqSubCol(m), pqSubCol(m)) - best.getField("s"))
+    }
+
+  /** v7's trainer: per-subspace deterministic Lloyd — seed codebooks
+    * from vec_id < K, one rounded-mean update. Returns codebooks(m)(k)
+    * = quantized 16-dim centroid: M·K·P = 512 longs of driver state.
+    */
+  def pqTrain(s: SparkSession, emb: DataFrame): Array[Array[Array[Long]]] = {
+    graft.functions.NativeFunctions.register(s)
+    def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+    val seeds0: Array[Array[Long]] = emb.filter(col("vec_id") < PqK)
+      .collect().sortBy(_.getLong(0))
+      .map(r => r.getSeq[Float](1).map(quantF).toArray)
+    val books = Array.tabulate(PqM, PqK) { (m, k) =>
+      seeds0(k).slice(m * PqP, (m + 1) * PqP)
     }
     // one Lloyd round: per-(subspace, cell, position) rounded mean,
     // collected as at most M*K*P = 512 rows of bounded driver state
-    val upd = assigned()
+    val upd = pqAssign(emb, books)
       .select(posexplode(col("embedding")).as(Seq("pos", "x")) +:
         (0 until PqM).map(m => col(s"c$m")): _*)
       .select((col("pos") / PqP).cast("int").as("m"), (col("pos") % PqP).as("p"),
@@ -685,15 +760,21 @@ object VectorOps {
       .groupBy("m", "cell", "p")
       .agg(round(sum("xi").cast("double") / count(lit(1)), 0).cast("long").as("nxi"))
       .collect().map(r => ((r.getInt(0), r.getLong(1).toInt, r.getInt(2)), r.getLong(3))).toMap
-    books = Array.tabulate(PqM, PqK) { (m, k) =>
+    Array.tabulate(PqM, PqK) { (m, k) =>
       books(m)(k).indices.map(p => upd.getOrElse((m, k, p), books(m)(k)(p))).toArray
     }
-    assigned()
+  }
+
+  /** v7's encoder: train, then map-only code assignment with the
+    * trained codebooks inlined as literals. Returns
+    * (vec_id, c0..c{M-1}, sq_err) ordered by vec_id.
+    */
+  def pqEncode(s: SparkSession, emb: DataFrame): DataFrame =
+    pqAssign(emb, pqTrain(s, emb))
       .select(col("vec_id") +:
         (0 until PqM).map(m => col(s"c$m")) :+
         (0 until PqM).map(m => col(s"err$m")).reduce(_ + _).as("sq_err"): _*)
       .orderBy("vec_id")
-  }
 
   /** The v5 k-means core (exposed for the empty-cell spec): `iters`
     * deterministic Lloyd rounds seeded from vectors `vec_id < k`,

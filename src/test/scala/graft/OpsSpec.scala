@@ -922,6 +922,30 @@ class OpsSpec extends SparkSpec {
     assert(out.values.map(_._1).toSet.size > 1)
   }
 
+  test("v8 adc: full top-10 per query, sorted, and bounded below by the query's own sq_err") {
+    val d = "/root/testdata/sf0.001"
+    val adc = SparkEntry.queries("v8_pq_adc")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byQ = adc.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { rows =>
+      assert(rows.length == 10)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.head <= p.last),
+        "adist must be non-decreasing in rank")
+    }
+    // Σ_m min_k lut[m][k] is the query's OWN reconstruction error (its
+    // codes argmin each subspace), so no candidate can score below v7's
+    // sq_err for that query — the cross-operator lower bound
+    val sqErr = SparkEntry.queries("v7_pq")(spark, d)
+      .select(col("vec_id"), col("sq_err")).as[(Long, Long)].collect().toMap
+    byQ.foreach { case (q, rows) =>
+      val top1 = rows.minBy(_._2)._4
+      assert(top1 >= sqErr(q),
+        s"query $q: adc top-1 $top1 below its own reconstruction error ${sqErr(q)}")
+    }
+  }
+
   test("qa2 column profile: probe nulls counted, key column clean, bounds sane") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("qa2_column_profile")(spark, d)
