@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Multimodal.defs ++ operators.AsOfJoin.defs ++
       operators.SkewJoin.defs ++
       analytics.ScaleOps.defs ++ analytics.BatchSessionOps.defs ++
-      analytics.FuncOps.defs ++ analytics.FuncOps2.defs
+      analytics.FuncOps.defs ++ analytics.FuncOps2.defs ++
+      analytics.ProductAnalytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,160 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Product/event analytics over the `events` stream table — the
+  * query family a warehouse team runs on behavioral data: ordered
+  * funnels, cohort retention, JSON property extraction, and per-group
+  * regression. All four are oracled; determinism notes per query.
+  *
+  * Timestamp discipline: `events.ts` is parquet TIMESTAMP(NANOS);
+  * Spark reads it truncated to µs (Tables.events), DuckDB keeps ns.
+  * Every ORDERING/COMPARISON on ts therefore happens on epoch
+  * MICROseconds on both sides (`unix_micros` ↔ `epoch_us`) — a
+  * same-µs pair must not order differently across engines.
+  */
+object ProductAnalytics {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /* FU1: ordered funnel (view → click → purchase): per user, the
+     * first view, the first click AFTER that view, the first purchase
+     * AFTER that click — the "did they convert, in order" metric; one
+     * summary row of stage counts.
+     *
+     * Shape at scale: ONE shuffle on user_id; the three stage marks are
+     * window minima over the same partitioning (Spark chains the three
+     * Window nodes without re-exchanging — each stage references the
+     * previous stage's mark, which a per-user groupBy could not express
+     * without three self-joins), then a global distinct-count over the
+     * per-user flags. 100 TB of events funnel with the same plan.
+     */
+    QueryDef.sql("fu1_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS eus FROM events),
+        |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN eus END)
+        |                   OVER (PARTITION BY user_id) AS tv FROM e),
+        |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND eus > tv THEN eus END)
+        |                   OVER (PARTITION BY user_id) AS tc FROM w1),
+        |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND eus > tc THEN eus END)
+        |                   OVER (PARTITION BY user_id) AS tp FROM w2)
+        |SELECT COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(DISTINCT CASE WHEN tv IS NOT NULL THEN user_id END) AS n_viewed,
+        |       COUNT(DISTINCT CASE WHEN tc IS NOT NULL THEN user_id END) AS n_clicked_after,
+        |       COUNT(DISTINCT CASE WHEN tp IS NOT NULL THEN user_id END) AS n_purchased_after
+        |FROM w3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("eus"))
+        .withColumn("tv", min(when(col("event_type") === "view", col("eus"))).over(w))
+        .withColumn("tc", min(when(col("event_type") === "click" &&
+          col("eus") > col("tv"), col("eus"))).over(w))
+        .withColumn("tp", min(when(col("event_type") === "purchase" &&
+          col("eus") > col("tc"), col("eus"))).over(w))
+        .agg(
+          count_distinct(col("user_id")).as("n_users"),
+          count_distinct(when(col("tv").isNotNull, col("user_id"))).as("n_viewed"),
+          count_distinct(when(col("tc").isNotNull, col("user_id"))).as("n_clicked_after"),
+          count_distinct(when(col("tp").isNotNull, col("user_id"))).as("n_purchased_after"))
+    },
+
+    /* CO1: cohort retention — users cohorted by their first active DAY;
+     * for each cohort and day-offset k (0..7), how many distinct users
+     * were active again k days later. The day grid is data-derived
+     * (distinct user-days), never a generated cross product.
+     *
+     * Shape at scale: per-user first-day agg (one shuffle, map-side
+     * combine), distinct user-days (second shuffle, combine), a join
+     * back on user_id, and a final small agg keyed (cohort_day, k).
+     */
+    QueryDef.sql("co1_cohort_retention",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT c.cohort_day, date_diff('day', c.cohort_day, ud.day) AS k,
+        |       COUNT(DISTINCT ud.user_id) AS n_active
+        |FROM ud JOIN c ON ud.user_id = c.user_id
+        |WHERE date_diff('day', c.cohort_day, ud.day) <= 7
+        |GROUP BY c.cohort_day, k
+        |ORDER BY c.cohort_day, k""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ud.join(cohort, Seq("user_id"))
+        .withColumn("k", datediff(col("day"), col("cohort_day")))
+        .filter(col("k") <= 7)
+        .groupBy("cohort_day", "k")
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_day", "k")
+    },
+
+    /* F16: JSON property extraction — the semi-structured half of the
+     * events table (`props` is a JSON string). Path extraction with a
+     * typed cast, a missing path (must be NULL, not an error), a nested
+     * array path on a literal probe, and array length — the
+     * get_json_object ↔ json_extract_string common subset. Map-only.
+     */
+    QueryDef.sql("f16_json_funcs",
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |       json_extract_string(props, '$.nope') AS missing_path,
+        |       json_extract_string('{"a": {"b": [10, 20, 30]}}', '$.a.b[1]') AS nested_probe,
+        |       CAST(json_array_length('[1, 2, 3, 4]') AS BIGINT) AS arr_len
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        get_json_object(col("props"), "$.nope").as("missing_path"),
+        get_json_object(lit("""{"a": {"b": [10, 20, 30]}}"""), "$.a.b[1]")
+          .as("nested_probe"),
+        expr("json_array_length('[1, 2, 3, 4]')").cast("long").as("arr_len"))
+        .orderBy("event_id")
+    },
+
+    /* A14: per-group OLS regression — slope/intercept of event value
+     * against hour-of-day per event_type (the "does the metric drift
+     * through the day" fit). Exact integer power sums per group (value
+     * quantized to cents, hour is an int), then slope and intercept are
+     * derived with the SAME single-IEEE-op expression sequence in both
+     * engines — the a11/a13 determinism discipline, never the engines'
+     * own regr_slope/regr_intercept accumulators.
+     */
+    QueryDef.sql("a14_group_regression",
+      """WITH q AS (
+        |  SELECT event_type,
+        |         CAST(hour(ts) AS BIGINT) AS x,
+        |         CAST(round(value * 100) AS BIGINT) AS yq
+        |  FROM events),
+        |sums AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * yq) AS BIGINT) AS sxy
+        |  FROM q GROUP BY event_type)
+        |SELECT event_type, n,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope,
+        |       (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         / CAST(n AS DOUBLE) / 100.0 AS intercept
+        |FROM sums ORDER BY event_type""".stripMargin) { (s, d) =>
+      val q = Tables.events(s, d).select(
+        col("event_type"),
+        hour(col("ts")).cast("long").as("x"),
+        round(col("value") * 100, 0).cast("long").as("yq"))
+      val sums = q.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("yq").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("yq")).as("sxy"))
+      val slopeC = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      sums.select(col("event_type"), col("n"),
+        (slopeC / 100.0).as("slope"),
+        ((col("sy").cast("double") - slopeC * col("sx").cast("double"))
+          / col("n").cast("double") / 100.0).as("intercept"))
+        .orderBy("event_type")
+    }
+  )
+}

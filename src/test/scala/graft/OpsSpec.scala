@@ -946,6 +946,65 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("fu1 funnel: stage counts are monotone and every stage observed") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("fu1_funnel")(spark, d).collect().head
+    val (users, viewed, clicked, purchased) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= viewed && viewed >= clicked && clicked >= purchased,
+      s"funnel must narrow: $users >= $viewed >= $clicked >= $purchased")
+    assert(purchased > 0, "with 2k events over 150 users every stage should convert")
+  }
+
+  test("co1 cohort retention: k bounded and no offset outdraws day zero") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("co1_cohort_retention")(spark, d)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, k, n) => assert(k >= 0 && k <= 7 && n > 0) }
+    // every cohort member is active on their own first day, so k=0 is
+    // the cohort size — later offsets can only retain a subset
+    rows.groupBy(_._1).values.foreach { g =>
+      val day0 = g.find(_._2 == 0).map(_._3)
+        .getOrElse(fail(s"cohort missing its k=0 row: $g"))
+      g.foreach { case (_, _, n) => assert(n <= day0) }
+    }
+  }
+
+  test("f16 json battery: typed extraction, NULL on missing path, nested probe") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("f16_json_funcs")(spark, d).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && r.getLong(1) >= 0) // props always carries k
+      assert(r.isNullAt(2), "missing path must be NULL, not an error")
+      assert(r.getString(3) == "20") // $.a.b[1] of the literal probe
+      assert(r.getLong(4) == 4L)
+    }
+  }
+
+  test("a14 regression: engine slope/intercept equal an exact local recomputation") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("a14_group_regression")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val raw = graft.sources.Tables.events(spark, d)
+      .select(col("event_type"), hour(col("ts")).cast("long"),
+        round(col("value") * 100, 0).cast("long"))
+      .as[(String, Long, Long)].collect()
+    raw.groupBy(_._1).foreach { case (et, xs) =>
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val (sxx, sxy) = (xs.map(v => v._2 * v._2).sum, xs.map(v => v._2 * v._3).sum)
+      val slopeC = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val intercept = (sy.toDouble - slopeC * sx.toDouble) / n.toDouble / 100.0
+      val (gn, gs, gi) = out(et)
+      assert(gn == n)
+      assert(gs == slopeC / 100.0, s"$et slope: $gs vs ${slopeC / 100.0}")
+      assert(gi == intercept, s"$et intercept: $gi vs $intercept")
+    }
+  }
+
   test("qa2 column profile: probe nulls counted, key column clean, bounds sane") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("qa2_column_profile")(spark, d)
