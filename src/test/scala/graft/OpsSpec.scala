@@ -394,6 +394,26 @@ class OpsSpec extends SparkSpec {
       s"only $caught of ${near.size} planted near-copies flagged")
   }
 
+  test("d13 edit distance: exact copies always caught, near copies within the 20% budget") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d13_edit_distance")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2))).toMap
+    val exact = out.keys.filter(_ >= 5000000)
+    assert(exact.nonEmpty)
+    exact.foreach { k =>
+      assert(out(k)._2, s"verbatim copy $k (distance 0) not flagged")
+      assert(out(k)._1.exists(_ < k), s"exact copy $k matched a later id")
+    }
+    // 10 appended chars vs ≥47-char docs is always within 5·d ≤ max(len),
+    // so misses can only come from window crowding — require the bulk
+    val near = out.keys.filter(k => k >= 4000000 && k < 5000000)
+    assert(near.nonEmpty)
+    val caught = near.count(out(_)._2)
+    assert(caught * 10 >= near.size * 9,
+      s"only $caught of ${near.size} planted near-copies flagged")
+  }
+
   test("d9 pins no new storage blocks per execution (artifact-backed, not checkpoint-backed)") {
     val d = "/root/testdata/sf0.001"
     SparkEntry.queries("d9_semantic_dedup")(spark, d).collect()
