@@ -166,6 +166,75 @@ object MinHash {
       // signatures come off the materialized signature artifact (shared
       // with d5) — the oracle recomputes from raw text
       nearDupPairsFromSignatures(signaturesArtifact(s, d), 0.5)
+    },
+
+    /* D14: dedup recall curve — the eval that makes d2's dial (K
+     * permutations × band shape × threshold) OPERABLE, exactly as v6
+     * does for the ANN index: plant duplicates at four GRADED
+     * severities (k = 0/4/16/48 leading words replaced with doc-unique
+     * junk), run the full MinHash+LSH pipeline over the mixed corpus,
+     * and report per-severity recall against the planted truth. A
+     * production pipeline runs this on a sampled corpus after every
+     * parameter change — the curve's knee is where the detector stops
+     * seeing real rewrites. Truth pairs join the detected pairs on ids
+     * only; severity 0 (verbatim) must sit at recall 1, the hardest
+     * class must show misses, or the fixture isn't discriminating.
+     */
+    QueryDef.sql("d14_dedup_recall", {
+      val corpusSql =
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 7000000 + sev * 1000000 AS doc_id,
+          |         array_to_string(
+          |           list_concat(ws[k + 1 : 100000],
+          |             list_transform(generate_series(1, k),
+          |               i -> 'zz' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR))),
+          |           ' ') AS text
+          |  FROM (SELECT doc_id, ws, sev,
+          |               CASE sev WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 48 END AS k
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+          |                     unnest([0, 1, 2, 3]) AS sev
+          |              FROM documents WHERE doc_id % 20 = 0))""".stripMargin
+      s"""WITH corpus AS (
+         |  $corpusSql),
+         |${pairsCteSql("SELECT doc_id, text FROM corpus", 0.5)},
+         |truth AS (
+         |  SELECT doc_id AS orig, doc_id + 7000000 + sev * 1000000 AS planted, sev,
+         |         CASE sev WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 48 END AS k_replaced
+         |  FROM (SELECT doc_id, unnest([0, 1, 2, 3]) AS sev
+         |        FROM documents WHERE doc_id % 20 = 0))
+         |SELECT t.sev, t.k_replaced, COUNT(*) AS n_planted,
+         |       CAST(SUM(CASE WHEN p.doc1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+         |       CAST(SUM(CASE WHEN p.doc1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / COUNT(*) AS recall
+         |FROM truth t LEFT JOIN pairs p ON p.doc1 = t.orig AND p.doc2 = t.planted
+         |GROUP BY t.sev, t.k_replaced ORDER BY t.sev""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val seeds = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("sev", explode(array((0 to 3).map(lit): _*)))
+        .withColumn("k", when(col("sev") === 0, 0).when(col("sev") === 1, 4)
+          .when(col("sev") === 2, 16).otherwise(48))
+      val planted = seeds.select(
+        (col("doc_id") + 7000000 + col("sev") * 1000000).as("doc_id"),
+        array_join(concat(
+          expr("slice(ws, k + 1, 100000)"),
+          expr("transform(sequence(1, k)," +
+            " i -> concat('zz', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))")),
+          " ").as("text"))
+      val pairs = nearDupPairs(docs.union(planted), 0.5)
+      val truth = seeds.select(col("doc_id").as("orig"),
+        (col("doc_id") + 7000000 + col("sev") * 1000000).as("planted"),
+        col("sev"), col("k").as("k_replaced"))
+      truth.join(pairs,
+          truth("orig") === pairs("doc1") && truth("planted") === pairs("doc2"), "left")
+        .groupBy("sev", "k_replaced")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("doc1").isNotNull, 1).otherwise(0)).as("n_caught"))
+        .select(col("sev"), col("k_replaced"), col("n_planted"), col("n_caught"),
+          (col("n_caught").cast("double") / col("n_planted")).as("recall"))
+        .orderBy("sev")
     }
   )
 }

@@ -414,6 +414,19 @@ class OpsSpec extends SparkSpec {
       s"only $caught of ${near.size} planted near-copies flagged")
   }
 
+  test("d14 recall curve: verbatim at 1.0, non-increasing with severity, hardest class misses") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("d14_dedup_recall")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.head._2 == 1.0, "verbatim copies must always be caught")
+    rows.map(_._2).toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b, s"recall must not rise with severity: ${rows.mkString(", ")}")
+    case _ => () }
+    assert(rows.last._2 < 1.0,
+      "the hardest class must show misses or the fixture isn't discriminating")
+  }
+
   test("d9 pins no new storage blocks per execution (artifact-backed, not checkpoint-backed)") {
     val d = "/root/testdata/sf0.001"
     SparkEntry.queries("d9_semantic_dedup")(spark, d).collect()
