@@ -252,8 +252,10 @@ object VersionedStore {
     * StoreConcurrencySpec drives interleaved publishers plus a polling
     * reader over randomized schedules to hold this contract to account.
     */
-  def publish(spark: SparkSession, base: String, fingerprint: String = "")(
+  def publish(spark: SparkSession, base: String, fingerprint: String = "",
+      keepVersions: Int = 1)(
       write: String => Unit): Path = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val basePath = new Path(base)
     val f = fs(spark, basePath)
     f.mkdirs(basePath)
@@ -268,13 +270,69 @@ object VersionedStore {
       // the version being superseded survives one publish as a grace
       // window for in-flight readers that resolved it pre-flip
       val grace = readPointer(spark, base).map(_.version)
+      // retention: the newest keepVersions complete versions survive as
+      // time-travel targets ([[readVersion]]/[[rollback]]); the default
+      // of 1 retains only the version being published (plus the grace
+      // window) — the original protocol
+      val retained = listVersions(spark, base).takeRight(keepVersions).toSet
       // Single-object atomic pointer flip — never a directory rename.
       flipPointer(spark, basePath, s"$version\t$fingerprint")
-      prune(spark, basePath, keep = Set(version) ++ grace)
+      prune(spark, basePath, keep = Set(version) ++ grace ++ retained)
       dir
     } finally {
       // flip done (we are pointed/kept) or write failed (our dir is a
       // true orphan): either way the lease has served its purpose
+      try f.delete(intent, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Complete (committed) versions at `base`, oldest→newest — the
+    * time-travel catalog. `v_<13-digit-millis>_<uuid>` names sort
+    * lexicographically = temporally.
+    */
+  def listVersions(spark: SparkSession, base: String): Seq[String] = {
+    val basePath = new Path(base)
+    val f = fs(spark, basePath)
+    try f.listStatus(basePath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_") &&
+        isComplete(f, st.getPath))
+      .map(_.getPath.getName).sorted.toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  /** Time-travel read of one retained version (throws if it was pruned
+    * or never committed). Pair with `publish(keepVersions = N)`.
+    */
+  def readVersion(spark: SparkSession, base: String, version: String): DataFrame = {
+    val dir = new Path(new Path(base), version)
+    val f = fs(spark, dir)
+    if (!isComplete(f, dir)) throw new java.io.FileNotFoundException(
+      s"version $version at $base is not a complete committed version")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Roll the pointer back (or forward) to a retained version — a
+    * pointer-only flip, no data moves, same atomic single-object
+    * discipline as publish. The target is intent-leased through the
+    * flip so a concurrent publisher's prune cannot delete it mid-
+    * rollback. Versions newer than the target are NOT pruned (roll
+    * forward stays possible until the next publish's retention pass).
+    * `fingerprint` defaults to empty, which makes fingerprint-keyed
+    * readers ([[readOrBuild]]) rebuild rather than trust the rolled-
+    * back artifact — pass the version's original fingerprint to keep
+    * them serving it.
+    */
+  def rollback(spark: SparkSession, base: String, version: String,
+      fingerprint: String = ""): Unit = {
+    val basePath = new Path(base)
+    val f = fs(spark, basePath)
+    val dir = new Path(basePath, version)
+    if (!isComplete(f, dir)) throw new java.io.FileNotFoundException(
+      s"cannot roll back to $version at $base: not a complete committed version")
+    val intent = intentPath(basePath, version)
+    f.create(intent, true).close()
+    try flipPointer(spark, basePath, s"$version\t$fingerprint")
+    finally {
       try f.delete(intent, false) catch { case _: java.io.IOException => () }
     }
   }

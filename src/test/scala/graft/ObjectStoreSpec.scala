@@ -138,4 +138,45 @@ class ObjectStoreSpec extends SparkSpec {
     assert(back.count() == 300)
     assert(back.select("day").distinct().count() == 3)
   }
+
+  test("retention + time travel + rollback: pointer-only history on the hostile FS") {
+    val store = s3x("s3x-tt") + "/table"
+    def pub(n: Int) = VersionedStore.publish(spark, store, keepVersions = 2) { out =>
+      spark.range(0, n).toDF("id").write.parquet(out)
+    }
+    pub(10); pub(20)
+    val v3 = pub(30).getName
+    // retention keeps the newest 2 as time-travel targets; the first
+    // publish's version must be pruned (it is neither retained nor the
+    // grace version of the LAST publish)
+    val versions = VersionedStore.listVersions(spark, store)
+    assert(versions.length == 2 && versions.last == v3,
+      s"expected 2 retained versions ending at $v3, got $versions")
+    val v2 = versions.head
+    // time travel: the superseded version stays readable by name
+    assert(VersionedStore.readVersion(spark, store, v2).count() == 20)
+    assert(VersionedStore.read(spark, store).count() == 30)
+    // a pruned version is a loud failure, not an empty frame
+    intercept[java.io.FileNotFoundException] {
+      VersionedStore.readVersion(spark, store, "v_0000000000000_deadbeef")
+    }
+    // rollback: pointer-only flip — the live read serves the old data,
+    // no data directory was moved or rewritten (hostile FS would throw),
+    // and the newer version is still there to roll forward to
+    VersionedStore.rollback(spark, store, v2)
+    assert(VersionedStore.read(spark, store).count() == 20)
+    assert(VersionedStore.listVersions(spark, store).contains(v3))
+    VersionedStore.rollback(spark, store, v3)
+    assert(VersionedStore.read(spark, store).count() == 30)
+    // rollback to a version that never committed must refuse
+    intercept[java.io.FileNotFoundException] {
+      VersionedStore.rollback(spark, store, "v_0000000000000_deadbeef")
+    }
+    // the next publish prunes by retention from the rolled-forward state
+    pub(40)
+    val after = VersionedStore.listVersions(spark, store)
+    assert(after.length == 2 && after.head == v3,
+      s"retention after rollback should keep $v3 + the new version, got $after")
+    assert(VersionedStore.read(spark, store).count() == 40)
+  }
 }
