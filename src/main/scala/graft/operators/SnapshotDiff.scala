@@ -21,6 +21,36 @@ import graft.sources.Tables
   */
 object SnapshotDiff {
 
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+  /** cdc1's classification between two arbitrary keyed snapshots:
+    * inserted / deleted / updated / unchanged per key, with rows
+    * reduced to (key, hash-of-content) BEFORE the one full outer join.
+    */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame,
+      key: String, content: Column): DataFrame = {
+    def h(df: DataFrame) = df.select(col(key), md5(content).as("h"))
+    h(oldSnap).as("o")
+      .join(h(newSnap).as("n"), col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .select(coalesce(col(s"o.$key"), col(s"n.$key")).as(key),
+        when(col(s"o.$key").isNull, "inserted")
+          .when(col(s"n.$key").isNull, "deleted")
+          .when(col("o.h") =!= col("n.h"), "updated")
+          .otherwise("unchanged").as("change"))
+  }
+
+  /** Time-travel CDC: what changed between two RETAINED versions of a
+    * VersionedStore table (`publish(keepVersions = N)`) — the "what did
+    * yesterday's publish do" audit, without any change log: the
+    * versions themselves are the log. Same join budget as cdc1.
+    */
+  def diffVersions(spark: SparkSession, base: String,
+      oldVersion: String, newVersion: String,
+      key: String, content: Column): DataFrame =
+    diff(graft.sinks.VersionedStore.readVersion(spark, base, oldVersion),
+      graft.sinks.VersionedStore.readVersion(spark, base, newVersion),
+      key, content)
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql("cdc1_snapshot_diff",
@@ -40,18 +70,12 @@ object SnapshotDiff {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val old = docs.filter(col("doc_id") % 5 =!= 4)
-        .select(col("doc_id"), md5(col("text")).as("h"))
+        .select(col("doc_id"), col("text"))
       val neu = docs.filter(col("doc_id") % 5 =!= 3)
         .select(col("doc_id"),
-          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
-            .otherwise(col("text"))).as("h"))
-      old.as("o").join(neu.as("n"), col("o.doc_id") === col("n.doc_id"), "full_outer")
-        .select(coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
-          when(col("o.doc_id").isNull, "inserted")
-            .when(col("n.doc_id").isNull, "deleted")
-            .when(col("o.h") =!= col("n.h"), "updated")
-            .otherwise("unchanged").as("change"))
-        .orderBy("doc_id")
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      diff(old, neu, "doc_id", col("text")).orderBy("doc_id")
     },
 
     /* MERGE apply — the other half of the CDC pair: cdc1 DERIVES a

@@ -179,4 +179,22 @@ class ObjectStoreSpec extends SparkSpec {
       s"retention after rollback should keep $v3 + the new version, got $after")
     assert(VersionedStore.read(spark, store).count() == 40)
   }
+
+  test("time-travel CDC: diffVersions classifies the publish delta between retained versions") {
+    import spark.implicits._
+    val store = s3x("s3x-cdc") + "/table"
+    def pub(rows: Seq[(Long, String)]) =
+      VersionedStore.publish(spark, store, keepVersions = 2) { out =>
+        rows.toDF("id", "body").write.parquet(out)
+      }
+    pub(Seq(1L -> "a", 2L -> "b", 3L -> "c")).getName
+    val vNew = pub(Seq(2L -> "b", 3L -> "c2", 4L -> "d")).getName
+    val Seq(vOld, _) = VersionedStore.listVersions(spark, store)
+    val delta = graft.operators.SnapshotDiff
+      .diffVersions(spark, store, vOld, vNew, "id", col("body"))
+      .as[(Long, String)].collect().toMap
+    assert(delta == Map(1L -> "deleted", 2L -> "unchanged",
+      3L -> "updated", 4L -> "inserted"))
+    assert(vNew != vOld)
+  }
 }
