@@ -160,6 +160,98 @@ object Audit {
           |  'n_chars', n_chars_nn, n_chars_nd, n_chars_min, n_chars_max
           |) AS (col, n_null, n_distinct, min_v, max_v)""".stripMargin)
         .orderBy("col")
+    },
+
+    /* Profile drift — qa2 applied as a MONITOR (the Deequ/great-
+     * expectations anomaly pattern): profile two snapshots of the same
+     * table and report, per column, how row count, null count, and
+     * distinct cardinality moved; `drifted` flags any movement. Run
+     * between yesterday's and today's partition (or two VersionedStore
+     * versions), this is the release gate that catches a silently
+     * narrowed join or a newly-nullable upstream field — the profile
+     * numbers alone can't say WHICH rows broke (cdc1 answers that),
+     * but they are one scan per snapshot instead of a key join.
+     *
+     * Fixture: OLD = %5≠4; NEW = %3≠2 with %7=0 langs nulled and
+     * %11=0 texts collapsed to a constant — so each drift class is
+     * observably non-zero through a DIFFERENT column: a row-count
+     * drop, a null regression on lang, and a cardinality collapse on
+     * text (the classic silently-redacted-upstream bug).
+     */
+    QueryDef.sql("qa3_profile_drift",
+      """WITH old AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 <> 4),
+        |new AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 0 THEN 'REDACTED' ELSE text END AS text,
+        |         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
+        |  FROM documents WHERE doc_id % 3 <> 2),
+        |po AS (
+        |  SELECT 'doc_id' AS col, COUNT(*) AS n_rows,
+        |         CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |         COUNT(DISTINCT doc_id) AS n_distinct FROM old
+        |  UNION ALL
+        |  SELECT 'text', COUNT(*),
+        |         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT text) FROM old
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*),
+        |         CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT lang) FROM old),
+        |pn AS (
+        |  SELECT 'doc_id' AS col, COUNT(*) AS n_rows,
+        |         CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |         COUNT(DISTINCT doc_id) AS n_distinct FROM new
+        |  UNION ALL
+        |  SELECT 'text', COUNT(*),
+        |         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT text) FROM new
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*),
+        |         CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT lang) FROM new)
+        |SELECT po.col,
+        |       pn.n_rows - po.n_rows AS row_delta,
+        |       pn.n_null - po.n_null AS null_delta,
+        |       pn.n_distinct - po.n_distinct AS distinct_delta,
+        |       (pn.n_rows <> po.n_rows OR pn.n_null <> po.n_null
+        |          OR pn.n_distinct <> po.n_distinct) AS drifted
+        |FROM po JOIN pn ON po.col = pn.col
+        |ORDER BY po.col""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val neu = docs.filter(col("doc_id") % 3 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit("REDACTED"))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang"))
+      // one wide agg + stack per snapshot (qa2's single-scan shape)
+      def profile(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val exprs = Seq("doc_id", "text", "lang").flatMap { c =>
+          Seq(count(lit(1)).as(s"${c}_nr"),
+            sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nn"),
+            count_distinct(col(c)).as(s"${c}_nd"))
+        }
+        df.agg(exprs.head, exprs.tail: _*).selectExpr(
+          """stack(3,
+            |  'doc_id', doc_id_nr, doc_id_nn, doc_id_nd,
+            |  'text',   text_nr,   text_nn,   text_nd,
+            |  'lang',   lang_nr,   lang_nn,   lang_nd
+            |) AS (col, n_rows, n_null, n_distinct)""".stripMargin)
+      }
+      val po = profile(old).as("po")
+      val pn = profile(neu).as("pn")
+      po.join(pn, col("po.col") === col("pn.col"))
+        .select(col("po.col").as("col"),
+          (col("pn.n_rows") - col("po.n_rows")).as("row_delta"),
+          (col("pn.n_null") - col("po.n_null")).as("null_delta"),
+          (col("pn.n_distinct") - col("po.n_distinct")).as("distinct_delta"),
+          (col("pn.n_rows") =!= col("po.n_rows") ||
+            col("pn.n_null") =!= col("po.n_null") ||
+            col("pn.n_distinct") =!= col("po.n_distinct")).as("drifted"))
+        .orderBy("col")
     }
   )
 }

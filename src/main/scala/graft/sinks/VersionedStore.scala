@@ -270,11 +270,18 @@ object VersionedStore {
       // the version being superseded survives one publish as a grace
       // window for in-flight readers that resolved it pre-flip
       val grace = readPointer(spark, base).map(_.version)
-      // retention: the newest keepVersions complete versions survive as
-      // time-travel targets ([[readVersion]]/[[rollback]]); the default
-      // of 1 retains only the version being published (plus the grace
-      // window) — the original protocol
-      val retained = listVersions(spark, base).takeRight(keepVersions).toSet
+      // retention: the newest (keepVersions - 1) PRIOR versions survive
+      // alongside the new one as time-travel targets ([[readVersion]]/
+      // [[rollback]]). Strictly-before-by-name, so keepVersions = 1
+      // retains exactly {version} — the original protocol — and a
+      // same-millisecond crash orphan can never tie its way into the
+      // keep set (orphans are complete but were never pointed; with
+      // retention > 1 the newest prior complete version is kept even if
+      // it was such an orphan — names alone cannot tell a retired
+      // version from one that missed its flip, and keeping it errs
+      // toward data surviving)
+      val retained = listVersions(spark, base)
+        .filter(_ < version).takeRight(keepVersions - 1).toSet + version
       // Single-object atomic pointer flip — never a directory rename.
       flipPointer(spark, basePath, s"$version\t$fingerprint")
       prune(spark, basePath, keep = Set(version) ++ grace ++ retained)

@@ -278,6 +278,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("qa3 drift: one scan per snapshot, never per column") {
+    val df = SparkEntry.queries("qa3_profile_drift")(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length <= 2,
+      s"drift must profile each snapshot in one pass: ${scans.length} parquet scans")
+  }
+
   test("qa2 profile: all 20 statistics come from ONE scan of the corpus") {
     val df = SparkEntry.queries("qa2_column_profile")(spark, sf)
     df.collect()
