@@ -802,6 +802,67 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    /* T11: vocabulary-id vectorization — the CountVectorizer step that
+     * turns text into bounded integer sequences a trainer consumes: a
+     * corpus vocabulary of the top-V terms (rank by frequency desc,
+     * term asc — fully deterministic), then every document mapped
+     * token-by-token to its vocab id, out-of-vocabulary → 0, ORDER
+     * PRESERVED. Emitted as a comma-joined id string plus an OOV count
+     * (the number a tokenizer-coverage gate watches).
+     *
+     * Shape at scale: the vocab is ONE tf aggregate + a top-V rank (V
+     * rows, a bounded artifact exactly like v4's codebook); the mapping
+     * pass explodes tokens, BROADCASTS the V-row vocab into the join,
+     * and re-aggregates per doc on (pos)-ordered ids — the corpus
+     * shuffles once in token rows, the vocab never shuffles at all.
+     *
+     * V = 24 here, deliberately BELOW the synthetic corpus's 31
+     * distinct words, so the OOV branch fires on real rows (V = 1000
+     * on this corpus would map every token and leave id 0 untested);
+     * production picks V per tokenizer budget, the plan is identical.
+     */
+    QueryDef.sql("t11_vectorize",
+      s"""WITH tok AS (
+         |  SELECT doc_id, pos, w FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split(text, ' ')) AS w,
+         |           generate_subscripts(string_split(text, ' '), 1) AS pos
+         |    FROM documents)),
+         |vocab AS (
+         |  SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS id
+         |  FROM tok GROUP BY w
+         |  ORDER BY COUNT(*) DESC, w LIMIT 24),
+         |mapped AS (
+         |  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+         |  FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+         |SELECT doc_id,
+         |       COUNT(*) AS n_tokens,
+         |       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+         |FROM mapped GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      // top-V first (TakeOrderedAndProject — distributed), THEN rank:
+      // the only unpartitioned window runs over the bounded V-row frame,
+      // never the full term set
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), asc("w")).limit(24)
+        .withColumn("id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("tf"), asc("w"))))
+        .select("w", "id")
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("id"), lit(0)).cast("long").as("id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id") === 0, 1).otherwise(0)).as("n_oov"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, id))), x -> CAST(x.id AS STRING))"),
+            ",").as("ids_csv"))
+        .orderBy("doc_id")
+    },
+
     /* T10: boilerplate removal — the CCNet/RefinedWeb step that strips
      * content REPEATED ACROSS documents (cookie banners, nav text,
      * footers) while keeping each document's unique body. Unit of
