@@ -979,6 +979,34 @@ class OpsSpec extends SparkSpec {
     assert(out.values.map(_._1).toSet.size > 1)
   }
 
+  test("v7 pq: every assigned code is the true integer-L2 argmin (independent Scala replay)") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = graft.operators.VectorOps.pqTrain(spark, emb)
+    def quant(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+    val rows = graft.sources.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(quant).toArray))
+    val encoded = SparkEntry.queries("v7_pq")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getLong(5))).toMap
+    rows.foreach { case (id, xi) =>
+      var totalErr = 0L
+      for (m <- 0 until 4) {
+        val sub = xi.slice(m * 16, (m + 1) * 16)
+        // plain Scala argmin over exact integer L2 — a different code
+        // path from the engine's argmax(2·dot_q − |c|²) structs
+        val dists = books(m).map(c =>
+          sub.zip(c).map { case (a, b) => val dl = a - b; dl * dl }.sum)
+        val best = dists.zipWithIndex.minBy { case (dist, k) => (dist, k) }
+        assert(encoded(id)._1(m) == best._2.toLong,
+          s"vec $id subspace $m: engine chose ${encoded(id)._1(m)}, argmin is ${best._2}")
+        totalErr += best._1
+      }
+      assert(encoded(id)._2 == totalErr, s"vec $id sq_err mismatch")
+    }
+  }
+
   test("v8 adc: full top-10 per query, sorted, and bounded below by the query's own sq_err") {
     val d = "/root/testdata/sf0.001"
     val adc = SparkEntry.queries("v8_pq_adc")(spark, d)
