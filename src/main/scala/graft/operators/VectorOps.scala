@@ -319,21 +319,7 @@ object VectorOps {
          |               unnest(embedding) AS x,
          |               generate_subscripts(embedding, 1) - 1 AS pos
          |        FROM embeddings)),
-         |norms AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM el GROUP BY vec_id),
-         |cdots AS (
-         |  SELECT v.vec_id, c.vec_id AS cent_id, CAST(SUM(v.xi * c.xi) AS BIGINT) AS dot
-         |  FROM el v JOIN el c ON v.pos = c.pos AND c.vec_id < $NCells
-         |  GROUP BY v.vec_id, c.vec_id),
-         |ranked AS (
-         |  SELECT cdots.vec_id AS vec_id, cent_id,
-         |         row_number() OVER (PARTITION BY cdots.vec_id
-         |           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
-         |                    cent_id) AS crn
-         |  FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
-         |             JOIN norms nc ON cent_id = nc.vec_id),
-         |cells AS (SELECT vec_id AS cand_id, cent_id AS cell FROM ranked WHERE crn = 1),
-         |probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked
-         |           WHERE crn <= $NProbe AND vec_id < 10),
+         |$ivfCellsSql,
          |cand AS (
          |  SELECT query_id, cand_id FROM probes JOIN cells USING (cell)
          |  WHERE cand_id <> query_id),
@@ -355,24 +341,7 @@ object VectorOps {
     }) { (s, d) =>
       graft.functions.NativeFunctions.register(s)
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      // The codebook is a genuinely tiny dim table: inline it as
-      // literals so assignment needs no join at all.
-      val cents: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") < NCells)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val centCos = cents.map { case (cid, arr) =>
-        struct(lit(cid).as("cent_id"),
-          call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("ccos"))
-      }
-      val ranked = emb
-        .select(col("vec_id"), explode(array(centCos.toIndexedSeq: _*)).as("c"))
-        .select(col("vec_id"), col("c.cent_id"), col("c.ccos"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
-        .localCheckpoint() // cells + probes both read it; assign once
-      val cells = ranked.filter(col("crn") === 1)
-        .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
-      val probes = ranked.filter(col("crn") <= NProbe && col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+      val (cells, probes) = ivfCellsAndProbes(s, emb)
       probes.join(cells, "cell")
         .filter(col("cand_id") =!= col("query_id"))
         .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -661,6 +630,78 @@ object VectorOps {
         .filter(col("rn") <= 10)
         .select("query_id", "rn", "cand_id", "adist")
         .orderBy("query_id", "rn")
+    },
+
+    // V9: IVF-PQ — the FAISS production composite, assembled from two
+    // already-oracled components: v4's coarse quantizer restricts each
+    // query to its NProbe=2 nearest cells, and WITHIN those cells
+    // candidates are ranked by v8's ADC lookup over the 4-code PQ
+    // index. At 100 TB this is the architecture that serves: the
+    // inverted lists bound the fraction of the corpus touched, the PQ
+    // codes bound the bytes per touched row, and neither the raw
+    // embeddings nor the code table ever shuffles — cell assignment
+    // and code assignment are both map-only over literals, the probe
+    // list broadcasts into the candidate join, and the only corpus
+    // shuffle is the per-query top-k window.
+    QueryDef.sql("v9_ivf_pq",
+      s"""WITH el AS ($elementsSql),
+         |$ivfCellsSql,
+         |$pqChainSql,
+         |qd AS (SELECT q.vec_id AS query_id, c.m, c.cent_id,
+         |              CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dist
+         |       FROM sub q JOIN c1 c ON q.m = c.m AND q.p = c.p
+         |       WHERE q.vec_id < 10
+         |       GROUP BY q.vec_id, c.m, c.cent_id),
+         |cand2 AS (
+         |  SELECT query_id, cand_id FROM probes JOIN cells USING (cell)
+         |  WHERE cand_id <> query_id),
+         |sc AS (SELECT cand2.query_id, cand2.cand_id,
+         |              CAST(SUM(qd.dist) AS BIGINT) AS adist
+         |       FROM cand2 JOIN ch ON ch.vec_id = cand2.cand_id
+         |                  JOIN qd ON qd.query_id = cand2.query_id
+         |                         AND qd.m = ch.m AND qd.cent_id = ch.cent_id
+         |       GROUP BY cand2.query_id, cand2.cand_id),
+         |ranked2 AS (SELECT query_id, cand_id, adist,
+         |                   row_number() OVER (PARTITION BY query_id
+         |                                      ORDER BY adist, cand_id) AS rn
+         |            FROM sc)
+         |SELECT query_id, rn, cand_id, adist FROM ranked2 WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val (cells, probes) = ivfCellsAndProbes(s, emb)
+      val books = pqTrainCached(s, d)
+      def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+      val codes = pqAssign(emb, books)
+        .select(col("vec_id").as("cand_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+      val qs = emb.filter(col("vec_id") < 10).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(quantF).toArray))
+      def lut(qv: Array[Long], m: Int): Seq[Long] = (0 until PqK).map { k =>
+        (0 until PqP).map { p =>
+          val dlt = qv(m * PqP + p) - books(m)(k)(p); dlt * dlt
+        }.sum
+      }
+      // per-query LUT lookup keyed by the query_id COLUMN (candidates
+      // differ per query, so no blanket explode as in v8): a when-chain
+      // over the 10 query ids per subspace, 4 element_at lookups total
+      val adist = (0 until PqM).map { m =>
+        qs.tail.foldLeft(
+          when(col("query_id") === qs.head._1,
+            element_at(typedLit(lut(qs.head._2, m)), col(s"c$m").cast("int") + 1))) {
+          case (acc, (qid, qv)) =>
+            acc.when(col("query_id") === qid,
+              element_at(typedLit(lut(qv, m)), col(s"c$m").cast("int") + 1))
+        }
+      }.reduce(_ + _)
+      broadcast(probes).join(cells, Seq("cell"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .join(codes, Seq("cand_id"))
+        .withColumn("adist", adist)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("adist"), asc("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "cand_id", "adist")
+        .orderBy("query_id", "rn")
     }
   )
 
@@ -673,6 +714,55 @@ object VectorOps {
   private final val PqM = 4
   private final val PqP = 16
   private final val PqK = 8
+
+  /** v4/v9's shared IVF cell scheme (CTE body): expects `el` bound;
+    * defines `cells(cand_id, cell)` — every vector's nearest seed
+    * centroid (cosine, cent_id tiebreak) — and `probes(query_id,
+    * cell)` — each query's NProbe nearest cells.
+    */
+  private def ivfCellsSql: String =
+    s"""norms AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM el GROUP BY vec_id),
+       |cdots AS (
+       |  SELECT v.vec_id, c.vec_id AS cent_id, CAST(SUM(v.xi * c.xi) AS BIGINT) AS dot
+       |  FROM el v JOIN el c ON v.pos = c.pos AND c.vec_id < $NCells
+       |  GROUP BY v.vec_id, c.vec_id),
+       |ranked AS (
+       |  SELECT cdots.vec_id AS vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY cdots.vec_id
+       |           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+       |                    cent_id) AS crn
+       |  FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+       |             JOIN norms nc ON cent_id = nc.vec_id),
+       |cells AS (SELECT vec_id AS cand_id, cent_id AS cell FROM ranked WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+       |           WHERE crn <= $NProbe AND vec_id < 10)""".stripMargin
+
+  /** Engine twin of [[ivfCellsSql]]: map-only assignment against the
+    * NCells seed centroids inlined as literals (no join, no shuffle),
+    * one localCheckpoint shared by the cells and probes readers.
+    */
+  private def ivfCellsAndProbes(s: SparkSession,
+      emb: DataFrame): (DataFrame, DataFrame) = {
+    // The codebook is a genuinely tiny dim table: inline it as
+    // literals so assignment needs no join at all.
+    val cents: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") < NCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centCos = cents.map { case (cid, arr) =>
+      struct(lit(cid).as("cent_id"),
+        call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("ccos"))
+    }
+    val ranked = emb
+      .select(col("vec_id"), explode(array(centCos.toIndexedSeq: _*)).as("c"))
+      .select(col("vec_id"), col("c.cent_id"), col("c.ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+      .localCheckpoint() // cells + probes both read it; assign once
+    val cells = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("crn") <= NProbe && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    (cells, probes)
+  }
 
   /** The oracled PQ training + assignment chain (v7/v8's shared CTE
     * body): expects `el(vec_id, pos, xi)` bound; defines `c1` as the

@@ -1090,6 +1090,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("v9 ivf-pq: bounded sorted top-k per query, adist agrees with v8 on overlap") {
+    val d = "/root/testdata/sf0.001"
+    val v9 = SparkEntry.queries("v9_ivf_pq")(spark, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), (r.getInt(1), r.getLong(3))))
+    assert(v9.nonEmpty)
+    v9.groupBy(_._1._1).values.foreach { g =>
+      assert(g.length <= 10)
+      val sorted = g.sortBy(_._2._1)
+      assert(sorted.map(_._2._2).sliding(2).forall(p => p.head <= p.last))
+    }
+    // the same (query, cand) scored by the full-corpus ADC (v8) must
+    // carry the IDENTICAL integer distance — v9 only narrows the
+    // candidate set, it must not change the metric
+    val v8 = SparkEntry.queries("v8_pq_adc")(spark, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val overlap = v9.filter(p => v8.contains(p._1))
+    assert(overlap.nonEmpty, "no candidate overlap between v8 and v9 top-10s")
+    overlap.foreach { case (k, (_, adist)) =>
+      assert(v8(k) == adist, s"adist diverged for $k: v9 $adist vs v8 ${v8(k)}")
+    }
+  }
+
   test("qa2 column profile: probe nulls counted, key column clean, bounds sane") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("qa2_column_profile")(spark, d)
