@@ -94,6 +94,41 @@ object Chunking {
           expr(s"(cb + n - 1) div $L").as("last_example"),
           expr(s"(cb + n - 1) div $L - cb div $L + 1").as("n_examples"))
         .orderBy("doc_id")
+    },
+
+    /* P12: padding-waste accounting — the one-row summary that
+     * justifies p11's packing: how many L-token training examples the
+     * corpus needs PACKED (concat stream, ceil(Σn/L)) versus PADDED
+     * (one-doc-per-example, Σ ceil(n/L)), and the fraction of padded
+     * example slots that would be padding. This is the number a
+     * training-efficiency dashboard tracks per corpus release; at this
+     * corpus's short-doc profile the padded waste is large, which is
+     * exactly the motivation for the packing operator. One narrow
+     * token-count pass + one global aggregate; integer arithmetic
+     * until a single final IEEE division.
+     */
+    QueryDef.sql("p12_padding_waste",
+      s"""WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+         |s AS (SELECT COUNT(*) AS n_docs,
+         |             CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |             CAST(SUM((n + ${L - 1}) // $L) AS BIGINT) AS padded_examples
+         |      FROM t)
+         |SELECT n_docs, total_tokens,
+         |       CAST((total_tokens + ${L - 1}) // $L AS BIGINT) AS packed_examples,
+         |       padded_examples,
+         |       CAST(padded_examples * $L - total_tokens AS DOUBLE)
+         |         / CAST(padded_examples * $L AS DOUBLE) AS padded_waste_frac
+         |FROM s""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(expr(s"(n + ${L - 1}) div $L")).as("padded_examples"))
+        .select(col("n_docs"), col("total_tokens"),
+          expr(s"(total_tokens + ${L - 1}) div $L").as("packed_examples"),
+          col("padded_examples"),
+          ((col("padded_examples") * L - col("total_tokens")).cast("double") /
+            (col("padded_examples") * L).cast("double")).as("padded_waste_frac"))
     }
   )
 }

@@ -1031,6 +1031,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("p12 padding waste: packed never exceeds padded and the accounting reconciles") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("p12_padding_waste")(spark, d).collect().head
+    val (nDocs, total, packed, padded, waste) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(packed <= padded, "packing can never need more examples than padding")
+    assert(padded >= nDocs) // every doc needs at least one padded example
+    assert(packed == (total + 255) / 256)
+    assert(waste == (padded * 256 - total).toDouble / (padded * 256))
+    assert(waste >= 0.0 && waste < 1.0)
+    // short-doc corpus: packing must actually help, visibly
+    assert(packed * 2 <= padded, s"expected substantial packing gain: $packed vs $padded")
+  }
+
   test("fu1 funnel: stage counts are monotone and every stage observed") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("fu1_funnel")(spark, d).collect().head
