@@ -457,7 +457,11 @@ class OpsSpec extends SparkSpec {
     val after1 = spark.sparkContext.getPersistentRDDs.size
     SparkEntry.queries("d9_semantic_dedup")(spark, d).collect()
     val after2 = spark.sparkContext.getPersistentRDDs.size
-    assert(after2 == after1,
+    // <= not ==: the async ContextCleaner may GC some OTHER test's
+    // dereferenced localCheckpoint between the two samples (observed in
+    // full-suite runs), and that shrink is not a d9 leak — only GROWTH
+    // per execution is
+    assert(after2 <= after1,
       s"each d9 execution pins another block set: $after1 -> $after2")
   }
 
