@@ -155,6 +155,36 @@ object ProductAnalytics {
         ((col("sy").cast("double") - slopeC * col("sx").cast("double"))
           / col("n").cast("double") / 100.0).as("intercept"))
         .orderBy("event_type")
+    },
+
+    /* A15: per-group mode — the most frequent (rounded) value per
+     * event_type with its frequency, ties to the LOWEST value so the
+     * answer is deterministic in any engine (the built-in mode()'s tie
+     * choice is unspecified in both Spark and DuckDB, so neither is
+     * used). Shape: one (group, value) count with map-side combine,
+     * then a per-group top-1 window over the already-aggregated counts
+     * — the window input is |group|·|distinct values| rows, not the
+     * corpus.
+     */
+    QueryDef.sql("a15_mode",
+      """WITH vc AS (
+        |  SELECT event_type, CAST(round(value) AS BIGINT) AS v, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, v)
+        |SELECT event_type, v AS modal_value, n AS n_occurrences
+        |FROM (SELECT event_type, v, n,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY n DESC, v) AS rn
+        |      FROM vc)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), round(col("value"), 0).cast("long").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("n"), asc("v"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("v").as("modal_value"),
+          col("n").as("n_occurrences"))
+        .orderBy("event_type")
     }
   )
 }
