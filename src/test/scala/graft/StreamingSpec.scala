@@ -273,6 +273,47 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L, 7L, 9L), s"after fold + stream: $kept")
   }
 
+  test("streaming profile: per-batch history, drift verdict, idempotent on restart") {
+    import graft.streaming.StreamProfile
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-sprof-store") + "/store"
+    val cp = tmpDir("graft-sprof-cp")
+    val in = MemoryStream[(Long, String)]
+    def df = in.toDF().toDF("id", "body")
+      .select(col("id"), when(col("body") === "", null).otherwise(col("body")).as("body"))
+
+    val q1 = StreamProfile.start(df, Seq("id", "body"), store, cp)
+    in.addData((1L, "a"), (2L, "b"), (3L, "b"))
+    q1.processAllAvailable()
+    // batch 1: one fewer row, two nulls, collapsed body cardinality
+    in.addData((4L, ""), (5L, ""))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val hist = StreamProfile.history(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(4)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(hist(("body", 0L)) == ((3L, 0L, 2L))) // 3 rows, no nulls, {a, b}
+    assert(hist(("body", 1L)) == ((2L, 2L, 0L))) // both null → 0 distinct
+    assert(hist(("id", 1L)) == ((2L, 0L, 2L)))
+
+    val d = StreamProfile.drift(spark, store)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(d("body") == ((-1L, 2L, -2L, true))) // the corrupt batch fires every delta
+    assert(d("id") == ((-1L, 0L, -1L, true)))
+
+    // restart from the same checkpoint: no reprocessing, history intact;
+    // a new batch extends it
+    val q2 = StreamProfile.start(df, Seq("id", "body"), store, cp)
+    in.addData((6L, "c"))
+    q2.processAllAvailable()
+    q2.stop()
+    val n = StreamProfile.history(spark, store)
+      .select("batch_id").distinct().count()
+    assert(n == 3, s"expected 3 batch profiles, got $n")
+  }
+
   test("streaming dedup refuses a new checkpoint over an existing store (batch-id epoch guard)") {
     import graft.streaming.StreamDedup
     implicit val sc = spark.sqlContext
