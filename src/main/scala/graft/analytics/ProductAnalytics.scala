@@ -157,6 +157,45 @@ object ProductAnalytics {
         .orderBy("event_type")
     },
 
+    /* CO2: DAU / WAU / stickiness — the engagement triple. WAU(d) =
+     * distinct users active in [d-6, d] is computed by CONTRIBUTION
+     * EXPLODE: each distinct (user, day) activity contributes to the 7
+     * windows ending on day..day+6, then one distinct-count per
+     * contributed day — a bounded ×7 row expansion with map-side
+     * combine, instead of the per-day self-join (7 scans) or a
+     * RANGE-frame distinct window (which no engine supports exactly).
+     * Output keeps only days with actual activity. Stickiness is the
+     * one IEEE division.
+     */
+    QueryDef.sql("co2_dau_wau",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS n_dau FROM ud GROUP BY day),
+        |contrib AS (
+        |  SELECT ud.user_id, ud.day + CAST(i AS INTEGER) AS wday
+        |  FROM ud, unnest(generate_series(0, 6)) AS t(i)),
+        |wau AS (
+        |  SELECT wday AS day, COUNT(DISTINCT user_id) AS n_wau
+        |  FROM contrib GROUP BY wday)
+        |SELECT d.day, dau.n_dau, wau.n_wau,
+        |       CAST(dau.n_dau AS DOUBLE) / CAST(wau.n_wau AS DOUBLE) AS stickiness
+        |FROM days d JOIN dau ON d.day = dau.day JOIN wau ON d.day = wau.day
+        |ORDER BY d.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy("day").agg(count_distinct(col("user_id")).as("n_dau"))
+      val wau = ud
+        .withColumn("i", explode(sequence(lit(0), lit(6))))
+        .select(col("user_id"), expr("date_add(day, i)").as("day"))
+        .groupBy("day").agg(count_distinct(col("user_id")).as("n_wau"))
+      ud.select("day").distinct()
+        .join(dau, Seq("day")).join(wau, Seq("day"))
+        .select(col("day"), col("n_dau"), col("n_wau"),
+          (col("n_dau").cast("double") / col("n_wau").cast("double")).as("stickiness"))
+        .orderBy("day")
+    },
+
     /* A15: per-group mode — the most frequent (rounded) value per
      * event_type with its frequency, ties to the LOWEST value so the
      * answer is deterministic in any engine (the built-in mode()'s tie

@@ -1049,6 +1049,21 @@ class OpsSpec extends SparkSpec {
     assert(packed * 2 <= padded, s"expected substantial packing gain: $packed vs $padded")
   }
 
+  test("co2 dau/wau: window dominates the day, stickiness bounded, first day coincides") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("co2_dau_wau")(spark, d)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, dau, wau, stick) =>
+      assert(dau <= wau, "a day's actives are a subset of its trailing week's")
+      assert(stick > 0.0 && stick <= 1.0)
+      assert(stick == dau.toDouble / wau)
+    }
+    // the first observed day has no history: its week IS its day
+    assert(rows.head._2 == rows.head._3)
+  }
+
   test("fu1 funnel: stage counts are monotone and every stage observed") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("fu1_funnel")(spark, d).collect().head
