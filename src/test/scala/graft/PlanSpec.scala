@@ -288,6 +288,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"drift must profile each snapshot in one pass: ${scans.length} parquet scans")
   }
 
+  test("t11 vectorize: the vocab broadcasts into the token mapping join") {
+    val df = SparkEntry.queries("t11_vectorize")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"vocab mapping fell back to a shuffle join:\n${plan.toString.take(800)}")
+  }
+
   test("qa2 profile: all 20 statistics come from ONE scan of the corpus") {
     val df = SparkEntry.queries("qa2_column_profile")(spark, sf)
     df.collect()
