@@ -22,6 +22,19 @@ import graft.sources.Tables
   */
 object FuncOps2 {
 
+  /** s5's quota rule over (sq, total_sq, n_total), factored so the
+    * overflow spec exercises the production expression: exact integer
+    * ppm = min(1e6, 300·sq·1e6 div (total_sq·n_total)), computed in
+    * DECIMAL(38,0). In BIGINT, 300·sq·1e6 wraps once a single source
+    * holds ~1 GB of chars (sq ≈ sqrt(mass)·1e6) and total_sq·n_total
+    * earlier still — silently negative under non-ANSI Spark, an error
+    * in DuckDB. `div` (not `/`) matches DuckDB's `//`.
+    */
+  def s5QuotaPpm: org.apache.spark.sql.Column =
+    least(lit(1000000L),
+      expr("(300 * CAST(sq AS DECIMAL(38,0)) * 1000000)" +
+        " div (CAST(total_sq AS DECIMAL(38,0)) * n_total)"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // A11: corr/covar from exact quantized power sums, per return flag.
@@ -502,7 +515,8 @@ object FuncOps2 {
          |         CAST(SUM(sq) OVER () AS BIGINT) AS total_sq FROM quota),
          |quota3 AS (
          |  SELECT source, n_total,
-         |         LEAST(1000000, 300 * sq * 1000000 // (total_sq * n_total)) AS quota_ppm
+         |         CAST(LEAST(1000000, 300 * CAST(sq AS HUGEINT) * 1000000
+         |                              // (CAST(total_sq AS HUGEINT) * n_total)) AS BIGINT) AS quota_ppm
          |  FROM quota2)
          |SELECT d.source, q.n_total, q.quota_ppm,
          |       CAST(SUM(CASE WHEN ${TextOps.phashSql(
@@ -520,10 +534,7 @@ object FuncOps2 {
       // bounded at #sources rows, never the corpus
       val quota = perSrc
         .withColumn("total_sq", sum("sq").over(Window.partitionBy()))
-        // `div` (not `/`): integer division, matching DuckDB's `//`
-        .withColumn("quota_ppm",
-          least(lit(1000000L),
-            expr("(300 * sq * 1000000) div (total_sq * n_total)")))
+        .withColumn("quota_ppm", s5QuotaPpm)
         .select("source", "n_total", "quota_ppm")
       docs.join(broadcast(quota), Seq("source"))
         .groupBy("source", "n_total", "quota_ppm")

@@ -220,7 +220,10 @@ object MinHash {
         (col("doc_id") + 7000000 + col("sev") * 1000000).as("doc_id"),
         array_join(concat(
           expr("slice(ws, k + 1, 100000)"),
-          expr("transform(sequence(1, k)," +
+          // sequence(1, 0) defaults to step -1 and yields [1, 0] — guard the
+          // k = 0 (verbatim) class so it really IS verbatim, matching DuckDB's
+          // empty generate_series(1, 0).
+          expr("transform(if(k = 0, array(), sequence(1, k))," +
             " i -> concat('zz', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))")),
           " ").as("text"))
       val pairs = nearDupPairs(docs.union(planted), 0.5)

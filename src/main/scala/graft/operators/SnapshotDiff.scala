@@ -35,7 +35,10 @@ object SnapshotDiff {
       .select(coalesce(col(s"o.$key"), col(s"n.$key")).as(key),
         when(col(s"o.$key").isNull, "inserted")
           .when(col(s"n.$key").isNull, "deleted")
-          .when(col("o.h") =!= col("n.h"), "updated")
+          // null-safe: a NULL↔value content change must classify as
+          // updated, not fall through NULL to 'unchanged' (SQL twin:
+          // `o.h IS DISTINCT FROM n.h`)
+          .when(!(col("o.h") <=> col("n.h")), "updated")
           .otherwise("unchanged").as("change"))
   }
 
@@ -64,7 +67,7 @@ object SnapshotDiff {
         |SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
         |       CASE WHEN old.doc_id IS NULL THEN 'inserted'
         |            WHEN new.doc_id IS NULL THEN 'deleted'
-        |            WHEN old.h <> new.h THEN 'updated'
+        |            WHEN old.h IS DISTINCT FROM new.h THEN 'updated'
         |            ELSE 'unchanged' END AS change
         |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, d) =>

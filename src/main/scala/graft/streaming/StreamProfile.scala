@@ -31,8 +31,11 @@ object StreamProfile {
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty)
     val exprs: Seq[Column] = columns.flatMap { c =>
+      // coalesce: sum() over an EMPTY micro-batch is NULL while the
+      // counts are 0 — an empty batch must profile as all-zeros, or a
+      // NULL n_null poisons drift()'s null_delta for adjacent batches
       Seq(count(lit(1)).as(s"${c}_nr"),
-        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nn"),
+        coalesce(sum(when(col(c).isNull, 1).otherwise(0)), lit(0L)).as(s"${c}_nn"),
         count_distinct(col(c)).as(s"${c}_nd"))
     }
     val stackArgs = columns

@@ -1206,6 +1206,40 @@ class OpsSpec extends SparkSpec {
     newH.foreach { case (id, h) => assert(origH(id) != h) }
   }
 
+  test("snapshot diff: NULL↔value content changes classify as updated (null-safe compare)") {
+    import spark.implicits._
+    val old = Seq(1L -> Option("a"), 2L -> Option.empty[String],
+      3L -> Option("c"), 4L -> Option.empty[String]).toDF("id", "body")
+    val neu = Seq(1L -> Option.empty[String], 2L -> Option("b"),
+      3L -> Option("c"), 4L -> Option.empty[String]).toDF("id", "body")
+    val out = graft.operators.SnapshotDiff.diff(old, neu, "id", col("body"))
+      .as[(Long, String)].collect().toMap
+    // a non-null-safe =!= evaluates NULL on rows 1/2 and falls through
+    // to 'unchanged'; NULL↔NULL (row 4) must still compare equal
+    assert(out == Map(1L -> "updated", 2L -> "updated",
+      3L -> "unchanged", 4L -> "unchanged"), s"got $out")
+  }
+
+  test("s5 quota arithmetic is exact at the 100 TB regime (no BIGINT wrap)") {
+    import spark.implicits._
+    // one source with ~9 TB of chars among three: sq = sqrt(9e12)·1e6 =
+    // 3e12, total_sq = 9e12, n_total = 3e6 docs. The BIGINT numerator
+    // 300·sq·1e6 = 9e20 and denominator 2.7e19 both exceed 2^63
+    // (~9.2e18) — unwidened, Spark wraps to garbage hidden under LEAST.
+    // True quotient: 9e20 div 2.7e19 = 33 ppm.
+    val row = Seq((3000000000000L, 9000000000000L, 3000000L))
+      .toDF("sq", "total_sq", "n_total")
+      .select(graft.analytics.FuncOps2.s5QuotaPpm.as("quota_ppm"))
+      .as[Long].head()
+    assert(row == 33L, s"expected exact 33 ppm, got $row")
+    // and a tiny source must still be able to cap at 100%
+    val cap = Seq((9000000000000L, 9000000000000L, 1L))
+      .toDF("sq", "total_sq", "n_total")
+      .select(graft.analytics.FuncOps2.s5QuotaPpm.as("quota_ppm"))
+      .as[Long].head()
+    assert(cap == 1000000L, s"expected capped 1e6 ppm, got $cap")
+  }
+
   test("s5 temperature mix: quotas spend the budget and flatten the source skew") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("s5_temperature_mix")(spark, d)

@@ -312,6 +312,17 @@ class StreamingSpec extends SparkSpec {
     val n = StreamProfile.history(spark, store)
       .select("batch_id").distinct().count()
     assert(n == 3, s"expected 3 batch profiles, got $n")
+
+    // an EMPTY micro-batch must profile as all-zeros — sum() over zero
+    // rows is NULL without the coalesce, and a NULL n_null propagates
+    // into drift()'s null_delta for both adjacent batches
+    val pe = StreamProfile.profile(
+        spark.emptyDataset[(Long, String)].toDF("id", "body"), Seq("id", "body"))
+      .collect()
+    assert(pe.length == 2)
+    assert(pe.forall(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3)
+      && r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L),
+      s"empty-batch profile must be all-zeros: ${pe.mkString(", ")}")
   }
 
   test("streaming dedup refuses a new checkpoint over an existing store (batch-id epoch guard)") {
