@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import scala.jdk.CollectionConverters._
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -602,34 +603,13 @@ object VectorOps {
          |           FROM sc WHERE cand_id <> query_id)
          |SELECT query_id, rn, cand_id, adist FROM ranked WHERE rn <= 10
          |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val books = pqTrainCached(s, d)
-      def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
-      // the compressed index: vec_id + M code ids, nothing else
-      val codes = pqAssign(emb, books)
-        .select(col("vec_id").as("cand_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
-      // per-query LUT: lut(m)(k) = ||q_m - c_mk||² — M·K = 32 BIGINTs
-      val qs = emb.filter(col("vec_id") < 10).collect().sortBy(_.getLong(0))
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(quantF).toArray))
-      val qCols = qs.map { case (qid, qv) =>
-        val adist = (0 until PqM).map { m =>
-          val lut: Seq[Long] = (0 until PqK).map { k =>
-            (0 until PqP).map { p =>
-              val dlt = qv(m * PqP + p) - books(m)(k)(p); dlt * dlt
-            }.sum
-          }
-          element_at(typedLit(lut), col(s"c$m").cast("int") + 1)
-        }.reduce(_ + _)
-        struct(lit(qid).as("query_id"), adist.as("adist"))
-      }
-      codes.select(col("cand_id"), explode(array(qCols.toSeq: _*)).as("q"))
-        .select(col("q.query_id"), col("cand_id"), col("q.adist"))
-        .filter(col("cand_id") =!= col("query_id"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(asc("adist"), asc("cand_id"))))
-        .filter(col("rn") <= 10)
-        .select("query_id", "rn", "cand_id", "adist")
-        .orderBy("query_id", "rn")
+      // 10 queries → adcScoreAll takes the literal LUT path (map-only,
+      // constant-folded); the >AdcLiteralMax broadcast path is pinned
+      // bit-identical in OpsSpec/PlanSpec
+      adcSearch(s, emb, emb.filter(col("vec_id") < 10), 10,
+        books0 = Some(pqTrainCached(s, d)))
     },
 
     // V9: IVF-PQ — the FAISS production composite, assembled from two
@@ -671,37 +651,17 @@ object VectorOps {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val (cells, probes) = ivfCellsAndProbes(s, emb)
       val books = pqTrainCached(s, d)
-      def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
       val codes = pqAssign(emb, books)
         .select(col("vec_id").as("cand_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
-      val qs = emb.filter(col("vec_id") < 10).collect().sortBy(_.getLong(0))
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(quantF).toArray))
-      def lut(qv: Array[Long], m: Int): Seq[Long] = (0 until PqK).map { k =>
-        (0 until PqP).map { p =>
-          val dlt = qv(m * PqP + p) - books(m)(k)(p); dlt * dlt
-        }.sum
-      }
-      // per-query LUT lookup keyed by the query_id COLUMN (candidates
-      // differ per query, so no blanket explode as in v8): a when-chain
-      // over the 10 query ids per subspace, 4 element_at lookups total
-      val adist = (0 until PqM).map { m =>
-        qs.tail.foldLeft(
-          when(col("query_id") === qs.head._1,
-            element_at(typedLit(lut(qs.head._2, m)), col(s"c$m").cast("int") + 1))) {
-          case (acc, (qid, qv)) =>
-            acc.when(col("query_id") === qid,
-              element_at(typedLit(lut(qv, m)), col(s"c$m").cast("int") + 1))
-        }
-      }.reduce(_ + _)
-      broadcast(probes).join(cells, Seq("cell"))
+      val qs = collectQueries(emb.filter(col("vec_id") < 10))
+      // candidates carry their query_id (the probe lists), so scoring
+      // is adcScoreKeyed: 10 queries → the literal when-chain path;
+      // production batches route to the broadcast LUT join (see
+      // AdcLiteralMax — pinned in PlanSpec/OpsSpec)
+      val cand = broadcast(probes).join(cells, Seq("cell"))
         .filter(col("cand_id") =!= col("query_id"))
         .join(codes, Seq("cand_id"))
-        .withColumn("adist", adist)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(asc("adist"), asc("cand_id"))))
-        .filter(col("rn") <= 10)
-        .select("query_id", "rn", "cand_id", "adist")
-        .orderBy("query_id", "rn")
+      adcTopKTail(adcScoreKeyed(s, cand, qs, books), 10)
     }
   )
 
@@ -714,6 +674,16 @@ object VectorOps {
   private final val PqM = 4
   private final val PqP = 16
   private final val PqK = 8
+
+  /** Largest query batch served by the inlined-literal ADC path. Each
+    * literal query adds M element_at lookups (v8) or M when-branches
+    * (v9) to the plan, so plan size grows linearly with the batch and
+    * whole-stage codegen collapses around a few hundred queries. Above
+    * this, [[adcScoreAll]]/[[adcScoreKeyed]] switch to the broadcast
+    * LUT-table join, whose plan size is CONSTANT in the batch size —
+    * the production path for thousand-query reranker batches.
+    */
+  final val AdcLiteralMax = 16
 
   /** v4/v9's shared IVF cell scheme (CTE body): expects `el` bound;
     * defines `cells(cand_id, cell)` — every vector's nearest seed
@@ -884,6 +854,143 @@ object VectorOps {
     val key = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/embeddings.parquet")
     pqBookCache.getOrElseUpdate(key,
       pqTrain(s, Tables.embeddings(s, d).select("vec_id", "embedding")))
+  }
+
+  // ---- ADC serving core (shared by v8 / v9 / adcSearch) -------------
+  //
+  // A query batch is scored against the compressed code table through
+  // per-query lookup tables lut(m)(k) = ||q_m - c_mk||² (M·K = 32
+  // BIGINTs per query, exact integer L2 on quantized elements). Two
+  // physically different, bit-identical paths:
+  //  - literal (batch ≤ AdcLiteralMax): LUTs inline as array literals —
+  //    constant-folded element_at inside codegen, zero joins. Optimal
+  //    for interactive lookups, but plan size is O(batch).
+  //  - broadcast (larger batches): LUTs become a Q-row DataFrame
+  //    (query_id, lut0..lut{M-1}) BROADCAST into the candidate scan —
+  //    one BroadcastHashJoin on query_id (keyed) or one
+  //    BroadcastNestedLoopJoin fan-out (all-pairs), plan size constant
+  //    at ANY batch size. Driver/broadcast state is Q·M·K longs —
+  //    bounded by the batch, never the corpus; the corpus side still
+  //    never shuffles for the scoring itself.
+
+  /** (query_id, vector) pairs for a bounded query batch, quantized for
+    * exact integer LUT arithmetic. Driver state: Q·dim longs.
+    */
+  def collectQueries(queries: DataFrame): Array[(Long, Array[Long])] =
+    queries.select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(graft.functions.CosineSimilarityQ.quantize).toArray))
+
+  /** Per-query ADC tables: luts(q) = (query_id, M×K integer distances). */
+  private def adcLuts(qs: Array[(Long, Array[Long])],
+      books: Array[Array[Array[Long]]]): Array[(Long, Array[Array[Long]])] =
+    qs.map { case (qid, qv) =>
+      (qid, Array.tabulate(PqM, PqK) { (m, k) =>
+        (0 until PqP).map { p =>
+          val dlt = qv(m * PqP + p) - books(m)(k)(p); dlt * dlt
+        }.sum
+      })
+    }
+
+  /** The broadcastable LUT table: one row per query, one K-entry
+    * ARRAY<BIGINT> column per subspace.
+    */
+  private def adcLutFrame(s: SparkSession,
+      luts: Array[(Long, Array[Array[Long]])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val schema = StructType(
+      StructField("query_id", LongType, nullable = false) +:
+        (0 until PqM).map(m =>
+          StructField(s"lut$m", ArrayType(LongType, containsNull = false), nullable = false)))
+    val rows = luts.toSeq.map { case (qid, l) =>
+      Row.fromSeq(qid +: (0 until PqM).map(m => l(m).toSeq))
+    }
+    s.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+  }
+
+  /** adist over joined-in lut columns: Σ_m lut_m[c_m]. */
+  private def adcJoinedScore: Column =
+    (0 until PqM).map(m =>
+      element_at(col(s"lut$m"), col(s"c$m").cast("int") + 1)).reduce(_ + _)
+
+  /** v8's serving shape — score EVERY query against EVERY code row.
+    * `codes`: (cand_id, c0..c{M-1}). Returns (query_id, cand_id, adist).
+    */
+  def adcScoreAll(s: SparkSession, codes: DataFrame,
+      qs: Array[(Long, Array[Long])],
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    val luts = adcLuts(qs, books)
+    if (qs.length <= AdcLiteralMax) {
+      // literal path: per-query (query_id, adist) structs, exploded —
+      // map-only over the code scan, LUTs folded into codegen
+      val qCols = luts.map { case (qid, l) =>
+        val adist = (0 until PqM).map(m =>
+          element_at(typedLit(l(m).toSeq), col(s"c$m").cast("int") + 1))
+          .reduce(_ + _)
+        struct(lit(qid).as("query_id"), adist.as("adist"))
+      }
+      codes.select(col("cand_id"), explode(array(qCols.toIndexedSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.adist"))
+    } else
+      // broadcast path: the Q-row LUT table fans out over the code scan
+      // (BroadcastNestedLoopJoin — the LUT side is the broadcast)
+      codes.crossJoin(broadcast(adcLutFrame(s, luts)))
+        .select(col("query_id"), col("cand_id"), adcJoinedScore.as("adist"))
+  }
+
+  /** v9's serving shape — candidates already carry their query_id
+    * (IVF probe lists); adds `adist`. `cand` must have query_id and
+    * c0..c{M-1}.
+    */
+  def adcScoreKeyed(s: SparkSession, cand: DataFrame,
+      qs: Array[(Long, Array[Long])],
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    val luts = adcLuts(qs, books)
+    if (qs.length <= AdcLiteralMax) {
+      // literal path: LUT selected by a when-chain over the batch's
+      // query ids — M element_at lookups per row, no join
+      val adist = (0 until PqM).map { m =>
+        luts.tail.foldLeft(
+          when(col("query_id") === luts.head._1,
+            element_at(typedLit(luts.head._2(m).toSeq), col(s"c$m").cast("int") + 1))) {
+          case (acc, (qid, l)) =>
+            acc.when(col("query_id") === qid,
+              element_at(typedLit(l(m).toSeq), col(s"c$m").cast("int") + 1))
+        }
+      }.reduce(_ + _)
+      cand.withColumn("adist", adist)
+    } else
+      // broadcast path: one BroadcastHashJoin on query_id
+      cand.join(broadcast(adcLutFrame(s, luts)), Seq("query_id"))
+        .withColumn("adist", adcJoinedScore)
+        .drop((0 until PqM).map(m => s"lut$m"): _*)
+  }
+
+  /** Shared top-k tail: per-query rank by (adist, cand_id). */
+  private def adcTopKTail(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adist"), asc("cand_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "cand_id", "adist")
+      .orderBy("query_id", "rn")
+
+  /** Public end-to-end ADC search: train (or reuse) the PQ codebooks,
+    * encode the corpus once, serve top-k for an arbitrary query batch.
+    * Routing is by batch size (see [[AdcLiteralMax]]); results are
+    * bit-identical on either path, and per-query results are
+    * independent of what else is in the batch.
+    */
+  def adcSearch(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      books0: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val books = books0.getOrElse(pqTrain(s, emb))
+    val codes = pqAssign(emb, books)
+      .select(col("vec_id").as("cand_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+    adcTopKTail(
+      adcScoreAll(s, codes, collectQueries(queries), books)
+        .filter(col("cand_id") =!= col("query_id")), k)
   }
 
   /** The v5 k-means core (exposed for the empty-cell spec): `iters`

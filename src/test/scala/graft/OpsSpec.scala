@@ -1035,6 +1035,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("adc serving: broadcast LUT path is bit-identical to the literal path and batch-independent at 500 queries") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrain(spark, emb)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // 10 queries → literal path (LUTs inlined, no join)
+    val lit10 = rows(VectorOps.adcSearch(spark, emb,
+      emb.filter(col("vec_id") < 10), 10, Some(books)))
+    assert(lit10.length == 100)
+    // every vector as a query (500 at sf0.001) → broadcast LUT path.
+    // The production reranker batch: must complete with a constant-size
+    // plan and return k rows per query.
+    val nQ = emb.count()
+    assert(nQ > VectorOps.AdcLiteralMax, s"fixture too small: $nQ")
+    val b500 = rows(VectorOps.adcSearch(spark, emb, emb, 10, Some(books)))
+    assert(b500.length == nQ * 10, s"expected ${nQ * 10} rows, got ${b500.length}")
+    // per-query results are independent of the rest of the batch, so the
+    // big-batch run restricted to the small batch's queries must be
+    // BIT-IDENTICAL to the literal-path run — same ids, ranks, distances
+    assert(b500.filter(_._1 < 10) == lit10,
+      "broadcast-path results diverge from the literal path")
+    // and the keyed (v9) shape: same candidates scored through
+    // adcScoreKeyed's broadcast join must carry identical distances
+    val q32 = emb.filter(col("vec_id") < 32)
+    val qs32 = VectorOps.collectQueries(q32)
+    val codes = VectorOps.pqEncode(spark, emb)
+      .drop("sq_err").withColumnRenamed("vec_id", "cand_id")
+    val cand = codes.crossJoin(broadcast(q32.select(col("vec_id").as("query_id"))))
+    val keyed = VectorOps.adcScoreKeyed(spark, cand, qs32, books)
+      .select("query_id", "cand_id", "adist")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val all = VectorOps.adcScoreAll(spark, codes, qs32, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(keyed == all, "keyed broadcast scoring diverges from all-pairs scoring")
+  }
+
   test("p12 padding waste: packed never exceeds padded and the accounting reconciles") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("p12_padding_waste")(spark, d).collect().head

@@ -242,6 +242,58 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.toString.contains("dot_q"), plan.toString.take(500))
   }
 
+  test("adc serving: big-batch LUTs broadcast, and plan size is constant in the batch size") {
+    // The production reranker regime: above AdcLiteralMax the per-query
+    // LUTs must arrive as ONE broadcast table, not per-query literals —
+    // a literal plan grows O(batch) and collapses codegen around a few
+    // hundred queries. Pin (a) the LUT side broadcasts (the code scan
+    // never shuffles to be scored), (b) a 15× bigger batch leaves the
+    // plan the SAME SIZE.
+    import graft.operators.VectorOps
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val books = VectorOps.pqTrain(spark, emb)
+    val df32 = VectorOps.adcSearch(spark, emb,
+      emb.filter(col("vec_id") < 32), 10, Some(books))
+    val p32 = planString(df32)
+    assert(p32.contains("BroadcastNestedLoopJoin"),
+      s"expected the LUT-table broadcast fan-out in:\n${p32.take(800)}")
+    assert(!p32.contains("CASE WHEN (query_id"),
+      "big batch must not fall back to the when-chain literal path")
+    val df500 = VectorOps.adcSearch(spark, emb, emb, 10, Some(books))
+    val p500 = planString(df500)
+    assert(p500.contains("BroadcastNestedLoopJoin"), p500.take(800))
+    assert(p500.length <= (p32.length * 1.2).toInt,
+      s"plan grew with the batch: ${p32.length} chars at 32 queries vs ${p500.length} at 500")
+  }
+
+  test("adc keyed serving (v9 shape): the LUT table joins in as a BroadcastHashJoin on query_id") {
+    import graft.operators.VectorOps
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.broadcast
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val books = VectorOps.pqTrain(spark, emb)
+    val q32 = emb.filter(col("vec_id") < 32)
+    val codes = VectorOps.pqEncode(spark, emb)
+      .drop("sq_err").withColumnRenamed("vec_id", "cand_id")
+    val cand = codes.crossJoin(broadcast(q32.select(col("vec_id").as("query_id"))))
+    val scored = VectorOps.adcScoreKeyed(spark, cand,
+      VectorOps.collectQueries(q32), books)
+    scored.collect()
+    val plan = stripAQEPlan(scored.queryExecution.executedPlan)
+    val hashJoins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(hashJoins.exists(_.leftKeys.toString.contains("query_id")) ||
+      hashJoins.exists(_.rightKeys.toString.contains("query_id")),
+      s"no broadcast hash join on query_id in:\n${plan.toString.take(800)}")
+    val shuffles = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"keyed ADC scoring must not shuffle the candidates, found ${shuffles.length}")
+  }
+
   test("cdc2 merge: the changeset screen broadcasts — the base snapshot never shuffles for it") {
     val df = SparkEntry.queries("cdc2_merge_apply")(spark, sf)
     df.collect()
