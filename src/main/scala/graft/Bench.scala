@@ -27,7 +27,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 re-times just the named queries in a
+    // fresh JVM — the drift-isolation dial: a query that looks slower in
+    // the full 118×4-execution run but benches clean here accumulated
+    // JVM/GC state from its neighbors, not a plan regression. Unknown
+    // names fail loudly rather than reporting an empty "all good" run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val warm = timeOnce(fn) // untimed warm-up; only its failure matters
       name -> (if (warm < 0) -1.0
       else {

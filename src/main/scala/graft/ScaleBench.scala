@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALING.md generator — measures the dedup/ANN family's scaling
+  * exponent instead of arguing it: self-generates a FACTOR× blowup of
+  * the sf `documents`/`embeddings` tables, wall-times each query at 1×
+  * and FACTOR× (Bench's discipline: one untimed warm-up absorbing JIT,
+  * codegen, and artifact builds, then the median of three timed runs),
+  * and writes the observed time-ratio table to SCALING.md. A ratio ≤
+  * ~1.2×FACTOR on a FACTOR× corpus is the sub-quadratic evidence every
+  * 100 TB design claim rests on.
+  *
+  * Corpus construction (the d14 planting recipe applied corpus-wide):
+  * copy c ∈ [1, F) re-ids every doc at +c·1e8 and replaces every
+  * second word with a (copy, doc)-unique junk token, putting copies at
+  * ~0.33 Jaccard from their originals and from each other — BELOW the
+  * 0.5 near-dup threshold. That keeps the corpus' duplicate DENSITY
+  * scale-invariant: the degenerate alternative (F verbatim clones of
+  * every doc) would measure a real but irrelevant O(F²) pair blowup
+  * inside every LSH bucket, not the engine's scaling. Embeddings
+  * rotate each copy's vector by c positions — norm-preserving,
+  * direction-distinct — while original vec_ids (PQ seeds < 8, queries
+  * < 10, IVF cells < 16) survive unchanged.
+  *
+  * Usage: runMain graft.ScaleBench [sfDir] [workDir] [factor]
+  * (defaults /root/testdata/sf0.1, /tmp/graft_scale, 10).
+  */
+object ScaleBench {
+
+  /** The queries under measurement — the dedup/ANN family whose 100 TB
+    * safety VERDICT r7 asked to convert from design argument to data.
+    * d1 rides along as the trivially-linear anchor.
+    */
+  private val ScaleQueries = Seq(
+    "d1_exact_dedup", "d2_minhash_lsh", "d5_neardup_clusters",
+    "d8_passage_dedup", "v2_ann_lsh", "v7_pq", "v8_pq_adc", "v9_ivf_pq")
+
+  /** Copy offset: far above sf doc ids (~1e5), d14's planted range
+    * (7e6-1e7), and the dedup planting offset (+1e6), so every id space
+    * stays disjoint across copies.
+    */
+  private final val CopyOffset = 100000000L
+
+  def generate(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_GENERATED_x$factor")
+    if (marker.exists()) return
+    new java.io.File(outDir).mkdirs()
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val docCopies = (1 until factor).map { c =>
+      val junked = array_join(
+        transform(split(col("text"), " "), (w, i) =>
+          when(i % 2 === 1,
+            concat(lit(s"cp${c}x"), col("doc_id").cast("string"),
+              lit("w"), i.cast("string")))
+            .otherwise(w)), " ")
+      docs.withColumn("doc_id", col("doc_id") + lit(c * CopyOffset))
+        .withColumn("text", junked)
+        .withColumn("n_chars", length(col("text")))
+    }
+    docCopies.foldLeft(docs)(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val embCopies = (1 until factor).map { c =>
+      emb.withColumn("vec_id", col("vec_id") + lit(c * CopyOffset))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), c + 1, 64 - c), slice(col("embedding"), 1, c)))
+    }
+    embCopies.foldLeft(emb)(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    marker.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_scale")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Sessions.local(
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), appName = "graft-scale")
+
+    // the FACTOR× corpus dir mimics an sf dir (documents/embeddings
+    // only — the scale queries read nothing else); basename is part of
+    // the artifact-store key, so it must differ from the source's
+    val bigDir = s"$workDir/x$factor"
+    generate(spark, sfDir, bigDir, factor)
+
+    def median3(fn: (SparkSession, String) => DataFrame, d: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up: JIT + codegen + signature/codebook artifact builds
+      Seq(once(), once(), once()).sorted.apply(1)
+    }
+
+    // all 1× first, then all FACTOR× — JIT state is shared, so ordering
+    // by corpus keeps any residual warm-up bias AGAINST the small runs
+    val t1 = ScaleQueries.map(q => q -> median3(SparkEntry.queries(q), sfDir))
+    val tF = ScaleQueries.map(q => q -> median3(SparkEntry.queries(q), bigDir))
+
+    val rows = t1.zip(tF).map { case ((q, a), (_, b)) =>
+      val ratio = b / a
+      val verdict = if (ratio <= factor * 1.2) "sub-linear-or-linear" else "SUPER-LINEAR"
+      (q, a, b, ratio, verdict)
+    }
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    val nVecs = graft.sources.Tables.embeddings(spark, sfDir).count()
+    val table = rows.map { case (q, a, b, r, v) =>
+      f"| $q | $a%.3f | $b%.3f | $r%.2f× | $v |"
+    }.mkString("\n")
+    // table rows start with '|', which stripMargin would eat — keep the
+    // generated rows OUTSIDE the margin template
+    val md =
+      s"""# SCALING — measured, not argued
+         |
+         |`graft.ScaleBench` self-generates a ${factor}× blowup of the
+         |`$sfDir` corpus (documents: $nDocs → ${nDocs * factor}; embeddings:
+         |$nVecs → ${nVecs * factor}) with scale-invariant duplicate density
+         |(every copy ~0.33 Jaccard from every other — see ScaleBench.scala's
+         |construction notes) and times the dedup/ANN family on both. One
+         |untimed warm-up (JIT + artifact builds), median of three timed runs,
+         |single JVM, local[32]. A time ratio ≤ ~1.2×$factor on the ${factor}×
+         |corpus is the sub-quadratic evidence the 100 TB design claims rest
+         |on: any all-pairs term would surface here as ~${factor * factor}×.
+         |
+         || query | 1× (s) | ${factor}× (s) | ratio | verdict |
+         ||---|---|---|---|---|
+         |""".stripMargin + table +
+      s"""
+         |
+         |Notes:
+         |- Ratios well below $factor× mean fixed costs (planning, artifact
+         |  reads, the bounded query-set work) still dominate at this absolute
+         |  scale — the signal that matters is the ABSENCE of any
+         |  super-linear term, which would dwarf those constants.
+         |- d2/d5/d8 run the full MinHash/clustering/passage pipelines over
+         |  the blown-up corpus; their signature artifacts are rebuilt for
+         |  the new corpus fingerprint during the warm-up run.
+         |- v2/v7-v9 keep their fixed bounded query sets (vec_id < 10) and
+         |  driver-state codebooks; their cost is the corpus-side scan +
+         |  candidate work, which is the term that must stay linear.
+         |- d5's ratio can exceed the others': connected components is
+         |  O(rounds·n) and rounds grow with cluster diameter, bounded by
+         |  the star-contraction escalation (DedupCluster.scala).
+         |
+         |Regenerate: `sbt "runMain graft.ScaleBench"` (~5 min).
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
+      md.getBytes("UTF-8"))
+    val json = rows.map { case (q, a, b, r, _) =>
+      s""""$q":{"t1":$a,"tF":$b,"ratio":$r}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaling","factor":$factor,"queries":$json}""")
+    spark.stop()
+  }
+}

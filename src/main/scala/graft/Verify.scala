@@ -40,6 +40,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the generated coverage count COVERAGE.md's status line cites —
+    // never hand-maintain these numbers
+    println(s"[verify] coverage: ${SparkEntry.queries.size} registered queries, " +
+      s"${SparkEntry.oracleSql.size} oracled")
     spark.stop()
   }
 }

@@ -159,6 +159,36 @@ object MinHash {
        |SELECT doc1, doc2, est_jaccard FROM pairs
        |ORDER BY doc1, doc2""".stripMargin
 
+  /** d14's graded planting over any (doc_id, text) corpus: every 20th
+    * doc is copied at four severities (k = 0/4/16/48 leading words
+    * replaced with (doc, i)-unique junk; sequence(1, 0) is guarded so
+    * the k = 0 class is truly VERBATIM — Spark's default step -1 would
+    * otherwise append [1, 0] junk DuckDB's empty generate_series never
+    * had), re-id'd at +7e6 + sev·1e6. Returns (planted(doc_id, text,
+    * sev), truth(orig, planted, sev, k_replaced)). Shared by the batch
+    * recall gate (d14) and its streaming-dedup twin in StreamingSpec —
+    * the same instrument graded against each detector.
+    */
+  def gradedPlanting(docs: DataFrame): (DataFrame, DataFrame) = {
+    val seeds = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("sev", explode(array((0 to 3).map(lit): _*)))
+      .withColumn("k", when(col("sev") === 0, 0).when(col("sev") === 1, 4)
+        .when(col("sev") === 2, 16).otherwise(48))
+    val planted = seeds.select(
+      (col("doc_id") + 7000000 + col("sev") * 1000000).as("doc_id"),
+      array_join(concat(
+        expr("slice(ws, k + 1, 100000)"),
+        expr("transform(if(k = 0, array(), sequence(1, k))," +
+          " i -> concat('zz', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))")),
+        " ").as("text"),
+      col("sev"))
+    val truth = seeds.select(col("doc_id").as("orig"),
+      (col("doc_id") + 7000000 + col("sev") * 1000000).as("planted"),
+      col("sev"), col("k").as("k_replaced"))
+    (planted, truth)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // D2: the full MinHash+LSH near-dup pipeline, oracle-checked
     // end-to-end (signatures, banding, bucket join, estimate, threshold).
@@ -211,25 +241,8 @@ object MinHash {
          |GROUP BY t.sev, t.k_replaced ORDER BY t.sev""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val seeds = docs.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .withColumn("sev", explode(array((0 to 3).map(lit): _*)))
-        .withColumn("k", when(col("sev") === 0, 0).when(col("sev") === 1, 4)
-          .when(col("sev") === 2, 16).otherwise(48))
-      val planted = seeds.select(
-        (col("doc_id") + 7000000 + col("sev") * 1000000).as("doc_id"),
-        array_join(concat(
-          expr("slice(ws, k + 1, 100000)"),
-          // sequence(1, 0) defaults to step -1 and yields [1, 0] — guard the
-          // k = 0 (verbatim) class so it really IS verbatim, matching DuckDB's
-          // empty generate_series(1, 0).
-          expr("transform(if(k = 0, array(), sequence(1, k))," +
-            " i -> concat('zz', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))")),
-          " ").as("text"))
-      val pairs = nearDupPairs(docs.union(planted), 0.5)
-      val truth = seeds.select(col("doc_id").as("orig"),
-        (col("doc_id") + 7000000 + col("sev") * 1000000).as("planted"),
-        col("sev"), col("k").as("k_replaced"))
+      val (planted, truth) = gradedPlanting(docs)
+      val pairs = nearDupPairs(docs.union(planted.select("doc_id", "text")), 0.5)
       truth.join(pairs,
           truth("orig") === pairs("doc1") && truth("planted") === pairs("doc2"), "left")
         .groupBy("sev", "k_replaced")

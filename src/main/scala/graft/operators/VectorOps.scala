@@ -612,6 +612,37 @@ object VectorOps {
         books0 = Some(pqTrainCached(s, d)))
     },
 
+    // V10: v8's serving shape at a PRODUCTION batch size — 32 queries,
+    // above AdcLiteralMax, so adcSearch routes through the broadcast
+    // LUT-table join instead of inlined literals. Same oracle SQL shape
+    // as v8 (the relational LUT join IS the broadcast plan's algebra),
+    // so the big-batch path gets its own full DuckDB hash-match rather
+    // than only the OpsSpec self-consistency proof. Top-5 keeps the
+    // output bounded (32×5 rows).
+    QueryDef.sql("v10_adc_batch",
+      s"""WITH el AS ($elementsSql),
+         |$pqChainSql,
+         |qd AS (SELECT q.vec_id AS query_id, c.m, c.cent_id,
+         |              CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dist
+         |       FROM sub q JOIN c1 c ON q.m = c.m AND q.p = c.p
+         |       WHERE q.vec_id < 32
+         |       GROUP BY q.vec_id, c.m, c.cent_id),
+         |sc AS (SELECT qd.query_id, ch.vec_id AS cand_id,
+         |              CAST(SUM(qd.dist) AS BIGINT) AS adist
+         |       FROM ch JOIN qd ON ch.m = qd.m AND ch.cent_id = qd.cent_id
+         |       GROUP BY qd.query_id, ch.vec_id),
+         |ranked AS (SELECT query_id, cand_id, adist,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY adist, cand_id) AS rn
+         |           FROM sc WHERE cand_id <> query_id)
+         |SELECT query_id, rn, cand_id, adist FROM ranked WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      adcSearch(s, emb, emb.filter(col("vec_id") < 32), 5,
+        books0 = Some(pqTrainCached(s, d)))
+    },
+
     // V9: IVF-PQ — the FAISS production composite, assembled from two
     // already-oracled components: v4's coarse quantizer restricts each
     // query to its NProbe=2 nearest cells, and WITHIN those cells

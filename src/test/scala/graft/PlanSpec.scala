@@ -242,6 +242,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.toString.contains("dot_q"), plan.toString.take(500))
   }
 
+  test("w1 top-k per group: the rank filter pushes down as WindowGroupLimit") {
+    // row_number() + `rn <= k` must plan the WindowGroupLimit rank-limit
+    // pushdown (partial per-partition top-k BEFORE the window shuffle,
+    // final top-k after), so each shuffle partition carries at most k
+    // rows per group instead of the whole group — the difference between
+    // a bounded window and a full-group sort at 100 TB. Previously
+    // inferred from timings; pinned here like skew1's pre-agg.
+    val df = SparkEntry.queries("w1_topk_per_supplier")(spark, sf)
+    val p = planString(df)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing from:\n${p.take(1200)}")
+    // both phases: a Partial limit below the exchange, Final above
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"expected two-phase WindowGroupLimit in:\n${p.take(1200)}")
+  }
+
   test("adc serving: big-batch LUTs broadcast, and plan size is constant in the batch size") {
     // The production reranker regime: above AdcLiteralMax the per-query
     // LUTs must arrive as ONE broadcast table, not per-query literals —

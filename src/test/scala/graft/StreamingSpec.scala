@@ -325,6 +325,51 @@ class StreamingSpec extends SparkSpec {
       s"empty-batch profile must be all-zeros: ${pe.mkString(", ")}")
   }
 
+  test("streaming dedup twin of the d14 gate: graded planted corpus over 3 batches matches the batch detector") {
+    // d14's instrument (graded planted severities) pointed at the
+    // STREAMING dedup path — the one most likely to silently diverge
+    // from its batch twin. StreamDedup is the EXACT detector (d1's
+    // semantics, incremental), so its expected curve is a step: every
+    // verbatim (sev 0) copy must be caught across batch boundaries,
+    // every reworded severity must pass — and the final kept-set must
+    // be BIT-EQUAL to the one-shot batch detector over the same corpus.
+    import graft.streaming.StreamDedup
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = tmpDir("graft-sdedup-recall") + "/store"
+    val cp = tmpDir("graft-sdedup-recall-cp")
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val (planted, truth) = graft.operators.MinHash.gradedPlanting(docs)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    // batch 0: originals; batch 1: sev 0+1 copies; batch 2: sev 2+3 —
+    // every planted copy screens against PRIOR batches' store entries
+    val in = MemoryStream[(Long, String)]
+    val q = StreamDedup.start(in.toDF().toDF("doc_id", "text"), store, cp)
+    in.addData(rows(docs): _*); q.processAllAvailable()
+    in.addData(rows(planted.filter(col("sev") <= 1)): _*); q.processAllAvailable()
+    in.addData(rows(planted.filter(col("sev") >= 2)): _*); q.processAllAvailable()
+    q.stop()
+
+    val kept = StreamDedup.keptIds(spark, store).as[Long].collect().toSet
+    val t = truth.collect().map(r => (r.getLong(1), r.getInt(2)))
+    val caughtBySev = t.groupBy(_._2).view
+      .mapValues(_.count(p => !kept.contains(p._1))).toMap
+    val n = t.length / 4
+    assert(n > 0)
+    assert(caughtBySev(0) == n,
+      s"all $n verbatim copies must dedupe across batches: $caughtBySev")
+    assert(Seq(1, 2, 3).forall(caughtBySev(_) == 0),
+      s"the exact detector must pass every reworded copy: $caughtBySev")
+
+    val batchKept = docs.unionByName(planted.select("doc_id", "text"))
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batchKept, "streaming kept-set diverges from the batch twin")
+  }
+
   test("streaming dedup refuses a new checkpoint over an existing store (batch-id epoch guard)") {
     import graft.streaming.StreamDedup
     implicit val sc = spark.sqlContext
