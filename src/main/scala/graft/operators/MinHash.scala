@@ -71,6 +71,46 @@ object MinHash {
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame =
     nearDupPairsFromSignatures(signatures(docs), threshold)
 
+  /** One row per (doc, band): the 4-row band value the LSH bucket join
+    * keys on. Shared by the self-join (near-dup pairs) and the
+    * cross-frame screen ([[crossMatches]]).
+    */
+  private def bandFrame(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("b", "band_val")))
+  }
+
+  /** Screen `newSig` docs against `storeSig` docs (both (doc_id,
+    * m0..m31) signature frames): every (incoming, stored) pair sharing
+    * an LSH band with estimated Jaccard ≥ threshold, as
+    * (doc_id, matched_id, est_jaccard). The incremental-dedup primitive
+    * (d15 and the streaming screen): candidates come from the band
+    * equi-join — cost ∝ bucket collisions between the two sides, never
+    * |store|·|batch| — and the signature compare touches candidates
+    * only. Same banding and estimate as [[nearDupPairs]], so a pair
+    * matches here iff it would match in the one-shot batch detector.
+    */
+  def crossMatches(storeSig: DataFrame, newSig: DataFrame, threshold: Double): DataFrame = {
+    val sBands = bandFrame(storeSig)
+      .select(col("doc_id").as("matched_id"), col("b"), col("band_val"))
+    val nBands = bandFrame(newSig).select(col("doc_id"), col("b"), col("band_val"))
+    val cand = nBands.join(sBands, Seq("b", "band_val"))
+      .select("doc_id", "matched_id").distinct()
+    val s1 = newSig.select(col("doc_id") +:
+      (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)
+    val s2 = storeSig.select(col("doc_id").as("matched_id") +:
+      (0 until K).map(i => col(s"m$i").as(s"b$i")): _*)
+    val agree = (0 until K)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(s1, "doc_id").join(s2, "matched_id")
+      .withColumn("est_jaccard", agree.cast("double") / K)
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_id", "matched_id", "est_jaccard")
+  }
+
   /** [[nearDupPairs]] from a precomputed signature frame. */
   def nearDupPairsFromSignatures(signatures0: DataFrame, threshold: Double): DataFrame = {
     // sig fans out 4 ways (bands self-join + s1 + s2); materialize the
@@ -80,11 +120,7 @@ object MinHash {
     // an explicit persist with no unpersist would pin cache memory for
     // the session lifetime across repeated invocations.
     val sig = signatures0.localCheckpoint()
-    val bandCols = (0 until Bands).map { b =>
-      concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
-    }
-    val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("b", "band_val")))
+    val bands = bandFrame(sig)
     val cand = bands.select(col("doc_id").as("doc1"), col("b"), col("band_val"))
       .join(bands.select(col("doc_id").as("doc2"), col("b"), col("band_val")),
         Seq("b", "band_val"))
@@ -196,6 +232,47 @@ object MinHash {
       // signatures come off the materialized signature artifact (shared
       // with d5) — the oracle recomputes from raw text
       nearDupPairsFromSignatures(signaturesArtifact(s, d), 0.5)
+    },
+
+    /* D15: incremental near-dup screen — the batch twin of the
+     * streaming MinHash screen (StreamNearDup), and the shape an
+     * incremental crawl pipeline runs daily: signatures of the NEW
+     * batch band-join against the signatures of the ADMITTED corpus;
+     * a collision at est ≥ 0.5 is a near-dup with provenance (which
+     * stored doc it matched, at what similarity). Fixture: the
+     * dupe-injected corpus (d2's), with the planted +1e6 copies as the
+     * "incoming batch" and the raw originals as the store — every
+     * incoming doc should surface its source at est 1.0 plus any
+     * intrinsic near-dups. Scale shape identical to d2: the cross join
+     * is banded (cost ∝ bucket collisions between the sides, never
+     * |store|·|batch|), signatures compare on candidates only, and the
+     * store side reads the materialized signature artifact.
+     */
+    QueryDef.sql("d15_incremental_neardup", {
+      val matchSum = (0 until K)
+        .map(i => s"CASE WHEN s1.m$i = s2.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      // the full pairs chain rides along for its sig/bands CTEs; the
+      // unused cand/pairs CTEs are never materialized by DuckDB
+      s"""WITH ${pairsCteSql(withDupesSql, 0.5)},
+         |cross_cand AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS matched_id
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
+         |  WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000),
+         |matches AS (
+         |  SELECT c.doc_id, c.matched_id,
+         |         CAST($matchSum AS DOUBLE) / $K AS est_jaccard
+         |  FROM cross_cand c JOIN sig s1 ON c.doc_id = s1.doc_id
+         |                    JOIN sig s2 ON c.matched_id = s2.doc_id
+         |  WHERE CAST($matchSum AS DOUBLE) / $K >= 0.5)
+         |SELECT doc_id, matched_id, est_jaccard FROM matches
+         |ORDER BY doc_id, matched_id""".stripMargin
+    }) { (s, d) =>
+      val sig = signaturesArtifact(s, d).localCheckpoint()
+      crossMatches(
+        sig.filter(col("doc_id") < 1000000),
+        sig.filter(col("doc_id") >= 1000000), 0.5)
+        .orderBy("doc_id", "matched_id")
     },
 
     /* D14: dedup recall curve — the eval that makes d2's dial (K

@@ -607,9 +607,10 @@ object VectorOps {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       // 10 queries → adcScoreAll takes the literal LUT path (map-only,
       // constant-folded); the >AdcLiteralMax broadcast path is pinned
-      // bit-identical in OpsSpec/PlanSpec
+      // bit-identical in OpsSpec/PlanSpec. Codes come from the stored
+      // index (codesArtifact), the serve-from-artifact architecture.
       adcSearch(s, emb, emb.filter(col("vec_id") < 10), 10,
-        books0 = Some(pqTrainCached(s, d)))
+        books0 = Some(pqTrainCached(s, d)), codes0 = Some(codesArtifact(s, d)))
     },
 
     // V10: v8's serving shape at a PRODUCTION batch size — 32 queries,
@@ -640,7 +641,7 @@ object VectorOps {
       graft.functions.NativeFunctions.register(s)
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       adcSearch(s, emb, emb.filter(col("vec_id") < 32), 5,
-        books0 = Some(pqTrainCached(s, d)))
+        books0 = Some(pqTrainCached(s, d)), codes0 = Some(codesArtifact(s, d)))
     },
 
     // V9: IVF-PQ — the FAISS production composite, assembled from two
@@ -682,8 +683,7 @@ object VectorOps {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val (cells, probes) = ivfCellsAndProbes(s, emb)
       val books = pqTrainCached(s, d)
-      val codes = pqAssign(emb, books)
-        .select(col("vec_id").as("cand_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+      val codes = codesArtifact(s, d).withColumnRenamed("vec_id", "cand_id")
       val qs = collectQueries(emb.filter(col("vec_id") < 10))
       // candidates carry their query_id (the probe lists), so scoring
       // is adcScoreKeyed: 10 queries → the literal when-chain path;
@@ -887,6 +887,26 @@ object VectorOps {
       pqTrain(s, Tables.embeddings(s, d).select("vec_id", "embedding")))
   }
 
+  /** The compressed code table (vec_id, c0..c{M-1}) as a build-once
+    * corpus artifact — the PQ INDEX itself, stored with the same
+    * source-fingerprint keying as the MinHash signature store. This is
+    * the serving architecture (encode once, serve every query batch
+    * from the ~170×-smaller code table), and it also sidesteps a real
+    * executor-side trap: feeding the un-materialized encoder projection
+    * straight into the broadcast LUT fan-out re-evaluates the M·K
+    * dot_q argmax PER JOIN OUTPUT ROW (codegen defers stream-side
+    * expressions into the join's inner loop) — measured 32× the encode
+    * cost at a 32-query batch, and growing with the batch.
+    */
+  def codesArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "pq_codes",
+      srcTable = "embeddings") { out =>
+      pqAssign(Tables.embeddings(s, d).select("vec_id", "embedding"),
+          pqTrainCached(s, d))
+        .select(col("vec_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+        .write.parquet(out)
+    }
+
   // ---- ADC serving core (shared by v8 / v9 / adcSearch) -------------
   //
   // A query batch is scored against the compressed code table through
@@ -1008,17 +1028,29 @@ object VectorOps {
       .orderBy("query_id", "rn")
 
   /** Public end-to-end ADC search: train (or reuse) the PQ codebooks,
-    * encode the corpus once, serve top-k for an arbitrary query batch.
+    * encode the corpus once (or serve from a stored code table — see
+    * [[codesArtifact]]), serve top-k for an arbitrary query batch.
     * Routing is by batch size (see [[AdcLiteralMax]]); results are
     * bit-identical on either path, and per-query results are
     * independent of what else is in the batch.
+    *
+    * `codes0`: a pre-encoded (vec_id, c0..c{M-1}) code table. When
+    * absent, the corpus is encoded inline and MATERIALIZED once
+    * (localCheckpoint) before scoring — without the barrier, codegen
+    * defers the encoder's argmax into the scoring join's inner loop and
+    * re-runs it per (vector, query) pair: measured 12× slower at a
+    * 32-query batch (see [[codesArtifact]]).
     */
   def adcSearch(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
-      books0: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+      books0: Option[Array[Array[Array[Long]]]] = None,
+      codes0: Option[DataFrame] = None): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     val books = books0.getOrElse(pqTrain(s, emb))
-    val codes = pqAssign(emb, books)
-      .select(col("vec_id").as("cand_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+    val codes = codes0.getOrElse(
+      pqAssign(emb, books)
+        .select(col("vec_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+        .localCheckpoint())
+      .withColumnRenamed("vec_id", "cand_id")
     adcTopKTail(
       adcScoreAll(s, codes, collectQueries(queries), books)
         .filter(col("cand_id") =!= col("query_id")), k)

@@ -53,7 +53,7 @@ object StreamDedup {
     * the store must be keyed by: batch ids are only monotone within one
     * checkpoint's lifetime.
     */
-  private def checkpointQueryId(spark: SparkSession, cpDir: String): Option[String] = {
+  private[streaming] def checkpointQueryId(spark: SparkSession, cpDir: String): Option[String] = {
     val p = new Path(cpDir, "metadata")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -78,7 +78,7 @@ object StreamDedup {
     * fallback screen refuses when the store holds parts with id above
     * the current batch — ids a same-checkpoint run could not have left.
     */
-  private def verifyStoreOwnership(spark: SparkSession, storeDir: String,
+  private[streaming] def verifyStoreOwnership(spark: SparkSession, storeDir: String,
       cpDir: String, batchId: Long): Unit = {
     val base = new Path(storeDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import graft.operators.MinHash
+
+/** Streaming NEAR-duplicate screen — StreamDedup's MinHash sibling, and
+  * the streaming half of the d15 batch twin: every micro-batch is
+  * signatured (MinHash.K permutations, the exact constants of the batch
+  * detector, so a pair matches at ingest iff it would match in d2/d15),
+  * deduped within itself, then band-joined against the store of
+  * ADMITTED signatures; survivors' signatures append to the store.
+  *
+  * Two outputs per batch, both batchId-keyed `mode(overwrite)` dirs
+  * (StreamDedup's idempotence discipline — a replayed batch rewrites
+  * the SAME dirs with the SAME deterministic content, and the screen
+  * reads only parts with id < the current batchId, so a half-written
+  * attempt of THIS batch can never mask its own rows):
+  *
+  *  - `delta_b<id>`: the admitted (doc_id, m0..m31) signature rows —
+  *    the seen-set, ~33 longs per admitted doc, ~independent of doc
+  *    size;
+  *  - `matches_b<id>`: dedup PROVENANCE — (doc_id, matched_id,
+  *    est_jaccard, stage) for every rejected doc: stage='batch' when it
+  *    near-dupped a smaller-id batch-mate (the component-minimum winner
+  *    d5's clustering would keep), stage='store' with EVERY admitted
+  *    doc it collided with at est ≥ threshold. Provenance is what makes
+  *    a production dedup auditable ("why was this page dropped, and
+  *    against what") and is exactly what the recall gate grades.
+  *
+  * Scale shape: the per-batch cost is the batch's signature pass (one
+  * hash-aggregate) plus a banded join of batch bands against store
+  * bands — cost ∝ bucket collisions, never |store|·|batch|. The store
+  * is signatures only (hashes, not text), read per batch like
+  * StreamDedup's hash set; a production deployment materializes the
+  * store band-keyed/bucketed so the screen prunes to colliding buckets
+  * instead of re-banding the store (the same bucketing upgrade path as
+  * d10's fingerprint store). Ownership: the store is claimed by its
+  * checkpoint's query id before the first delta (StreamDedup's
+  * epoch-guard machinery, shared) — a NEW checkpoint pointed at an OLD
+  * store is refused, since its batch ids restart at 0.
+  */
+object StreamNearDup {
+
+  private val DeltaRe = "delta_b(\\d+)".r
+  private val MatchesRe = "matches_b(\\d+)".r
+
+  private def sigSchema: StructType = StructType(
+    StructField("doc_id", LongType) +:
+      (0 until MinHash.K).map(i => StructField(s"m$i", LongType)))
+
+  private def matchesSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("matched_id", LongType),
+    StructField("est_jaccard", DoubleType), StructField("stage", StringType)))
+
+  /** COMPLETE (_SUCCESS) parts of one kind with id < boundExclusive. */
+  private def partsBefore(spark: SparkSession, storeDir: String, re: scala.util.matching.Regex,
+      boundExclusive: Long): Seq[String] = {
+    val base = new Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq.flatMap { st =>
+      val complete = st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS"))
+      st.getPath.getName match {
+        case re(id) if complete && id.toLong < boundExclusive => Some(st.getPath.toString)
+        case _ => None
+      }
+    }
+  }
+
+  private def readParts(spark: SparkSession, dirs: Seq[String], schema: StructType): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(dirs: _*)
+
+  /** The admitted signature store visible to batch `boundExclusive`. */
+  def sigStore(spark: SparkSession, storeDir: String,
+      boundExclusive: Long = Long.MaxValue): DataFrame =
+    readParts(spark, partsBefore(spark, storeDir, DeltaRe, boundExclusive), sigSchema)
+
+  /** Ids the screen has admitted so far. */
+  def keptIds(spark: SparkSession, storeDir: String): DataFrame =
+    sigStore(spark, storeDir).select("doc_id").distinct()
+
+  /** The full dedup provenance: one row per (rejected doc, matching
+    * doc) with the estimate and the stage that rejected it.
+    */
+  def matches(spark: SparkSession, storeDir: String): DataFrame =
+    readParts(spark, partsBefore(spark, storeDir, MatchesRe, Long.MaxValue), matchesSchema)
+
+  /** Start the near-dup screen over a `(doc_id, text)` source. The
+    * STORE is the output: [[keptIds]] is the deduped id set,
+    * [[matches]] the rejection provenance.
+    */
+  def start(docs: DataFrame, storeDir: String, checkpointDir: String,
+      threshold: Double = 0.5,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    var ownershipVerified = false
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointDir/neardup")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!ownershipVerified) {
+          StreamDedup.verifyStoreOwnership(spark, storeDir,
+            s"$checkpointDir/neardup", batchId)
+          ownershipVerified = true
+        }
+        val sig = MinHash.signatures(batch.select("doc_id", "text")).localCheckpoint()
+        // stage 1: within-batch — drop any doc that near-dups a
+        // smaller-id batch-mate (deterministic on replay)
+        val inPairs = MinHash.nearDupPairsFromSignatures(sig, threshold)
+          .localCheckpoint()
+        val batchMatches = inPairs.select(col("doc2").as("doc_id"),
+          col("doc1").as("matched_id"), col("est_jaccard"), lit("batch").as("stage"))
+        val survivors = sig.join(
+          inPairs.select(col("doc2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        // stage 2: band-screen survivors against the admitted store
+        // (strictly earlier batches — replay-safe)
+        val seen = sigStore(spark, storeDir, boundExclusive = batchId)
+        val storeMatches = MinHash.crossMatches(seen, survivors, threshold)
+          .withColumn("stage", lit("store"))
+          .localCheckpoint()
+        batchMatches.unionByName(storeMatches)
+          .write.mode("overwrite").parquet(s"$storeDir/matches_b$batchId")
+        survivors.join(storeMatches.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
+        ()
+      }
+      .start()
+  }
+}

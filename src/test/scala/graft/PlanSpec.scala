@@ -283,6 +283,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"plan grew with the batch: ${p32.length} chars at 32 queries vs ${p500.length} at 500")
   }
 
+  test("v10 serves from the stored code table: no encoder work under the scoring join") {
+    // The codes feeding the broadcast LUT fan-out MUST come from the
+    // pq_codes artifact (or a materialization barrier): codegen defers
+    // un-materialized stream-side expressions into the join's inner
+    // loop, so the M·K dot_q argmax would re-run PER (vector, query)
+    // pair — measured 12× slower at a 32-query batch, growing with it.
+    val p = planString(SparkEntry.queries("v10_adc_batch")(spark, sf))
+    assert(!p.contains("dot_q"),
+      s"encoder expressions leaked into the serving plan:\n${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("adc keyed serving (v9 shape): the LUT table joins in as a BroadcastHashJoin on query_id") {
     import graft.operators.VectorOps
     import graft.sources.Tables

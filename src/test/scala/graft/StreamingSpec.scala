@@ -370,6 +370,104 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKept, "streaming kept-set diverges from the batch twin")
   }
 
+  test("streaming near-dup screen: d14's graded corpus, catches agree with the batch detector pair-for-pair") {
+    // The MinHash screen at ingest, graded by d14's instrument. Exact
+    // agreement claim: a planted copy carries a store-match row against
+    // its own original IFF (a) the original was admitted in batch 0,
+    // (b) the copy survived its within-batch stage, and (c) the batch
+    // detector (nearDupPairs over the mixed corpus — d14's pairs) links
+    // the two. (a)/(b) come from the operator's own outputs, (c) from
+    // the batch run — signatures depend only on a doc's text, so the
+    // screen's band+estimate condition is literally the same predicate.
+    import graft.streaming.StreamNearDup
+    import graft.operators.MinHash
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = tmpDir("graft-sneardup") + "/store"
+    val cp = tmpDir("graft-sneardup-cp")
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val (planted, truth) = MinHash.gradedPlanting(docs)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    // batch 0: originals; batches 1-4: one severity each (so a copy is
+    // screened against the store, not its same-orig siblings)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamNearDup.start(in.toDF().toDF("doc_id", "text"), store, cp)
+    in.addData(rows(docs): _*); q.processAllAvailable()
+    for (sev <- 0 to 3) {
+      in.addData(rows(planted.filter(col("sev") === sev)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val kept = StreamNearDup.keptIds(spark, store).as[Long].collect().toSet
+    val m = StreamNearDup.matches(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val t = truth.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    // headline curve: every verbatim copy caught (its original — or the
+    // original's admitted representative, same signature — is in the
+    // store), and recall non-increasing in severity
+    val caught = t.groupBy(_._3).view
+      .mapValues(_.count(p => !kept.contains(p._2))).toMap
+    val n = t.length / 4
+    assert(caught(0) == n, s"all $n verbatim copies must be caught: $caught")
+    assert(caught(1) >= caught(2) && caught(2) >= caught(3),
+      s"recall must not increase with severity: $caught")
+    assert(caught(3) < n, s"the hardest class must show misses: $caught")
+
+    // pair-for-pair agreement with the batch detector
+    val d14pairs = MinHash.nearDupPairs(
+        docs.union(planted.select("doc_id", "text")), 0.5)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val admitted0 = kept.filter(_ < 7000000) // originals admitted in batch 0
+    val batchDropped = m.collect { case (id, _, "batch") => id }.toSet
+    val storeMatchSet = m.collect { case (id, mid, "store") => (id, mid) }.toSet
+    for (sev <- 0 to 3) {
+      val own = t.filter(_._3 == sev)
+        .count(p => storeMatchSet.contains((p._2, p._1)))
+      val expected = t.filter(_._3 == sev).count(p =>
+        admitted0.contains(p._1) && !batchDropped.contains(p._2) &&
+          d14pairs.contains((p._1, p._2)))
+      assert(own == expected,
+        s"sev $sev: $own own-original store matches, batch detector predicts $expected")
+    }
+  }
+
+  test("streaming near-dup screen: provenance stages, checkpoint restart continuity") {
+    import graft.streaming.StreamNearDup
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-sneardup-rs") + "/store"
+    val cp = tmpDir("graft-sneardup-rs-cp")
+    def text(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    def src = in.toDF().toDF("doc_id", "text")
+
+    val q1 = StreamNearDup.start(src, store, cp)
+    in.addData((1L, text("alpha")), (2L, text("beta")))
+    q1.processAllAvailable()
+    in.addData((3L, text("alpha"))) // verbatim of stored 1 → store-stage drop
+    q1.processAllAvailable()
+    q1.stop()
+    def kept: Set[Long] = StreamNearDup.keptIds(spark, store)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"after 2 batches: $kept")
+
+    // restart from the same checkpoint: no reprocessing; a new batch
+    // screens against the earlier batches' store and within itself
+    val q2 = StreamNearDup.start(src, store, cp)
+    in.addData((4L, text("beta")), (5L, text("gamma")), (6L, text("gamma")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(kept == Set(1L, 2L, 5L), s"after restart + batch 3: $kept")
+    val m = StreamNearDup.matches(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(m == Set((3L, 1L, "store"), (4L, 2L, "store"), (6L, 5L, "batch")),
+      s"provenance: $m")
+  }
+
   test("streaming dedup refuses a new checkpoint over an existing store (batch-id epoch guard)") {
     import graft.streaming.StreamDedup
     implicit val sc = spark.sqlContext
