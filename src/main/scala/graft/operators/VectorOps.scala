@@ -738,31 +738,72 @@ object VectorOps {
        |probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked
        |           WHERE crn <= $NProbe AND vec_id < 10)""".stripMargin
 
-  /** Engine twin of [[ivfCellsSql]]: map-only assignment against the
-    * NCells seed centroids inlined as literals (no join, no shuffle),
-    * one localCheckpoint shared by the cells and probes readers.
+  /** Map-only cell ranking against the NCells seed centroids inlined
+    * as literals (no join, no shuffle): (vec_id, cent_id, crn) with
+    * crn = 1 the nearest cell.
     */
-  private def ivfCellsAndProbes(s: SparkSession,
-      emb: DataFrame): (DataFrame, DataFrame) = {
-    // The codebook is a genuinely tiny dim table: inline it as
-    // literals so assignment needs no join at all.
-    val cents: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") < NCells)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+  private def ivfRank(frame: DataFrame, cents: Array[(Long, Seq[Float])]): DataFrame = {
     val centCos = cents.map { case (cid, arr) =>
       struct(lit(cid).as("cent_id"),
         call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("ccos"))
     }
-    val ranked = emb
+    frame
       .select(col("vec_id"), explode(array(centCos.toIndexedSeq: _*)).as("c"))
       .select(col("vec_id"), col("c.cent_id"), col("c.ccos"))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+  }
+
+  /** The IVF seed centroids — a genuinely tiny dim table, inlined as
+    * literals so assignment needs no join at all.
+    */
+  private def ivfCents(emb: DataFrame): Array[(Long, Seq[Float])] =
+    emb.filter(col("vec_id") < NCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+  /** Engine twin of [[ivfCellsSql]]: one localCheckpoint shared by the
+    * cells and probes readers (v9's fixed vec_id < 10 query set).
+    */
+  private def ivfCellsAndProbes(s: SparkSession,
+      emb: DataFrame): (DataFrame, DataFrame) = {
+    val ranked = ivfRank(emb, ivfCents(emb))
       .localCheckpoint() // cells + probes both read it; assign once
     val cells = ranked.filter(col("crn") === 1)
       .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
     val probes = ranked.filter(col("crn") <= NProbe && col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     (cells, probes)
+  }
+
+  /** Public end-to-end IVF-PQ serving for an ARBITRARY query batch —
+    * the FAISS composite at production batch size: each query probes
+    * its NProbe nearest cells, candidates come from those inverted
+    * lists only, and ADC ranks them from the stored code table.
+    * Per-query results are identical to v9's at any batch size (probe
+    * sets and scores are per-query functions); routing of the LUTs is
+    * [[AdcLiteralMax]]'s — a big batch broadcasts the LUT table into
+    * the candidate scan (BroadcastHashJoin on query_id), plan size
+    * constant in the batch.
+    */
+  def ivfServe(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      books0: Option[Array[Array[Array[Long]]]] = None,
+      codes0: Option[DataFrame] = None): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val books = books0.getOrElse(pqTrain(s, emb))
+    val codes = codes0.getOrElse(
+      pqAssign(emb, books)
+        .select(col("vec_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+        .localCheckpoint()) // see adcSearch: materialize before the fan-out
+      .withColumnRenamed("vec_id", "cand_id")
+    val cents = ivfCents(emb)
+    val cells = ivfRank(emb, cents).filter(col("crn") === 1)
+      .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
+    val probes = ivfRank(queries, cents).filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val cand = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(codes, Seq("cand_id"))
+    adcTopKTail(adcScoreKeyed(s, cand, collectQueries(queries), books), k)
   }
 
   /** The oracled PQ training + assignment chain (v7/v8's shared CTE

@@ -46,6 +46,7 @@ import graft.operators.MinHash
 object StreamNearDup {
 
   private val DeltaRe = "delta_b(\\d+)".r
+  private val FoldRe = "fold_0_(\\d+)".r
   private val MatchesRe = "matches_b(\\d+)".r
 
   private def sigSchema: StructType = StructType(
@@ -56,18 +57,20 @@ object StreamNearDup {
     StructField("doc_id", LongType), StructField("matched_id", LongType),
     StructField("est_jaccard", DoubleType), StructField("stage", StringType)))
 
-  /** COMPLETE (_SUCCESS) parts of one kind with id < boundExclusive. */
-  private def partsBefore(spark: SparkSession, storeDir: String, re: scala.util.matching.Regex,
-      boundExclusive: Long): Seq[String] = {
+  /** COMPLETE (_SUCCESS) parts matching any of `res`, id < boundExclusive. */
+  private def partsBefore(spark: SparkSession, storeDir: String,
+      res: Seq[scala.util.matching.Regex], boundExclusive: Long): Seq[String] = {
     val base = new Path(storeDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
     fs.listStatus(base).toSeq.flatMap { st =>
       val complete = st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS"))
-      st.getPath.getName match {
-        case re(id) if complete && id.toLong < boundExclusive => Some(st.getPath.toString)
-        case _ => None
-      }
+      if (!complete) None
+      else res.view.flatMap(_.findFirstMatchIn(st.getPath.getName))
+        .collectFirst {
+          case m if m.matched == st.getPath.getName && m.group(1).toLong < boundExclusive =>
+            st.getPath.toString
+        }
     }
   }
 
@@ -76,10 +79,13 @@ object StreamNearDup {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.parquet(dirs: _*)
 
-  /** The admitted signature store visible to batch `boundExclusive`. */
+  /** The admitted signature store visible to batch `boundExclusive`
+    * (deltas + folds; a fold's id is the highest batch it covers).
+    */
   def sigStore(spark: SparkSession, storeDir: String,
       boundExclusive: Long = Long.MaxValue): DataFrame =
-    readParts(spark, partsBefore(spark, storeDir, DeltaRe, boundExclusive), sigSchema)
+    readParts(spark,
+      partsBefore(spark, storeDir, Seq(DeltaRe, FoldRe), boundExclusive), sigSchema)
 
   /** Ids the screen has admitted so far. */
   def keptIds(spark: SparkSession, storeDir: String): DataFrame =
@@ -89,7 +95,16 @@ object StreamNearDup {
     * doc) with the estimate and the stage that rejected it.
     */
   def matches(spark: SparkSession, storeDir: String): DataFrame =
-    readParts(spark, partsBefore(spark, storeDir, MatchesRe, Long.MaxValue), matchesSchema)
+    readParts(spark,
+      partsBefore(spark, storeDir, Seq(MatchesRe), Long.MaxValue), matchesSchema)
+
+  /** Fold sig deltas into one `fold_0_<hi>` range dir — StreamDedup's
+    * compaction verbatim (same dir naming, same write-then-delete crash
+    * discipline, newest delta never folded); the `matches_b` provenance
+    * dirs are history, not screen state, and are left untouched.
+    */
+  def foldDeltas(spark: SparkSession, storeDir: String): Int =
+    StreamDedup.foldDeltas(spark, storeDir)
 
   /** Start the near-dup screen over a `(doc_id, text)` source. The
     * STORE is the output: [[keptIds]] is the deduped id set,

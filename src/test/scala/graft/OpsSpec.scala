@@ -1072,6 +1072,23 @@ class OpsSpec extends SparkSpec {
     assert(keyed == all, "keyed broadcast scoring diverges from all-pairs scoring")
   }
 
+  test("ivfServe: a 32-query batch (broadcast LUT path) reproduces v9 per query exactly") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val codes = VectorOps.codesArtifact(spark, d)
+    val big = VectorOps.ivfServe(spark, emb, emb.filter(col("vec_id") < 32), 10,
+        Some(books), Some(codes))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(big.map(_._1).distinct.length == 32)
+    // per-query results are independent of the batch: restricted to
+    // v9's fixed query set they must match v9 row-for-row
+    val v9 = SparkEntry.queries("v9_ivf_pq")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(big.filter(_._1 < 10).toSeq == v9.toSeq,
+      "big-batch IVF serving diverges from v9's literal-path output")
+  }
+
   test("p12 padding waste: packed never exceeds padded and the accounting reconciles") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("p12_padding_waste")(spark, d).collect().head

@@ -466,6 +466,18 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
     assert(m == Set((3L, 1L, "store"), (4L, 2L, "store"), (6L, 5L, "batch")),
       s"provenance: $m")
+
+    // fold the sig deltas: screen state unchanged, provenance intact,
+    // idempotent, and a post-fold batch still screens against the store
+    assert(StreamNearDup.foldDeltas(spark, store) >= 2)
+    assert(kept == Set(1L, 2L, 5L), s"after fold: $kept")
+    assert(StreamNearDup.foldDeltas(spark, store) == 0)
+    assert(StreamNearDup.matches(spark, store).count() == 3)
+    val q3 = StreamNearDup.start(src, store, cp)
+    in.addData((7L, text("gamma")), (8L, text("delta")))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(kept == Set(1L, 2L, 5L, 8L), s"after fold + batch 4: $kept")
   }
 
   test("streaming dedup refuses a new checkpoint over an existing store (batch-id epoch guard)") {
