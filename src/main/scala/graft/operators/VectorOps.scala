@@ -679,22 +679,119 @@ object VectorOps {
          |            FROM sc)
          |SELECT query_id, rn, cand_id, adist FROM ranked2 WHERE rn <= 10
          |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      v9TopK(s, d)
+    },
+
+    // V11: IVF-PQ recall eval — v6's pattern pointed at the v9 serving
+    // stack, closing the quality loop FAISS users run after every index
+    // build: per query, how much of the EXACT integer-L2 top-10 (the
+    // metric ADC approximates) does IVF-PQ recover? Lossy stages are
+    // (a) nprobe=2 cell pruning and (b) 4-code quantization, so recall
+    // here is the product of both dials — the number you tune nprobe/M/K
+    // against. Exact side is map-only over query literals (l2 =
+    // |c|² - 2·dot_q + |q|², all BIGINT, bit-identical cross-engine);
+    // ANN side IS v9's plan; the eval adds three tiny per-query aggs.
+    QueryDef.sql("v11_ivfpq_recall", {
+      s"""WITH el AS ($elementsSql),
+         |$ivfCellsSql,
+         |$pqChainSql,
+         |qd AS (SELECT q.vec_id AS query_id, c.m, c.cent_id,
+         |              CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dist
+         |       FROM sub q JOIN c1 c ON q.m = c.m AND q.p = c.p
+         |       WHERE q.vec_id < 10
+         |       GROUP BY q.vec_id, c.m, c.cent_id),
+         |cand2 AS (
+         |  SELECT query_id, cand_id FROM probes JOIN cells USING (cell)
+         |  WHERE cand_id <> query_id),
+         |sc AS (SELECT cand2.query_id, cand2.cand_id,
+         |              CAST(SUM(qd.dist) AS BIGINT) AS adist
+         |       FROM cand2 JOIN ch ON ch.vec_id = cand2.cand_id
+         |                  JOIN qd ON qd.query_id = cand2.query_id
+         |                         AND qd.m = ch.m AND qd.cent_id = ch.cent_id
+         |       GROUP BY cand2.query_id, cand2.cand_id),
+         |atop AS (SELECT query_id, cand_id FROM (
+         |           SELECT query_id, cand_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY adist, cand_id) AS rn
+         |           FROM sc) WHERE rn <= 10),
+         |xl2 AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |               CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS l2
+         |        FROM el q JOIN el c ON q.pos = c.pos
+         |        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |        GROUP BY query_id, cand_id),
+         |xtop AS (SELECT query_id, cand_id FROM (
+         |           SELECT query_id, cand_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY l2, cand_id) AS rn
+         |           FROM xl2) WHERE rn <= 10),
+         |xn AS (SELECT query_id, COUNT(*) AS n_exact FROM xtop GROUP BY query_id),
+         |an AS (SELECT query_id, COUNT(*) AS n_ann FROM atop GROUP BY query_id),
+         |hits AS (SELECT x.query_id, COUNT(*) AS n_hit
+         |         FROM xtop x JOIN atop a
+         |           ON x.query_id = a.query_id AND x.cand_id = a.cand_id
+         |         GROUP BY x.query_id)
+         |SELECT xn.query_id, xn.n_exact,
+         |       CAST(COALESCE(an.n_ann, 0) AS BIGINT) AS n_ann,
+         |       CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / xn.n_exact AS recall_at_10
+         |FROM xn LEFT JOIN an USING (query_id) LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
       graft.functions.NativeFunctions.register(s)
-      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val (cells, probes) = ivfCellsAndProbes(s, emb)
-      val books = pqTrainCached(s, d)
-      val codes = codesArtifact(s, d).withColumnRenamed("vec_id", "cand_id")
-      val qs = collectQueries(emb.filter(col("vec_id") < 10))
-      // candidates carry their query_id (the probe lists), so scoring
-      // is adcScoreKeyed: 10 queries → the literal when-chain path;
-      // production batches route to the broadcast LUT join (see
-      // AdcLiteralMax — pinned in PlanSpec/OpsSpec)
-      val cand = broadcast(probes).join(cells, Seq("cell"))
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+      // exact integer-L2 truth, map-only over the query literals:
+      // l2(c, q) = dot_q(c, c) - 2·dot_q(c, q) + |q|² (|q|² a constant)
+      val qfloats = vecs.filter(col("vec_id") < 10).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val qCols = qfloats.map { case (qid, arr) =>
+        val qn = arr.map(quantF).map(v => v * v).sum
+        struct(lit(qid).as("query_id"),
+          (call_function("dot_q", col("embedding"), col("embedding"))
+            - lit(2L) * call_function("dot_q", col("embedding"), typedLit(arr))
+            + lit(qn)).as("l2"))
+      }
+      val exact = vecs
+        .select(col("vec_id").as("cand_id"), explode(array(qCols.toIndexedSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.l2"))
         .filter(col("cand_id") =!= col("query_id"))
-        .join(codes, Seq("cand_id"))
-      adcTopKTail(adcScoreKeyed(s, cand, qs, books), 10)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("l2"), asc("cand_id"))))
+        .filter(col("rn") <= 10).select("query_id", "cand_id")
+      val ann = v9TopK(s, d).select("query_id", "cand_id")
+      val xn = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val an = ann.groupBy("query_id").agg(count(lit(1)).as("n_ann"))
+      val hits = exact.join(ann, Seq("query_id", "cand_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      xn.join(an, Seq("query_id"), "left").join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+            .as("recall_at_10"))
+        .orderBy("query_id")
     }
   )
+
+  /** v9's fixture plan (fixed vec_id < 10 query set, k = 10), shared by
+    * the v9 oracle query and the v11 recall eval. Candidates carry
+    * their query_id (the probe lists), so scoring is adcScoreKeyed:
+    * 10 queries → the literal when-chain path; production batches
+    * route to the broadcast LUT join (see AdcLiteralMax / [[ivfServe]]
+    * — pinned in PlanSpec/OpsSpec). Codes read the stored index.
+    */
+  private def v9TopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val (cells, probes) = ivfCellsAndProbes(s, emb)
+    val books = pqTrainCached(s, d)
+    val codes = codesArtifact(s, d).withColumnRenamed("vec_id", "cand_id")
+    val qs = collectQueries(emb.filter(col("vec_id") < 10))
+    val cand = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(codes, Seq("cand_id"))
+    adcTopKTail(adcScoreKeyed(s, cand, qs, books), 10)
+  }
 
   /** PQ constants: M subspaces × P dims each (M·P = the corpus dim),
     * K centroids per subspace codebook. `final val` literals so they

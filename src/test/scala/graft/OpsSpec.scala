@@ -1089,6 +1089,30 @@ class OpsSpec extends SparkSpec {
       "big-batch IVF serving diverges from v9's literal-path output")
   }
 
+  test("v11 ivf-pq recall: bounded, non-degenerate, and consistent with v9's row counts") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("v11_ivfpq_recall")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 10)
+    rows.foreach { case (q, nExact, nAnn, nHit, recall) =>
+      assert(nExact == 10, s"query $q truth must be a full top-10")
+      assert(nAnn <= 10 && nHit <= nAnn.min(nExact))
+      assert(recall >= 0.0 && recall <= 1.0 && recall == nHit.toDouble / nExact)
+    }
+    // the eval must discriminate: the compressed index finds SOME of the
+    // exact neighbors but not all (nprobe=2 of 16 cells + 4-code PQ is
+    // deliberately lossy — a 1.0 here would mean the fixture can't see
+    // the dials it exists to tune)
+    val mean = rows.map(_._5).sum / rows.length
+    assert(mean > 0.0 && mean < 1.0, s"degenerate recall curve: mean $mean")
+    // and the ANN side is literally v9's output
+    val v9n = SparkEntry.queries("v9_ivf_pq")(spark, d).collect()
+      .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    rows.foreach { case (q, _, nAnn, _, _) =>
+      assert(v9n.getOrElse(q, 0) == nAnn, s"query $q: n_ann $nAnn != v9 rows")
+    }
+  }
+
   test("p12 padding waste: packed never exceeds padded and the accounting reconciles") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("p12_padding_waste")(spark, d).collect().head
