@@ -884,7 +884,9 @@ object VectorOps {
     */
   def ivfServe(s: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
       books0: Option[Array[Array[Array[Long]]]] = None,
-      codes0: Option[DataFrame] = None): DataFrame = {
+      codes0: Option[DataFrame] = None,
+      nprobe: Int = NProbe): DataFrame = {
+    require(nprobe >= 1 && nprobe <= NCells, s"nprobe $nprobe out of [1, $NCells]")
     graft.functions.NativeFunctions.register(s)
     val books = books0.getOrElse(pqTrain(s, emb))
     val codes = codes0.getOrElse(
@@ -895,7 +897,7 @@ object VectorOps {
     val cents = ivfCents(emb)
     val cells = ivfRank(emb, cents).filter(col("crn") === 1)
       .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
-    val probes = ivfRank(queries, cents).filter(col("crn") <= NProbe)
+    val probes = ivfRank(queries, cents).filter(col("crn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val cand = broadcast(probes).join(cells, Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))

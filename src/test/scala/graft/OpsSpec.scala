@@ -1113,6 +1113,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfServe nprobe dial: recall vs exact truth is monotone in probed cells, exhaustive at NCells") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val codes = VectorOps.codesArtifact(spark, d)
+    val q = emb.filter(col("vec_id") < 10)
+    // truth for the dial = FULL-corpus ADC ranking (v8's semantics):
+    // isolates the nprobe dial from PQ quantization loss
+    val full = VectorOps.adcSearch(spark, emb, q, 10, Some(books), Some(codes))
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hitsAt(np: Int): Int =
+      VectorOps.ivfServe(spark, emb, q, 10, Some(books), Some(codes), nprobe = np)
+        .select("query_id", "cand_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .count(full.contains)
+    val h2 = hitsAt(2); val h6 = hitsAt(6); val h16 = hitsAt(16)
+    assert(h2 <= h6 && h6 <= h16, s"recall must be monotone in nprobe: $h2, $h6, $h16")
+    assert(h2 < h16, s"the dial must move recall: $h2 vs $h16")
+    // probing every cell IS the exhaustive ADC scan
+    assert(h16 == full.size, s"nprobe=NCells must recover the full ADC top-k: $h16/${full.size}")
+  }
+
   test("p12 padding waste: packed never exceeds padded and the accounting reconciles") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("p12_padding_waste")(spark, d).collect().head
