@@ -322,6 +322,23 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"keyed ADC scoring must not shuffle the candidates, found ${shuffles.length}")
   }
 
+  test("ivfServe: plan size constant from 32 to 500 queries; probes and LUTs broadcast") {
+    import graft.operators.VectorOps
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val books = VectorOps.pqTrain(spark, emb)
+    val codes = VectorOps.codesArtifact(spark, sf)
+    def plan(n: Int): String = planString(VectorOps.ivfServe(spark, emb,
+      emb.filter(col("vec_id") < n), 10, Some(books), Some(codes)))
+    val p32 = plan(32)
+    assert(p32.contains("BroadcastHashJoin"), p32.take(800))
+    assert(!p32.contains("CASE WHEN (query_id"),
+      "big batch must not fall back to the when-chain literal path")
+    val p500 = plan(500)
+    assert(p500.length <= (p32.length * 1.2).toInt,
+      s"plan grew with the batch: ${p32.length} chars at 32 vs ${p500.length} at 500")
+  }
+
   test("cdc2 merge: the changeset screen broadcasts — the base snapshot never shuffles for it") {
     val df = SparkEntry.queries("cdc2_merge_apply")(spark, sf)
     df.collect()
