@@ -1112,7 +1112,11 @@ object VectorOps {
       qs: Array[(Long, Array[Long])],
       books: Array[Array[Array[Long]]]): DataFrame = {
     val luts = adcLuts(qs, books)
-    if (qs.length <= AdcLiteralMax) {
+    if (qs.isEmpty)
+      // an empty reranker batch is a valid request: empty result, full schema
+      codes.select(lit(0L).as("query_id"), col("cand_id"), lit(0L).as("adist"))
+        .filter(lit(false))
+    else if (qs.length <= AdcLiteralMax) {
       // literal path: per-query (query_id, adist) structs, exploded —
       // map-only over the code scan, LUTs folded into codegen
       val qCols = luts.map { case (qid, l) =>
@@ -1138,7 +1142,9 @@ object VectorOps {
       qs: Array[(Long, Array[Long])],
       books: Array[Array[Array[Long]]]): DataFrame = {
     val luts = adcLuts(qs, books)
-    if (qs.length <= AdcLiteralMax) {
+    if (qs.isEmpty)
+      cand.withColumn("adist", lit(0L)).filter(lit(false))
+    else if (qs.length <= AdcLiteralMax) {
       // literal path: LUT selected by a when-chain over the batch's
       // query ids — M element_at lookups per row, no join
       val adist = (0 until PqM).map { m =>

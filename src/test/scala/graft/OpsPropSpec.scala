@@ -16,6 +16,40 @@ class OpsPropSpec extends SparkSpec {
     assert(res.passed, s"$name: ${res.status}")
   }
 
+  test("crossMatches equals the one-shot batch detector restricted to cross pairs") {
+    // d15's invariant generalized: for ANY corpus split into store/new,
+    // the incremental screen's matches are EXACTLY nearDupPairs over
+    // the whole corpus filtered to (store, new) pairs — same banding,
+    // same estimate, so incremental ingestion can never drift from a
+    // batch re-run. Random corpora: ~10-word docs from a 6-word
+    // vocabulary (heavy overlap → real band collisions at 0.5).
+    import graft.operators.MinHash
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val corpusGen = for {
+      n <- Gen.chooseNum(4, 12)
+      docs <- Gen.listOfN(n, Gen.listOfN(10, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    val prop = Prop.forAll(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val sig = MinHash.signatures(df).localCheckpoint()
+      val store = sig.filter(col("doc_id") % 2 === 0)
+      val inc = sig.filter(col("doc_id") % 2 === 1)
+      val got = MinHash.crossMatches(store, inc, 0.5)
+        .select("doc_id", "matched_id").as[(Long, Long)].collect().toSet
+      val all = MinHash.nearDupPairsFromSignatures(sig, 0.5)
+        .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+      // pairs are (smaller, larger); cross pairs keyed as (incoming, stored)
+      val expected = all.flatMap { case (a, b) =>
+        Seq((a, b), (b, a)).collect {
+          case (inc0, st) if inc0 % 2 == 1 && st % 2 == 0 => (inc0, st)
+        }
+      }
+      got == expected
+    }
+    run("cross-matches-vs-batch", prop, 5)
+  }
+
   test("connectedComponents matches driver-side union-find on random graphs") {
     val graphGen = for {
       n <- Gen.chooseNum(2, 10)

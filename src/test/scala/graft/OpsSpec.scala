@@ -1113,6 +1113,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("adc serving: an empty query batch returns an empty, correctly-shaped result") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val codes = VectorOps.codesArtifact(spark, d)
+    val out = VectorOps.adcSearch(spark, emb,
+      emb.filter(col("vec_id") < 0), 10, Some(books), Some(codes))
+    assert(out.columns.toSeq == Seq("query_id", "rn", "cand_id", "adist"))
+    assert(out.count() == 0)
+    val ivf = VectorOps.ivfServe(spark, emb,
+      emb.filter(col("vec_id") < 0), 10, Some(books), Some(codes))
+    assert(ivf.columns.toSeq == Seq("query_id", "rn", "cand_id", "adist"))
+    assert(ivf.count() == 0)
+  }
+
   test("ivfServe nprobe dial: recall vs exact truth is monotone in probed cells, exhaustive at NCells") {
     val d = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
