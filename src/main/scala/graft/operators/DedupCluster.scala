@@ -242,6 +242,60 @@ object DedupCluster {
         .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
         .withColumn("is_rep", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")
+    },
+
+    // D16: quality-aware representative selection — the policy upgrade
+    // over d5's min-id keep flag that production dedup actually ships
+    // (Dolma / FineWeb keep the BEST copy of a near-dup cluster, not
+    // the lowest-id one): rank each cluster's members by t3's quality
+    // score and keep the argmax. Ranking happens on a µ-quantized
+    // BIGINT of the score (round(q*1e6)) so a 1-ulp double divergence
+    // between engines can never flip a tie; residual ties break on
+    // doc_id. One extra window shuffle on cluster_id over d5; the
+    // scoring pass is map-only — same 100 TB shape as d5 itself.
+    QueryDef.sql("d16_keep_best",
+      s"""WITH RECURSIVE ${MinHash.pairsCteSql(TextOps.withDupesSql, 0.5)},
+         |edges AS (
+         |  SELECT doc1 AS a, doc2 AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc2 AS a, doc1 AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |corpus AS (${TextOps.withDupesSql}),
+         |labels AS (
+         |  SELECT c.doc_id,
+         |         LEAST(c.doc_id, COALESCE(MIN(r.b), c.doc_id)) AS cluster_id
+         |  FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
+         |  GROUP BY c.doc_id),
+         |scored AS (
+         |  SELECT doc_id, ${TextOps.qualityFormulaSql} AS q
+         |  FROM (SELECT doc_id, ${TextOps.qualityFeaturesSql} FROM corpus)),
+         |ranked AS (
+         |  SELECT l.doc_id, l.cluster_id, s.q,
+         |         row_number() OVER (
+         |           PARTITION BY l.cluster_id
+         |           ORDER BY CAST(ROUND(s.q * 1000000) AS BIGINT) DESC NULLS LAST,
+         |                    l.doc_id) AS rk
+         |  FROM labels l JOIN scored s ON l.doc_id = s.doc_id)
+         |SELECT doc_id, cluster_id, round(q, 6) AS quality, rk = 1 AS is_kept
+         |FROM ranked ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val corpus = TextOps.withDupes(Tables.documents(s, d))
+      val pairs = MinHash.nearDupPairsFromSignatures(
+        MinHash.signaturesArtifact(s, d), 0.5)
+        .select("doc1", "doc2")
+      val labels = connectedComponentsAuto(corpus.select("doc_id"), pairs)
+      val scored = corpus.select(col("doc_id") +: TextOps.qualityFeatureCols: _*)
+        .select(col("doc_id"), TextOps.qualityCol.as("q"))
+      labels.join(scored, "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cluster_id")
+            .orderBy(round(col("q") * 1000000).cast("long").desc_nulls_last,
+              col("doc_id").asc)))
+        .select(col("doc_id"), col("cluster_id"),
+          round(col("q"), 6).as("quality"), (col("rk") === 1).as("is_kept"))
+        .orderBy("doc_id")
     }
   )
 }

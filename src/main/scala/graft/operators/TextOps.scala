@@ -65,13 +65,13 @@ object TextOps {
   // and the formula references the aliases (never re-derives from
   // text). SQL fragments stay single-line (stripMargin eats a leading
   // '|' of any embedded multi-line fragment).
-  private val qualityFeaturesSql: String =
+  private[operators] val qualityFeaturesSql: String =
     s"len(regexp_extract_all(text, '[a-z]+')) AS n_tokens, " +
       "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0) AS alpha_ratio, " +
       s"CAST(len(regexp_extract_all(text, '$enRe')) AS DOUBLE) / NULLIF(len(regexp_extract_all(text, '[a-z]+')), 0) AS stop_ratio"
-  private val qualityFormulaSql: String =
+  private[operators] val qualityFormulaSql: String =
     "0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * alpha_ratio + 0.3 * LEAST(stop_ratio * 5.0, 1.0)"
-  private def qualityFeatureCols: Seq[Column] = Seq(
+  private[operators] def qualityFeatureCols: Seq[Column] = Seq(
     regexp_count(col("text"), lit("[a-z]+")).as("n_tokens"),
     // NULLIF: Spark (ANSI off) gives NULL for x/0, DuckDB gives IEEE
     // NaN/inf — force NULL in both engines
@@ -79,7 +79,7 @@ object TextOps {
       nullif(length(col("text")), lit(0))).as("alpha_ratio"),
     (regexp_count(col("text"), lit(enRe)).cast("double") /
       nullif(regexp_count(col("text"), lit("[a-z]+")), lit(0))).as("stop_ratio"))
-  private def qualityCol: Column =
+  private[operators] def qualityCol: Column =
     lit(0.4) * least(col("n_tokens").cast("double") / 50.0, lit(1.0)) +
       lit(0.3) * col("alpha_ratio") +
       lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0))

@@ -175,6 +175,28 @@ class OpsSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("d16 keep-best: exactly one survivor per cluster, and it is the quality argmax") {
+    val out = graft.SparkEntry.queries("d16_keep_best")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "cluster_id", "quality", "is_kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (_, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1)
+      // the survivor maximizes the µ-quantized score; ties fall to min id
+      val key = (m: (Long, Long, Double, Boolean)) =>
+        (math.round(m._3 * 1e6), -m._1)
+      assert(key(kept.head) == members.map(key).max)
+    }
+    // the policy is observably different from d5's min-id rule: at least
+    // one multi-doc cluster keeps a doc that is NOT its min-id member
+    val divergent = byCluster.values.exists { ms =>
+      ms.length > 1 && ms.filter(_._4).head._1 != ms.map(_._1).min
+    }
+    assert(divergent, "fixture never exercises the quality-over-min-id choice")
+  }
+
   test("GraftExtensions builders construct working native expressions") {
     // the end-to-end extensions path needs its own JVM (getOrCreate here
     // would reuse the test session) — covered by the forked
