@@ -770,6 +770,72 @@ object VectorOps {
           (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
             .as("recall_at_10"))
         .orderBy("query_id")
+    },
+
+    // V12: scalar (int8) quantization — SQ8, the per-dimension affine
+    // counterpart to v7's PQ (FAISS's ScalarQuantizer): train a
+    // [min,max] range per dimension, encode each element to an 8-bit
+    // level, and account the reconstruction error that tells you
+    // whether SQ8 is safe for this corpus. All arithmetic runs on the
+    // 1e-6 integer grid (elementsSql's xi) so both engines agree
+    // bit-for-bit; the per-vector outputs are an order-free code
+    // checksum and the integer SSE (+ a derived RMSE in float units).
+    // 100 TB shape: the stats pass is one partial-agg'd explode that
+    // reduces to dim rows; the encode is MAP-ONLY over the array
+    // column with the 64 (mn, range) pairs inlined as bounded driver
+    // literals — the same codebook pattern as v7, no join, no second
+    // shuffle.
+    QueryDef.sql("v12_scalar_quant",
+      s"""WITH el AS ($elementsSql),
+         |stats AS (SELECT pos, MIN(xi) AS mn, MAX(xi) AS mx FROM el GROUP BY pos),
+         |enc AS (
+         |  SELECT e.vec_id, e.pos, e.xi, s.mn, s.mx - s.mn AS rng,
+         |         CASE WHEN s.mx = s.mn THEN 0
+         |              ELSE CAST(round(CAST((e.xi - s.mn) * 255 AS DOUBLE) / (s.mx - s.mn), 0) AS BIGINT) END AS code
+         |  FROM el e JOIN stats s USING (pos)),
+         |rec AS (
+         |  SELECT vec_id, pos, code,
+         |         xi - (mn + CASE WHEN rng = 0 THEN 0
+         |                         ELSE CAST(round(CAST(code * rng AS DOUBLE) / 255.0, 0) AS BIGINT) END) AS e1
+         |  FROM enc)
+         |SELECT vec_id,
+         |       CAST(SUM(code * (pos + 1)) AS BIGINT) AS code_checksum,
+         |       CAST(SUM(e1 * e1) AS BIGINT) AS sse,
+         |       round(sqrt(CAST(SUM(e1 * e1) AS DOUBLE) / 64.0) / 1000000.0, 9) AS rmse
+         |FROM rec GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      def xiOf(x: Column): Column = round(x.cast("double") * 1e6, 0).cast("long")
+      // train: one explode → partial-agg pass, reduced to dim rows of
+      // bounded driver state (the v7 codebook pattern)
+      val stats = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("pos"), round(col("x").cast("double") * 1e6, 0).cast("long").as("xi"))
+        .groupBy("pos").agg(min("xi").as("mn"), max("xi").as("mx"))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+      val dim = stats.size
+      val mnLit = array((0 until dim).map(p => lit(stats(p)._1)): _*)
+      val rngLit = array((0 until dim).map(p => lit(stats(p)._2 - stats(p)._1)): _*)
+      def codeOf(x: Column, i: Column): Column = {
+        val mn = element_at(mnLit, i + 1)
+        val rng = element_at(rngLit, i + 1)
+        when(rng === 0, lit(0L)).otherwise(
+          round(((xiOf(x) - mn) * 255).cast("double") / rng, 0).cast("long"))
+      }
+      def errOf(x: Column, i: Column): Column = {
+        val mn = element_at(mnLit, i + 1)
+        val rng = element_at(rngLit, i + 1)
+        val recon = mn + when(rng === 0, lit(0L)).otherwise(
+          round((codeOf(x, i) * rng).cast("double") / 255.0, 0).cast("long"))
+        val e1 = xiOf(x) - recon
+        e1 * e1
+      }
+      def sumArr(a: Column): Column = aggregate(a, lit(0L), (acc, v) => acc + v)
+      emb.select(col("vec_id"),
+          sumArr(transform(col("embedding"),
+            (x, i) => codeOf(x, i) * (i + 1).cast("long"))).as("code_checksum"),
+          sumArr(transform(col("embedding"), (x, i) => errOf(x, i))).as("sse"))
+        .select(col("vec_id"), col("code_checksum"), col("sse"),
+          round(sqrt(col("sse").cast("double") / dim) / 1e6, 9).as("rmse"))
+        .orderBy("vec_id")
     }
   )
 

@@ -242,6 +242,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.toString.contains("dot_q"), plan.toString.take(500))
   }
 
+  test("v12 scalar quant: the encode is map-only — one exchange (final sort), no join") {
+    // the stats pass aggregates (bounded 64-row collect at build time);
+    // the RETURNED frame must encode per-row from inlined (mn, range)
+    // literals — a refactor that joins a stats table instead would
+    // shuffle the corpus to encode it.
+    val df = graft.SparkEntry.queries("v12_scalar_quant")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(exchanges.length <= 1,
+      s"encode must only shuffle for the output sort, found ${exchanges.length}")
+    assert(joins.isEmpty, s"encode is per-row over literals, found ${joins.length} joins")
+  }
+
   test("w1 top-k per group: the rank filter pushes down as WindowGroupLimit") {
     // row_number() + `rn <= k` must plan the WindowGroupLimit rank-limit
     // pushdown (partial per-partition top-k BEFORE the window shuffle,
