@@ -209,6 +209,23 @@ object DedupCluster {
     (labels, rounds)
   }
 
+  /** d5's cluster labels as a fingerprint-keyed stored artifact
+    * (doc_id, cluster_id): connected components run ONCE per corpus
+    * version; every downstream selection policy (d16's keep-best, a
+    * future keep-longest/keep-newest) reads the label table instead of
+    * re-running the iterative algorithm — at 100 TB a policy change
+    * must never re-cluster the corpus. Same memoization discipline as
+    * the MinHash signature and PQ code artifacts.
+    */
+  def clustersArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "neardup_clusters") { out =>
+      val corpus = TextOps.withDupes(Tables.documents(s, d))
+      val pairs = MinHash.nearDupPairsFromSignatures(
+        MinHash.signaturesArtifact(s, d), 0.5)
+        .select("doc1", "doc2")
+      connectedComponentsAuto(corpus.select("doc_id"), pairs).write.parquet(out)
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // D5: cluster the MinHash near-dup pairs (same corpus + threshold as
@@ -282,10 +299,11 @@ object DedupCluster {
          |SELECT doc_id, cluster_id, round(q, 6) AS quality, rk = 1 AS is_kept
          |FROM ranked ORDER BY doc_id""".stripMargin) { (s, d) =>
       val corpus = TextOps.withDupes(Tables.documents(s, d))
-      val pairs = MinHash.nearDupPairsFromSignatures(
-        MinHash.signaturesArtifact(s, d), 0.5)
-        .select("doc1", "doc2")
-      val labels = connectedComponentsAuto(corpus.select("doc_id"), pairs)
+      // selection reads the STORED label table (built once per corpus
+      // fingerprint) — the policy never re-runs connected components,
+      // and the oracle's recursive-CTE closure now also round-trips
+      // the artifact store
+      val labels = clustersArtifact(s, d)
       val scored = corpus.select(col("doc_id") +: TextOps.qualityFeatureCols: _*)
         .select(col("doc_id"), TextOps.qualityCol.as("q"))
       labels.join(scored, "doc_id")
