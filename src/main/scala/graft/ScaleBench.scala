@@ -35,9 +35,9 @@ object ScaleBench {
     */
   private val ScaleQueries = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "d5_neardup_clusters",
-    "d8_passage_dedup", "d15_incremental_neardup",
+    "d8_passage_dedup", "d15_incremental_neardup", "d16_keep_best",
     "v2_ann_lsh", "v7_pq", "v8_pq_adc", "v9_ivf_pq", "v10_adc_batch",
-    "v11_ivfpq_recall")
+    "v11_ivfpq_recall", "v12_scalar_quant")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space
