@@ -861,4 +861,55 @@ class StreamingSpec extends SparkSpec {
     assert(timedOut.exists(s => s.user_id == 1 && s.end_ms == base + 7200000))
     q.stop()
   }
+
+  test("stream-stream interval join: cross-batch parity with its batch twin, runs stateful") {
+    // joinWithStatus applied to BATCH frames is its own oracle
+    // (withWatermark is a no-op outside streaming), so this pins the
+    // streaming execution against the batch engine on identical input —
+    // not against a re-derivation. The fixture splits a matching
+    // (observation, status) pair across two micro-batches: the status
+    // arrives in batch 1, its second matching observation in batch 2,
+    // so parity holds only if the status side's join state survived the
+    // batch boundary.
+    implicit val sc = spark.sqlContext
+    val obs = MemoryStream[String]
+    val status = MemoryStream[(String, java.sql.Timestamp, String)]
+    def at(epoch: Long, temp: Double, city: String) =
+      s"""{"date":"d","weather_description":"clear","latitude":"0","pression":"1000",
+         |"humidité":"50","feels_like":"0","city_name":"$city","local_time":"t",
+         |"min_temp":"0","wind_speed":"1.0","température":"$temp","max_temp":"0",
+         |"timestamp":"$epoch","longitude":"0"}""".stripMargin.replace("\n", "")
+    def ts(epoch: Long) = new java.sql.Timestamp(epoch * 1000L)
+    val q = WeatherPipeline
+      .joinWithStatus(WeatherPipeline.enriched(obs.toDF()),
+        status.toDS().toDF("status_city", "status_ts", "status"))
+      .writeStream.format("memory").queryName("ssj_parity_out").outputMode("append")
+      .start()
+    val t0 = 1700000000L
+    val obsRows = Seq(at(t0, 20, "X"), // batch 1
+      at(t0 + 240, 22, "X"), at(t0 + 60, 15, "Y")) // batch 2
+    val statusRows = Seq(("X", ts(t0 + 120), "OK"), // batch 1; matches BOTH X obs
+      ("Y", ts(t0 + 90), "YOK"), // batch 2, same-batch match
+      ("Z", ts(t0), "NOCITY")) // batch 2, no matching city
+    obs.addData(obsRows.head); status.addData(statusRows.head)
+    q.processAllAvailable()
+    obs.addData(obsRows.tail: _*); status.addData(statusRows.tail: _*)
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("city_name"), r.getAs[java.sql.Timestamp]("timestamp_dt"),
+        r.getAs[String]("status"), r.getAs[java.sql.Timestamp]("status_ts"))
+    val got = spark.table("ssj_parity_out").collect().map(key).toSet
+    val want = WeatherPipeline.joinWithStatus(
+      WeatherPipeline.enriched(obsRows.toDF("value")),
+      statusRows.toDF("status_city", "status_ts", "status"))
+      .collect().map(key).toSet
+    assert(want.size == 3, s"fixture should produce 3 matches, got ${want.size}")
+    // the cross-batch pair (batch-2 observation × batch-1 status) is in it
+    assert(want.exists { case (c, t, s, _) =>
+      c == "X" && t == ts(t0 + 240) && s == "OK" })
+    assert(got == want, "streaming join diverges from the batch twin")
+    assert(q.lastProgress.stateOperators.nonEmpty,
+      "expected a stateful symmetric hash join operator")
+    q.stop()
+  }
 }
