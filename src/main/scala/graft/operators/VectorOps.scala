@@ -1113,6 +1113,37 @@ object VectorOps {
         .write.parquet(out)
     }
 
+  /** Incremental index maintenance — FAISS `add()` re-expressed for the
+    * stored code table: encode ONLY the new vectors against the FROZEN
+    * codebook and publish (current ∪ new) as the next version of the
+    * table at `base`. At 100 TB you append to the index on ingest; you
+    * never re-encode the corpus. PQ assignment is a pure per-vector
+    * function of (vector, codebook), so append-then-serve is exactly
+    * one-shot-encode-then-serve (OpsSpec pins the equality through
+    * `adcSearch`). An empty store bootstraps from the first batch;
+    * `keepVersions = 2` leaves the pre-append table readable for
+    * time-travel/rollback through the store's retention machinery.
+    * Codebook retraining (distribution drift) is deliberately a
+    * separate, rare event — it invalidates every stored code, so it
+    * rebuilds the artifact rather than appending.
+    */
+  def appendCodes(s: SparkSession, base: String, newVecs: DataFrame,
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val add = pqAssign(newVecs.select("vec_id", "embedding"), books)
+      .select(col("vec_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+    val cur = graft.sinks.VersionedStore.readPointer(s, base)
+      .map(_ => graft.sinks.VersionedStore.read(s, base))
+    // materialize BEFORE publish: the union lazily reads the version the
+    // publish supersedes (grace keeps it one cycle, but repeated appends
+    // in one lineage must not race retention)
+    val merged = cur.map(_.unionByName(add)).getOrElse(add).localCheckpoint()
+    graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
+      merged.write.parquet(out)
+    }
+    graft.sinks.VersionedStore.read(s, base)
+  }
+
   // ---- ADC serving core (shared by v8 / v9 / adcSearch) -------------
   //
   // A query batch is scored against the compressed code table through

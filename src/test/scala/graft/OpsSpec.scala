@@ -1150,6 +1150,31 @@ class OpsSpec extends SparkSpec {
     assert(ivf.count() == 0)
   }
 
+  test("incremental index append: bootstrap + append equals one-shot encode, old version time-travels") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val base = tmpDir("graft-pq-index") + "/codes"
+    val oldV = emb.filter(col("vec_id") % 5 =!= 0)
+    val newV = emb.filter(col("vec_id") % 5 === 0)
+    VectorOps.appendCodes(spark, base, oldV, books) // bootstrap
+    val served = VectorOps.appendCodes(spark, base, newV, books) // ingest
+    assert(served.count() == emb.count())
+    // serving from the appended store is exactly serving from a one-shot
+    // re-encode of the full corpus
+    val qs = emb.filter(col("vec_id") < 10)
+    val viaStore = VectorOps.adcSearch(spark, emb, qs, 10, Some(books), Some(served))
+      .collect().toSeq
+    val oneShot = VectorOps.adcSearch(spark, emb, qs, 10, Some(books), None)
+      .collect().toSeq
+    assert(viaStore == oneShot)
+    // the pre-append table survived the publish as a time-travel target
+    val vs = graft.sinks.VersionedStore.listVersions(spark, base)
+    assert(vs.size >= 2)
+    assert(graft.sinks.VersionedStore
+      .readVersion(spark, base, vs(vs.size - 2)).count() == oldV.count())
+  }
+
   test("ivfServe nprobe dial: recall vs exact truth is monotone in probed cells, exhaustive at NCells") {
     val d = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
