@@ -865,7 +865,7 @@ object VectorOps {
     * [[pqChainSql]] during object init, BEFORE later plain vals would
     * have been assigned.
     */
-  private final val PqM = 4
+  final val PqM = 4 // public: StreamIndex sizes the code schema from it
   private final val PqP = 16
   private final val PqK = 8
 
@@ -1107,11 +1107,20 @@ object VectorOps {
   def codesArtifact(s: SparkSession, d: String): DataFrame =
     graft.sinks.VersionedStore.corpusArtifact(s, d, "pq_codes",
       srcTable = "embeddings") { out =>
-      pqAssign(Tables.embeddings(s, d).select("vec_id", "embedding"),
-          pqTrainCached(s, d))
-        .select(col("vec_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+      encodeCodes(Tables.embeddings(s, d), pqTrainCached(s, d))
         .write.parquet(out)
     }
+
+  /** The map-only PQ encoder against a frozen codebook, as a public
+    * per-batch primitive: (vec_id, c0..c{M-1}). A pure deterministic
+    * function of (vector, codebook) — the property both incremental
+    * ingest paths ([[appendCodes]], streaming `StreamIndex`) rely on
+    * for replay idempotence. Caller must have registered the native
+    * functions (`dot_q`).
+    */
+  def encodeCodes(emb: DataFrame, books: Array[Array[Array[Long]]]): DataFrame =
+    pqAssign(emb.select("vec_id", "embedding"), books)
+      .select(col("vec_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
 
   /** Incremental index maintenance — FAISS `add()` re-expressed for the
     * stored code table: encode ONLY the new vectors against the FROZEN
@@ -1130,8 +1139,7 @@ object VectorOps {
   def appendCodes(s: SparkSession, base: String, newVecs: DataFrame,
       books: Array[Array[Array[Long]]]): DataFrame = {
     graft.functions.NativeFunctions.register(s)
-    val add = pqAssign(newVecs.select("vec_id", "embedding"), books)
-      .select(col("vec_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+    val add = encodeCodes(newVecs, books)
     val cur = graft.sinks.VersionedStore.readPointer(s, base)
       .map(_ => graft.sinks.VersionedStore.read(s, base))
     // materialize BEFORE publish: the union lazily reads the version the

@@ -912,4 +912,46 @@ class StreamingSpec extends SparkSpec {
       "expected a stateful symmetric hash join operator")
     q.stop()
   }
+
+  test("streaming ANN index ingest: delta store serves exactly the one-shot encode, folds compact") {
+    import graft.operators.VectorOps
+    import graft.streaming.{StreamDedup, StreamIndex}
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val store = tmpDir("graft-sindex") + "/store"
+    val cp = tmpDir("graft-sindex-cp")
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamIndex.start(in.toDF().toDF("vec_id", "embedding"), books, store, cp)
+    // three micro-batches of roughly a third each
+    rows.grouped((rows.size + 2) / 3).foreach { g =>
+      in.addData(g: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val served = StreamIndex.codes(spark, store)
+    assert(served.count() == rows.size)
+    // serving from the streamed-in store == serving from a one-shot
+    // encode of the same corpus (encode is a pure per-vector function)
+    val qs = emb.filter(col("vec_id") < 10)
+    val viaStore = VectorOps.adcSearch(spark, emb, qs, 10, Some(books), Some(served))
+      .collect().toSeq
+    val oneShot = VectorOps.adcSearch(spark, emb, qs, 10, Some(books), None)
+      .collect().toSeq
+    assert(viaStore == oneShot)
+    // replay idempotence is structural: re-encoding a batch is
+    // deterministic, so a rewritten delta holds identical content
+    val b0 = spark.read.parquet(s"$store/delta_b0")
+    val again = VectorOps.encodeCodes(
+      b0.select("vec_id").join(emb, "vec_id"), books)
+    assert(b0.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq)
+    // the dedup store's fold machinery compacts this store too — and
+    // serving is unchanged after compaction
+    assert(StreamDedup.foldDeltas(spark, store) > 0)
+    val afterFold = VectorOps.adcSearch(spark, emb, qs, 10, Some(books),
+      Some(StreamIndex.codes(spark, store))).collect().toSeq
+    assert(afterFold == oneShot)
+  }
 }
