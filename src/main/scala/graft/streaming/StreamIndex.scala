@@ -60,7 +60,15 @@ object StreamIndex {
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codesSchema)
-    else spark.read.parquet(dirs: _*)
+    else
+      // distinct is load-bearing, not hygiene: the store protocol's
+      // crash contract is "overlap, never loss" (a fold that wrote but
+      // didn't finish deleting its inputs leaves the same rows in two
+      // dirs). The dedup stores read as SETS so overlap is invisible;
+      // an index reader serves ROWS, and a duplicated vec_id would
+      // occupy two top-k slots. Encode is deterministic, so overlap is
+      // always row-identical and distinct removes exactly it.
+      spark.read.parquet(dirs: _*).distinct()
   }
 
   /** Start the ingest over a `(vec_id, embedding)` source. The STORE is

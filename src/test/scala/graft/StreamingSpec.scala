@@ -949,9 +949,25 @@ class StreamingSpec extends SparkSpec {
       again.orderBy("vec_id").collect().toSeq)
     // the dedup store's fold machinery compacts this store too — and
     // serving is unchanged after compaction
+    val preFold = new org.apache.hadoop.fs.Path(s"$store/delta_b0")
+    val fsys = preFold.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stash = new org.apache.hadoop.fs.Path(tmpDir("graft-sindex-stash"), "delta_b0")
+    org.apache.hadoop.fs.FileUtil.copy(fsys, preFold, fsys, stash, false,
+      spark.sparkContext.hadoopConfiguration)
     assert(StreamDedup.foldDeltas(spark, store) > 0)
     val afterFold = VectorOps.adcSearch(spark, emb, qs, 10, Some(books),
       Some(StreamIndex.codes(spark, store))).collect().toSeq
     assert(afterFold == oneShot)
+    // crash contract: a fold that wrote but didn't finish deleting its
+    // inputs leaves the same rows in two dirs ("overlap, never loss").
+    // Restore a folded delta next to the fold — the reader must still
+    // serve each vector ONCE (a duplicated vec_id would occupy two
+    // top-k slots)
+    org.apache.hadoop.fs.FileUtil.copy(fsys, stash, fsys, preFold, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(StreamIndex.codes(spark, store).count() == rows.size)
+    val afterCrash = VectorOps.adcSearch(spark, emb, qs, 10, Some(books),
+      Some(StreamIndex.codes(spark, store))).collect().toSeq
+    assert(afterCrash == oneShot)
   }
 }
