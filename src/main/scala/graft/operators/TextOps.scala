@@ -937,6 +937,42 @@ object TextOps {
             "transform(filter(array_sort(collect_list(struct(bi, boiler, block)))," +
               " x -> NOT x.boiler), x -> x.block)"), " "), lit(""))).as("cleaned_fp"))
         .orderBy("doc_id")
+    },
+
+    // T12: per-source quality calibration — the FineWeb/CCNet
+    // discipline of thresholding quality WITHIN each source (dump,
+    // domain) instead of globally: t3's absolute score distribution
+    // differs per source, so a single global cutoff over- or
+    // under-prunes whole sources. percent_rank over the µ-quantized
+    // score (d16's tie discipline: a 1-ulp double skew can't reorder;
+    // residual ties → doc_id; NULLS FIRST stated explicitly — Spark
+    // and DuckDB DEFAULT to opposite null ends for ASC) normalizes
+    // every source to [0,1]; keep = top half of its own source. One
+    // window shuffle on source — the same plan at any corpus size.
+    QueryDef.sql("t12_quality_calibrate",
+      s"""WITH feat AS (SELECT doc_id, source, $qualityFeaturesSql FROM documents),
+         |scored AS (SELECT doc_id, source, $qualityFormulaSql AS q FROM feat),
+         |ranked AS (
+         |  SELECT doc_id, source, q,
+         |         percent_rank() OVER (
+         |           PARTITION BY source
+         |           ORDER BY CAST(ROUND(q * 1000000) AS BIGINT) NULLS FIRST,
+         |                    doc_id) AS pr
+         |  FROM scored)
+         |SELECT doc_id, source, round(q, 6) AS quality,
+         |       round(pr, 6) AS source_pct, pr >= 0.5 AS kept
+         |FROM ranked ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(Seq(col("doc_id"), col("source")) ++ qualityFeatureCols: _*)
+        .select(col("doc_id"), col("source"), qualityCol.as("q"))
+      scored
+        .withColumn("pr", percent_rank().over(
+          Window.partitionBy("source")
+            .orderBy(round(col("q") * 1000000).cast("long").asc_nulls_first,
+              col("doc_id").asc)))
+        .select(col("doc_id"), col("source"), round(col("q"), 6).as("quality"),
+          round(col("pr"), 6).as("source_pct"), (col("pr") >= 0.5).as("kept"))
+        .orderBy("doc_id")
     }
   )
 }
