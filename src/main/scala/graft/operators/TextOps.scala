@@ -973,6 +973,105 @@ object TextOps {
         .select(col("doc_id"), col("source"), round(col("q"), 6).as("quality"),
           round(col("pr"), 6).as("source_pct"), (col("pr") >= 0.5).as("kept"))
         .orderBy("doc_id")
+    },
+
+    // T14: unigram language-model scoring — the CCNet discipline
+    // (Wenzek et al. 2020) of scoring each document by its mean
+    // per-token log-probability under a corpus-trained LM; gibberish
+    // (OOV-heavy) docs score near the smoothing floor ln(1/(N+V)) and
+    // are dropped. The corpus is too clean to exercise the gate, so
+    // gibberish docs are PLANTED (md5-hex junk under doc_id+1000000,
+    // the withDupes discipline): organic docs score ≥ -4.1 while
+    // planted junk scores ≤ -5.8 at every tested SF, so the midpoint
+    // gate kept = (score >= -5.0) flags exactly the plants.
+    // 100 TB shape: the unigram table is ONE map-side-combined
+    // groupBy; the top-V vocab is TakeOrdered into bounded driver
+    // state (V=1000) and BROADCAST into the token stream — the
+    // scoring join never shuffles the corpus; (N, V) is a 1-row
+    // broadcast crossJoin. Laplace add-1 over the capped vocab, both
+    // dialects textually parallel.
+    QueryDef.sql("t14_unigram_logprob",
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         concat(md5(text), ' ', md5(concat(text, 'q')), ' ', md5(concat(text, 'z'))) AS text
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM aug),
+         |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt),
+         |vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 1000),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |         ln(CAST(COALESCE(vb.c, 0) + 1 AS DOUBLE) / (tot.n + tot.v)) AS lp
+         |  FROM tok t LEFT JOIN vocab vb USING (tok) CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_tokens, round(AVG(lp), 6) AS avg_logprob,
+         |       round(AVG(lp), 6) >= -5.0 AS kept
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val aug = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .union(Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(md5(col("text")), lit(" "), md5(concat(col("text"), lit("q"))),
+              lit(" "), md5(concat(col("text"), lit("z")))).as("text")))
+      val tok = aug.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum("c").as("n"), count(lit(1)).as("v"))
+      // top-V vocab: TakeOrdered (deterministic — count desc, token asc
+      // is a unique key), bounded driver state, broadcast into the scan
+      val vocab = cnt.orderBy(col("c").desc, col("tok").asc).limit(1000)
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          log((coalesce(col("c"), lit(0L)) + 1).cast("double") / (col("n") + col("v"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), round(avg("lp"), 6).as("avg_logprob"))
+        .withColumn("kept", col("avg_logprob") >= -5.0)
+        .orderBy("doc_id")
+    },
+
+    // T15: robust per-source length-outlier filter — median + MAD
+    // (median absolute deviation), the estimator corpus pipelines use
+    // because it tolerates the very contamination it hunts: the
+    // PLANTED 4% megadocs (n_chars × 20 under doc_id+1000000) leave
+    // the median/MAD threshold unmoved — a z-score filter's mean/std
+    // would be dragged by its own outliers. is_outlier flags exactly
+    // the plants, zero organic false positives (proven by the oracle).
+    // 100 TB shape: two grouped aggs on `source` (bounded cardinality)
+    // whose outputs BROADCAST back onto the corpus — the corpus itself
+    // never shuffles. `percentile` is exact to match the DuckDB
+    // oracle; at real scale flip to approx_percentile (same plan
+    // shape, mergeable sketch) — the same exact→approx dial as
+    // a2/a8 vs the HLL/t-digest twins.
+    QueryDef.sql("t15_mad_outlier",
+      s"""WITH aug AS (
+         |  SELECT doc_id, source, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, source, n_chars * 20 FROM documents WHERE doc_id % 25 = 0),
+         |med AS (SELECT source, median(CAST(n_chars AS DOUBLE)) AS med FROM aug GROUP BY 1),
+         |dev AS (SELECT a.doc_id, a.source, a.n_chars, m.med, ABS(a.n_chars - m.med) AS ad
+         |        FROM aug a JOIN med m USING (source)),
+         |mad AS (SELECT source, median(ad) AS mad FROM dev GROUP BY 1)
+         |SELECT v.doc_id, v.source, v.n_chars, round(v.med, 2) AS med, round(m.mad, 2) AS mad,
+         |       ABS(v.n_chars - v.med) > 3 * 1.4826 * m.mad AS is_outlier
+         |FROM dev v JOIN mad m USING (source) ORDER BY v.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val aug = base
+        .union(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+            (col("n_chars") * 20).as("n_chars")))
+      val med = aug.groupBy("source")
+        .agg(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").as("med"))
+      val dev = aug.join(broadcast(med), Seq("source"))
+        .withColumn("ad", abs(col("n_chars") - col("med")))
+      val mad = dev.groupBy("source").agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("med"), 2).as("med"), round(col("mad"), 2).as("mad"),
+          (abs(col("n_chars") - col("med")) > lit(3) * lit(1.4826) * col("mad"))
+            .as("is_outlier"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -836,6 +836,69 @@ object VectorOps {
         .select(col("vec_id"), col("code_checksum"), col("sse"),
           round(sqrt(col("sse").cast("double") / dim) / 1e6, 9).as("rmse"))
         .orderBy("vec_id")
+    },
+
+    // V13: embedding-space data audit — the vector twin of qa1/qa2:
+    // per-label vector counts, NULL embeddings, all-zero vectors
+    // (norm 0 — un-normalizable, they poison cosine similarity), dim
+    // drift (min/max length — a mixed-dim corpus breaks every dot
+    // product downstream), and mean L2 norm (≈1.0 proves the corpus
+    // is normalized; drift flags a broken embedder). The table is too
+    // clean to exercise the counters, so defects are PLANTED per the
+    // qa1 discipline: zero vectors under vec_id+1000000 (vec_id%50),
+    // NULL embeddings under vec_id+2000000 (vec_id%100) — each
+    // counter has a plant that trips it and only it. Norms on the
+    // 1e-6 integer grid (elementsSql's xi) so both engines agree
+    // bit-for-bit. 100 TB shape: the Spark side is MAP-ONLY per
+    // vector (aggregate() over the array — no explode, unlike the
+    // oracle's unnest) into one partial-agg'd groupBy on the bounded
+    // label domain; nothing else shuffles.
+    QueryDef.sql("v13_embedding_audit",
+      s"""WITH aug AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, label, list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 50 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, label, CAST(NULL AS FLOAT[])
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |q AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xi
+         |      FROM (SELECT vec_id, unnest(embedding) AS x FROM aug)),
+         |n AS (SELECT vec_id, SUM(xi * xi) AS n2 FROM q GROUP BY 1)
+         |SELECT a.label, COUNT(*) AS n_vecs,
+         |       CAST(SUM(CASE WHEN a.embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       CAST(SUM(CASE WHEN n.n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |       MIN(len(a.embedding)) AS min_dim, MAX(len(a.embedding)) AS max_dim,
+         |       round(AVG(CASE WHEN n.n2 > 0 THEN sqrt(CAST(n.n2 AS DOUBLE)) / 1000000.0 END), 6) AS avg_norm
+         |FROM aug a LEFT JOIN n ON a.vec_id = n.vec_id
+         |GROUP BY a.label ORDER BY a.label""".stripMargin) { (s, d) =>
+      val base = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+      val aug = base
+        .union(base.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(0.0 AS FLOAT))").as("embedding")))
+        .union(base.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 2000000).as("vec_id"), col("label"),
+            lit(null).cast("array<float>").as("embedding")))
+      // map-only squared norm on the integer grid (no explode — the
+      // oracle unnests because DuckDB lacks a fold, Spark doesn't)
+      val withN2 = aug.withColumn("n2", aggregate(
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6, 0).cast("long")),
+        lit(0L), (acc, xi) => acc + xi * xi))
+      withN2.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("embedding").isNull, 1).otherwise(0)).as("n_null"),
+          sum(when(col("n2") === 0, 1).otherwise(0)).as("n_zero"),
+          // size(NULL) is -1 with ANSI off — gate to NULL so min/max
+          // skip null embeddings like DuckDB's len() does
+          min(when(col("embedding").isNotNull, size(col("embedding")).cast("long")))
+            .as("min_dim"),
+          max(when(col("embedding").isNotNull, size(col("embedding")).cast("long")))
+            .as("max_dim"),
+          round(avg(when(col("n2") > 0, sqrt(col("n2").cast("double")) / 1e6)), 6)
+            .as("avg_norm"))
+        .orderBy("label")
     }
   )
 

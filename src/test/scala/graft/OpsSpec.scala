@@ -1441,4 +1441,56 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("t14 unigram LM: planted gibberish dropped, organic kept, separated by a real margin") {
+    val out = graft.SparkEntry.queries("t14_unigram_logprob")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "avg_logprob", "kept").as[(Long, Double, Boolean)].collect()
+    val (junk, organic) = out.partition(_._1 >= 1000000L)
+    assert(junk.nonEmpty && organic.nonEmpty)
+    assert(organic.forall(_._3), "an organic doc fell below the LM gate")
+    assert(junk.forall(!_._3), "planted gibberish passed the LM gate")
+    // the gate sits in a wide gap, not on a knife-edge the next SF flips
+    assert(junk.map(_._2).max < organic.map(_._2).min - 0.5,
+      s"margin too thin: junk max ${junk.map(_._2).max} vs organic min ${organic.map(_._2).min}")
+  }
+
+  test("t15 MAD outlier: plants flagged, organics spared, median unmoved by its own contamination") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("t15_mad_outlier")(spark, d)
+      .select("doc_id", "source", "med", "is_outlier")
+      .as[(Long, String, Double, Boolean)].collect()
+    val (plants, organics) = out.partition(_._1 >= 1000000L)
+    assert(plants.nonEmpty && plants.forall(_._4), "a planted megadoc escaped the filter")
+    assert(organics.forall(!_._4), "an organic doc was falsely flagged")
+    // robustness — the defining property of median vs mean: the
+    // threshold statistics computed WITH the 4% plants present stay
+    // within 15% of the clean-corpus median (a mean would be dragged
+    // ~80% upward by the 20x plants)
+    val clean = graft.sources.Tables.documents(spark, d).groupBy("source")
+      .agg(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").as("m"))
+      .as[(String, Double)].collect().toMap
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val med = rows.head._3
+      assert(math.abs(med - clean(src)) <= 0.15 * clean(src),
+        s"$src: contaminated median $med drifted from clean ${clean(src)}")
+    }
+  }
+
+  test("v13 embedding audit: each planted defect trips its counter, and only its counter") {
+    val d = "/root/testdata/sf0.001"
+    val base = graft.sources.Tables.embeddings(spark, d)
+    val nZero = base.filter(col("vec_id") % 50 === 0).count()
+    val nNull = base.filter(col("vec_id") % 100 === 0).count()
+    val out = graft.SparkEntry.queries("v13_embedding_audit")(spark, d).collect()
+    assert(out.map(_.getAs[Long]("n_zero")).sum == nZero && nZero > 0)
+    assert(out.map(_.getAs[Long]("n_null")).sum == nNull && nNull > 0)
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == base.count() + nZero + nNull)
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_dim") == 64L && r.getAs[Long]("max_dim") == 64L,
+        "dim drift on a fixed-dim corpus")
+      val norm = r.getAs[Double]("avg_norm")
+      // zero/null plants must NOT leak into the mean norm of real vectors
+      assert(math.abs(norm - 1.0) < 0.05, s"expected ~unit-norm corpus, got $norm")
+    }
+  }
 }

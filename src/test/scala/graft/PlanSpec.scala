@@ -421,4 +421,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scans.length == 1,
       s"profiling must not rescan per column: ${scans.length} parquet scans")
   }
+
+  test("t14 unigram LM: vocab and totals broadcast — the token stream never shuffles to score") {
+    val p = planString(SparkEntry.queries("t14_unigram_logprob")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join fell back to a shuffle join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token-side shuffle for the scoring join:\n$p")
+  }
+
+  test("t15 MAD filter: both stats joins broadcast back onto the corpus") {
+    val p = planString(SparkEntry.queries("t15_mad_outlier")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"median/MAD join fell back to a shuffle join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a bounded-dim join:\n$p")
+  }
+
+  test("v13 embedding audit: norms fold map-only — no join, no explode anywhere in the plan") {
+    val p = planString(SparkEntry.queries("v13_embedding_audit")(spark, sf))
+    assert(!p.contains("Join"), s"audit should not join:\n$p")
+    assert(!p.contains("Generate"), s"norm should fold the array in place, not explode it:\n$p")
+  }
 }
