@@ -37,7 +37,13 @@ object ScaleBench {
     "d1_exact_dedup", "d2_minhash_lsh", "d5_neardup_clusters",
     "d8_passage_dedup", "d15_incremental_neardup", "d16_keep_best",
     "v2_ann_lsh", "v7_pq", "v8_pq_adc", "v9_ivf_pq", "v10_adc_batch",
-    "v11_ivfpq_recall", "v12_scalar_quant")
+    "v11_ivfpq_recall", "v12_scalar_quant",
+    // corpus-wide text-quality passes: t14 is the vocab stress case —
+    // the junked copies make ~half of all tokens copy-unique, so the
+    // unigram groupBy's key cardinality grows ~25× while the top-V
+    // broadcast stays bounded; t15's exact percentile buffers per
+    // source; v13 is the map-only anchor on the vector side
+    "t14_unigram_logprob", "t15_mad_outlier", "v13_embedding_audit")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space
@@ -150,6 +156,11 @@ object ScaleBench {
          |- d5's ratio can exceed the others': connected components is
          |  O(rounds·n) and rounds grow with cluster diameter, bounded by
          |  the star-contraction escalation (DedupCluster.scala).
+         |- t14 is the deliberate worst case for the vocab shuffle: the
+         |  blowup's junk words are copy-unique, so distinct-token
+         |  cardinality grows ~${factor * 25 / 10}× (not $factor×) while the
+         |  top-V broadcast stays 1000 rows — the ratio shows the agg
+         |  absorbing that, not an idealized corpus.
          |
          |Regenerate: `sbt "runMain graft.ScaleBench"` (~5 min).
          |""".stripMargin

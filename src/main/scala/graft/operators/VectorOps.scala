@@ -656,30 +656,35 @@ object VectorOps {
     // list broadcasts into the candidate join, and the only corpus
     // shuffle is the per-query top-k window.
     QueryDef.sql("v9_ivf_pq",
-      s"""WITH el AS ($elementsSql),
-         |$ivfCellsSql,
-         |$pqChainSql,
-         |qd AS (SELECT q.vec_id AS query_id, c.m, c.cent_id,
-         |              CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dist
-         |       FROM sub q JOIN c1 c ON q.m = c.m AND q.p = c.p
-         |       WHERE q.vec_id < 10
-         |       GROUP BY q.vec_id, c.m, c.cent_id),
-         |cand2 AS (
-         |  SELECT query_id, cand_id FROM probes JOIN cells USING (cell)
-         |  WHERE cand_id <> query_id),
-         |sc AS (SELECT cand2.query_id, cand2.cand_id,
-         |              CAST(SUM(qd.dist) AS BIGINT) AS adist
-         |       FROM cand2 JOIN ch ON ch.vec_id = cand2.cand_id
-         |                  JOIN qd ON qd.query_id = cand2.query_id
-         |                         AND qd.m = ch.m AND qd.cent_id = ch.cent_id
-         |       GROUP BY cand2.query_id, cand2.cand_id),
-         |ranked2 AS (SELECT query_id, cand_id, adist,
-         |                   row_number() OVER (PARTITION BY query_id
-         |                                      ORDER BY adist, cand_id) AS rn
-         |            FROM sc)
+      s"""WITH $v9ChainSql
          |SELECT query_id, rn, cand_id, adist FROM ranked2 WHERE rn <= 10
          |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
       v9TopK(s, d)
+    },
+
+    // V14: retrieval serving — the RAG read path assembled from
+    // oracled parts: v9's IVF-PQ top-k (its oracle chain verbatim —
+    // single-sourced via v9ChainSql) joined back to the document
+    // store for the payload a retriever actually returns (source +
+    // snippet). 100 TB shape: the top-k result is queries×k rows —
+    // bounded driver-scale — and BROADCASTS into the documents scan,
+    // so the doc corpus is never shuffled to serve a batch
+    // (PlanSpec-pinned); OpsSpec pins id-set parity with v9.
+    QueryDef.sql("v14_retrieve_docs",
+      s"""WITH $v9ChainSql,
+         |topk AS (SELECT query_id, rn, cand_id, adist FROM ranked2 WHERE rn <= 10)
+         |SELECT t.query_id, t.rn, t.cand_id AS doc_id, t.adist,
+         |       d.source, substr(d.text, 1, 40) AS snippet
+         |FROM topk t JOIN documents d ON d.doc_id = t.cand_id
+         |ORDER BY t.query_id, t.rn""".stripMargin) { (s, d) =>
+      val topk = v9TopK(s, d)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 40).as("snippet"))
+        .join(broadcast(topk), col("doc_id") === col("cand_id"))
+        .select(col("query_id"), col("rn"), col("doc_id"), col("adist"),
+          col("source"), col("snippet"))
+        .orderBy("query_id", "rn")
     },
 
     // V11: IVF-PQ recall eval — v6's pattern pointed at the v9 serving
@@ -909,6 +914,34 @@ object VectorOps {
     * route to the broadcast LUT join (see AdcLiteralMax / [[ivfServe]]
     * — pinned in PlanSpec/OpsSpec). Codes read the stored index.
     */
+  /** v9's oracle CTE chain (el → cells/probes → PQ codes → per-query
+    * LUT `qd` → probed candidates → ADC scores → `ranked2`), shared
+    * verbatim by the v9 oracle and v14's retrieval join so the two
+    * can never drift.
+    */
+  private def v9ChainSql: String =
+    s"""el AS ($elementsSql),
+       |$ivfCellsSql,
+       |$pqChainSql,
+       |qd AS (SELECT q.vec_id AS query_id, c.m, c.cent_id,
+       |              CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dist
+       |       FROM sub q JOIN c1 c ON q.m = c.m AND q.p = c.p
+       |       WHERE q.vec_id < 10
+       |       GROUP BY q.vec_id, c.m, c.cent_id),
+       |cand2 AS (
+       |  SELECT query_id, cand_id FROM probes JOIN cells USING (cell)
+       |  WHERE cand_id <> query_id),
+       |sc AS (SELECT cand2.query_id, cand2.cand_id,
+       |              CAST(SUM(qd.dist) AS BIGINT) AS adist
+       |       FROM cand2 JOIN ch ON ch.vec_id = cand2.cand_id
+       |                  JOIN qd ON qd.query_id = cand2.query_id
+       |                         AND qd.m = ch.m AND qd.cent_id = ch.cent_id
+       |       GROUP BY cand2.query_id, cand2.cand_id),
+       |ranked2 AS (SELECT query_id, cand_id, adist,
+       |                   row_number() OVER (PARTITION BY query_id
+       |                                      ORDER BY adist, cand_id) AS rn
+       |            FROM sc)""".stripMargin
+
   private def v9TopK(s: SparkSession, d: String): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")

@@ -1476,6 +1476,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("v14 retrieval: serves exactly v9's ranked ids, snippet a true prefix of the doc") {
+    val d = "/root/testdata/sf0.001"
+    val v9 = graft.SparkEntry.queries("v9_ivf_pq")(spark, d)
+      .select("query_id", "rn", "cand_id", "adist")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val v14rows = graft.SparkEntry.queries("v14_retrieve_docs")(spark, d)
+      .select("query_id", "rn", "doc_id", "adist", "snippet")
+      .as[(Long, Int, Long, Long, String)].collect()
+    assert(v14rows.nonEmpty)
+    assert(v14rows.map(r => (r._1, r._2, r._3, r._4)).toSet == v9,
+      "retrieval must not reorder, drop, or invent candidates vs the index")
+    val texts = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    v14rows.foreach { case (_, _, id, _, sn) =>
+      assert(texts(id).startsWith(sn), s"snippet of doc $id is not a prefix")
+    }
+  }
+
   test("v13 embedding audit: each planted defect trips its counter, and only its counter") {
     val d = "/root/testdata/sf0.001"
     val base = graft.sources.Tables.embeddings(spark, d)

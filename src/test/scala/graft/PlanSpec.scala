@@ -434,6 +434,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a bounded-dim join:\n$p")
   }
 
+  test("v14 retrieval: the document store never sits under a shuffle — top-k broadcasts in") {
+    val df = SparkEntry.queries("v14_retrieve_docs")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // trait-level collect: TreeNode.collect stops at AQE query-stage
+    // leaves, AdaptiveSparkPlanHelper's descends into them
+    def hasDocScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      collect(p) {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+      }.nonEmpty
+    assert(hasDocScan(plan), "expected a documents scan in the serving plan")
+    // the final ORDER BY range-partitions the queries×k RESULT rows
+    // (bounded); what must never appear is a hash shuffle of the
+    // corpus-sized doc side for the join
+    val shuffledDocs = collect(plan) {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] &&
+            hasDocScan(e) => e
+    }
+    assert(shuffledDocs.isEmpty,
+      s"documents scan found under a shuffle exchange:\n${plan.toString.take(1200)}")
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(800))
+  }
+
   test("v13 embedding audit: norms fold map-only — no join, no explode anywhere in the plan") {
     val p = planString(SparkEntry.queries("v13_embedding_audit")(spark, sf))
     assert(!p.contains("Join"), s"audit should not join:\n$p")
