@@ -130,6 +130,38 @@ object SnapshotDiff {
         .union(chg.filter(col("op") === "upsert")
           .select(col("doc_id"), col("h"), lit("upserted").as("action")))
         .orderBy("doc_id")
+    },
+
+    // P13: schema evolution across snapshot versions — the lakehouse
+    // ingest primitive cdc1/cdc2 assume away: version 1 wrote
+    // (doc_id, text, lang), version 2 dropped `lang` and added
+    // (source, n_chars). Reading both eras as one table means
+    // union-by-NAME with NULL fill for each era's missing columns
+    // (Spark `unionByName(allowMissingColumns = true)`, DuckDB
+    // `UNION ALL BY NAME` — Delta/Iceberg mergeSchema semantics).
+    // Positional UNION would silently misalign columns; this keeps
+    // the contract observable: every v1 row has lang and NULL
+    // source/n_chars, every v2 row the reverse. Map-only per era +
+    // the oracle ORDER BY — nothing shuffles to evolve a schema.
+    QueryDef.sql("p13_schema_evolve",
+      """WITH v1 AS (SELECT doc_id, text, lang, 1 AS version
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |v2 AS (SELECT doc_id, text, source, n_chars, 2 AS version
+        |       FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, version, lang, source, n_chars, length(text) AS len
+        |FROM (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), lit(1).as("version"))
+      val v2 = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+          lit(2).as("version"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select(col("doc_id"), col("version"), col("lang"), col("source"),
+          // Spark length() is INT, DuckDB's BIGINT — align
+          col("n_chars"), length(col("text")).cast("long").as("len"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1476,6 +1476,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("p13 schema evolution: each era keeps its own columns, NULL-fills the other's") {
+    val out = graft.SparkEntry.queries("p13_schema_evolve")(spark, "/root/testdata/sf0.001")
+      .select("version", "lang", "source", "n_chars")
+      .as[(Int, Option[String], Option[String], Option[Long])].collect()
+    val (w1, w2) = out.partition(_._1 == 1)
+    assert(w1.nonEmpty && w2.nonEmpty)
+    // a positional union would have smeared lang into source here
+    assert(w1.forall(r => r._2.isDefined && r._3.isEmpty && r._4.isEmpty),
+      "v1 rows must carry lang and NULL-filled v2 columns")
+    assert(w2.forall(r => r._2.isEmpty && r._3.isDefined && r._4.isDefined),
+      "v2 rows must carry source/n_chars and a NULL-filled lang")
+  }
+
   test("v14 retrieval: serves exactly v9's ranked ids, snippet a true prefix of the doc") {
     val d = "/root/testdata/sf0.001"
     val v9 = graft.SparkEntry.queries("v9_ivf_pq")(spark, d)
