@@ -1072,6 +1072,42 @@ object TextOps {
           (abs(col("n_chars") - col("med")) > lit(3) * lit(1.4826) * col("mad"))
             .as("is_outlier"))
         .orderBy("doc_id")
+    },
+
+    // T16: source-mix report — the observed-mixture table (The Pile /
+    // Dolma style) that s3/s5's target weights are DECIDED from:
+    // per-source doc and char shares (ppm integers — one IEEE division
+    // each) plus the Shannon-entropy contribution −p·ln(p), whose sum
+    // is the corpus' source diversity (ln(n_sources) iff perfectly
+    // uniform — the concentration number a mixing pass monitors).
+    // 100 TB shape: ONE map-side-combined groupBy on the bounded
+    // source domain reduces the corpus to |sources| rows; the 1-row
+    // totals broadcast back via crossJoin. Nothing else touches the
+    // corpus.
+    QueryDef.sql("t16_source_mix_report",
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |                  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+        |               CAST(SUM(chars) AS BIGINT) AS tc FROM s)
+        |SELECT s.source, s.n_docs, s.chars,
+        |       CAST(round(1000000.0 * s.n_docs / tot.td, 0) AS BIGINT) AS doc_share_ppm,
+        |       CAST(round(1000000.0 * s.chars / tot.tc, 0) AS BIGINT) AS char_share_ppm,
+        |       round(-1.0 * (CAST(s.n_docs AS DOUBLE) / tot.td)
+        |             * ln(CAST(s.n_docs AS DOUBLE) / tot.td), 6) AS ent_contrib
+        |FROM s CROSS JOIN tot ORDER BY s.source""".stripMargin) { (s, d) =>
+      val bySrc = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      val tot = bySrc.agg(sum("n_docs").as("td"), sum("chars").as("tc"))
+      val p = col("n_docs").cast("double") / col("td")
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("chars"),
+          round(lit(1000000.0) * col("n_docs") / col("td"), 0).cast("long")
+            .as("doc_share_ppm"),
+          round(lit(1000000.0) * col("chars") / col("tc"), 0).cast("long")
+            .as("char_share_ppm"),
+          round(lit(-1.0) * p * log(p), 6).as("ent_contrib"))
+        .orderBy("source")
     }
   )
 }

@@ -1476,6 +1476,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("t16 source mix: shares close under rounding, entropy sum matches the raw counts") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("t16_source_mix_report")(spark, d)
+      .select("source", "n_docs", "doc_share_ppm", "char_share_ppm", "ent_contrib")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // ppm shares sum to 1e6 up to one rounding ulp per source
+    assert(math.abs(out.map(_._3).sum - 1000000L) <= out.length)
+    assert(math.abs(out.map(_._4).sum - 1000000L) <= out.length)
+    // the entropy column is the real Shannon sum over the raw counts
+    val total = out.map(_._2).sum.toDouble
+    val expected = out.map(r => { val p = r._2 / total; -p * math.log(p) }).sum
+    assert(math.abs(out.map(_._5).sum - expected) < 1e-4)
+    // each contribution is a valid −p·ln(p) term (max 1/e at p = 1/e)
+    assert(out.forall(r => r._5 > 0 && r._5 <= 0.3679))
+  }
+
   test("p13 schema evolution: each era keeps its own columns, NULL-fills the other's") {
     val out = graft.SparkEntry.queries("p13_schema_evolve")(spark, "/root/testdata/sf0.001")
       .select("version", "lang", "source", "n_chars")
