@@ -1080,10 +1080,14 @@ object TextOps {
     // each) plus the Shannon-entropy contribution −p·ln(p), whose sum
     // is the corpus' source diversity (ln(n_sources) iff perfectly
     // uniform — the concentration number a mixing pass monitors).
-    // 100 TB shape: ONE map-side-combined groupBy on the bounded
-    // source domain reduces the corpus to |sources| rows; the 1-row
-    // totals broadcast back via crossJoin. Nothing else touches the
-    // corpus.
+    // 100 TB shape: ONE map-side-combined groupBy reduces the corpus
+    // to |sources| rows; the totals come from an unpartitioned window
+    // OVER THAT BOUNDED AGGREGATE (s5's PlanSpec-pinned pattern) —
+    // the () window sees ~20 rows, never the corpus. Both the naive
+    // bySrc.agg(...) crossJoin and a rollup+grouping() split planned
+    // a SECOND full corpus scan (verified via Explain: no exchange
+    // reuse — the grouping filters specialize the Expand per branch);
+    // this formulation is single-scan by construction (PlanSpec).
     QueryDef.sql("t16_source_mix_report",
       """WITH s AS (SELECT source, COUNT(*) AS n_docs,
         |                  CAST(SUM(n_chars) AS BIGINT) AS chars
@@ -1096,11 +1100,13 @@ object TextOps {
         |       round(-1.0 * (CAST(s.n_docs AS DOUBLE) / tot.td)
         |             * ln(CAST(s.n_docs AS DOUBLE) / tot.td), 6) AS ent_contrib
         |FROM s CROSS JOIN tot ORDER BY s.source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy()
       val bySrc = Tables.documents(s, d).groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
-      val tot = bySrc.agg(sum("n_docs").as("td"), sum("chars").as("tc"))
+        .withColumn("td", sum("n_docs").over(w))
+        .withColumn("tc", sum("chars").over(w))
       val p = col("n_docs").cast("double") / col("td")
-      bySrc.crossJoin(broadcast(tot))
+      bySrc
         .select(col("source"), col("n_docs"), col("chars"),
           round(lit(1000000.0) * col("n_docs") / col("td"), 0).cast("long")
             .as("doc_share_ppm"),

@@ -462,6 +462,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(800))
   }
 
+  test("t16 source mix: one corpus scan — the totals window reads the agg, not the table") {
+    val df = SparkEntry.queries("t16_source_mix_report")(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // the crossJoin and rollup formulations both planned 2 scans here
+    assert(scans.length == 1,
+      s"mixture report must not rescan the corpus for its totals: ${scans.length} scans")
+  }
+
   test("v13 embedding audit: norms fold map-only — no join, no explode anywhere in the plan") {
     val p = planString(SparkEntry.queries("v13_embedding_audit")(spark, sf))
     assert(!p.contains("Join"), s"audit should not join:\n$p")
