@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Corpus-preparation operators that close the loop from a cleaned
+  * document set to an actual training run: tokenizer induction
+  * (BPE pair statistics), collocation mining (PMI), duplication
+  * accounting, deterministic training order, and the annealed
+  * multi-epoch mixture schedule. Extensions beyond the reference's §2
+  * inventory (the reference has no corpus tooling at all), in the same
+  * family as TextOps' t-/d-/s-series.
+  *
+  * Every operator is formulated so the corpus-sized table is touched by
+  * at most one shuffle and all per-token / per-pair work happens on a
+  * VOCABULARY-bounded frame, never the corpus — the difference between
+  * an overnight job and an impossible one at 100 TB.
+  */
+object CorpusPrep {
+
+  // Collocation plants: three fabricated word pairs absent from the
+  // organic vocabulary (verified: zero occurrences at every SF), cycled
+  // by doc_id so each pair gets ~1/3 of the planted docs. Within a
+  // plant the pair repeats 30×, so P(w2|w1) ≈ 1 while P(w2) shrinks
+  // with corpus size — the PMI separation GROWS with SF instead of
+  // washing out (a count-based plant would collapse as N grows).
+  private val plantPairSql =
+    "CASE WHEN doc_id % 3 = 0 THEN 'zx qv ' WHEN doc_id % 3 = 1 THEN 'wq jj ' ELSE 'kx vz ' END"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TOK1: BPE tokenizer induction, first merge iteration (Sennrich
+    // et al. 2016): frequency of every adjacent symbol pair, weighted
+    // by word frequency — the statistic BPE greedily merges on.
+    // 100 TB shape: the corpus is touched by exactly ONE map-side-
+    // combined groupBy (word → freq) whose output is vocabulary-
+    // bounded; the pair explosion and second groupBy run on that
+    // bounded table, so each additional merge iteration costs vocab-
+    // sized work, not another corpus pass. Top-k via TakeOrdered —
+    // bounded driver state. The `length >= 2` filter guards Spark's
+    // sequence(1, 0) → [1, 0] footgun (negative default step).
+    QueryDef.sql("tok1_bpe_pairs",
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        |wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+        |pos AS (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+        |        FROM wf WHERE length(word) >= 2),
+        |pairs AS (SELECT substr(word, i, 2) AS pair, freq FROM pos)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+      val wf = Tables.documents(s, d)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      wf.filter(length(col("word")) >= 2)
+        .select(col("word"), col("freq"),
+          explode(expr("sequence(1, length(word) - 1)")).as("i"))
+        .select(expr("substring(word, i, 2)").as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(50)
+    },
+
+    // TOK2: collocation mining — top word bigrams by pointwise mutual
+    // information (Church & Hanks 1990) with a minimum-support cut,
+    // the corpus statistic behind multi-word tokenizer entries and
+    // phrase tables. PLANTED collocations (see plantPairSql) rank at
+    // PMI ≈ 4 against an organic ceiling ≈ 0 — the random-word corpus
+    // has no real collocations, so the plants ARE the signal, and the
+    // min-support cut (cb >= 20) is what keeps one-off hapax pairs
+    // (PMI = ln N) out of the report.
+    // 100 TB shape: one narrow pass explodes bigrams; unigram and
+    // bigram counts are two map-side-combined groupBys onto vocab- and
+    // vocab²-bounded frames; the PMI join runs entirely on those
+    // bounded tables. The corpus never shuffles.
+    QueryDef.sql("tok2_collocations",
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, repeat($plantPairSql, 30) AS text
+         |  FROM documents WHERE doc_id % 20 = 10),
+         |base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM aug),
+         |uni AS (SELECT tok, COUNT(*) AS cu
+         |        FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY 1),
+         |utot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+         |pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM base WHERE len(toks) >= 2),
+         |bc AS (SELECT w1, w2, COUNT(*) AS cb
+         |       FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM pos) GROUP BY 1, 2)
+         |SELECT b.w1, b.w2, b.cb,
+         |       round(ln(CAST(b.cb AS DOUBLE) * t.n / (CAST(u1.cu AS DOUBLE) * u2.cu)), 6) AS pmi
+         |FROM bc b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok
+         |CROSS JOIN utot t
+         |WHERE b.cb >= 20
+         |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val aug = docs.select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 20 === 10)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            expr(s"repeat($plantPairSql, 30)").as("text")))
+      val base = aug.select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+      val uni = base.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cu"))
+      val utot = uni.agg(sum("cu").cast("long").as("n"))
+      val bc = base.filter(size(col("toks")) >= 2)
+        .select(col("toks"), explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+        .select(expr("element_at(toks, i)").as("w1"),
+          expr("element_at(toks, i + 1)").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      bc.filter(col("cb") >= 20)
+        .join(broadcast(uni.withColumnRenamed("tok", "w1").withColumnRenamed("cu", "cu1")), Seq("w1"))
+        .join(broadcast(uni.withColumnRenamed("tok", "w2").withColumnRenamed("cu", "cu2")), Seq("w2"))
+        .crossJoin(broadcast(utot))
+        .select(col("w1"), col("w2"), col("cb"),
+          round(log(col("cb").cast("double") * col("n") /
+            (col("cu1").cast("double") * col("cu2"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    },
+
+    // D17: duplication accounting — the per-source inflation report
+    // (Lee et al. 2022's "deduplicating training data" bookkeeping)
+    // that says how much of each source's mass survives exact dedup:
+    // raw vs first-copy-attributed docs/chars and the inflation ratio
+    // in ppm. Plants: every doc_id % 3 == 0 doc re-appears once, so
+    // every source carries ~33% duplication and the report shows a
+    // non-trivial spread. Integer-exact throughout — the ppm division
+    // runs in DECIMAL(38,0)/HUGEINT so it cannot wrap even at
+    // per-source char masses past the BIGINT·1e6 line (~9 TB).
+    // 100 TB shape: ONE shuffle (window over the content hash) ranks
+    // copies; the per-source rollup is a map-side-combined groupBy on
+    // bounded source cardinality. No join back to the corpus.
+    QueryDef.sql("d17_dup_inflation",
+      """WITH c AS (
+        |  SELECT doc_id, source, n_chars, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, n_chars, text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |h AS (SELECT doc_id, source, n_chars,
+        |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |      FROM c)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(n_chars) AS BIGINT) AS raw_chars,
+        |       CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |       CAST(1000000 * CAST(SUM(n_chars) AS HUGEINT)
+        |            // SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS inflation_ppm
+        |FROM h GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars", "text")
+      val c = docs.union(docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+          col("n_chars"), col("text")))
+      c.withColumn("rk",
+          row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
+          sum("n_chars").cast("long").as("raw_chars"),
+          sum(when(col("rk") === 1, col("n_chars")).otherwise(0)).cast("long").as("kept_chars"))
+        .withColumn("inflation_ppm",
+          expr("CAST((1000000 * CAST(raw_chars AS DECIMAL(38,0))) div kept_chars AS BIGINT)"))
+        .select("source", "n_docs", "n_kept", "raw_chars", "kept_chars", "inflation_ppm")
+        .orderBy("source")
+    },
+
+    // P14: deterministic training order — the global document shuffle
+    // every training run needs (GPT-3 / T5 style shard+shuffle),
+    // WITHOUT a global sort: shard = hash(doc_id, salt) mod S routes
+    // each doc in one exchange, and the within-shard order is a local
+    // sort on a second, independent hash. Changing the salt re-deals
+    // the entire curriculum for the next epoch at the same cost.
+    // 100 TB shape: one hash exchange + per-shard local sort (S sized
+    // so a shard fits an executor); the plan has no single-partition
+    // stage and the output is bit-reproducible on any cluster layout.
+    QueryDef.sql("p14_training_order",
+      s"""SELECT doc_id, shard,
+         |       row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos
+         |FROM (SELECT doc_id,
+         |             ${TextOps.phashSql("concat(CAST(doc_id AS VARCHAR), ':shard')")} % 8 AS shard,
+         |             ${TextOps.phashSql("concat(CAST(doc_id AS VARCHAR), ':order')")} AS h2
+         |      FROM documents)
+         |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (TextOps.phash(concat(col("doc_id").cast("string"), lit(":shard"))) % 8).as("shard"),
+          TextOps.phash(concat(col("doc_id").cast("string"), lit(":order"))).as("h2"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("shard").orderBy(col("h2"), col("doc_id"))))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+
+    // S6: annealed mixture schedule — the multi-epoch curriculum
+    // (data-annealing à la OLMo / MiniCPM decay phases) that s5's
+    // single-temperature mix becomes when the temperature moves over
+    // training: epoch e gets α ∈ {1.0, 0.75, 0.5, 0.25}, quota_s ∝
+    // mass_s^α, so early epochs sample proportionally and late epochs
+    // flatten toward uniform. mass^α is composed ONLY from IEEE-exact
+    // sqrt (α = 1: exact integer; 0.5: sqrt; 0.25: sqrt∘sqrt; 0.75:
+    // sqrt·sqrt∘sqrt — one multiply) so both engines round
+    // identically; normalization is integer-exact in DECIMAL(38,0)/
+    // HUGEINT (the s5 overflow lesson: 1e6-scaled weights stay under
+    // 2^63 because only the SUBLINEAR α-powers carry the 1e6 factor).
+    // 100 TB shape: one per-source agg (bounded), a window over the
+    // bounded frame per epoch, output #sources × #epochs rows — the
+    // corpus is scanned once, everything else is driver-trivial.
+    QueryDef.sql("s6_curriculum_schedule",
+      """WITH per_src AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass FROM documents GROUP BY source),
+        |ep AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT) AS epoch),
+        |w AS (
+        |  SELECT epoch, source,
+        |         CASE WHEN epoch = 1 THEN CAST(mass AS BIGINT)
+        |              WHEN epoch = 2 THEN CAST(round(sqrt(CAST(mass AS DOUBLE)) * sqrt(sqrt(CAST(mass AS DOUBLE))) * 1000000.0, 0) AS BIGINT)
+        |              WHEN epoch = 3 THEN CAST(round(sqrt(CAST(mass AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |              ELSE CAST(round(sqrt(sqrt(CAST(mass AS DOUBLE))) * 1000000.0, 0) AS BIGINT) END AS wq
+        |  FROM per_src CROSS JOIN ep),
+        |w2 AS (SELECT epoch, source, wq,
+        |              CAST(SUM(wq) OVER (PARTITION BY epoch) AS BIGINT) AS total_wq FROM w)
+        |SELECT epoch, source,
+        |       CAST(CASE WHEN epoch = 1 THEN 1.0 WHEN epoch = 2 THEN 0.75
+        |                 WHEN epoch = 3 THEN 0.5 ELSE 0.25 END AS DOUBLE) AS alpha,
+        |       CAST((1000000 * CAST(wq AS HUGEINT)) // total_wq AS BIGINT) AS quota_ppm
+        |FROM w2 ORDER BY epoch, source""".stripMargin) { (s, d) =>
+      val perSrc = Tables.documents(s, d).groupBy("source")
+        .agg(sum("n_chars").cast("long").as("mass"))
+      val ep = s.range(1, 5).toDF("epoch")
+      val w = perSrc.crossJoin(broadcast(ep))
+        .withColumn("wq", expr(
+          """CASE WHEN epoch = 1 THEN CAST(mass AS BIGINT)
+            |     WHEN epoch = 2 THEN CAST(round(sqrt(CAST(mass AS DOUBLE)) * sqrt(sqrt(CAST(mass AS DOUBLE))) * 1000000.0, 0) AS BIGINT)
+            |     WHEN epoch = 3 THEN CAST(round(sqrt(CAST(mass AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+            |     ELSE CAST(round(sqrt(sqrt(CAST(mass AS DOUBLE))) * 1000000.0, 0) AS BIGINT) END""".stripMargin))
+      // window over the per-(epoch, source) agg only — bounded frame,
+      // #sources × #epochs rows, never the corpus
+      w.withColumn("total_wq", sum("wq").over(Window.partitionBy("epoch")))
+        .select(col("epoch"), col("source"),
+          expr("CAST(CASE WHEN epoch = 1 THEN 1.0 WHEN epoch = 2 THEN 0.75 WHEN epoch = 3 THEN 0.5 ELSE 0.25 END AS DOUBLE)").as("alpha"),
+          expr("CAST((1000000 * CAST(wq AS DECIMAL(38,0))) div total_wq AS BIGINT)").as("quota_ppm"))
+        .orderBy("epoch", "source")
+    }
+  )
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the CorpusPrep family — the claims the DuckDB
+  * hash-match alone can't express: planted collocations actually
+  * dominate the PMI report, the BPE pair table equals a direct
+  * corpus-stream recount, the curriculum schedule moves mass the way
+  * annealing promises, and the training order is a deterministic
+  * permutation.
+  */
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tok2: the six planted collocation orderings are the top-6 rows by a wide PMI margin") {
+    val rows = SparkEntry.queries("tok2_collocations")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    val planted = Set("zx" -> "qv", "qv" -> "zx", "wq" -> "jj",
+      "jj" -> "wq", "kx" -> "vz", "vz" -> "kx")
+    assert(rows.take(6).map(_._1).toSet == planted,
+      s"top-6 must be the plants, got ${rows.take(6).mkString(", ")}")
+    val worstPlant = rows.take(6).map(_._2).min
+    val bestOrganic = rows.drop(6).map(_._2).max
+    assert(worstPlant - bestOrganic > 2.0,
+      s"plant/organic PMI gap collapsed: $worstPlant vs $bestOrganic")
+  }
+
+  test("tok1: vocab-weighted pair counts equal a direct corpus-stream recount") {
+    // The production path counts pairs on the word-frequency table (so
+    // 100 TB costs vocab-sized work); this recount explodes pairs from
+    // the raw token stream without the vocab rollup. Equality proves
+    // the weighting is exact, not approximate.
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr("sequence(1, length(word) - 1)")).as("i"), col("word"))
+      .select(expr("substring(word, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("tok1_bpe_pairs")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 50)
+    got.foreach { case (p, n) =>
+      assert(direct(p) == n, s"pair $p: vocab-weighted $n != direct ${direct(p)}")
+    }
+    // and the report really is the top-50: nothing outside it beats the floor
+    val floor = got.map(_._2).min
+    val outside = direct -- got.map(_._1)
+    assert(outside.values.forall(_ <= floor),
+      s"a pair outside the top-50 exceeds the floor $floor")
+  }
+
+  test("d17: every source inflated, totals reconcile with the planted copies") {
+    val rows = SparkEntry.queries("d17_dup_inflation")(spark, sf).collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    val nKept = rows.map(_.getLong(2)).sum
+    val plants = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(nDocs - nKept == plants,
+      s"dropped ${nDocs - nKept} copies but planted $plants")
+    rows.foreach { r =>
+      val ppm = r.getLong(5)
+      assert(ppm >= 1000000L, s"${r.getString(0)}: inflation below 1.0? $ppm")
+      assert(ppm <= 2000000L, s"${r.getString(0)}: inflation above the 2x plant ceiling: $ppm")
+    }
+    // the %3 plant rate means real spread across sources, not a constant
+    assert(rows.map(_.getLong(5)).distinct.length > 1, "inflation is degenerate-constant")
+  }
+
+  test("p14: a deterministic permutation — every doc exactly once, dense pos per shard") {
+    val out = SparkEntry.queries("p14_training_order")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.map(_._1).sorted.toSeq == all.toSeq, "not a permutation of the corpus")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // hash-balance: no shard more than 3x another (binomial at n=500)
+    val sizes = out.groupBy(_._2).map(_._2.length)
+    assert(sizes.max <= 3 * sizes.min, s"shard skew: $sizes")
+    // bit-reproducible: a second run is byte-identical
+    val again = SparkEntry.queries("p14_training_order")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == again.toSeq, "training order is not deterministic")
+  }
+
+  test("s6: annealing moves quota from the largest source to the smallest, epoch sums stay ppm-exact") {
+    val rows = SparkEntry.queries("s6_curriculum_schedule")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1L, 2L, 3L, 4L))
+    byEpoch.foreach { case (e, rs) =>
+      val total = rs.map(_._4).sum
+      // floor division loses < 1 ppm per source, never gains
+      assert(total <= 1000000L && total > 1000000L - rs.length,
+        s"epoch $e quotas sum to $total")
+    }
+    val e1 = byEpoch(1L).map(r => r._2 -> r._4).toMap
+    val e4 = byEpoch(4L).map(r => r._2 -> r._4).toMap
+    val smallest = e1.minBy(_._2)._1
+    val largest = e1.maxBy(_._2)._1
+    assert(e4(smallest) > e1(smallest),
+      s"flattening must raise the smallest source: $smallest ${e1(smallest)} -> ${e4(smallest)}")
+    assert(e4(largest) < e1(largest),
+      s"flattening must lower the largest source: $largest ${e1(largest)} -> ${e4(largest)}")
+    // α-ladder is monotone for the extremes across ALL epochs, not just endpoints
+    (1L to 3L).foreach { e =>
+      val a = byEpoch(e).map(r => r._2 -> r._4).toMap
+      val b = byEpoch(e + 1).map(r => r._2 -> r._4).toMap
+      assert(b(smallest) >= a(smallest) && b(largest) <= a(largest),
+        s"non-monotone annealing between epochs $e and ${e + 1}")
+    }
+  }
+}

@@ -478,4 +478,41 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Join"), s"audit should not join:\n$p")
     assert(!p.contains("Generate"), s"norm should fold the array in place, not explode it:\n$p")
   }
+
+  test("tok2 collocations: PMI joins run on bounded count tables via broadcast, never sort-merge") {
+    val p = planString(SparkEntry.queries("tok2_collocations")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"unigram join fell back to a shuffle join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a bounded count table shuffled for a join:\n$p")
+  }
+
+  test("d17 dup accounting: no join back to the corpus — rank window feeds the rollup directly") {
+    val p = planString(SparkEntry.queries("d17_dup_inflation")(spark, sf))
+    assert(!p.contains("Join"), s"the inflation report must not join:\n$p")
+  }
+
+  test("p14 training order: one hash exchange deals the shards; no global sort of the corpus") {
+    val df = SparkEntry.queries("p14_training_order")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    // the final ORDER BY range-partitions the RESULT for presentation
+    // (exempt); the work itself must be a single hash deal by shard
+    val hashExchanges = collect(plan) {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(hashExchanges.length == 1,
+      s"expected exactly one shard-deal exchange, got ${hashExchanges.length}:\n${plan.toString.take(1000)}")
+  }
+
+  test("s6 curriculum: one corpus scan; the epoch window reads the bounded agg only") {
+    val df = SparkEntry.queries("s6_curriculum_schedule")(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1,
+      s"schedule must not rescan the corpus per epoch: ${scans.length} scans")
+  }
 }
