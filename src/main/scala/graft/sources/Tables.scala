@@ -19,18 +19,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    * long (via spark.sql.legacy.parquet.nanosAsLong). Convert to a µs
-    * timestamp here (the data is µs-precision, so `div 1000` is exact).
+  /** Normalize an events-shaped frame's `ts` to TimestampType across the
+    * testbed generations: TIMESTAMP(NANOS) parquet reads as a nanos long
+    * (via spark.sql.legacy.parquet.nanosAsLong — µs-precision data, so
+    * `div 1000` is exact), TIMESTAMP(MICROS, isAdjustedToUTC=false) reads
+    * as TIMESTAMP_NTZ (cast is exact under the pinned UTC session zone),
+    * and an already-TimestampType column passes through.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -40,10 +40,9 @@ object StreamDemo {
       if (srcFs.exists(srcPath)) srcFs.delete(srcPath, true)
       spark.read.parquet(s"$sfDir/events.parquet").write.parquet(srcDir)
     }
-    val stream = spark.readStream
+    val stream = Tables.normalizeTs(spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanosAsLong
+      .parquet(srcDir))
     // events -> Schema-A wire JSON (the adapter the NiFi flow plays in
     // the reference): every value a flat all-string JSON object.
     val raw = stream.select(to_json(struct(
