@@ -15,7 +15,7 @@ object SparkEntry {
       operators.MinHash.defs ++ operators.DedupCluster.defs ++
       operators.IncrementalDedup.defs ++ operators.Chunking.defs ++
       operators.SortedNeighborhood.defs ++ operators.ZOrder.defs ++
-      operators.CorpusPrep.defs ++
+      operators.CorpusPrep.defs ++ operators.Retrieval.defs ++
       operators.SnapshotDiff.defs ++
       operators.Audit.defs ++
       operators.VectorOps.defs ++

@@ -224,6 +224,51 @@ object ProductAnalytics {
         .select(col("event_type"), col("v").as("modal_value"),
           col("n").as("n_occurrences"))
         .orderBy("event_type")
+    },
+
+    /* FU2: behavioral transition matrix — the first-order Markov view
+     * of the event stream (what follows what, per user journey), the
+     * statistic behind next-action prediction, anomaly detection on
+     * flows, and funnel DISCOVERY (fu1 checks a known path; fu2 finds
+     * the paths). P(to|from) in integer ppm, exact in DECIMAL(38,0)/
+     * HUGEINT per the s5 overflow lesson.
+     *
+     * Determinism: successor order is (epoch µs, event_id) — a
+     * same-µs pair cannot order differently across engines (module
+     * scaladoc). Shape at scale: ONE shuffle on user_id for the lead()
+     * window; the pair rollup is a map-side-combined groupBy onto a
+     * |event_types|²-bounded frame, and the row-conditional rollup is
+     * a window over THAT bounded frame. 100 TB of events, same plan.
+     */
+    QueryDef.sql("fu2_transition_matrix",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS eus, event_id FROM events),
+        |seq AS (SELECT event_type AS from_event,
+        |               lead(event_type) OVER (PARTITION BY user_id
+        |                                      ORDER BY eus, event_id) AS to_event
+        |        FROM e),
+        |pairs AS (SELECT from_event, to_event, COUNT(*) AS n
+        |          FROM seq WHERE to_event IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_event, to_event, n,
+        |               CAST(SUM(n) OVER (PARTITION BY from_event) AS BIGINT) AS n_from
+        |        FROM pairs)
+        |SELECT from_event, to_event, n, n_from,
+        |       CAST((1000000 * CAST(n AS HUGEINT)) // n_from AS BIGINT) AS prob_ppm
+        |FROM tot ORDER BY from_event, to_event""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("eus"), col("event_id"))
+        .select(col("event_type").as("from_event"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy("user_id").orderBy(col("eus"), col("event_id")))
+            .as("to_event"))
+        .filter(col("to_event").isNotNull)
+        .groupBy("from_event", "to_event").agg(count(lit(1)).as("n"))
+        .withColumn("n_from",
+          sum("n").over(Window.partitionBy("from_event")).cast("long"))
+        .withColumn("prob_ppm",
+          expr("CAST((1000000 * CAST(n AS DECIMAL(38,0))) div n_from AS BIGINT)"))
+        .select("from_event", "to_event", "n", "n_from", "prob_ppm")
+        .orderBy("from_event", "to_event")
     }
   )
 }

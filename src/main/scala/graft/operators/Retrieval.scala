@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Text retrieval over the document store: BM25 keyword search and the
+  * hybrid keyword+vector fusion (reciprocal rank fusion) that modern RAG
+  * serving stacks run — the read path that pairs with VectorOps' IVF-PQ
+  * channel (v9/v14). Extensions beyond the reference's §2 inventory
+  * (the reference has no search surface), in the same family as the
+  * t-/v-series.
+  *
+  * Score determinism across engines: every per-term BM25 contribution is
+  * computed in doubles with a TEXTUALLY IDENTICAL expression on both
+  * sides (same IEEE op order ⇒ same bits), then quantized to integer
+  * micro-units BEFORE the per-document sum — so the aggregate is exact
+  * integer arithmetic and no float summation order can flip a rank.
+  * RRF points are integer-divided from the start.
+  *
+  * 100 TB shape (r1): the corpus is scanned ONCE, narrowly (doc_id +
+  * token array); the explode is filtered by the BROADCAST query-term
+  * set before the only corpus shuffle (map-side-combined tf groupBy,
+  * bounded by matched docs × |query terms|); document length needs no
+  * second scan or join — it rides the explode and folds into the same
+  * aggregate; df is a window over that bounded frame (not a second
+  * aggregation chain, which would re-run the corpus explode). The
+  * query-term set and corpus stats are the only joins — both broadcast.
+  * r2 adds v9's vector channel (its own scale argument) and a fusion
+  * over 2 × queries × k rows — driver-trivial.
+  */
+object Retrieval {
+
+  /** BM25 (Robertson k1 = 1.2, b = 0.75; Lucene's +1 idf so common
+    * terms can't go negative), per-(term, doc) contribution in integer
+    * micro-units. Interpolated verbatim into BOTH the Spark plan and
+    * the DuckDB oracle — single-sourced so the engines cannot drift.
+    * Expects columns: tf, dl, df, n_docs, sum_dl.
+    */
+  private val contribSql: String =
+    "CAST(ROUND(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+      "((CAST(tf AS DOUBLE) * 2.2) / " +
+      "(tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) " +
+      "* 1000000, 0) AS BIGINT)"
+
+  /** The r1 fixture query set: two-to-three-term queries over the
+    * testbed vocabulary — a rare term ('dup', df ≈ 5%) to exercise idf
+    * separation and an out-of-vocabulary term ('shuffle') to exercise
+    * the zero-match path (it simply never joins; BM25's additive form
+    * makes that the correct score).
+    */
+  private val fixtureQueries: Seq[(Long, String)] = Seq(
+    0L -> "dup", 0L -> "scan",
+    1L -> "spark", 1L -> "join", 1L -> "shuffle",
+    2L -> "window", 2L -> "order", 2L -> "sort",
+    3L -> "customer", 3L -> "table",
+    4L -> "fast", 4L -> "slow")
+
+  private def fixtureValuesSql: String =
+    fixtureQueries.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+      .mkString(", ")
+
+  /** Narrow per-document token projection: ONE corpus scan feeding
+    * tokens, document length, and the corpus stats.
+    */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+
+  /** BM25 scores (query_id, doc_id, score_micro) for an arbitrary
+    * (query_id, term) frame. `qterms` must be small (it broadcasts);
+    * term multiplicity is deduplicated by the caller if needed.
+    */
+  private def bm25Scores(docs: DataFrame, qterms: DataFrame,
+                         excludeSelf: Boolean): DataFrame = {
+    val st = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("long").as("sum_dl"))
+    val ex = docs.select(col("doc_id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("term"))
+    // filter to the broadcast query-term set BEFORE the corpus shuffle;
+    // dl rides the explode and folds into the aggregate (no length join)
+    val tf = ex.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    // df as a window over the already-bounded tf frame — NOT a second
+    // aggregation chain, which would re-run the corpus explode subtree
+    val tf2 = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")).cast("long"))
+    val scored = tf2.join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(st))
+    val filtered =
+      if (excludeSelf) scored.filter(col("doc_id") =!= col("query_id"))
+      else scored
+    filtered
+      .withColumn("cm", expr(contribSql))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("cm").cast("long").as("score_micro"))
+  }
+
+  private def topK(scores: DataFrame, k: Int): DataFrame =
+    scores
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score_micro").desc, col("doc_id").asc)))
+      .filter(col("rn") <= k)
+
+  /** Oracle-side BM25 CTE chain over a bound `q(query_id, term)` CTE and
+    * the shared `dd(doc_id, toks)` projection; yields `agg(query_id,
+    * doc_id, score_micro)`. Textually mirrors [[bm25Scores]].
+    */
+  private def bm25ChainSql(excludeSelf: Boolean): String = {
+    val selfFilter = if (excludeSelf) " WHERE tf2.doc_id <> q.query_id" else ""
+    s"""st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM dd),
+       |ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM dd),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM ex
+       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |tf2 AS (SELECT doc_id, term, tf, dl,
+       |               CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf),
+       |bsc AS (SELECT q.query_id, tf2.doc_id, $contribSql AS cm
+       |        FROM tf2 JOIN q USING (term) CROSS JOIN st$selfFilter),
+       |agg AS (SELECT query_id, doc_id, CAST(SUM(cm) AS BIGINT) AS score_micro
+       |        FROM bsc GROUP BY 1, 2)""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // R1: BM25 top-k keyword retrieval — the Lucene/Elasticsearch
+    // scoring function as one declarative plan. See the object scaladoc
+    // for the 100 TB shape (one narrow corpus scan, one bounded
+    // map-side-combined shuffle, broadcast-only joins) and the
+    // integer-microunit determinism discipline.
+    QueryDef.sql("r1_bm25",
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $fixtureValuesSql)),
+         |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |${bm25ChainSql(excludeSelf = false)},
+         |ranked AS (SELECT query_id, doc_id, score_micro,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score_micro DESC, doc_id) AS rn
+         |           FROM agg)
+         |SELECT query_id, rn, doc_id, score_micro FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val qterms = fixtureQueries.toDF("query_id", "term")
+      topK(bm25Scores(tokenized(s, d), qterms, excludeSelf = false), 10)
+        .select("query_id", "rn", "doc_id", "score_micro")
+        .orderBy("query_id", "rn")
+    },
+
+    // R2: hybrid retrieval — reciprocal rank fusion (Cormack et al.
+    // 2009) of a BM25 more-like-this channel (query = the first three
+    // tokens of each query document) with v9's IVF-PQ vector channel,
+    // over the SAME query ids (vec_id ↔ doc_id). Each channel
+    // contributes floor(1e9 / (60 + rank)) points from its top-20;
+    // integer division from the start keeps the fusion exact in both
+    // engines. n_channels says whether keyword and vector evidence
+    // agreed — the signal hybrid search exists to surface.
+    // 100 TB shape: each channel carries its own scale argument (r1's
+    // one-shuffle BM25; v9's broadcast-probed map-only ADC); the fusion
+    // itself touches only 2 × queries × 20 rows.
+    QueryDef.sql("r2_hybrid_rrf",
+      s"""WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |q AS (SELECT DISTINCT doc_id AS query_id, unnest(toks[1:3]) AS term
+         |      FROM dd WHERE doc_id < 10),
+         |${bm25ChainSql(excludeSelf = true)},
+         |kr AS (SELECT query_id, doc_id AS cand_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY score_micro DESC, doc_id) AS rn
+         |       FROM agg),
+         |${VectorOps.v9ChainSql},
+         |uni AS (SELECT query_id, cand_id, rn FROM kr WHERE rn <= 20
+         |        UNION ALL
+         |        SELECT query_id, cand_id, rn FROM ranked2 WHERE rn <= 20),
+         |fused AS (SELECT query_id, cand_id,
+         |                 CAST(SUM(1000000000 // (60 + rn)) AS BIGINT) AS rrf_scaled,
+         |                 COUNT(*) AS n_channels
+         |          FROM uni GROUP BY 1, 2),
+         |fr AS (SELECT query_id, cand_id, rrf_scaled, n_channels,
+         |              row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY rrf_scaled DESC, cand_id) AS rn
+         |       FROM fused)
+         |SELECT query_id, rn, cand_id, rrf_scaled, n_channels FROM fr WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      val docs = tokenized(s, d)
+      val mq = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(col("toks"), 1, 3)).as("term"))
+        .distinct()
+      val kw = topK(bm25Scores(docs, mq, excludeSelf = true), 20)
+        .select(col("query_id"), col("doc_id").as("cand_id"), col("rn"))
+      val vec = VectorOps.v9Ranked(s, d, 20)
+        .select("query_id", "cand_id", "rn")
+      kw.union(vec)
+        .groupBy("query_id", "cand_id")
+        .agg(sum(expr("1000000000 div (60 + rn)")).cast("long").as("rrf_scaled"),
+          count(lit(1)).as("n_channels"))
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("rrf_scaled").desc, col("cand_id").asc)))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "cand_id", "rrf_scaled", "n_channels")
+        .orderBy("query_id", "rn")
+    }
+  )
+}

@@ -919,7 +919,7 @@ object VectorOps {
     * verbatim by the v9 oracle and v14's retrieval join so the two
     * can never drift.
     */
-  private def v9ChainSql: String =
+  private[operators] def v9ChainSql: String =
     s"""el AS ($elementsSql),
        |$ivfCellsSql,
        |$pqChainSql,
@@ -942,7 +942,12 @@ object VectorOps {
        |                                      ORDER BY adist, cand_id) AS rn
        |            FROM sc)""".stripMargin
 
-  private def v9TopK(s: SparkSession, d: String): DataFrame = {
+  private def v9TopK(s: SparkSession, d: String): DataFrame = v9Ranked(s, d, 10)
+
+  /** v9's fixture ranking at an arbitrary depth k — the vector channel
+    * the hybrid retrieval fusion (Retrieval.r2) reranks over.
+    */
+  private[operators] def v9Ranked(s: SparkSession, d: String, k: Int): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val (cells, probes) = ivfCellsAndProbes(s, emb)
@@ -952,7 +957,7 @@ object VectorOps {
     val cand = broadcast(probes).join(cells, Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .join(codes, Seq("cand_id"))
-    adcTopKTail(adcScoreKeyed(s, cand, qs, books), 10)
+    adcTopKTail(adcScoreKeyed(s, cand, qs, books), k)
   }
 
   /** PQ constants: M subspaces × P dims each (M·P = the corpus dim),

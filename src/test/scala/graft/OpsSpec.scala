@@ -1237,6 +1237,29 @@ class OpsSpec extends SparkSpec {
     assert(purchased > 0, "with 2k events over 150 users every stage should convert")
   }
 
+  test("fu2 transition matrix: rows ppm-stochastic, cells reconcile with the event stream") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("fu2_transition_matrix")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((f, g) <- rows.groupBy(_._1)) {
+      val nFrom = g.head._4
+      assert(g.forall(_._4 == nFrom), s"$f: inconsistent n_from")
+      assert(g.map(_._3).sum == nFrom, s"$f: pair counts don't sum to n_from")
+      // floor-truncated ppm: the row sum can fall short of 1e6 by at
+      // most one truncation per cell, never exceed it
+      val ppm = g.map(_._5).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - g.length,
+        s"$f: ppm row sum $ppm out of the stochastic band")
+    }
+    // total transitions = total events − distinct users (each user's
+    // last event has no successor) — an independent stream recount
+    val ev = graft.sources.Tables.events(spark, d)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == expected,
+      s"transition mass ${rows.map(_._3).sum} != events−users $expected")
+  }
+
   test("co1 cohort retention: k bounded and no offset outdraws day zero") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("co1_cohort_retention")(spark, d)

@@ -277,6 +277,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected two-phase WindowGroupLimit in:\n${p.take(1200)}")
   }
 
+  test("r1 bm25: every join broadcasts; the corpus never joins shuffled") {
+    // BM25's joins are all onto term-/1-row-bounded frames (query-term
+    // set, df/idf table, corpus stats): each must arrive as a broadcast.
+    // A SortMergeJoin here means the token stream is being shuffled to
+    // meet a 12-row dimension — the classic 100 TB self-inflicted wound.
+    val df = SparkEntry.queries("r1_bm25")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected the query-term/idf/stats joins")
+    val nonBroadcast = joins.filterNot(j =>
+      j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+        j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(nonBroadcast.isEmpty,
+      s"non-broadcast joins in the BM25 plan: ${nonBroadcast.map(_.nodeName).mkString(", ")}")
+    // and the shuffle census is exactly the bounded set: tf agg
+    // (doc_id, term — the ONLY corpus-touching one, term-filtered and
+    // map-side combined), df window (term), score agg (query_id,
+    // doc_id), top-k window (query_id), output sort (range), the 1-row
+    // stats agg (single partition), and the 12-row query-term distinct
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 7,
+      s"unexpected extra shuffles (${exchanges.length}) in the BM25 plan")
+  }
+
   test("adc serving: big-batch LUTs broadcast, and plan size is constant in the batch size") {
     // The production reranker regime: above AdcLiteralMax the per-query
     // LUTs must arrive as ONE broadcast table, not per-query literals —

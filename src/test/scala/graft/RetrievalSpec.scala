@@ -1,0 +1,114 @@
+package graft
+
+/** Semantic pins for the Retrieval family beyond the DuckDB hash-match:
+  * r1's ranking equals an INDEPENDENT driver-side BM25 recount (different
+  * code path: plain Scala over collected token lists vs the distributed
+  * integer-microunit plan), the rare term dominates its query, the OOV
+  * term contributes exactly nothing, and r2's fused points decompose into
+  * valid per-channel RRF contributions.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // the r1 fixture, restated independently so a silent fixture edit in
+  // the engine is itself a test failure
+  private val fixture: Map[Long, Seq[String]] = Map(
+    0L -> Seq("dup", "scan"),
+    1L -> Seq("spark", "join", "shuffle"),
+    2L -> Seq("window", "order", "sort"),
+    3L -> Seq("customer", "table"),
+    4L -> Seq("fast", "slow"))
+
+  private lazy val corpus: Array[(Long, Vector[String])] =
+    graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+
+  /** Driver-side BM25 in micro-units — same math, independent code. */
+  private def bm25Recount(queries: Map[Long, Seq[String]],
+                          excludeSelf: Boolean): Map[Long, Seq[(Long, Long)]] = {
+    val n = corpus.length
+    val avgdl = corpus.map(_._2.size.toLong).sum.toDouble / n
+    val dfT = queries.values.flatten.toSet.iterator
+      .map((t: String) => t -> corpus.count(_._2.contains(t))).toMap
+    queries.map { case (qid, terms) =>
+      val scored = corpus.flatMap { case (docId, toks) =>
+        if (excludeSelf && docId == qid) None
+        else {
+          val dl = toks.size
+          val micro = terms.distinct.map { t =>
+            val tf = toks.count(_ == t)
+            if (tf == 0 || dfT(t) == 0) 0L
+            else {
+              val idf = math.log(1 + (n - dfT(t) + 0.5) / (dfT(t) + 0.5))
+              val tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              math.round(idf * tfn * 1000000)
+            }
+          }.sum
+          if (micro > 0) Some(docId -> micro) else None
+        }
+      }
+      qid -> scored.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    }
+  }
+
+  test("r1: engine top-10 equals an independent driver-side BM25 recount, every query") {
+    val got = SparkEntry.queries("r1_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val want = bm25Recount(fixture, excludeSelf = false)
+    assert(got.keySet == fixture.keySet, s"queries seen: ${got.keySet}")
+    for ((qid, rows) <- got) {
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1 to ordered.length).toSeq,
+        s"q$qid ranks not dense: ${ordered.map(_._2).mkString(",")}")
+      assert(ordered.map(r => (r._3, r._4)).toSeq == want(qid),
+        s"q$qid diverges from recount:\n engine ${ordered.toSeq}\n recount ${want(qid)}")
+    }
+  }
+
+  test("r1: the rare term dominates — every q0 hit contains 'dup'; OOV 'shuffle' adds nothing") {
+    val byDoc = corpus.toMap
+    val out = SparkEntry.queries("r1_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // df('dup') ≈ 5% of docs => idf ≈ 3.0 vs ≈ 0.2 for common terms: a
+    // single 'dup' occurrence outscores any all-common-term doc, so the
+    // whole q0 top-10 must contain the rare term
+    val q0 = out.filter(_._1 == 0L)
+    assert(q0.length == 10)
+    q0.foreach { case (_, docId, _) =>
+      assert(byDoc(docId).contains("dup"), s"q0 hit $docId lacks 'dup'")
+    }
+    // q1 carries an out-of-vocabulary term: scores must equal the
+    // recount of the remaining two terms alone (OOV contributes 0, not
+    // a NULL that nukes the sum or a smoothed pseudo-count)
+    val q1 = out.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq
+    val wantQ1 = bm25Recount(Map(1L -> Seq("spark", "join")),
+      excludeSelf = false)(1L)
+    assert(q1 == wantQ1, s"OOV term perturbed q1:\n $q1\n vs $wantQ1")
+  }
+
+  test("r2: fused points decompose into valid per-channel RRF contributions") {
+    val rows = SparkEntry.queries("r2_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).distinct.length == 10, "all 10 query ids present")
+    val pts = (1 to 20).map(r => 1000000000L / (60 + r)).toSet
+    val pairSums = (for (a <- pts; b <- pts) yield a + b)
+    for ((qid, rn, cand, rrf, nch) <- rows) {
+      assert(rn >= 1 && rn <= 10 && cand != qid, s"q$qid rn=$rn cand=$cand")
+      nch match {
+        case 1L => assert(pts.contains(rrf),
+          s"q$qid cand=$cand: $rrf is not one top-20 RRF contribution")
+        case 2L => assert(pairSums.contains(rrf),
+          s"q$qid cand=$cand: $rrf is not a sum of two top-20 contributions")
+        case other => fail(s"q$qid cand=$cand: n_channels=$other")
+      }
+    }
+    // fusion is the point of the operator: both channels must actually
+    // meet somewhere in the fixture (they do — deterministic testdata)
+    assert(rows.exists(_._5 == 2L),
+      "no candidate was surfaced by both keyword and vector channels")
+  }
+}
