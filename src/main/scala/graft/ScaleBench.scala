@@ -43,7 +43,12 @@ object ScaleBench {
     // unigram groupBy's key cardinality grows ~25× while the top-V
     // broadcast stays bounded; t15's exact percentile buffers per
     // source; v13 is the map-only anchor on the vector side
-    "t14_unigram_logprob", "t15_mad_outlier", "v13_embedding_audit")
+    "t14_unigram_logprob", "t15_mad_outlier", "v13_embedding_audit",
+    // the retrieval read path: r1's one-shuffle BM25 over the corpus
+    // token stream (copies keep ~half their organic words, so the
+    // matched-term stream grows with the corpus), r2 adds the v9
+    // vector channel + fusion on top
+    "r1_bm25", "r2_hybrid_rrf")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space
@@ -156,6 +161,10 @@ object ScaleBench {
          |- d5's ratio can exceed the others': connected components is
          |  O(rounds·n) and rounds grow with cluster diameter, bounded by
          |  the star-contraction escalation (DedupCluster.scala).
+         |- r1/r2 measure the retrieval read path: the BM25 term filter
+         |  keeps the tf shuffle bounded by matched tokens (copies retain
+         |  ~half their organic words, so matches grow ~linearly), and
+         |  r2 stacks the v9 serving channel plus the rank fusion on top.
          |- t14 is the deliberate worst case for the vocab shuffle: the
          |  blowup's junk words are copy-unique, so distinct-token
          |  cardinality grows ~${factor * 25 / 10}× (not $factor×) while the
