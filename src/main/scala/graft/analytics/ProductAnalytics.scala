@@ -269,6 +269,47 @@ object ProductAnalytics {
           expr("CAST((1000000 * CAST(n AS DECIMAL(38,0))) div n_from AS BIGINT)"))
         .select("from_event", "to_event", "n", "n_from", "prob_ppm")
         .orderBy("from_event", "to_event")
+    },
+
+    /* FU3: top behavioral paths — frequent 3-step event sequences per
+     * user journey (the sequence-mining report product teams read next
+     * to fu2's one-step matrix; a path that outranks its Markov
+     * expectation is a real flow, not chance). Two lead()s over the
+     * SAME (user_id | eus, event_id) window — one shuffle, no
+     * re-exchange between the leads — then a map-side-combined rollup
+     * onto the ≤|event_types|³-bounded path frame and a top-10
+     * TakeOrdered. Share in exact ppm (HUGEINT/DECIMAL discipline).
+     */
+    QueryDef.sql("fu3_top_paths",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS eus, event_id FROM events),
+        |seq AS (SELECT event_type AS e1,
+        |               lead(event_type, 1) OVER w AS e2,
+        |               lead(event_type, 2) OVER w AS e3
+        |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)),
+        |paths AS (SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        |          FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM paths)
+        |SELECT path, n,
+        |       CAST((1000000 * CAST(n AS HUGEINT)) // n_total AS BIGINT) AS share_ppm
+        |FROM paths CROSS JOIN tot
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("eus"), col("event_id"))
+      val paths = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("eus"), col("event_id"))
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+      val tot = paths.agg(sum("n").cast("long").as("n_total"))
+      paths.crossJoin(broadcast(tot))
+        .withColumn("share_ppm",
+          expr("CAST((1000000 * CAST(n AS DECIMAL(38,0))) div n_total AS BIGINT)"))
+        .select("path", "n", "share_ppm")
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(10)
     }
   )
 }

@@ -105,6 +105,66 @@ object BatchSessionOps {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
         |FROM j ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
       gapFill(Tables.events(s, d))
+    },
+
+    // TS2: EWMA smoothing over the bucketed per-type value series —
+    // the trend line ops dashboards draw over noisy counters (pandas
+    // ewm adjust=True semantics, α = 0.5, 7-bucket horizon). The
+    // cross-engine trick: α = 0.5 makes every weight a power of two,
+    // and the series is integer cents, so every term s·2⁻ᵏ and both
+    // running sums are EXACT multiples of 2⁻⁶ in IEEE doubles — no
+    // rounding happens anywhere until the single final division. No
+    // quantize-then-sum scaffolding needed; the arithmetic itself is
+    // exact on both engines.
+    // 100 TB shape: one map-side-combined bucket agg, then ONE window
+    // (7 lags share it) over the bucket-bounded series frame — the
+    // event corpus is touched once, the window never sees it.
+    QueryDef.sql("ts2_ewma",
+      """WITH b AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
+        |         event_type, value
+        |  FROM events),
+        |agg AS (
+        |  SELECT bucket, event_type,
+        |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_cents
+        |  FROM b GROUP BY bucket, event_type),
+        |lg AS (
+        |  SELECT bucket, event_type, s_cents,
+        |         lag(s_cents, 1) OVER w AS l1, lag(s_cents, 2) OVER w AS l2,
+        |         lag(s_cents, 3) OVER w AS l3, lag(s_cents, 4) OVER w AS l4,
+        |         lag(s_cents, 5) OVER w AS l5, lag(s_cents, 6) OVER w AS l6
+        |  FROM agg WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT bucket, event_type, s_cents,
+        |       round((s_cents + COALESCE(l1, 0) / CAST(2 AS DOUBLE) + COALESCE(l2, 0) / CAST(4 AS DOUBLE)
+        |              + COALESCE(l3, 0) / CAST(8 AS DOUBLE) + COALESCE(l4, 0) / CAST(16 AS DOUBLE)
+        |              + COALESCE(l5, 0) / CAST(32 AS DOUBLE) + COALESCE(l6, 0) / CAST(64 AS DOUBLE))
+        |             / (1 + CASE WHEN l1 IS NULL THEN 0 ELSE CAST(0.5 AS DOUBLE) END
+        |                  + CASE WHEN l2 IS NULL THEN 0 ELSE CAST(0.25 AS DOUBLE) END
+        |                  + CASE WHEN l3 IS NULL THEN 0 ELSE CAST(0.125 AS DOUBLE) END
+        |                  + CASE WHEN l4 IS NULL THEN 0 ELSE CAST(0.0625 AS DOUBLE) END
+        |                  + CASE WHEN l5 IS NULL THEN 0 ELSE CAST(0.03125 AS DOUBLE) END
+        |                  + CASE WHEN l6 IS NULL THEN 0 ELSE CAST(0.015625 AS DOUBLE) END), 4) AS ewma_cents
+        |FROM lg ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      val agg = Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).cast("long").as("s_cents"))
+        .select(col("w.start").as("bucket"), col("event_type"), col("s_cents"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+      val lg = (1 to 6).foldLeft(agg) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("s_cents"), k).over(w))
+      }
+      lg.withColumn("ewma_cents", expr(
+          """round((s_cents + COALESCE(l1, 0) / CAST(2 AS DOUBLE) + COALESCE(l2, 0) / CAST(4 AS DOUBLE)
+            |       + COALESCE(l3, 0) / CAST(8 AS DOUBLE) + COALESCE(l4, 0) / CAST(16 AS DOUBLE)
+            |       + COALESCE(l5, 0) / CAST(32 AS DOUBLE) + COALESCE(l6, 0) / CAST(64 AS DOUBLE))
+            |      / (1 + CASE WHEN l1 IS NULL THEN 0 ELSE CAST(0.5 AS DOUBLE) END
+            |           + CASE WHEN l2 IS NULL THEN 0 ELSE CAST(0.25 AS DOUBLE) END
+            |           + CASE WHEN l3 IS NULL THEN 0 ELSE CAST(0.125 AS DOUBLE) END
+            |           + CASE WHEN l4 IS NULL THEN 0 ELSE CAST(0.0625 AS DOUBLE) END
+            |           + CASE WHEN l5 IS NULL THEN 0 ELSE CAST(0.03125 AS DOUBLE) END
+            |           + CASE WHEN l6 IS NULL THEN 0 ELSE CAST(0.015625 AS DOUBLE) END), 4)""".stripMargin))
+        .select("bucket", "event_type", "s_cents", "ewma_cents")
+        .orderBy("event_type", "bucket")
     }
   )
 

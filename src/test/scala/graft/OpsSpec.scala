@@ -1260,6 +1260,51 @@ class OpsSpec extends SparkSpec {
       s"transition mass ${rows.map(_._3).sum} != events−users $expected")
   }
 
+  test("fu3 top paths: well-formed trigrams, descending, shares match an independent recount") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("fu3_top_paths")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10)
+    val types = Set("click", "error", "purchase", "signup", "view")
+    rows.foreach { case (p, _, _) =>
+      val legs = p.split(">")
+      assert(legs.length == 3 && legs.forall(types), s"malformed path $p")
+    }
+    assert(rows.map(_._2).sliding(2).forall(w => w(0) >= w(1)), "counts not descending")
+    // independent trigram mass: each user with n events contributes
+    // max(n-2, 0) paths
+    val perUser = graft.sources.Tables.events(spark, d)
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    val nTotal = perUser.map(n => math.max(n - 2, 0L)).sum
+    rows.foreach { case (p, n, ppm) =>
+      assert(ppm == 1000000L * n / nTotal,
+        s"$p: share $ppm != floor(1e6·$n/$nTotal)")
+    }
+  }
+
+  test("ts2 ewma: equals a driver-side recount and degenerates to the raw series at bucket 0") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ts2_ewma")(spark, d).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((_, series) <- rows.groupBy(_._2)) {
+      val ordered = series.sortBy(_._1.getTime)
+      // adjusted-EWMA recount in plain Scala over the collected series
+      ordered.zipWithIndex.foreach { case ((_, et, _, got), i) =>
+        val lags = (0 to 6).flatMap(k =>
+          if (i - k >= 0) Some(ordered(i - k)._3 / math.pow(2, k)) else None)
+        val den = (0 to 6).flatMap(k =>
+          if (i - k >= 0) Some(1.0 / math.pow(2, k)) else None).sum
+        val want = BigDecimal(lags.sum / den)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got - want) < 1e-9, s"$et[$i]: $got != $want")
+      }
+      // bucket 0 has no history: the smoother must return the raw value
+      assert(ordered.head._4 == ordered.head._3.toDouble,
+        s"first bucket must be the raw series value")
+    }
+  }
+
   test("co1 cohort retention: k bounded and no offset outdraws day zero") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("co1_cohort_retention")(spark, d)
