@@ -240,6 +240,48 @@ object CorpusPrep {
           expr("CAST(CASE WHEN epoch = 1 THEN 1.0 WHEN epoch = 2 THEN 0.75 WHEN epoch = 3 THEN 0.5 ELSE 0.25 END AS DOUBLE)").as("alpha"),
           expr("CAST((1000000 * CAST(wq AS DECIMAL(38,0))) div total_wq AS BIGINT)").as("quota_ppm"))
         .orderBy("epoch", "source")
+    },
+
+    // S7: weighted sampling without replacement — Efraimidis–Spirakis
+    // (2006) priority sampling, the one-pass distributed answer to
+    // "sample k docs with probability ∝ weight" (here weight =
+    // n_chars, the chars-proportional draw a token-budget sampler
+    // makes). Priority u^(1/w) is ranked in log space (ln(u)/w —
+    // monotone-equivalent, no pow), u derived from the portable
+    // 60-bit hash on a 1e-6 grid so both engines feed ln the SAME
+    // binary double, and the key is nano-quantized BEFORE ranking
+    // with a doc_id tiebreak (the d16 tie discipline — a sub-nano
+    // libm divergence cannot reorder the sample).
+    // 100 TB shape: key assignment is MAP-ONLY arithmetic on the
+    // scan; the only shuffle is the global top-k (TakeOrdered — a
+    // per-partition heap then a driver merge of k×partitions rows,
+    // never a full sort). Changing the salt re-deals the next
+    // epoch's sample at the same cost (p14's discipline).
+    QueryDef.sql("s7_weighted_sample",
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source, n_chars,
+         |         CAST(ROUND(1000000000.0
+         |                    * ln(((${TextOps.phashSql("concat(CAST(doc_id AS VARCHAR), ':ws')")} % 1000000) + 1) / 1000001.0)
+         |                    / n_chars, 0) AS BIGINT) AS key_nano
+         |  FROM documents)
+         |SELECT row_number() OVER (ORDER BY key_nano DESC, doc_id) AS rn,
+         |       doc_id, source, n_chars, key_nano
+         |FROM keyed ORDER BY key_nano DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      val h = TextOps.phash(concat(col("doc_id").cast("string"), lit(":ws")))
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(lit(1000000000.0) * log(((h % 1000000) + 1) / lit(1000001.0))
+            / col("n_chars"), 0).cast("long").as("key_nano"))
+      // global top-k FIRST: orderBy+limit plans TakeOrderedAndProject
+      // (per-partition heap + driver merge, pinned in PlanSpec); the
+      // numbering window then runs over the 100 survivors only — a
+      // global row_number over `keyed` would single-partition the
+      // whole corpus
+      keyed.orderBy(col("key_nano").desc, col("doc_id").asc).limit(100)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("key_nano").desc, col("doc_id").asc)))
+        .select("rn", "doc_id", "source", "n_chars", "key_nano")
+        .orderBy(col("key_nano").desc, col("doc_id").asc)
     }
   )
 }

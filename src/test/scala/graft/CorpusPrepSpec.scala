@@ -115,4 +115,39 @@ class CorpusPrepSpec extends SparkSpec {
         s"non-monotone annealing between epochs $e and ${e + 1}")
     }
   }
+
+  test("s7: priority keys recount independently (java MD5), sample tilts toward heavy docs") {
+    val rows = SparkEntry.queries("s7_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 100)
+    assert(rows.map(_._1).toSeq == (1 to 100), "ranks not dense")
+    // independent Efraimidis–Spirakis key recount: portable 60-bit hash
+    // rebuilt from java.security MD5, no Spark/DuckDB machinery
+    def key(docId: Long, nChars: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$docId:ws".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = ((h % 1000000) + 1) / 1000001.0
+      BigDecimal(1000000000.0 * math.log(u) / nChars)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    rows.foreach { case (rn, id, _, nc, k) =>
+      assert(k == key(id, nc), s"rank $rn doc $id: key $k != recount ${key(id, nc)}")
+    }
+    // keys must actually be the global top-100 (nothing outside beats
+    // the floor), and the chars-weighted draw must tilt the sample
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val floor = rows.map(_._5).min
+    val picked = rows.map(_._2).toSet
+    corpus.filterNot(c => picked(c._1)).foreach { case (id, nc) =>
+      assert(key(id, nc) <= floor, s"doc $id outside the sample beats the floor")
+    }
+    val sampleMean = rows.map(_._4).sum.toDouble / rows.length
+    val corpusMean = corpus.map(_._2).sum.toDouble / corpus.length
+    assert(sampleMean > corpusMean,
+      s"chars-weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+  }
 }

@@ -306,6 +306,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"unexpected extra shuffles (${exchanges.length}) in the BM25 plan")
   }
 
+  test("s7 weighted sample: the global top-k is the bounded heap, not a full sort") {
+    // orderBy+limit must plan TakeOrderedAndProject (per-partition heap
+    // + driver merge of k×partitions rows); the numbering window runs
+    // AFTER the limit, over 100 rows — a global row_number over the
+    // corpus would single-partition the whole scan
+    val p = planString(SparkEntry.queries("s7_weighted_sample")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected the bounded top-k heap in:\n${p.take(1200)}")
+  }
+
   test("adc serving: big-batch LUTs broadcast, and plan size is constant in the batch size") {
     // The production reranker regime: above AdcLiteralMax the per-query
     // LUTs must arrive as ONE broadcast table, not per-query literals —
