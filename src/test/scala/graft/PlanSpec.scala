@@ -306,6 +306,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"unexpected extra shuffles (${exchanges.length}) in the BM25 plan")
   }
 
+  test("r3 indexed bm25: term filter pushes into the postings scan, serving does no corpus agg") {
+    // the search-engine serving contract: the postings scan reads only
+    // the query's terms (parquet pushdown on the IN-list), tf/dl/df
+    // arrive precomputed, and every join broadcasts — serving cost is
+    // |matched postings|, not the corpus
+    val df = SparkEntry.queries("r3_bm25_indexed")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val p = plan.toString
+    assert(p.contains("PushedFilters: [In(term"),
+      s"expected the query-term IN pushdown in:\n${p.take(1500)}")
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty && joins.forall(j =>
+      j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+        j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"non-broadcast join in the serving plan: ${joins.map(_.nodeName).mkString(", ")}")
+    // no explode/tf-aggregation in the serving plan: the only
+    // aggregates are the (query_id, doc_id) score sum's two phases
+    val aggs = collectWithSubqueries(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.forall(_.groupingExpressions.nonEmpty),
+      "serving plan must not recompute corpus stats (global agg found)")
+    assert(!p.contains("Generate"),
+      "serving plan must not re-explode the corpus token stream")
+  }
+
   test("s7 weighted sample: the global top-k is the bounded heap, not a full sort") {
     // orderBy+limit must plan TakeOrderedAndProject (per-partition heap
     // + driver merge of k×partitions rows); the numbering window runs

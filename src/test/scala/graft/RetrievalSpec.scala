@@ -90,6 +90,17 @@ class RetrievalSpec extends SparkSpec {
     assert(q1 == wantQ1, s"OOV term perturbed q1:\n $q1\n vs $wantQ1")
   }
 
+  test("r3: indexed serving reproduces the from-scratch BM25 ranking row for row") {
+    // the stored inverted index is derived state — build-once serving
+    // must be indistinguishable from recomputing against the corpus
+    val fromScratch = SparkEntry.queries("r1_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val served = SparkEntry.queries("r3_bm25_indexed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(served == fromScratch,
+      s"indexed path diverged:\n served $served\n scratch $fromScratch")
+  }
+
   test("r2: fused points decompose into valid per-channel RRF contributions") {
     val rows = SparkEntry.queries("r2_hybrid_rrf")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
