@@ -282,6 +282,74 @@ object CorpusPrep {
           Window.orderBy(col("key_nano").desc, col("doc_id").asc)))
         .select("rn", "doc_id", "source", "n_chars", "key_nano")
         .orderBy(col("key_nano").desc, col("doc_id").asc)
+    },
+
+    // TOK3: multi-iteration BPE training — tok1 is the statistic, this
+    // is the LOOP (Sennrich et al. 2016): three greedy merge rounds,
+    // each picking the most frequent adjacent symbol pair and rewriting
+    // the vocabulary's symbol sequences before the next count. Merges
+    // are applied with the non-overlapping left-to-right replace of the
+    // reference implementation (its re.sub), run TWICE per round so a
+    // boundary-consumed repeat chain ('a n a n a') still merges fully —
+    // both engines share the exact same replace semantics, so the
+    // learned merge table is bit-identical.
+    // 100 TB shape: the corpus is scanned ONCE into the word-frequency
+    // table (localCheckpoint pins that — the three output branches
+    // share the materialization instead of re-scanning); every
+    // iteration's pair count, top-1 pick (deterministic tie: count
+    // desc, pair asc), and rewrite run on the VOCABULARY-bounded frame,
+    // so each additional merge costs vocab-sized work. This is why BPE
+    // training is feasible at corpus scale at all.
+    QueryDef.sql("tok3_bpe_train", {
+      val iters = (1 to 3).map { i =>
+        val prev = s"s${i - 1}"
+        s"""p$i AS (SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i
+           |        FROM (SELECT string_split(trim(s), ' ') AS a, freq FROM $prev)
+           |        WHERE len(a) >= 2),
+           |c$i AS (SELECT a[i] || ' ' || a[i + 1] AS pair, CAST(SUM(freq) AS BIGINT) AS n
+           |        FROM p$i GROUP BY 1),
+           |t$i AS (SELECT pair, n FROM c$i ORDER BY n DESC, pair LIMIT 1),
+           |s$i AS (SELECT replace(replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+           |                       ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s, freq
+           |        FROM $prev CROSS JOIN t$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+         |wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+         |s0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS s, freq FROM wf),
+         |$iters
+         |SELECT 1 AS iteration, pair, n FROM t1
+         |UNION ALL SELECT 2, pair, n FROM t2
+         |UNION ALL SELECT 3, pair, n FROM t3
+         |ORDER BY iteration""".stripMargin
+    }) { (s, d) =>
+      // ONE corpus scan: the vocab table is materialized, every merge
+      // round runs off it (and the three union branches share it)
+      val wf = Tables.documents(s, d)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      var cur = wf.select(
+        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")).as("s"),
+        col("freq"))
+      val merges = (1 to 3).map { i =>
+        val pairs = cur
+          .select(split(trim(col("s")), " ").as("a"), col("freq"))
+          .filter(size(col("a")) >= 2)
+          .select(col("a"), col("freq"), explode(expr("sequence(1, size(a) - 1)")).as("i"))
+          .select(expr("element_at(a, i) || ' ' || element_at(a, i + 1)").as("pair"), col("freq"))
+          .groupBy("pair").agg(sum("freq").cast("long").as("n"))
+        val top = pairs.orderBy(col("n").desc, col("pair").asc).limit(1)
+        cur = cur.crossJoin(broadcast(top))
+          .select(expr(
+            """replace(replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+              |        ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')""".stripMargin).as("s"),
+            col("freq"))
+        top.withColumn("iteration", lit(i))
+      }
+      merges.reduce(_ unionByName _)
+        .select("iteration", "pair", "n")
+        .orderBy("iteration")
     }
   )
 }

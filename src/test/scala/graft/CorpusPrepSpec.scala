@@ -116,6 +116,39 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("tok3: the three learned merges equal a driver-side BPE replay") {
+    val got = SparkEntry.queries("tok3_bpe_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == Seq(1, 2, 3))
+    // plain-Scala replay over the collected vocabulary — same greedy
+    // loop, no engine machinery
+    val wf = graft.sources.Tables.documents(spark, sf)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => (" " + r.getString(0).mkString(" ") + " ", r.getLong(1)))
+    var vocab = wf
+    val replay = (1 to 3).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (s, f) =>
+        val a = s.trim.split(" ")
+        (0 until a.length - 1).foreach { i =>
+          val p = a(i) + " " + a(i + 1)
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val merged = " " + pair.replace(" ", "") + " "
+      vocab = vocab.map { case (s, f) =>
+        (s.replace(" " + pair + " ", merged).replace(" " + pair + " ", merged), f)
+      }
+      (pair, n)
+    }
+    assert(got.map(r => (r._2, r._3)) == replay,
+      s"merge table diverged:\n engine $got\n replay $replay")
+    // the merges must actually feed each other: no pair may repeat
+    assert(got.map(_._2).distinct.size == 3)
+  }
+
   test("s7: priority keys recount independently (java MD5), sample tilts toward heavy docs") {
     val rows = SparkEntry.queries("s7_weighted_sample")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
