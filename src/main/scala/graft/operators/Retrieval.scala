@@ -51,7 +51,7 @@ object Retrieval {
     * the zero-match path (it simply never joins; BM25's additive form
     * makes that the correct score).
     */
-  private val fixtureQueries: Seq[(Long, String)] = Seq(
+  val fixtureQueries: Seq[(Long, String)] = Seq(
     0L -> "dup", 0L -> "scan",
     1L -> "spark", 1L -> "join", 1L -> "shuffle",
     2L -> "window", 2L -> "order", 2L -> "sort",
@@ -99,6 +99,24 @@ object Retrieval {
       .agg(sum("cm").cast("long").as("score_micro"))
   }
 
+  /** Raw postings (term, doc_id, tf, dl) for a (doc_id, toks) frame —
+    * per-document state only, so it composes under union (the property
+    * [[appendPostings]] relies on). One term-exploded map-side-combined
+    * groupBy; dl rides the explode.
+    */
+  private def rawPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+
+  /** Denormalize df onto each posting — a window over the POSTINGS
+    * frame (posting-sized work), never a corpus pass.
+    */
+  private def withDf(p: DataFrame): DataFrame =
+    p.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")).cast("long"))
+
   /** The inverted index as a build-once corpus artifact (the Lucene
     * shape, stored with the codesArtifact discipline): postings
     * (term, doc_id, tf, dl, df) — df denormalized onto each posting at
@@ -111,15 +129,67 @@ object Retrieval {
     */
   def indexArtifact(s: SparkSession, d: String): DataFrame =
     graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_postings") { out =>
-      val docs = tokenized(s, d)
-      docs.select(col("doc_id"), size(col("toks")).as("dl"),
-          explode(col("toks")).as("term"))
-        .groupBy("term", "doc_id")
-        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-        .withColumn("df",
-          count(lit(1)).over(Window.partitionBy("term")).cast("long"))
-        .write.parquet(out)
+      withDf(rawPostings(tokenized(s, d))).write.parquet(out)
     }
+
+  /** Incremental index maintenance — the search-engine `add()` for the
+    * postings store at `base`: tokenize ONLY the new documents
+    * (doc_id, text), union their raw postings with the current store's
+    * (tf/dl are per-doc state — untouched by other docs), and refresh
+    * df with ONE window over the merged POSTINGS frame before
+    * publishing the next version. df is a global statistic — the one
+    * thing an append must recompute — and the window is exactly that
+    * refresh at posting-sized cost: the existing corpus is never
+    * re-tokenized. Append-then-serve therefore equals
+    * one-shot-index-then-serve EXACTLY (OpsSpec pins it), unlike
+    * engines that serve stale df between segment merges. An empty
+    * store bootstraps from the first batch; keepVersions = 2 leaves
+    * the pre-append index time-travelable.
+    */
+  def appendPostings(s: SparkSession, base: String, newDocs: DataFrame): DataFrame = {
+    val add = rawPostings(newDocs.select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+    val cur = graft.sinks.VersionedStore.readPointer(s, base)
+      .map(_ => graft.sinks.VersionedStore.read(s, base).drop("df"))
+    // materialize BEFORE publish (appendCodes' discipline): the union
+    // lazily reads the version this publish supersedes
+    val merged = withDf(cur.map(_.unionByName(add)).getOrElse(add))
+      .localCheckpoint()
+    graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
+      merged.write.parquet(out)
+    }
+    graft.sinks.VersionedStore.read(s, base)
+  }
+
+  /** Corpus stats recovered from a postings table (for serving an
+    * appended store, whose fingerprint-keyed stats artifact doesn't
+    * apply): n_docs + sum of per-doc lengths via one posting-sized
+    * groupBy. Note a document with zero tokens has no postings and is
+    * invisible here — it can never match a query, but strict-BM25 avgdl
+    * would count it; this corpus has none (and the one-shot path's
+    * statsArtifact counts from the corpus, pinned equal in OpsSpec).
+    */
+  def statsFromPostings(p: DataFrame): DataFrame =
+    p.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").cast("long").as("sum_dl"))
+
+  /** BM25 serving over a postings + stats pair — r3's body, shared with
+    * the appended-store path. `terms` must be the literal query-term
+    * list so the IN filter pushes into the postings scan.
+    */
+  def serveBm25(postings: DataFrame, stats: DataFrame, qterms: DataFrame,
+                terms: Seq[String], k: Int): DataFrame = {
+    val scored = postings
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("cm", expr(contribSql))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("cm").cast("long").as("score_micro"))
+    topK(scored, k)
+      .select("query_id", "rn", "doc_id", "score_micro")
+      .orderBy("query_id", "rn")
+  }
 
   def statsArtifact(s: SparkSession, d: String): DataFrame =
     graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stats") { out =>
@@ -249,19 +319,9 @@ object Retrieval {
     // 100 TB this reads |matched postings| rows, not the corpus.
     QueryDef.sql("r3_bm25_indexed", r1OracleSql) { (s, d) =>
       import s.implicits._
-      val qterms = fixtureQueries.toDF("query_id", "term")
-      val terms = fixtureQueries.map(_._2).distinct
-      val postings = indexArtifact(s, d)
-        .filter(col("term").isin(terms: _*))
-      val scored = postings
-        .join(broadcast(qterms), Seq("term"))
-        .crossJoin(broadcast(statsArtifact(s, d)))
-        .withColumn("cm", expr(contribSql))
-        .groupBy("query_id", "doc_id")
-        .agg(sum("cm").cast("long").as("score_micro"))
-      topK(scored, 10)
-        .select("query_id", "rn", "doc_id", "score_micro")
-        .orderBy("query_id", "rn")
+      serveBm25(indexArtifact(s, d), statsArtifact(s, d),
+        fixtureQueries.toDF("query_id", "term"),
+        fixtureQueries.map(_._2).distinct, 10)
     }
   )
 }

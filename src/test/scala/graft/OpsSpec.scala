@@ -1175,6 +1175,36 @@ class OpsSpec extends SparkSpec {
       .readVersion(spark, base, vs(vs.size - 2)).count() == oldV.count())
   }
 
+  test("bm25 index append: bootstrap + append equals one-shot build, serves identically") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+    val base = tmpDir("graft-bm25-index") + "/postings"
+    Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 5 =!= 0))
+    val store = Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 5 === 0))
+    // the merged store is EXACTLY the one-shot index (df refreshed by
+    // the append's window, not stale from the bootstrap segment)
+    def normalized(p: org.apache.spark.sql.DataFrame) =
+      p.select("term", "doc_id", "tf", "dl", "df")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(normalized(store) == normalized(Retrieval.indexArtifact(spark, d)),
+      "appended store diverges from the one-shot index")
+    // serving from the appended store == the from-scratch r1 ranking,
+    // with stats recovered from the postings themselves
+    val qterms = Retrieval.fixtureQueries.toDF("query_id", "term")
+    val served = Retrieval.serveBm25(store, Retrieval.statsFromPostings(store),
+        qterms, Retrieval.fixtureQueries.map(_._2).distinct, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val scratch = SparkEntry.queries("r1_bm25")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(served == scratch, "appended-store serving diverged from r1")
+    // the pre-append segment survives as a time-travel target
+    val vs = graft.sinks.VersionedStore.listVersions(spark, base)
+    assert(vs.size >= 2)
+  }
+
   test("ivfServe nprobe dial: recall vs exact truth is monotone in probed cells, exhaustive at NCells") {
     val d = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
