@@ -65,7 +65,7 @@ object Retrieval {
   /** Narrow per-document token projection: ONE corpus scan feeding
     * tokens, document length, and the corpus stats.
     */
-  private def tokenized(s: SparkSession, d: String): DataFrame =
+  private[graft] def tokenized(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
 
@@ -104,7 +104,7 @@ object Retrieval {
     * [[appendPostings]] relies on). One term-exploded map-side-combined
     * groupBy; dl rides the explode.
     */
-  private def rawPostings(docs: DataFrame): DataFrame =
+  private[graft] def rawPostings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
       .groupBy("term", "doc_id")
@@ -113,7 +113,7 @@ object Retrieval {
   /** Denormalize df onto each posting — a window over the POSTINGS
     * frame (posting-sized work), never a corpus pass.
     */
-  private def withDf(p: DataFrame): DataFrame =
+  private[graft] def withDf(p: DataFrame): DataFrame =
     p.withColumn("df",
       count(lit(1)).over(Window.partitionBy("term")).cast("long"))
 

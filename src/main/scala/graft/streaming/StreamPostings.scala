@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import graft.operators.Retrieval
+
+/** Streaming BM25 index ingest — the streaming twin of
+  * `Retrieval.appendPostings`, built on StreamIndex's discipline: each
+  * micro-batch of `(doc_id, text)` rows tokenizes ALONE into raw
+  * postings (term, doc_id, tf, dl — per-document state, a pure
+  * function of the document) and lands as a batchId-keyed `delta_b<id>`
+  * dir, so an at-least-once replay rewrites the SAME dir with the SAME
+  * bytes and a document can never be double-indexed.
+  *
+  * The design decision vs the batch append: df — the one GLOBAL
+  * statistic — is deliberately NOT stored. Raw deltas hold only
+  * per-doc state; [[served]] applies the df window AT READ TIME over
+  * the union of complete deltas (posting-sized work). That keeps every
+  * delta write idempotent (a stored df would depend on every earlier
+  * batch, breaking replay-safety) and keeps served idf exact after
+  * every micro-batch — the property OpsSpec pins for the batch append
+  * and StreamingSpec pins here.
+  *
+  * Ownership, folds, and the crash contract are StreamDedup's:
+  * the store is claimed by its checkpoint's query id, fold compaction
+  * is content-agnostic, and "overlap, never loss" is absorbed by the
+  * reader's distinct (postings are deterministic per doc, so overlap
+  * is always row-identical).
+  */
+object StreamPostings {
+
+  private val DeltaRe = "delta_b(\\d+)".r
+
+  private def postingsSchema: StructType = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("dl", IntegerType)))
+
+  /** Raw postings the store currently holds: all COMPLETE delta/fold
+    * dirs, overlap-deduplicated. Empty-but-typed before the first
+    * commit.
+    */
+  def postings(spark: SparkSession, storeDir: String): DataFrame = {
+    val base = new Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(base)) Seq.empty[String]
+      else fs.listStatus(base).toSeq.collect {
+        case st if st.isDirectory &&
+          fs.exists(new Path(st.getPath, "_SUCCESS")) &&
+          (DeltaRe.pattern.matcher(st.getPath.getName).matches() ||
+            st.getPath.getName.startsWith("fold_0_")) =>
+          st.getPath.toString
+      }
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingsSchema)
+    else spark.read.parquet(dirs: _*).distinct()
+  }
+
+  /** The servable index: df refreshed over the CURRENT store content —
+    * exact idf after every micro-batch, never stale between segments.
+    */
+  def served(spark: SparkSession, storeDir: String): DataFrame =
+    Retrieval.withDf(postings(spark, storeDir))
+
+  /** Start the ingest over a `(doc_id, text)` source. The STORE is the
+    * output — readers serve via [[served]] + `Retrieval.serveBm25`.
+    */
+  def start(docs: DataFrame, storeDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    var ownershipVerified = false
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointDir/postings")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!ownershipVerified) {
+          StreamDedup.verifyStoreOwnership(
+            spark, storeDir, s"$checkpointDir/postings", batchId)
+          ownershipVerified = true
+        }
+        Retrieval.rawPostings(batch.select(col("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+          .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
+        ()
+      }
+      .start()
+  }
+}

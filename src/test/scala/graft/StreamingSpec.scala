@@ -913,6 +913,56 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming BM25 index ingest: streamed store serves exactly the from-scratch ranking") {
+    import graft.operators.Retrieval
+    import graft.streaming.{StreamDedup, StreamPostings}
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val store = tmpDir("graft-spostings") + "/store"
+    val cp = tmpDir("graft-spostings-cp")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamPostings.start(in.toDF().toDF("doc_id", "text"), store, cp)
+    docs.grouped((docs.size + 2) / 3).foreach { g =>
+      in.addData(g: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // served index == the from-scratch r1 ranking: df is refreshed at
+    // read time over the whole store, so idf is exact after streaming
+    val postings = StreamPostings.served(spark, store)
+    val qterms = Retrieval.fixtureQueries.toDF("query_id", "term")
+    val served = Retrieval.serveBm25(postings,
+        Retrieval.statsFromPostings(postings), qterms,
+        Retrieval.fixtureQueries.map(_._2).distinct, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val scratch = SparkEntry.queries("r1_bm25")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(served == scratch, "streamed index diverged from the from-scratch ranking")
+    // replay idempotence is structural: re-tokenizing a batch is pure,
+    // so a rewritten delta holds identical content
+    val b0 = spark.read.parquet(s"$store/delta_b0")
+    val again = Retrieval.rawPostings(
+      b0.select("doc_id").distinct().join(
+          graft.sources.Tables.documents(spark, d).select("doc_id", "text"), "doc_id")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "doc_id", "tf", "dl").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(norm(b0) == norm(again))
+    // fold compaction + the overlap crash contract hold here too
+    assert(StreamDedup.foldDeltas(spark, store) > 0)
+    val afterFold = Retrieval.serveBm25(StreamPostings.served(spark, store),
+        Retrieval.statsFromPostings(StreamPostings.served(spark, store)), qterms,
+        Retrieval.fixtureQueries.map(_._2).distinct, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(afterFold == scratch, "serving changed after fold compaction")
+  }
+
   test("streaming ANN index ingest: delta store serves exactly the one-shot encode, folds compact") {
     import graft.operators.VectorOps
     import graft.streaming.{StreamDedup, StreamIndex}
