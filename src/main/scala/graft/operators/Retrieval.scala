@@ -322,6 +322,109 @@ object Retrieval {
       serveBm25(indexArtifact(s, d), statsArtifact(s, d),
         fixtureQueries.toDF("query_id", "term"),
         fixtureQueries.map(_._2).distinct, 10)
+    },
+
+    // R4: retrieval recall dial — d14's graded-severity instrument
+    // pointed at BM25 (the eval loop v6/v11 close for ANN and d14 for
+    // dedup): copies of 10 query docs are planted at four severities
+    // (0/4/16/48 leading words junked — MinHash.gradedPlanting, the
+    // SAME planting d14 grades MinHash against), each query doc asks a
+    // long more-like-this query (every 4th token up to position 57 —
+    // with a 31-word common vocabulary, only a long term set can pin a
+    // specific document). Two metrics per severity:
+    //  - n_hit_top10 — the absolute serving metric. On this
+    //    common-word corpus it decays with corpus size (the top-10
+    //    fills with coincidentally-high-tf docs), which is itself the
+    //    honest finding: lexical retrieval saturates on a tiny
+    //    vocabulary, the gap the r2 hybrid's vector channel covers.
+    //  - median_rank_ppm — the planted copy's rank as a fraction of
+    //    all matched candidates (1e6 = matched nothing). Fraction-of-
+    //    corpus is scale-comparable, so the severity dial stays
+    //    readable at every SF even when the top-10 is swamped.
+    // 100 TB shape: r1's chain (one term-filtered corpus shuffle,
+    // broadcast joins) over the 1.08× augmented corpus; the rank join
+    // and rollup touch 40 truth rows + one bounded ncand agg.
+    QueryDef.sql("r4_retrieval_recall", {
+      val corpusSql =
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 7000000 + sev * 1000000 AS doc_id,
+          |         array_to_string(
+          |           list_concat(ws[k + 1 : 100000],
+          |             list_transform(generate_series(1, k),
+          |               i -> 'zz' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR))),
+          |           ' ') AS text
+          |  FROM (SELECT doc_id, ws, sev,
+          |               CASE sev WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 48 END AS k
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+          |                     unnest([0, 1, 2, 3]) AS sev
+          |              FROM documents WHERE doc_id % 20 = 0))""".stripMargin
+      s"""WITH corpus AS (
+         |  $corpusSql),
+         |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM corpus),
+         |q AS (SELECT DISTINCT doc_id AS query_id, toks[i] AS term
+         |      FROM (SELECT doc_id, toks,
+         |                   unnest(generate_series(1, least(len(toks), 57))) AS i
+         |            FROM dd WHERE doc_id % 20 = 0 AND doc_id < 200)
+         |      WHERE (i - 1) % 4 = 0),
+         |${bm25ChainSql(excludeSelf = true)},
+         |ranked AS (SELECT query_id, doc_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score_micro DESC, doc_id) AS rn
+         |           FROM agg),
+         |ncand AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cands FROM agg GROUP BY 1),
+         |truth AS (SELECT doc_id AS query_id,
+         |                 doc_id + 7000000 + sev * 1000000 AS planted, sev
+         |          FROM (SELECT doc_id, unnest([0, 1, 2, 3]) AS sev
+         |                FROM documents WHERE doc_id % 20 = 0 AND doc_id < 200)),
+         |rk AS (SELECT t.sev,
+         |              CASE WHEN r.rn IS NOT NULL AND r.rn <= 10 THEN 1 ELSE 0 END AS hit,
+         |              COALESCE(CAST((1000000 * CAST(r.rn AS BIGINT)) // n.n_cands AS BIGINT),
+         |                       1000000) AS rank_ppm
+         |       FROM truth t
+         |       LEFT JOIN ranked r ON r.query_id = t.query_id AND r.doc_id = t.planted
+         |       LEFT JOIN ncand n ON n.query_id = t.query_id)
+         |SELECT sev, COUNT(*) AS n_queries, CAST(SUM(hit) AS BIGINT) AS n_hit_top10,
+         |       round(median(rank_ppm), 1) AS median_rank_ppm
+         |FROM rk GROUP BY sev ORDER BY sev""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val (planted, _) = MinHash.gradedPlanting(docs)
+      val aug = docs.union(planted.select("doc_id", "text"))
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+      val qterms = aug
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
+        .select(col("doc_id").as("query_id"), col("toks"),
+          explode(expr("sequence(1, least(size(toks), 57))")).as("i"))
+        .filter((col("i") - 1) % 4 === 0)
+        .select(col("query_id"), expr("element_at(toks, i)").as("term"))
+        .distinct()
+      val scores = bm25Scores(aug, qterms, excludeSelf = true)
+      val ranked = scores
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .select(col("query_id").as("hit_query"), col("doc_id").as("hit_id"), col("rn"))
+      val ncand = scores.groupBy(col("query_id").as("cand_query"))
+        .agg(count(lit(1)).cast("long").as("n_cands"))
+      val truth = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
+        .select(col("doc_id"), explode(array((0 to 3).map(lit): _*)).as("sev"))
+        .select(col("doc_id").as("query_id"),
+          (col("doc_id") + 7000000 + col("sev") * 1000000).as("planted"), col("sev"))
+      truth
+        .join(ranked,
+          col("query_id") === col("hit_query") && col("hit_id") === col("planted"), "left")
+        .join(ncand, col("query_id") === col("cand_query"), "left")
+        .select(col("sev"),
+          when(col("rn").isNotNull && col("rn") <= 10, 1).otherwise(0).as("hit"),
+          coalesce(
+            expr("CAST((1000000 * CAST(rn AS BIGINT)) div n_cands AS BIGINT)"),
+            lit(1000000L)).as("rank_ppm"))
+        .groupBy("sev")
+        .agg(count(lit(1)).as("n_queries"),
+          sum("hit").cast("long").as("n_hit_top10"),
+          round(expr("percentile(rank_ppm, 0.5)"), 1).as("median_rank_ppm"))
+        .orderBy("sev")
     }
   )
 }

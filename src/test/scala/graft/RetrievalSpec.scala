@@ -101,6 +101,27 @@ class RetrievalSpec extends SparkSpec {
       s"indexed path diverged:\n served $served\n scratch $fromScratch")
   }
 
+  test("r4: the severity dial is monotone — rank percentile degrades as the copy is junked") {
+    val rows = SparkEntry.queries("r4_retrieval_recall")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    rows.foreach { case (_, n, hit, ppm) =>
+      assert(n == 10 && hit >= 0 && hit <= n && ppm >= 0 && ppm <= 1000000)
+    }
+    // the scale-comparable metric must degrade STRICTLY with severity
+    val ppms = rows.sortBy(_._1).map(_._4)
+    assert(ppms.sliding(2).forall(w => w(0) < w(1)),
+      s"rank percentile not monotone across severities: ${ppms.mkString(", ")}")
+    // absolute hits can only fall as severity rises
+    val hits = rows.sortBy(_._1).map(_._3)
+    assert(hits.sliding(2).forall(w => w(0) >= w(1)),
+      s"top-10 hits increased with severity: ${hits.mkString(", ")}")
+    // verbatim copies must rank in the top ~2% of candidates; fully
+    // junked copies must be effectively unfindable (>50%)
+    assert(ppms.head < 20000, s"verbatim copy median percentile ${ppms.head}")
+    assert(ppms.last > 500000, s"junked copy median percentile ${ppms.last}")
+  }
+
   test("r2: fused points decompose into valid per-channel RRF contributions") {
     val rows = SparkEntry.queries("r2_hybrid_rrf")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
