@@ -47,8 +47,13 @@ object ScaleBench {
     // the retrieval read path: r1's one-shuffle BM25 over the corpus
     // token stream (copies keep ~half their organic words, so the
     // matched-term stream grows with the corpus), r2 adds the v9
-    // vector channel + fusion on top
-    "r1_bm25", "r2_hybrid_rrf")
+    // vector channel + fusion on top, r3 serves from the stored
+    // postings artifact (build cost included on the warm-up run)
+    "r1_bm25", "r2_hybrid_rrf", "r3_bm25_indexed",
+    // corpus-prep: tok3's vocab table blows up ~25× (junk words are
+    // copy-unique) while each merge round stays vocab-bounded; s7's
+    // weighted sample is map-only + a bounded top-k heap
+    "tok3_bpe_train", "s7_weighted_sample")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space

@@ -335,6 +335,26 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "serving plan must not re-explode the corpus token stream")
   }
 
+  test("fu2/fu3: the event corpus shuffles once for the sequence window") {
+    // the lead() window is the ONLY corpus-sized exchange; the pair /
+    // path rollups land on |event_types|²- and ³-bounded frames. A
+    // second corpus hash exchange here means the rollup re-shuffled
+    // the event stream instead of the bounded aggregate.
+    for (q <- Seq("fu2_transition_matrix", "fu3_top_paths")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = stripAQEPlan(df.queryExecution.executedPlan)
+      val exchanges = collectWithSubqueries(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val userShuffles = exchanges.filter(
+        _.outputPartitioning.toString.contains("user_id"))
+      assert(userShuffles.length == 1,
+        s"$q: expected exactly one user_id window shuffle, " +
+          s"got ${exchanges.map(_.outputPartitioning).mkString("; ")}")
+    }
+  }
+
   test("s7 weighted sample: the global top-k is the bounded heap, not a full sort") {
     // orderBy+limit must plan TakeOrderedAndProject (per-partition heap
     // + driver merge of k×partitions rows); the numbering window runs
