@@ -117,6 +117,42 @@ object Retrieval {
     p.withColumn("df",
       count(lit(1)).over(Window.partitionBy("term")).cast("long"))
 
+  /** Number of term buckets in the stored postings layout. At 100 TB
+    * the postings table is itself huge; hash-partitioning it by term
+    * (the Lucene segment analogue) lets a query batch prune to its
+    * terms' buckets at PLAN time — file-level pruning, before any row
+    * is read — with the term IN-filter then pruning row groups inside
+    * the surviving buckets.
+    */
+  final val PostingsBuckets = 64
+
+  /** Bucket of a term: CRC32 over UTF-8 mod [[PostingsBuckets]] —
+    * chosen (over Spark's murmur `hash()`) because it is cheaply
+    * computable IDENTICALLY engine-side (`crc32`) and driver-side
+    * (java.util.zip.CRC32), which is what lets serving turn a literal
+    * term list into a literal partition-filter list.
+    */
+  def termBucket(term: String): Int = {
+    val c = new java.util.zip.CRC32()
+    val b = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    c.update(b, 0, b.length)
+    (c.getValue % PostingsBuckets).toInt
+  }
+
+  private def bucketCol =
+    pmod(crc32(col("term").cast("binary")), lit(PostingsBuckets.toLong)).cast("int")
+
+  /** Write a postings frame in the bucketed-by-term layout: one
+    * `bkt=<n>` partition dir per term bucket (repartitioned so each
+    * bucket is one file), rows sorted by (term, doc_id) inside each
+    * file for row-group locality on the serving IN-filter.
+    */
+  private def writeBucketed(p: DataFrame, out: String): Unit =
+    p.withColumn("bkt", bucketCol)
+      .repartition(col("bkt"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.partitionBy("bkt").parquet(out)
+
   /** The inverted index as a build-once corpus artifact (the Lucene
     * shape, stored with the codesArtifact discipline): postings
     * (term, doc_id, tf, dl, df) — df denormalized onto each posting at
@@ -125,11 +161,11 @@ object Retrieval {
     * fingerprint so a corpus change rebuilds and a rerun reuses.
     * Build cost is r1's chain unfiltered (one tf shuffle + one df
     * window over the postings frame), paid ONCE; every query batch
-    * after that reads only its terms' postings.
+    * after that reads only its terms' buckets ([[writeBucketed]]).
     */
   def indexArtifact(s: SparkSession, d: String): DataFrame =
-    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_postings") { out =>
-      withDf(rawPostings(tokenized(s, d))).write.parquet(out)
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_postings_b64") { out =>
+      writeBucketed(withDf(rawPostings(tokenized(s, d))), out)
     }
 
   /** Incremental index maintenance — the search-engine `add()` for the
@@ -145,18 +181,34 @@ object Retrieval {
     * engines that serve stale df between segment merges. An empty
     * store bootstraps from the first batch; keepVersions = 2 leaves
     * the pre-append index time-travelable.
+    *
+    * add() is idempotent per document: a doc_id already indexed is
+    * skipped (anti-join against the store's doc_ids), so a replayed or
+    * overlapping append cannot duplicate (term, doc_id) postings —
+    * which would silently inflate df (the refresh window counts both
+    * rows) and double-count tf at serve time. The guard costs one
+    * column-pruned pass over the store's doc_id column per append; a
+    * production store would keep a doc-catalog sidecar to make it a
+    * broadcast. Re-adding a CHANGED document is not an update — that
+    * needs delete-then-add, which this store does not implement.
     */
   def appendPostings(s: SparkSession, base: String, newDocs: DataFrame): DataFrame = {
-    val add = rawPostings(newDocs.select(col("doc_id"),
-      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
     val cur = graft.sinks.VersionedStore.readPointer(s, base)
       .map(_ => graft.sinks.VersionedStore.read(s, base).drop("df"))
+    val fresh = cur match {
+      case Some(c) =>
+        newDocs.join(c.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      case None => newDocs
+    }
+    val add = rawPostings(fresh.select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
     // materialize BEFORE publish (appendCodes' discipline): the union
-    // lazily reads the version this publish supersedes
-    val merged = withDf(cur.map(_.unionByName(add)).getOrElse(add))
+    // lazily reads the version this publish supersedes. bkt is layout,
+    // not content — dropped here, recomputed by the bucketed write
+    val merged = withDf(cur.map(c => c.drop("bkt").unionByName(add)).getOrElse(add))
       .localCheckpoint()
     graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-      merged.write.parquet(out)
+      writeBucketed(merged, out)
     }
     graft.sinks.VersionedStore.read(s, base)
   }
@@ -175,14 +227,28 @@ object Retrieval {
 
   /** BM25 serving over a postings + stats pair — r3's body, shared with
     * the appended-store path. `terms` must be the literal query-term
-    * list so the IN filter pushes into the postings scan.
+    * list so the IN filter pushes into the postings scan; when the
+    * postings carry the bucketed layout's `bkt` column, the same
+    * literals also become a partition filter (file-level pruning to
+    * the terms' buckets — [[writeBucketed]]). `excludeSelf` drops
+    * doc_id == query_id hits for more-like-this queries (r2).
     */
   def serveBm25(postings: DataFrame, stats: DataFrame, qterms: DataFrame,
-                terms: Seq[String], k: Int): DataFrame = {
-    val scored = postings
+                terms: Seq[String], k: Int,
+                excludeSelf: Boolean = false): DataFrame = {
+    val pruned =
+      if (postings.columns.contains("bkt"))
+        postings.filter(col("bkt")
+          .isin(terms.map(termBucket).distinct.map(Int.box): _*))
+      else postings
+    val joined = pruned
       .filter(col("term").isin(terms: _*))
       .join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
+    val matched =
+      if (excludeSelf) joined.filter(col("doc_id") =!= col("query_id"))
+      else joined
+    val scored = matched
       .withColumn("cm", expr(contribSql))
       .groupBy("query_id", "doc_id")
       .agg(sum("cm").cast("long").as("score_micro"))
@@ -260,9 +326,15 @@ object Retrieval {
     // integer division from the start keeps the fusion exact in both
     // engines. n_channels says whether keyword and vector evidence
     // agreed — the signal hybrid search exists to surface.
-    // 100 TB shape: each channel carries its own scale argument (r1's
-    // one-shuffle BM25; v9's broadcast-probed map-only ADC); the fusion
-    // itself touches only 2 × queries × 20 rows.
+    // 100 TB shape: each channel carries its own scale argument — the
+    // keyword channel serves from the STORED index (r3's production
+    // read path: bucket-pruned, IN-pushed postings scan, no corpus
+    // aggregation; rebuilding BM25 from the raw corpus here cost ~5×
+    // the whole query) and the vector channel is v9's broadcast-probed
+    // map-only ADC; the fusion itself touches only 2 × queries × 20
+    // rows. The more-like-this term set (10 docs × ≤3 tokens) is
+    // collected to literals — bounded driver state, and what lets the
+    // postings scan prune at plan time.
     QueryDef.sql("r2_hybrid_rrf",
       s"""WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
          |q AS (SELECT DISTINCT doc_id AS query_id, unnest(toks[1:3]) AS term
@@ -286,12 +358,15 @@ object Retrieval {
          |       FROM fused)
          |SELECT query_id, rn, cand_id, rrf_scaled, n_channels FROM fr WHERE rn <= 10
          |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
-      val docs = tokenized(s, d)
-      val mq = docs.filter(col("doc_id") < 10)
+      import s.implicits._
+      val mqRows = tokenized(s, d).filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"),
           explode(slice(col("toks"), 1, 3)).as("term"))
         .distinct()
-      val kw = topK(bm25Scores(docs, mq, excludeSelf = true), 20)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val kw = serveBm25(indexArtifact(s, d), statsArtifact(s, d),
+          mqRows.toDF("query_id", "term"), mqRows.map(_._2).distinct, 20,
+          excludeSelf = true)
         .select(col("query_id"), col("doc_id").as("cand_id"), col("rn"))
       val vec = VectorOps.v9Ranked(s, d, 20)
         .select("query_id", "cand_id", "rn")

@@ -25,9 +25,14 @@ import graft.operators.Retrieval
   *
   * Ownership, folds, and the crash contract are StreamDedup's:
   * the store is claimed by its checkpoint's query id, fold compaction
-  * is content-agnostic, and "overlap, never loss" is absorbed by the
-  * reader's distinct (postings are deterministic per doc, so overlap
-  * is always row-identical).
+  * is content-agnostic, and "overlap, never loss" is absorbed in two
+  * layers at read time: byte-identical replay overlap by distinct()
+  * (postings are deterministic per doc, so a replayed delta is
+  * row-identical), and a doc_id REissued in a later micro-batch with
+  * different text (document update, upstream reprocessing) by
+  * last-writer-wins — each delta row carries its batch id `b`, and the
+  * reader keeps only each doc's max-b postings, so an updated doc is
+  * re-indexed once instead of double-indexed with inflated df/tf.
   */
 object StreamPostings {
 
@@ -35,11 +40,15 @@ object StreamPostings {
 
   private def postingsSchema: StructType = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
-    StructField("tf", LongType), StructField("dl", IntegerType)))
+    StructField("tf", LongType), StructField("dl", IntegerType),
+    StructField("b", LongType)))
 
-  /** Raw postings the store currently holds: all COMPLETE delta/fold
-    * dirs, overlap-deduplicated. Empty-but-typed before the first
-    * commit.
+  /** Raw postings the store currently holds (with their writing batch
+    * id `b`): all COMPLETE delta/fold dirs, replay overlap
+    * distinct()-deduplicated, and per doc_id only the LATEST batch's
+    * posting set (one posting-sized window — a doc updated upstream is
+    * served from its newest text only). Empty-but-typed before the
+    * first commit.
     */
   def postings(spark: SparkSession, storeDir: String): DataFrame = {
     val base = new Path(storeDir)
@@ -56,14 +65,21 @@ object StreamPostings {
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingsSchema)
-    else spark.read.parquet(dirs: _*).distinct()
+    else {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(dirs: _*).distinct()
+        .withColumn("bmax", max("b").over(Window.partitionBy("doc_id")))
+        .filter(col("b") === col("bmax"))
+        .drop("bmax")
+    }
   }
 
   /** The servable index: df refreshed over the CURRENT store content —
     * exact idf after every micro-batch, never stale between segments.
     */
   def served(spark: SparkSession, storeDir: String): DataFrame =
-    Retrieval.withDf(postings(spark, storeDir))
+    Retrieval.withDf(postings(spark, storeDir).drop("b"))
 
   /** Start the ingest over a `(doc_id, text)` source. The STORE is the
     * output — readers serve via [[served]] + `Retrieval.serveBm25`.
@@ -85,6 +101,7 @@ object StreamPostings {
         }
         Retrieval.rawPostings(batch.select(col("doc_id"),
             expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+          .withColumn("b", lit(batchId))
           .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
         ()
       }

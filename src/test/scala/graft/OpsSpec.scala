@@ -1191,6 +1191,20 @@ class OpsSpec extends SparkSpec {
           r.getInt(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
     assert(normalized(store) == normalized(Retrieval.indexArtifact(spark, d)),
       "appended store diverges from the one-shot index")
+    // the two stats paths agree EXACTLY on this corpus (no zero-token
+    // docs): a future divergence is a stats regression, not a serving
+    // one — pin it here so it is attributed correctly
+    def statsRow(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(statsRow(Retrieval.statsFromPostings(store)) ==
+      statsRow(Retrieval.statsArtifact(spark, d)),
+      "postings-recovered stats diverge from the corpus statsArtifact")
+    // add() is idempotent: re-appending an already-indexed batch is a
+    // no-op (anti-join guard) — df/tf cannot be silently inflated
+    val reAdd = Retrieval.appendPostings(spark, base,
+      docs.filter(col("doc_id") % 5 === 0))
+    assert(normalized(reAdd) == normalized(store),
+      "re-appending an already-indexed batch changed the store")
     // serving from the appended store == the from-scratch r1 ranking,
     // with stats recovered from the postings themselves
     val qterms = Retrieval.fixtureQueries.toDF("query_id", "term")

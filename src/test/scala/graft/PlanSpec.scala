@@ -304,6 +304,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(exchanges.length <= 7,
       s"unexpected extra shuffles (${exchanges.length}) in the BM25 plan")
+    // ...and the exchanges are the EXPECTED ones, not merely the
+    // expected count: the tf agg keyed (doc_id, term), the df window
+    // keyed term alone, and the score agg / top-k window keyed
+    // query_id — a regression swapping the map-side-combined tf agg
+    // for a different same-count exchange mix fails here
+    val parts = exchanges.map(_.outputPartitioning.toString)
+    assert(parts.exists(p => p.contains("doc_id") && p.contains("term")),
+      s"missing the (doc_id, term) tf-agg exchange in: ${parts.mkString("; ")}")
+    assert(parts.exists(p => p.contains("term") && !p.contains("doc_id")),
+      s"missing the term-keyed df-window exchange in: ${parts.mkString("; ")}")
+    assert(parts.exists(_.contains("query_id")),
+      s"missing the query_id-keyed score/top-k exchange in: ${parts.mkString("; ")}")
   }
 
   test("r3 indexed bm25: term filter pushes into the postings scan, serving does no corpus agg") {
@@ -333,6 +345,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "serving plan must not recompute corpus stats (global agg found)")
     assert(!p.contains("Generate"),
       "serving plan must not re-explode the corpus token stream")
+  }
+
+  test("r3 postings artifact is term-bucketed: the scan prunes to the query terms' buckets") {
+    // the Lucene-segment analogue: the artifact is hash-partitioned by
+    // term bucket, so serving's literal term list becomes a PARTITION
+    // filter — at 100 TB the postings scan opens only the queried
+    // terms' buckets' files, not the whole postings table. Pin (a) a
+    // bkt partition filter is present, (b) the files actually read
+    // (numFiles metric) are at most the query terms' distinct buckets —
+    // far under the PostingsBuckets files on disk.
+    import graft.operators.Retrieval
+    val df = SparkEntry.queries("r3_bm25_indexed")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val scans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("bm25_postings")) => f
+    }
+    assert(scans.nonEmpty, "expected the postings artifact scan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("bkt")),
+      s"expected a bkt partition filter, got: ${scan.partitionFilters.mkString("; ")}")
+    val expectedBuckets = Retrieval.fixtureQueries.map(_._2).distinct
+      .map(Retrieval.termBucket).distinct.size
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles > 0 && numFiles <= expectedBuckets,
+      s"bucket pruning ineffective: read $numFiles files for " +
+        s"$expectedBuckets query-term buckets (of ${Retrieval.PostingsBuckets})")
   }
 
   test("fu2/fu3: the event corpus shuffles once for the sequence window") {
