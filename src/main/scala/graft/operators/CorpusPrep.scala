@@ -294,12 +294,13 @@ object CorpusPrep {
     // both engines share the exact same replace semantics, so the
     // learned merge table is bit-identical.
     // 100 TB shape: the corpus is scanned ONCE into the word-frequency
-    // table (localCheckpoint pins that — the three output branches
-    // share the materialization instead of re-scanning); every
-    // iteration's pair count, top-1 pick (deterministic tie: count
-    // desc, pair asc), and rewrite run on the VOCABULARY-bounded frame,
-    // so each additional merge costs vocab-sized work. This is why BPE
-    // training is feasible at corpus scale at all.
+    // table; every round of [[bpeTrain]] runs on the VOCABULARY-bounded
+    // state, which is localCheckpointed per round so plan depth and
+    // per-round cost are CONSTANT in the merge count — the iteration
+    // hygiene that makes production merge counts (O(10k)) structurally
+    // feasible (OpsSpec runs 50 rounds flat; PlanSpec pins the constant
+    // plan). This is why BPE training is feasible at corpus scale at
+    // all.
     QueryDef.sql("tok3_bpe_train", {
       val iters = (1 to 3).map { i =>
         val prev = s"s${i - 1}"
@@ -323,33 +324,85 @@ object CorpusPrep {
          |UNION ALL SELECT 3, pair, n FROM t3
          |ORDER BY iteration""".stripMargin
     }) { (s, d) =>
-      // ONE corpus scan: the vocab table is materialized, every merge
-      // round runs off it (and the three union branches share it)
-      val wf = Tables.documents(s, d)
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .localCheckpoint()
-      var cur = wf.select(
-        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")).as("s"),
-        col("freq"))
-      val merges = (1 to 3).map { i =>
-        val pairs = cur
-          .select(split(trim(col("s")), " ").as("a"), col("freq"))
-          .filter(size(col("a")) >= 2)
-          .select(col("a"), col("freq"), explode(expr("sequence(1, size(a) - 1)")).as("i"))
-          .select(expr("element_at(a, i) || ' ' || element_at(a, i + 1)").as("pair"), col("freq"))
-          .groupBy("pair").agg(sum("freq").cast("long").as("n"))
-        val top = pairs.orderBy(col("n").desc, col("pair").asc).limit(1)
-        cur = cur.crossJoin(broadcast(top))
-          .select(expr(
-            """replace(replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-              |        ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')""".stripMargin).as("s"),
-            col("freq"))
-        top.withColumn("iteration", lit(i))
-      }
-      merges.reduce(_ unionByName _)
-        .select("iteration", "pair", "n")
-        .orderBy("iteration")
+      bpeTrain(s, bpeInit(s, d), 3).orderBy("iteration")
     }
   )
+
+  /** The BPE training state at iteration 0: one corpus scan into the
+    * word-frequency table (materialized — every merge round runs off
+    * it, never the corpus), each word spelled as space-separated
+    * symbols with boundary sentinels.
+    */
+  private[graft] def bpeInit(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(
+        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")).as("s"),
+        col("freq"))
+      .localCheckpoint()
+
+  /** One greedy BPE merge round over a vocabulary state `(s, freq)`:
+    * count adjacent symbol pairs (vocab-bounded work), pick the top-1
+    * (count desc, pair asc — collected: ONE row, the bounded-driver-
+    * state family), and rewrite the state with the pair injected as a
+    * LITERAL (symbols are [a-z]+ — no escaping hazard), replace run
+    * twice for the boundary-consumed repeat chain. Returns None and
+    * the unchanged state when no pair remains (vocabulary fully
+    * merged). `checkpoint` truncates the rewritten state's lineage —
+    * see [[bpeTrain]] for why that must happen every few rounds.
+    */
+  private[graft] def bpeStep(cur: org.apache.spark.sql.DataFrame,
+      checkpoint: Boolean = true): (Option[(String, Long)], org.apache.spark.sql.DataFrame) = {
+    val top = cur
+      .select(split(trim(col("s")), " ").as("a"), col("freq"))
+      .filter(size(col("a")) >= 2)
+      .select(col("a"), col("freq"), explode(expr("sequence(1, size(a) - 1)")).as("i"))
+      .select(expr("element_at(a, i) || ' ' || element_at(a, i + 1)").as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(1)
+      .collect().headOption.map(r => (r.getString(0), r.getLong(1)))
+    top match {
+      case None => (None, cur)
+      case Some((pair, _)) =>
+        val m = pair.replace(" ", "")
+        val next = cur.select(
+          replace(replace(col("s"), lit(s" $pair "), lit(s" $m ")),
+            lit(s" $pair "), lit(s" $m ")).as("s"),
+          col("freq"))
+        (top, if (checkpoint) next.localCheckpoint() else next)
+    }
+  }
+
+  /** Multi-round BPE training, iteration-scalable: the state is
+    * localCheckpointed every `checkpointEvery` rounds (DedupCluster's
+    * per-round discipline), so plan depth, analysis cost, and
+    * per-round wall time are CONSTANT in the merge count — the
+    * round-8 formulation chained `crossJoin(broadcast(top))` onto a
+    * lazily-growing plan, whose linear depth would have made the
+    * analysis cost dominate somewhere around tens of iterations, far
+    * short of a production tokenizer's O(10k) merges. Each round is
+    * vocabulary-bounded work; the corpus is never re-touched. Stops
+    * early when the vocabulary is fully merged. Returns the learned
+    * merge table (iteration, pair, n).
+    */
+  def bpeTrain(s: org.apache.spark.sql.SparkSession,
+      init: org.apache.spark.sql.DataFrame, iters: Int,
+      checkpointEvery: Int = 1): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var cur = init
+    var i = 1
+    var exhausted = false
+    while (i <= iters && !exhausted) {
+      val (pick, next) = bpeStep(cur, checkpoint = i % checkpointEvery == 0)
+      pick match {
+        case Some((p, n)) => picks += ((i, p, n)); cur = next
+        case None => exhausted = true
+      }
+      i += 1
+    }
+    picks.toSeq.toDF("iteration", "pair", "n")
+  }
 }

@@ -375,6 +375,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"$expectedBuckets query-term buckets (of ${Retrieval.PostingsBuckets})")
   }
 
+  test("tok3 bpe training: plan depth is constant in the merge count") {
+    // the iteration-hygiene pin: each round's state is checkpointed, so
+    // the plan a later round analyzes/executes is the SAME SIZE as an
+    // early round's — the round-8 formulation chained crossJoins and
+    // grew linearly, which is fatal at production merge counts (O(10k))
+    import graft.operators.CorpusPrep
+    var cur = CorpusPrep.bpeInit(spark, sf)
+    var len2 = 0
+    for (i <- 1 to 12) {
+      val (pick, next) = CorpusPrep.bpeStep(cur)
+      assert(pick.nonEmpty, s"vocabulary exhausted at round $i")
+      cur = next
+      if (i == 2) len2 = planString(cur.limit(1)).length
+    }
+    val len12 = planString(cur.limit(1)).length
+    assert(len12 <= (len2 * 1.2).toInt + 200,
+      s"BPE state plan grew with the merge count: round 2 = $len2 chars, round 12 = $len12")
+  }
+
   test("fu2/fu3: the event corpus shuffles once for the sequence window") {
     // the lead() window is the ONLY corpus-sized exchange; the pair /
     // path rollups land on |event_types|²- and ³-bounded frames. A
