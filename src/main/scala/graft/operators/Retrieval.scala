@@ -303,6 +303,26 @@ object Retrieval {
        |SELECT query_id, rn, doc_id, score_micro FROM ranked WHERE rn <= 10
        |ORDER BY query_id, rn""".stripMargin
 
+  /** The graded text planting, oracle side (MinHash.gradedPlanting's
+    * SQL twin, shared by r4/r5): copies of every 20th doc at four
+    * severities (0/4/16/48 leading words junked), planted at
+    * doc_id + 7e6 + sev·1e6.
+    */
+  private val gradedCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 7000000 + sev * 1000000 AS doc_id,
+      |         array_to_string(
+      |           list_concat(ws[k + 1 : 100000],
+      |             list_transform(generate_series(1, k),
+      |               i -> 'zz' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR))),
+      |           ' ') AS text
+      |  FROM (SELECT doc_id, ws, sev,
+      |               CASE sev WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 48 END AS k
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                     unnest([0, 1, 2, 3]) AS sev
+      |              FROM documents WHERE doc_id % 20 = 0))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // R1: BM25 top-k keyword retrieval — the Lucene/Elasticsearch
@@ -420,20 +440,7 @@ object Retrieval {
     // broadcast joins) over the 1.08× augmented corpus; the rank join
     // and rollup touch 40 truth rows + one bounded ncand agg.
     QueryDef.sql("r4_retrieval_recall", {
-      val corpusSql =
-        """SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 7000000 + sev * 1000000 AS doc_id,
-          |         array_to_string(
-          |           list_concat(ws[k + 1 : 100000],
-          |             list_transform(generate_series(1, k),
-          |               i -> 'zz' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR))),
-          |           ' ') AS text
-          |  FROM (SELECT doc_id, ws, sev,
-          |               CASE sev WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 48 END AS k
-          |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
-          |                     unnest([0, 1, 2, 3]) AS sev
-          |              FROM documents WHERE doc_id % 20 = 0))""".stripMargin
+      val corpusSql = gradedCorpusSql
       s"""WITH corpus AS (
          |  $corpusSql),
          |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM corpus),
@@ -499,6 +506,163 @@ object Retrieval {
         .agg(count(lit(1)).as("n_queries"),
           sum("hit").cast("long").as("n_hit_top10"),
           round(expr("percentile(rank_ppm, 0.5)"), 1).as("median_rank_ppm"))
+        .orderBy("sev")
+    },
+
+    // R5: the recall dial pointed at the HYBRID fusion — r4's own
+    // honest finding is that lexical top-10 saturates on this tiny
+    // common-word vocabulary; the vector channel exists to cover
+    // exactly that gap, and this query closes the eval loop by grading
+    // both channels on the SAME graded planting. The text side is r4's
+    // (k ∈ {0,4,16,48} leading words junked); the vector side mirrors
+    // it — each planted copy's embedding has its first k dims replaced
+    // by a deterministic junk grid (integer arithmetic on a 0.01 step,
+    // so both engines quantize to the same 1e-6 integers), putting the
+    // copy at a severity-graded cosine from its original. Channels:
+    // r4's BM25 ranking, and v1's map-only literal-query cosine over
+    // the augmented embeddings; fusion is r2's integer RRF. Output per
+    // severity: planted-copy top-10 hits for BM25 alone vs the fusion
+    // — OpsSpec gates n_hit_hybrid >= n_hit_bm25 at every severity.
+    // 100 TB shape: BM25 is r1's one-bounded-shuffle chain; the vector
+    // channel is a map-only pass (10 codegen'd cosine calls/row) + one
+    // top-k window; fusion and rollup touch 2 × queries × 20 rows.
+    QueryDef.sql("r5_hybrid_recall",
+      s"""WITH corpus AS (
+         |  $gradedCorpusSql),
+         |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM corpus),
+         |q AS (SELECT DISTINCT doc_id AS query_id, toks[i] AS term
+         |      FROM (SELECT doc_id, toks,
+         |                   unnest(generate_series(1, least(len(toks), 57))) AS i
+         |            FROM dd WHERE doc_id % 20 = 0 AND doc_id < 200)
+         |      WHERE (i - 1) % 4 = 0),
+         |${bm25ChainSql(excludeSelf = true)},
+         |kranked AS (SELECT query_id, doc_id AS cand_id,
+         |                   row_number() OVER (PARTITION BY query_id
+         |                                      ORDER BY score_micro DESC, doc_id) AS rn
+         |            FROM agg),
+         |el0 AS (SELECT vec_id, pos, CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xi
+         |        FROM (SELECT vec_id, unnest(embedding) AS x,
+         |                     generate_subscripts(embedding, 1) - 1 AS pos
+         |              FROM embeddings)),
+         |plant AS (SELECT vec_id AS ov, vec_id + 7000000 + sev * 1000000 AS pv,
+         |                 CASE sev WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 48 END AS k
+         |          FROM (SELECT vec_id, unnest([0, 1, 2, 3]) AS sev
+         |                FROM embeddings WHERE vec_id % 20 = 0)),
+         |elp AS (SELECT p.pv AS vec_id, e.pos,
+         |               CASE WHEN e.pos < p.k
+         |                    THEN (((p.pv % 1000) * 7 + e.pos * 13) % 200 - 100) * 10000
+         |                    ELSE e.xi END AS xi
+         |        FROM plant p JOIN el0 e ON e.vec_id = p.ov),
+         |ael AS (SELECT * FROM el0 UNION ALL SELECT * FROM elp),
+         |vnorms AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM ael GROUP BY vec_id),
+         |vdots AS (SELECT q2.vec_id AS query_id, c.vec_id AS cand_id,
+         |                 CAST(SUM(q2.xi * c.xi) AS BIGINT) AS dot
+         |          FROM ael q2 JOIN ael c ON q2.pos = c.pos
+         |          WHERE q2.vec_id % 20 = 0 AND q2.vec_id < 200 AND c.vec_id <> q2.vec_id
+         |          GROUP BY 1, 2),
+         |vranked AS (SELECT query_id, cand_id,
+         |                   row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+         |                              cand_id) AS rn
+         |            FROM vdots JOIN vnorms nq ON query_id = nq.vec_id
+         |                       JOIN vnorms nc ON cand_id = nc.vec_id),
+         |uni AS (SELECT query_id, cand_id, rn FROM kranked WHERE rn <= 20
+         |        UNION ALL
+         |        SELECT query_id, cand_id, rn FROM vranked WHERE rn <= 20),
+         |fused AS (SELECT query_id, cand_id,
+         |                 CAST(SUM(1000000000 // (60 + rn)) AS BIGINT) AS rrf
+         |          FROM uni GROUP BY 1, 2),
+         |franked AS (SELECT query_id, cand_id,
+         |                   row_number() OVER (PARTITION BY query_id
+         |                                      ORDER BY rrf DESC, cand_id) AS rn
+         |            FROM fused),
+         |truth AS (SELECT doc_id AS query_id,
+         |                 doc_id + 7000000 + sev * 1000000 AS planted, sev
+         |          FROM (SELECT doc_id, unnest([0, 1, 2, 3]) AS sev
+         |                FROM documents WHERE doc_id % 20 = 0 AND doc_id < 200)),
+         |rk AS (SELECT t.sev,
+         |              CASE WHEN kr.rn IS NOT NULL AND kr.rn <= 10 THEN 1 ELSE 0 END AS bhit,
+         |              CASE WHEN fr.rn IS NOT NULL AND fr.rn <= 10 THEN 1 ELSE 0 END AS hhit
+         |       FROM truth t
+         |       LEFT JOIN kranked kr ON kr.query_id = t.query_id AND kr.cand_id = t.planted
+         |       LEFT JOIN franked fr ON fr.query_id = t.query_id AND fr.cand_id = t.planted)
+         |SELECT sev, COUNT(*) AS n_queries,
+         |       CAST(SUM(bhit) AS BIGINT) AS n_hit_bm25,
+         |       CAST(SUM(hhit) AS BIGINT) AS n_hit_hybrid
+         |FROM rk GROUP BY sev ORDER BY sev""".stripMargin) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val (planted, _) = MinHash.gradedPlanting(docs)
+      val aug = docs.union(planted.select("doc_id", "text"))
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+      val qterms = aug
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
+        .select(col("doc_id").as("query_id"), col("toks"),
+          explode(expr("sequence(1, least(size(toks), 57))")).as("i"))
+        .filter((col("i") - 1) % 4 === 0)
+        .select(col("query_id"), expr("element_at(toks, i)").as("term"))
+        .distinct()
+      val kranked = bm25Scores(aug, qterms, excludeSelf = true)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .select(col("query_id"), col("doc_id").as("cand_id"), col("rn"))
+
+      // planted embeddings: first k(sev) dims replaced by the junk
+      // grid — severity-graded cosine decay, exactly mirroring the
+      // text junking; 0.01-step values quantize exactly at 1e-6
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val plantedEmb = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("embedding"),
+          explode(array((0 to 3).map(lit): _*)).as("sev"))
+        .withColumn("pv", col("vec_id") + lit(7000000L) + col("sev").cast("long") * 1000000L)
+        .withColumn("k", expr("CASE sev WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 48 END"))
+        .select(col("pv").as("vec_id"),
+          expr("transform(embedding, (x, i) -> IF(i < k, " +
+            "CAST((((pv % 1000) * 7 + i * 13) % 200 - 100) / 100.0 AS FLOAT), x))")
+            .as("embedding"))
+      val augEmb = emb.unionByName(plantedEmb)
+      // the query set is bounded (10 × 64 floats): literal scoring is
+      // one map-only codegen pass (v1's discipline)
+      val queries = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 200)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val qCos = queries.map { case (qid, arr) =>
+        struct(lit(qid).as("query_id"),
+          call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("cos"))
+      }
+      val vranked = augEmb
+        .select(col("vec_id").as("cand_id"), explode(array(qCos.toSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.cos"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(desc("cos"), asc("cand_id"))))
+        .select("query_id", "cand_id", "rn")
+
+      val fused = kranked.filter(col("rn") <= 20)
+        .unionByName(vranked.filter(col("rn") <= 20))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(expr("1000000000 div (60 + rn)")).cast("long").as("rrf"))
+      val franked = fused
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("cand_id").asc)))
+        .select(col("query_id").as("fq"), col("cand_id").as("fc"), col("rn").as("frn"))
+      val kr = kranked
+        .select(col("query_id").as("kq"), col("cand_id").as("kc"), col("rn").as("krn"))
+
+      val truth = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
+        .select(col("doc_id"), explode(array((0 to 3).map(lit): _*)).as("sev"))
+        .select(col("doc_id").as("query_id"),
+          (col("doc_id") + 7000000 + col("sev") * 1000000).as("planted"), col("sev"))
+      truth
+        .join(kr, col("query_id") === col("kq") && col("kc") === col("planted"), "left")
+        .join(franked, col("query_id") === col("fq") && col("fc") === col("planted"), "left")
+        .select(col("sev"),
+          when(col("krn").isNotNull && col("krn") <= 10, 1).otherwise(0).as("bhit"),
+          when(col("frn").isNotNull && col("frn") <= 10, 1).otherwise(0).as("hhit"))
+        .groupBy("sev")
+        .agg(count(lit(1)).as("n_queries"),
+          sum("bhit").cast("long").as("n_hit_bm25"),
+          sum("hhit").cast("long").as("n_hit_hybrid"))
         .orderBy("sev")
     }
   )

@@ -1219,6 +1219,23 @@ class OpsSpec extends SparkSpec {
     assert(vs.size >= 2)
   }
 
+  test("hybrid recall dial: fusion recovers at least BM25's hits at every severity") {
+    // the r5 gate: the vector channel exists to cover lexical
+    // saturation, so the fused top-10 must never lose a planted doc
+    // BM25 alone found — and must strictly recover extra hits overall
+    // (at sf0.01 the measured dial is bm25 4/1/0/0 vs hybrid 10/10/3/0)
+    val rows = SparkEntry.queries("r5_hybrid_recall")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    for ((sev, n, bm25, hybrid) <- rows) {
+      assert(n == 10, s"severity $sev should grade 10 queries, got $n")
+      assert(hybrid >= bm25,
+        s"severity $sev: hybrid hits $hybrid < bm25 hits $bm25")
+    }
+    assert(rows.map(_._4).sum > rows.map(_._3).sum,
+      s"fusion recovered nothing over BM25: ${rows.mkString(", ")}")
+  }
+
   test("bpe training sustains 50 merge rounds with flat per-round wall time") {
     // the verdict-8 structural caveat, closed: 50 greedy merges (the
     // 3-round oracle's loop continued), timing each round. With
