@@ -1264,6 +1264,60 @@ class OpsSpec extends SparkSpec {
     assert(t3.size == 3 && t3.map(_._1) == Seq(1, 2, 3))
   }
 
+  test("bm25 serving during a concurrent append sees only published index versions") {
+    // the maintenance-while-serving race: a reader loops the r3 serving
+    // path while an append publishes a new version. The pointer-flip
+    // discipline means every observed ranking must equal EITHER the
+    // pre-append or the post-append state — never a torn mix (e.g. new
+    // postings with old df). The version is resolved ONCE per read
+    // (both postings and stats derive from the same resolved frame),
+    // which is exactly what this pins.
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+    val base = tmpDir("graft-bm25-conc") + "/postings"
+    Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 5 =!= 0))
+    val qterms = Retrieval.fixtureQueries.toDF("query_id", "term")
+    val terms = Retrieval.fixtureQueries.map(_._2).distinct
+    def serveOnce(): Seq[(Long, Int, Long, Long)] = {
+      // bounded retry over the local-FS torn-pointer transient
+      // (documented in VersionedStore.readPointer — absent on HDFS/S3)
+      var attempt = 0
+      while (true) {
+        try {
+          val store = graft.sinks.VersionedStore.read(spark, base)
+          return Retrieval.serveBm25(store, Retrieval.statsFromPostings(store),
+              qterms, terms, 10)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+        } catch {
+          case e: java.io.FileNotFoundException =>
+            attempt += 1; if (attempt > 20) throw e; Thread.sleep(5)
+        }
+      }
+      Seq.empty
+    }
+    val before = serveOnce()
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Int, Long, Long)]]()
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => try { while (!stop) observed.add(serveOnce()) }
+      catch { case t: Throwable => failure = Some(t) })
+    reader.start()
+    Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 5 === 0))
+    stop = true
+    reader.join(60000)
+    failure.foreach(throw _)
+    val after = serveOnce()
+    assert(before != after, "append should change the served ranking")
+    assert(!observed.isEmpty, "reader never completed a read during the append")
+    val states = Set(before, after)
+    observed.forEach { o =>
+      assert(states.contains(o),
+        s"reader observed a state that was never published")
+    }
+  }
+
   test("ivfServe nprobe dial: recall vs exact truth is monotone in probed cells, exhaustive at NCells") {
     val d = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")

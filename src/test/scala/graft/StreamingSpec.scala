@@ -963,6 +963,48 @@ class StreamingSpec extends SparkSpec {
     assert(afterFold == scratch, "serving changed after fold compaction")
   }
 
+  test("postings store visibility: uncommitted deltas invisible, doc reissue is last-writer-wins") {
+    import graft.operators.Retrieval
+    import graft.streaming.StreamPostings
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import spark.implicits._
+    val store = tmpDir("graft-postings-vis")
+    def delta(id: Long, docs: org.apache.spark.sql.DataFrame): Unit =
+      Retrieval.rawPostings(docs.select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+        .withColumn("b", lit(id))
+        .write.mode("overwrite").parquet(s"$store/delta_b$id")
+    def servedRows(): Set[(String, Long, Long, Long)] =
+      StreamPostings.served(spark, store)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(4))).toSet // (term, doc_id, tf, df)
+    delta(0, Seq((1L, "alpha beta beta"), (2L, "beta gamma")).toDF("doc_id", "text"))
+    val base = servedRows()
+    assert(base.contains(("beta", 1L, 2L, 2L)), s"unexpected base state: $base")
+    // a delta mid-write (no _SUCCESS yet) must be invisible to readers
+    // — the serve-during-append contract: only batch-boundary states
+    // are ever observable
+    delta(1, Seq((3L, "alpha alpha")).toDF("doc_id", "text"))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val succ = new org.apache.hadoop.fs.Path(s"$store/delta_b1/_SUCCESS")
+    fs.delete(succ, false)
+    assert(servedRows() == base, "an uncommitted delta leaked into serving")
+    fs.create(succ, true).close()
+    assert(servedRows().contains(("alpha", 3L, 2L, 2L)),
+      "committed delta should serve (df refreshed: alpha now in docs 1 and 3)")
+    // doc 2 reissued with entirely different text: the reader must keep
+    // only the newest batch's postings for it — old terms gone, df of
+    // 'beta' drops back to doc 1 only, no double-indexing
+    delta(2, Seq((2L, "epsilon epsilon zeta")).toDF("doc_id", "text"))
+    val got = servedRows()
+    assert(got.contains(("epsilon", 2L, 2L, 1L)), s"reissued doc not served: $got")
+    assert(!got.exists { case (t, id, _, _) => id == 2L && (t == "beta" || t == "gamma") },
+      s"stale postings for the reissued doc survived: $got")
+    assert(got.contains(("beta", 1L, 2L, 1L)),
+      s"df not refreshed after the reissue (beta should count doc 1 only): $got")
+  }
+
   test("streaming ANN index ingest: delta store serves exactly the one-shot encode, folds compact") {
     import graft.operators.VectorOps
     import graft.streaming.{StreamDedup, StreamIndex}
