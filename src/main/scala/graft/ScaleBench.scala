@@ -55,6 +55,16 @@ object ScaleBench {
     // weighted sample is map-only + a bounded top-k heap
     "tok3_bpe_train", "s7_weighted_sample")
 
+  /** The third-point spot-check set: the two WORST observed 10× ratios
+    * (d15, v11 — precisely where fixed costs least conclusively
+    * dominate and two points cannot tell constant-dominated from a
+    * mild n^1.3 term) plus r1 as the retrieval anchor. Under
+    * linearity t(spot)/t(factor) ≈ spot/factor; a hidden super-linear
+    * term grows the ratio with the corpus instead of converging.
+    */
+  private val SpotQueries = Seq(
+    "d15_incremental_neardup", "v11_ivfpq_recall", "r1_bm25")
+
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space
     * stays disjoint across copies.
@@ -122,6 +132,12 @@ object ScaleBench {
     val t1 = ScaleQueries.map(q => q -> median3(SparkEntry.queries(q), sfDir))
     val tF = ScaleQueries.map(q => q -> median3(SparkEntry.queries(q), bigDir))
 
+    // third point at SPOT× for the least-conclusive ratios
+    val spotFactor = args.lift(3).map(_.toInt).getOrElse(30)
+    val spotDir = s"$workDir/x$spotFactor"
+    generate(spark, sfDir, spotDir, spotFactor)
+    val tS = SpotQueries.map(q => q -> median3(SparkEntry.queries(q), spotDir))
+
     val rows = t1.zip(tF).map { case ((q, a), (_, b)) =>
       val ratio = b / a
       val verdict = if (ratio <= factor * 1.2) "sub-linear-or-linear" else "SUPER-LINEAR"
@@ -131,6 +147,17 @@ object ScaleBench {
     val nVecs = graft.sources.Tables.embeddings(spark, sfDir).count()
     val table = rows.map { case (q, a, b, r, v) =>
       f"| $q | $a%.3f | $b%.3f | $r%.2f× | $v |"
+    }.mkString("\n")
+    val spotRows = SpotQueries.map { q =>
+      val a = t1.toMap.apply(q); val b = tF.toMap.apply(q); val c = tS.toMap.apply(q)
+      val lin = spotFactor.toDouble / factor
+      val r = c / b
+      val p = math.log(r) / math.log(lin)
+      val verdict = if (r <= lin * 1.2) "consistent-with-linear" else "SUPER-LINEAR"
+      (q, a, b, c, r, p, verdict)
+    }
+    val spotTable = spotRows.map { case (q, a, b, c, r, p, v) =>
+      f"| $q | $a%.3f | $b%.3f | $c%.3f | $r%.2f× | $p%.2f | $v |"
     }.mkString("\n")
     // table rows start with '|', which stripMargin would eat — keep the
     // generated rows OUTSIDE the margin template
@@ -150,6 +177,20 @@ object ScaleBench {
          || query | 1× (s) | ${factor}× (s) | ratio | verdict |
          ||---|---|---|---|---|
          |""".stripMargin + table +
+      s"""
+         |
+         |## ${spotFactor}× spot-check — a third point where two were least conclusive
+         |
+         |d15 and v11 had the suite's worst ${factor}× ratios; two points cannot
+         |distinguish constant-dominated from a mild super-linear term, so they
+         |(plus r1 as the retrieval anchor) get a ${spotFactor}× corpus. Under
+         |linearity t${spotFactor}/t$factor ≈ ${spotFactor / factor}; the implied
+         |exponent is ln(t${spotFactor}/t$factor)/ln(${spotFactor / factor})
+         |(< 1 = still constant-dominated, ≈ 1 = linear).
+         |
+         || query | 1× (s) | ${factor}× (s) | ${spotFactor}× (s) | t${spotFactor}/t$factor | implied exponent | verdict |
+         ||---|---|---|---|---|---|---|
+         |""".stripMargin + spotTable +
       s"""
          |
          |Notes:
@@ -182,7 +223,9 @@ object ScaleBench {
       md.getBytes("UTF-8"))
     val json = rows.map { case (q, a, b, r, _) =>
       s""""$q":{"t1":$a,"tF":$b,"ratio":$r}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scaling","factor":$factor,"queries":$json}""")
+    val spotJson = spotRows.map { case (q, _, b, c, r, p, _) =>
+      s""""$q":{"tF":$b,"tS":$c,"ratio":$r,"exponent":$p}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaling","factor":$factor,"spotFactor":$spotFactor,"queries":$json,"spot":$spotJson}""")
     spark.stop()
   }
 }

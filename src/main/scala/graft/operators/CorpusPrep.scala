@@ -301,32 +301,70 @@ object CorpusPrep {
     // feasible (OpsSpec runs 50 rounds flat; PlanSpec pins the constant
     // plan). This is why BPE training is feasible at corpus scale at
     // all.
-    QueryDef.sql("tok3_bpe_train", {
-      val iters = (1 to 3).map { i =>
-        val prev = s"s${i - 1}"
-        s"""p$i AS (SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i
-           |        FROM (SELECT string_split(trim(s), ' ') AS a, freq FROM $prev)
-           |        WHERE len(a) >= 2),
-           |c$i AS (SELECT a[i] || ' ' || a[i + 1] AS pair, CAST(SUM(freq) AS BIGINT) AS n
-           |        FROM p$i GROUP BY 1),
-           |t$i AS (SELECT pair, n FROM c$i ORDER BY n DESC, pair LIMIT 1),
-           |s$i AS (SELECT replace(replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-           |                       ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s, freq
-           |        FROM $prev CROSS JOIN t$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH w AS (
-         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
-         |wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
-         |s0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS s, freq FROM wf),
-         |$iters
+    QueryDef.sql("tok3_bpe_train",
+      s"""WITH ${bpeChainSql(3)}
          |SELECT 1 AS iteration, pair, n FROM t1
          |UNION ALL SELECT 2, pair, n FROM t2
          |UNION ALL SELECT 3, pair, n FROM t3
-         |ORDER BY iteration""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY iteration""".stripMargin) { (s, d) =>
       bpeTrain(s, bpeInit(s, d), 3).orderBy("iteration")
+    },
+
+    // TOK4: applying the learned tokenizer — the other half of the
+    // loop (train → APPLY): segment the corpus with tok3's 3-round
+    // merge table and report the top-50 resulting tokens with their
+    // corpus occurrence counts — the statistic a vocabulary designer
+    // reads (which merges actually pay for themselves corpus-wide).
+    // Tokenization is per-word, so corpus token counts ARE the
+    // vocabulary's post-merge symbol counts weighted by word
+    // frequency: the apply side needs NO second corpus pass — it runs
+    // entirely on the vocabulary-bounded trained state (at serving
+    // time the same merge table applies per-document as a map-only
+    // pass). Top-50 via TakeOrdered, numbering window over the 50
+    // survivors (s7's discipline).
+    QueryDef.sql("tok4_bpe_apply",
+      s"""WITH ${bpeChainSql(3)},
+         |toks AS (SELECT unnest(string_split(trim(s), ' ')) AS token, freq FROM s3),
+         |tc AS (SELECT token, CAST(SUM(freq) AS BIGINT) AS n FROM toks GROUP BY 1),
+         |top AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT 50)
+         |SELECT row_number() OVER (ORDER BY n DESC, token) AS rn, token, n
+         |FROM top ORDER BY n DESC, token""".stripMargin) { (s, d) =>
+      val (_, state) = bpeTrainWithState(s, bpeInit(s, d), 3)
+      state.select(explode(split(trim(col("s")), " ")).as("token"), col("freq"))
+        .groupBy("token").agg(sum("freq").cast("long").as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(50)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("n").desc, col("token").asc)))
+        .select("rn", "token", "n")
+        .orderBy(col("n").desc, col("token").asc)
     }
   )
+
+  /** Oracle-side BPE chain through `n` merge rounds: CTE fragments
+    * w → wf → s0 → (p_i, c_i, t_i, s_i)* — t_i is round i's picked
+    * pair, s_i the rewritten state. Textually mirrors
+    * [[bpeStep]]/[[bpeTrain]]; shared by tok3 (reads the t_i) and
+    * tok4 (reads the final s_n).
+    */
+  private def bpeChainSql(n: Int): String = {
+    val iters = (1 to n).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i
+         |        FROM (SELECT string_split(trim(s), ' ') AS a, freq FROM $prev)
+         |        WHERE len(a) >= 2),
+         |c$i AS (SELECT a[i] || ' ' || a[i + 1] AS pair, CAST(SUM(freq) AS BIGINT) AS n
+         |        FROM p$i GROUP BY 1),
+         |t$i AS (SELECT pair, n FROM c$i ORDER BY n DESC, pair LIMIT 1),
+         |s$i AS (SELECT replace(replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+         |                       ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s, freq
+         |        FROM $prev CROSS JOIN t$i)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+       |wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+       |s0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS s, freq FROM wf),
+       |$iters""".stripMargin
+  }
 
   /** The BPE training state at iteration 0: one corpus scan into the
     * word-frequency table (materialized — every merge round runs off
@@ -389,7 +427,16 @@ object CorpusPrep {
     */
   def bpeTrain(s: org.apache.spark.sql.SparkSession,
       init: org.apache.spark.sql.DataFrame, iters: Int,
-      checkpointEvery: Int = 1): org.apache.spark.sql.DataFrame = {
+      checkpointEvery: Int = 1): org.apache.spark.sql.DataFrame =
+    bpeTrainWithState(s, init, iters, checkpointEvery)._1
+
+  /** [[bpeTrain]] returning also the final vocabulary state `(s,
+    * freq)` — the trained tokenizer's segmentation of every word,
+    * which the apply side (tok4) reads without re-running a merge.
+    */
+  def bpeTrainWithState(s: org.apache.spark.sql.SparkSession,
+      init: org.apache.spark.sql.DataFrame, iters: Int,
+      checkpointEvery: Int = 1): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var cur = init
@@ -403,6 +450,6 @@ object CorpusPrep {
       }
       i += 1
     }
-    picks.toSeq.toDF("iteration", "pair", "n")
+    (picks.toSeq.toDF("iteration", "pair", "n"), cur)
   }
 }

@@ -189,8 +189,8 @@ object Retrieval {
     * rows) and double-count tf at serve time. The guard costs one
     * column-pruned pass over the store's doc_id column per append; a
     * production store would keep a doc-catalog sidecar to make it a
-    * broadcast. Re-adding a CHANGED document is not an update — that
-    * needs delete-then-add, which this store does not implement.
+    * broadcast. Re-adding a CHANGED document is not an update —
+    * [[updatePostings]] is (delete-then-add in one publish).
     */
   def appendPostings(s: SparkSession, base: String, newDocs: DataFrame): DataFrame = {
     val cur = graft.sinks.VersionedStore.readPointer(s, base)
@@ -206,6 +206,48 @@ object Retrieval {
     // lazily reads the version this publish supersedes. bkt is layout,
     // not content — dropped here, recomputed by the bucketed write
     val merged = withDf(cur.map(c => c.drop("bkt").unionByName(add)).getOrElse(add))
+      .localCheckpoint()
+    graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
+      writeBucketed(merged, out)
+    }
+    graft.sinks.VersionedStore.read(s, base)
+  }
+
+  /** Incremental update — delete-then-add in ONE publish: the current
+    * store's postings for the updated doc_ids are dropped (anti-join),
+    * the new texts' raw postings unioned in, and df refreshed once
+    * before the pointer flip — so readers can never observe a doc half
+    * replaced or a df counting both texts. This closes
+    * [[appendPostings]]' documented non-update gap (append skips
+    * already-indexed doc_ids); it is the batch twin of the streaming
+    * store's last-writer-wins read. Cost: one column-pruned pass over
+    * the store + the posting-sized df window — same shape as an
+    * append; the untouched corpus is never re-tokenized.
+    */
+  def updatePostings(s: SparkSession, base: String, docs: DataFrame): DataFrame = {
+    val add = rawPostings(docs.select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+    val cur = graft.sinks.VersionedStore.readPointer(s, base)
+      .map(_ => graft.sinks.VersionedStore.read(s, base).drop("df"))
+    val kept = cur.map(_.drop("bkt")
+      .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+    val merged = withDf(kept.map(_.unionByName(add)).getOrElse(add))
+      .localCheckpoint()
+    graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
+      writeBucketed(merged, out)
+    }
+    graft.sinks.VersionedStore.read(s, base)
+  }
+
+  /** Incremental delete: drop `ids`' postings and refresh df in one
+    * publish (df is the one global statistic a delete must recompute —
+    * remaining docs' idf RISES when matching docs leave). Same
+    * pointer-flip atomicity as update.
+    */
+  def deletePostings(s: SparkSession, base: String, ids: DataFrame): DataFrame = {
+    val cur = graft.sinks.VersionedStore.read(s, base).drop("df").drop("bkt")
+    val merged = withDf(cur.join(ids.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti"))
       .localCheckpoint()
     graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
       writeBucketed(merged, out)

@@ -1264,6 +1264,40 @@ class OpsSpec extends SparkSpec {
     assert(t3.size == 3 && t3.map(_._1) == Seq(1, 2, 3))
   }
 
+  test("bm25 index update/delete: delete-then-add equals a one-shot index of the mutated corpus") {
+    // the CRUD completion: updating changed docs and deleting others
+    // must leave the store EXACTLY the index a from-scratch build of
+    // the mutated corpus would produce — tf/dl replaced, stale terms
+    // gone, df refreshed (it rises for leavers' terms, counts updaters
+    // once)
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+    val base = tmpDir("graft-bm25-upd") + "/postings"
+    Retrieval.appendPostings(spark, base, docs)
+    // mutate: every 7th doc gets new text; every 11th (non-overlapping
+    // subset) is deleted
+    val updated = docs.filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), concat(col("text"), lit(" graftupdated token")).as("text"))
+    val deletedIds = docs.filter(col("doc_id") % 11 === 0).select("doc_id")
+    Retrieval.updatePostings(spark, base, updated)
+    val store = Retrieval.deletePostings(spark, base, deletedIds)
+    val mutated = docs.filter(col("doc_id") % 11 =!= 0)
+      .join(updated.select(col("doc_id"), col("text").as("ntext")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("ntext"), col("text")).as("text"))
+    val oneShot = Retrieval.withDf(Retrieval.rawPostings(mutated.select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))))
+    def normalized(p: org.apache.spark.sql.DataFrame) =
+      p.select("term", "doc_id", "tf", "dl", "df")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(normalized(store) == normalized(oneShot),
+      "update+delete store diverges from the one-shot index of the mutated corpus")
+    assert(normalized(store).exists(_._1 == "graftupdated"),
+      "updated text's new term missing from the store")
+  }
+
   test("bm25 serving during a concurrent append sees only published index versions") {
     // the maintenance-while-serving race: a reader loops the r3 serving
     // path while an append publishes a new version. The pointer-flip
