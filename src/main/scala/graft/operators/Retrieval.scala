@@ -71,10 +71,16 @@ object Retrieval {
 
   /** BM25 scores (query_id, doc_id, score_micro) for an arbitrary
     * (query_id, term) frame. `qterms` must be small (it broadcasts);
-    * term multiplicity is deduplicated by the caller if needed.
+    * term multiplicity is deduplicated by the caller if needed. If
+    * `qterms` carries a `w` column (BIGINT), each term's contribution
+    * is weighted by it — integer micro-units × integer weight stays
+    * exact (the r7 query-expansion hook).
     */
   private def bm25Scores(docs: DataFrame, qterms: DataFrame,
                          excludeSelf: Boolean): DataFrame = {
+    val contrib =
+      if (qterms.columns.contains("w")) expr(s"($contribSql) * w")
+      else expr(contribSql)
     val st = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).cast("long").as("sum_dl"))
     val ex = docs.select(col("doc_id"), size(col("toks")).as("dl"),
@@ -94,7 +100,7 @@ object Retrieval {
       if (excludeSelf) scored.filter(col("doc_id") =!= col("query_id"))
       else scored
     filtered
-      .withColumn("cm", expr(contribSql))
+      .withColumn("cm", contrib)
       .groupBy("query_id", "doc_id")
       .agg(sum("cm").cast("long").as("score_micro"))
   }
@@ -549,6 +555,135 @@ object Retrieval {
           sum("hit").cast("long").as("n_hit_top10"),
           round(expr("percentile(rank_ppm, 0.5)"), 1).as("median_rank_ppm"))
         .orderBy("sev")
+    },
+
+    // R6: phrase search — the positional-match capability every search
+    // engine pairs with BM25, in its bounded-phrase-length
+    // specialization: adjacency is materialized as bigram shingles
+    // (Lucene's shingle-field optimization for common phrases), so a
+    // phrase query is an EXACT match on the shingle term and the whole
+    // plan is r1's shape — one narrow corpus scan, a MAP-ONLY bigram
+    // generate (no positions join, no self-join on pos+1), the
+    // broadcast phrase filter BEFORE the only corpus shuffle
+    // (map-side-combined per-(query, doc) match count), top-k window.
+    // General variable-length phrases at scale take positional postings
+    // (the same bucketed-artifact discipline, positions as an int
+    // array column); the shingle path shown here is what serves the
+    // hot bounded-length case without them. Queries: each query doc's
+    // leading bigram (its own doc guarantees >= 1 match) plus a
+    // fabricated never-matching phrase exercising the zero-match path
+    // (additive semantics: it simply never joins, r1's discipline).
+    QueryDef.sql("r6_phrase_search",
+      s"""WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |bg AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS bigram
+         |       FROM (SELECT doc_id, toks AS a,
+         |                    unnest(generate_series(1, len(toks) - 1)) AS i
+         |             FROM dd WHERE len(toks) >= 2)),
+         |q AS (SELECT doc_id AS query_id, toks[1] || ' ' || toks[2] AS phrase
+         |      FROM dd WHERE doc_id < 10 AND len(toks) >= 2
+         |      UNION ALL SELECT 10, 'zzqq zzrr'),
+         |m AS (SELECT q.query_id, bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+         |      FROM bg JOIN q ON bg.bigram = q.phrase GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, n_matches,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY n_matches DESC, doc_id) AS rn
+         |           FROM m)
+         |SELECT query_id, rn, doc_id, n_matches FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = tokenized(s, d)
+      // phrase fixtures: bounded (10 rows) — collected so the shingle
+      // filter broadcasts literals (r1's query-set discipline)
+      val qRows = docs.filter(col("doc_id") < 10 && size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          concat(expr("element_at(toks, 1)"), lit(" "),
+            expr("element_at(toks, 2)")).as("phrase"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq :+ ((10L, "zzqq zzrr"))
+      val q = qRows.toDF("query_id", "phrase")
+      val bg = docs.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bigram"))
+      val m = bg.join(broadcast(q), col("bigram") === col("phrase"))
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).cast("long").as("n_matches"))
+      m.withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("n_matches").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "doc_id", "n_matches")
+        .orderBy("query_id", "rn")
+    },
+
+    // R7: pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    // the RM3 shape): pass 1 runs r1's BM25 and takes each query's
+    // top-5 as feedback docs; the 3 most frequent terms across them
+    // (raw tf, the query's own terms anti-joined out, tie term asc)
+    // expand the query at weight 1 alongside the originals at weight
+    // 2; pass 2 rescores with the weighted union. Integer weights ×
+    // integer micro-unit contributions keep pass-2 ranks exact in both
+    // engines. The classical two-pass cost is explicit: two bounded
+    // corpus shuffles (each r1's term-filtered shape) plus a feedback
+    // term-count whose corpus side is filtered by the BROADCAST 5-doc
+    // × query set before its only shuffle — at 100 TB each pass reads
+    // matched tokens only, and the feedback frame is queries × 5 docs.
+    QueryDef.sql("r7_prf_expansion",
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $fixtureValuesSql)),
+         |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |${bm25ChainSql(excludeSelf = false)},
+         |fb AS (SELECT query_id, doc_id FROM (
+         |         SELECT query_id, doc_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY score_micro DESC, doc_id) AS rn
+         |         FROM agg) WHERE rn <= 5),
+         |expc AS (SELECT f.query_id, e.term, CAST(COUNT(*) AS BIGINT) AS cnt
+         |         FROM fb f JOIN (SELECT doc_id, unnest(toks) AS term FROM dd) e
+         |           ON e.doc_id = f.doc_id
+         |         WHERE NOT EXISTS (SELECT 1 FROM q
+         |                           WHERE q.query_id = f.query_id AND q.term = e.term)
+         |         GROUP BY 1, 2),
+         |expn AS (SELECT query_id, term FROM (
+         |           SELECT query_id, term,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cnt DESC, term) AS rk
+         |           FROM expc) WHERE rk <= 3),
+         |q2 AS (SELECT query_id, term, CAST(2 AS BIGINT) AS w FROM q
+         |       UNION ALL SELECT query_id, term, CAST(1 AS BIGINT) AS w FROM expn),
+         |ex2 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM dd),
+         |tfb AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM ex2
+         |        WHERE term IN (SELECT DISTINCT term FROM q2) GROUP BY 1, 2),
+         |tfb2 AS (SELECT doc_id, term, tf, dl,
+         |                CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tfb),
+         |bscb AS (SELECT q2.query_id, tfb2.doc_id, ($contribSql) * q2.w AS cm
+         |         FROM tfb2 JOIN q2 USING (term) CROSS JOIN st),
+         |aggb AS (SELECT query_id, doc_id, CAST(SUM(cm) AS BIGINT) AS score_micro
+         |         FROM bscb GROUP BY 1, 2),
+         |rankedb AS (SELECT query_id, doc_id, score_micro,
+         |                   row_number() OVER (PARTITION BY query_id
+         |                                      ORDER BY score_micro DESC, doc_id) AS rn
+         |            FROM aggb)
+         |SELECT query_id, rn, doc_id, score_micro FROM rankedb WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = tokenized(s, d)
+      val qt = fixtureQueries.toDF("query_id", "term")
+      // pass 1: r1's ranking; feedback = top-5 per query (bounded:
+      // queries × 5 rows — broadcasts into the term-count pass)
+      val fb = topK(bm25Scores(docs, qt, excludeSelf = false), 5)
+        .select("query_id", "doc_id")
+      val expn = docs.join(broadcast(fb), Seq("doc_id"))
+        .select(col("query_id"), explode(col("toks")).as("term"))
+        .groupBy("query_id", "term").agg(count(lit(1)).cast("long").as("cnt"))
+        .join(broadcast(qt), Seq("query_id", "term"), "left_anti")
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cnt").desc, col("term").asc)))
+        .filter(col("rk") <= 3)
+        .select("query_id", "term")
+      val q2 = qt.withColumn("w", lit(2L))
+        .unionByName(expn.withColumn("w", lit(1L)))
+      topK(bm25Scores(docs, q2, excludeSelf = false), 10)
+        .select("query_id", "rn", "doc_id", "score_micro")
+        .orderBy("query_id", "rn")
     },
 
     // R5: the recall dial pointed at the HYBRID fusion — r4's own

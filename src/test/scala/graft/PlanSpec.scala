@@ -375,6 +375,28 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"$expectedBuckets query-term buckets (of ${Retrieval.PostingsBuckets})")
   }
 
+  test("r6/r7: phrase shingles and both expansion passes keep every join broadcast") {
+    // r6's phrase match is a map-only bigram generate + broadcast
+    // phrase filter; r7 runs three corpus-touching stages (pass-1 tf,
+    // feedback term count, pass-2 tf) — each must meet its bounded
+    // dimension (query terms, 5-doc feedback set, weighted term set)
+    // as a broadcast, never by shuffling the corpus to a dimension
+    for (qn <- Seq("r6_phrase_search", "r7_prf_expansion")) {
+      val df = SparkEntry.queries(qn)(spark, sf)
+      df.collect()
+      val plan = stripAQEPlan(df.queryExecution.executedPlan)
+      val joins = collectWithSubqueries(plan) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.nonEmpty, s"$qn: expected joins")
+      val nonBroadcast = joins.filterNot(j =>
+        j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+          j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      assert(nonBroadcast.isEmpty,
+        s"$qn: non-broadcast joins: ${nonBroadcast.map(_.nodeName).mkString(", ")}")
+    }
+  }
+
   test("tok3 bpe training: plan depth is constant in the merge count") {
     // the iteration-hygiene pin: each round's state is checkpointed, so
     // the plan a later round analyzes/executes is the SAME SIZE as an
