@@ -197,6 +197,17 @@ object Retrieval {
     * production store would keep a doc-catalog sidecar to make it a
     * broadcast. Re-adding a CHANGED document is not an update —
     * [[updatePostings]] is (delete-then-add in one publish).
+    *
+    * SINGLE-WRITER CONTRACT (append/update/delete): each maintenance
+    * op reads the current version and publishes its successor; two
+    * CONCURRENT maintenance ops would both read the same base and the
+    * pointer's last-flip-wins would silently drop the loser's change
+    * (VersionedStore's publish contract protects readers and data
+    * dirs, not read-modify-write cycles). Serialize maintenance —
+    * search engines serialize segment merges for the same reason; the
+    * streaming ingest's checkpoint-ownership epoch guard IS that
+    * serialization for the streaming twin. Concurrent READERS during
+    * any single maintenance op are fully safe (OpsSpec pins it).
     */
   def appendPostings(s: SparkSession, base: String, newDocs: DataFrame): DataFrame = {
     val cur = graft.sinks.VersionedStore.readPointer(s, base)

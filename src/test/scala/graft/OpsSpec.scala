@@ -1264,6 +1264,39 @@ class OpsSpec extends SparkSpec {
     assert(t3.size == 3 && t3.map(_._1) == Seq(1, 2, 3))
   }
 
+  test("pq code store CRUD: re-append dedupes, update/delete equals one-shot encode of the mutated corpus") {
+    // the vector-index twin of the postings CRUD: a replayed append
+    // must not duplicate a code row (a duplicated cand_id would
+    // surface twice in every ADC top-k it reaches), and
+    // update-then-delete must leave exactly the table a from-scratch
+    // encode of the mutated corpus produces
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val base = tmpDir("graft-pq-crud") + "/codes"
+    VectorOps.appendCodes(spark, base, emb, books)
+    val reAdd = VectorOps.appendCodes(spark, base,
+      emb.filter(col("vec_id") % 3 === 0), books)
+    assert(reAdd.count() == emb.count(),
+      "re-appending already-indexed vectors duplicated code rows")
+    val rot = expr("concat(slice(embedding, 2, 63), slice(embedding, 1, 1))")
+    val upd = emb.filter(col("vec_id") % 7 === 0 && col("vec_id") % 11 =!= 0)
+      .select(col("vec_id"), rot.as("embedding"))
+    val dels = emb.filter(col("vec_id") % 11 === 0).select("vec_id")
+    VectorOps.updateCodes(spark, base, upd, books)
+    val store = VectorOps.deleteCodes(spark, base, dels)
+    val mutated = emb.filter(col("vec_id") % 11 =!= 0)
+      .join(upd.select(col("vec_id"), col("embedding").as("ne")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("ne"), col("embedding")).as("embedding"))
+    graft.functions.NativeFunctions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until r.length).map(i => r.get(i)).toSeq)
+        .sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(rows(store) == rows(VectorOps.encodeCodes(mutated, books)),
+      "CRUD'd code store diverges from the one-shot encode of the mutated corpus")
+  }
+
   test("bm25 index update/delete: delete-then-add equals a one-shot index of the mutated corpus") {
     // the CRUD completion: updating changed docs and deleting others
     // must leave the store EXACTLY the index a from-scratch build of
