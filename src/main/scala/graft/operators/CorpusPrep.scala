@@ -337,6 +337,51 @@ object CorpusPrep {
           Window.orderBy(col("n").desc, col("token").asc)))
         .select("rn", "token", "n")
         .orderBy(col("n").desc, col("token").asc)
+    },
+
+    // TOK5: per-document BPE encoding — the op a training pipeline
+    // actually runs corpus-wide: tokenize every document with the
+    // learned merge table and report per-doc token counts plus
+    // FERTILITY (tokens per word, ppm) — the compression metric a
+    // tokenizer designer tracks per source. The trained state IS the
+    // word → subword-count map (the word is its symbols concatenated,
+    // its token count the symbol count), a VOCABULARY-bounded frame
+    // that BROADCASTS into the exploded word stream; the rollup is one
+    // map-side-combined per-doc groupBy. Every corpus word is in the
+    // vocab by construction (the vocab was built from this corpus).
+    // At 100 TB: for emitting actual token-id sequences the same map
+    // collects to a broadcast dictionary and the encode becomes a pure
+    // map-only flatten(transform(...)) — zero shuffle; the per-doc
+    // report shown here adds the one bounded rollup.
+    QueryDef.sql("tok5_bpe_encode",
+      s"""WITH ${bpeChainSql(3)},
+         |vmap AS (SELECT replace(trim(s), ' ', '') AS word,
+         |                CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sub
+         |         FROM s3),
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |       FROM documents),
+         |enc AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |               CAST(SUM(v.n_sub) AS BIGINT) AS n_tokens
+         |        FROM dw d JOIN vmap v ON d.word = v.word
+         |        GROUP BY 1)
+         |SELECT doc_id, n_words, n_tokens,
+         |       CAST((1000000 * n_tokens) // n_words AS BIGINT) AS fertility_ppm
+         |FROM enc ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+      val (_, state) = bpeTrainWithState(s, bpeInit(s, d), 3)
+      val vmap = state.select(
+        regexp_replace(trim(col("s")), " ", "").as("word"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
+      val dw = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      dw.join(broadcast(vmap), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum("n_sub").cast("long").as("n_tokens"))
+        .withColumn("fertility_ppm",
+          expr("CAST((1000000 * n_tokens) div n_words AS BIGINT)"))
+        .select("doc_id", "n_words", "n_tokens", "fertility_ppm")
+        .orderBy("doc_id").limit(200)
     }
   )
 
