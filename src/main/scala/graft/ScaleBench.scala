@@ -50,10 +50,17 @@ object ScaleBench {
     // vector channel + fusion on top, r3 serves from the stored
     // postings artifact (build cost included on the warm-up run)
     "r1_bm25", "r2_hybrid_rrf", "r3_bm25_indexed",
+    // retrieval round-9 additions: r6's shingle phrase match is a
+    // map-only generate + one bounded shuffle; r7 is the deliberate
+    // two-pass expansion — THREE bounded corpus stages, the suite's
+    // most expensive query, so its scaling matters most
+    "r6_phrase_search", "r7_prf_expansion",
     // corpus-prep: tok3's vocab table blows up ~25× (junk words are
-    // copy-unique) while each merge round stays vocab-bounded; s7's
-    // weighted sample is map-only + a bounded top-k heap
-    "tok3_bpe_train", "s7_weighted_sample")
+    // copy-unique) while each merge round stays vocab-bounded; tok5's
+    // encode is a broadcast vocab join + per-doc rollup over the
+    // corpus word stream; s7's weighted sample is map-only + a
+    // bounded top-k heap
+    "tok3_bpe_train", "tok5_bpe_encode", "s7_weighted_sample")
 
   /** The third-point spot-check set: the two WORST observed 10× ratios
     * (d15, v11 — precisely where fixed costs least conclusively
