@@ -316,6 +316,32 @@ object Retrieval {
       .orderBy("query_id", "rn")
   }
 
+  /** Positional postings: (term, doc_id, ps) with ps the SORTED token
+    * positions of `term` in the doc — the index row general
+    * variable-length phrase queries need (r6's bigram shingles serve
+    * only the bounded-length hot case). One posexplode + one
+    * map-side-combined groupBy; positions are per-document state, so
+    * the frame composes under union exactly like [[rawPostings]].
+    */
+  private[graft] def rawPosPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+
+  /** The positional index as a build-once bucketed corpus artifact —
+    * same layout discipline as [[indexArtifact]] (64 CRC32 term
+    * buckets, partition-filter pruning at serve time), Lucene's
+    * `.pos` file analogue.
+    */
+  def posIndexArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_pospostings_b64") { out =>
+      rawPosPostings(tokenized(s, d))
+        .withColumn("bkt", bucketCol)
+        .repartition(col("bkt"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("bkt").parquet(out)
+    }
+
   def statsArtifact(s: SparkSession, d: String): DataFrame =
     graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stats") { out =>
       tokenized(s, d)
@@ -620,6 +646,71 @@ object Retrieval {
         .groupBy("query_id", "doc_id")
         .agg(count(lit(1)).cast("long").as("n_matches"))
       m.withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("n_matches").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "doc_id", "n_matches")
+        .orderBy("query_id", "rn")
+    },
+
+    // R8: variable-length phrase search served from the STORED
+    // positional index — the general path r6's shingles specialize
+    // (Lucene's .pos file + positional merge): each phrase term's
+    // postings row carries its sorted position list; a doc matches
+    // where positions intersect at consecutive offsets, computed with
+    // a higher-order filter over the position arrays (codegen'd, no
+    // position explode). Serving reads ONLY the phrase terms' buckets
+    // (partition filter) and rows (IN filter); the per-term posting
+    // frames then merge on doc_id — joins bounded by matched postings,
+    // the positional-merge cost every search engine pays for phrases.
+    // Fixtures: each query doc's leading trigram (own doc guarantees a
+    // hit) + a fabricated zero-match phrase. The oracle recomputes
+    // from the raw corpus — the index is derived state, so indexed
+    // phrase serving must reproduce it exactly (r3's discipline).
+    QueryDef.sql("r8_phrase_indexed",
+      s"""WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |pp AS (SELECT term, doc_id, list_sort(list(p)) AS ps
+         |       FROM (SELECT doc_id, unnest(toks) AS term,
+         |                    generate_subscripts(toks, 1) - 1 AS p FROM dd)
+         |       GROUP BY 1, 2),
+         |q AS (SELECT doc_id AS query_id, toks[1] AS t1, toks[2] AS t2, toks[3] AS t3
+         |      FROM dd WHERE doc_id < 10 AND len(toks) >= 3
+         |      UNION ALL SELECT 10, 'zzqq', 'zzrr', 'zzss'),
+         |m AS (SELECT q.query_id, a.doc_id,
+         |             CAST(len(list_filter(a.ps,
+         |                    p -> list_contains(b.ps, p + 1) AND list_contains(c.ps, p + 2)))
+         |                  AS BIGINT) AS n_matches
+         |      FROM q
+         |      JOIN pp a ON a.term = q.t1
+         |      JOIN pp b ON b.doc_id = a.doc_id AND b.term = q.t2
+         |      JOIN pp c ON c.doc_id = a.doc_id AND c.term = q.t3),
+         |ranked AS (SELECT query_id, doc_id, n_matches,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY n_matches DESC, doc_id) AS rn
+         |           FROM m WHERE n_matches > 0)
+         |SELECT query_id, rn, doc_id, n_matches FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = tokenized(s, d)
+      val qRows = docs.filter(col("doc_id") < 10 && size(col("toks")) >= 3)
+        .select(col("doc_id"), expr("element_at(toks, 1)").as("t1"),
+          expr("element_at(toks, 2)").as("t2"), expr("element_at(toks, 3)").as("t3"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSeq :+ ((10L, "zzqq", "zzrr", "zzss"))
+      val q = qRows.toDF("query_id", "t1", "t2", "t3")
+      val terms = qRows.flatMap(r => Seq(r._2, r._3, r._4)).distinct
+      val idx = posIndexArtifact(s, d)
+        .filter(col("bkt").isin(terms.map(termBucket).distinct.map(Int.box): _*))
+        .filter(col("term").isin(terms: _*))
+      val a = idx.select(col("term").as("t1"), col("doc_id"), col("ps").as("ps1"))
+      val b = idx.select(col("term").as("bt"), col("doc_id").as("d2"), col("ps").as("ps2"))
+      val c = idx.select(col("term").as("ct"), col("doc_id").as("d3"), col("ps").as("ps3"))
+      broadcast(q).join(a, Seq("t1"))
+        .join(b, col("doc_id") === col("d2") && col("t2") === col("bt"))
+        .join(c, col("doc_id") === col("d3") && col("t3") === col("ct"))
+        .withColumn("n_matches", expr(
+          "CAST(size(filter(ps1, p -> array_contains(ps2, p + 1) AND array_contains(ps3, p + 2))) AS BIGINT)"))
+        .filter(col("n_matches") > 0)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("n_matches").desc, col("doc_id").asc)))
         .filter(col("rn") <= 10)
         .select("query_id", "rn", "doc_id", "n_matches")

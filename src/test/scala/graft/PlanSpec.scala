@@ -375,6 +375,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"$expectedBuckets query-term buckets (of ${Retrieval.PostingsBuckets})")
   }
 
+  test("r8 positional phrase serving prunes to the phrase terms' buckets") {
+    // the positional index inherits the bucketed-layout serving
+    // contract: every scan of the .pos-analogue artifact carries the
+    // bkt partition filter AND the term IN pushdown — at 100 TB a
+    // phrase query opens its terms' buckets, never the postings table
+    val df = SparkEntry.queries("r8_phrase_indexed")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val scans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("bm25_pospostings")) => f
+    }
+    assert(scans.nonEmpty, "expected positional-postings artifact scans")
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("bkt"))),
+      "a positional scan is missing its bkt partition filter")
+    assert(scans.forall(_.metadata.get("PushedFilters").exists(_.contains("In(term"))),
+      "a positional scan is missing the term IN pushdown")
+  }
+
   test("r6/r7: phrase shingles and both expansion passes keep every join broadcast") {
     // r6's phrase match is a map-only bigram generate + broadcast
     // phrase filter; r7 runs three corpus-touching stages (pass-1 tf,
