@@ -769,11 +769,16 @@ object Retrieval {
       import s.implicits._
       val docs = tokenized(s, d)
       val qt = fixtureQueries.toDF("query_id", "term")
-      // pass 1: r1's ranking; feedback = top-5 per query (bounded:
-      // queries × 5 rows — broadcasts into the term-count pass)
-      val fb = topK(bm25Scores(docs, qt, excludeSelf = false), 5)
+      // pass 1: r1's ranking; feedback = top-5 per query, COLLECTED
+      // (bounded: queries × 5 rows) so the term-count pass filters the
+      // corpus scan by LITERAL doc_ids — parquet row-group pruning on
+      // the feedback read instead of scanning the corpus into a join
+      val fbRows = topK(bm25Scores(docs, qt, excludeSelf = false), 5)
         .select("query_id", "doc_id")
-      val expn = docs.join(broadcast(fb), Seq("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val fb = fbRows.toDF("query_id", "doc_id")
+      val expn = docs.filter(col("doc_id").isin(fbRows.map(_._2).distinct: _*))
+        .join(broadcast(fb), Seq("doc_id"))
         .select(col("query_id"), explode(col("toks")).as("term"))
         .groupBy("query_id", "term").agg(count(lit(1)).cast("long").as("cnt"))
         .join(broadcast(qt), Seq("query_id", "term"), "left_anti")
