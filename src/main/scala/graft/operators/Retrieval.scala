@@ -203,32 +203,36 @@ object Retrieval {
     * CONCURRENT maintenance ops would both read the same base and the
     * pointer's last-flip-wins would silently drop the loser's change
     * (VersionedStore's publish contract protects readers and data
-    * dirs, not read-modify-write cycles). Serialize maintenance —
-    * search engines serialize segment merges for the same reason; the
-    * streaming ingest's checkpoint-ownership epoch guard IS that
-    * serialization for the streaming twin. Concurrent READERS during
-    * any single maintenance op are fully safe (OpsSpec pins it).
+    * dirs, not read-modify-write cycles). ENFORCED: every maintenance
+    * op runs under `VersionedStore.withMaintenanceLease`, which
+    * serializes the read-modify-write cycle (OpsSpec drives two
+    * concurrent appends and proves neither is lost) — search engines
+    * serialize segment merges for the same reason; the streaming
+    * ingest's checkpoint-ownership epoch guard is the streaming twin's
+    * serialization. Concurrent READERS stay lock-free and are safe
+    * during any maintenance op (OpsSpec pins that too).
     */
-  def appendPostings(s: SparkSession, base: String, newDocs: DataFrame): DataFrame = {
-    val cur = graft.sinks.VersionedStore.readPointer(s, base)
-      .map(_ => graft.sinks.VersionedStore.read(s, base).drop("df"))
-    val fresh = cur match {
-      case Some(c) =>
-        newDocs.join(c.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-      case None => newDocs
+  def appendPostings(s: SparkSession, base: String, newDocs: DataFrame): DataFrame =
+    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
+      val cur = graft.sinks.VersionedStore.readPointer(s, base)
+        .map(_ => graft.sinks.VersionedStore.read(s, base).drop("df"))
+      val fresh = cur match {
+        case Some(c) =>
+          newDocs.join(c.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        case None => newDocs
+      }
+      val add = rawPostings(fresh.select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+      // materialize BEFORE publish (appendCodes' discipline): the union
+      // lazily reads the version this publish supersedes. bkt is layout,
+      // not content — dropped here, recomputed by the bucketed write
+      val merged = withDf(cur.map(c => c.drop("bkt").unionByName(add)).getOrElse(add))
+        .localCheckpoint()
+      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
+        writeBucketed(merged, out)
+      }
+      graft.sinks.VersionedStore.read(s, base)
     }
-    val add = rawPostings(fresh.select(col("doc_id"),
-      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
-    // materialize BEFORE publish (appendCodes' discipline): the union
-    // lazily reads the version this publish supersedes. bkt is layout,
-    // not content — dropped here, recomputed by the bucketed write
-    val merged = withDf(cur.map(c => c.drop("bkt").unionByName(add)).getOrElse(add))
-      .localCheckpoint()
-    graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-      writeBucketed(merged, out)
-    }
-    graft.sinks.VersionedStore.read(s, base)
-  }
 
   /** Incremental update — delete-then-add in ONE publish: the current
     * store's postings for the updated doc_ids are dropped (anti-join),
@@ -241,36 +245,38 @@ object Retrieval {
     * the store + the posting-sized df window — same shape as an
     * append; the untouched corpus is never re-tokenized.
     */
-  def updatePostings(s: SparkSession, base: String, docs: DataFrame): DataFrame = {
-    val add = rawPostings(docs.select(col("doc_id"),
-      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
-    val cur = graft.sinks.VersionedStore.readPointer(s, base)
-      .map(_ => graft.sinks.VersionedStore.read(s, base).drop("df"))
-    val kept = cur.map(_.drop("bkt")
-      .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
-    val merged = withDf(kept.map(_.unionByName(add)).getOrElse(add))
-      .localCheckpoint()
-    graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-      writeBucketed(merged, out)
+  def updatePostings(s: SparkSession, base: String, docs: DataFrame): DataFrame =
+    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
+      val add = rawPostings(docs.select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+      val cur = graft.sinks.VersionedStore.readPointer(s, base)
+        .map(_ => graft.sinks.VersionedStore.read(s, base).drop("df"))
+      val kept = cur.map(_.drop("bkt")
+        .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+      val merged = withDf(kept.map(_.unionByName(add)).getOrElse(add))
+        .localCheckpoint()
+      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
+        writeBucketed(merged, out)
+      }
+      graft.sinks.VersionedStore.read(s, base)
     }
-    graft.sinks.VersionedStore.read(s, base)
-  }
 
   /** Incremental delete: drop `ids`' postings and refresh df in one
     * publish (df is the one global statistic a delete must recompute —
     * remaining docs' idf RISES when matching docs leave). Same
     * pointer-flip atomicity as update.
     */
-  def deletePostings(s: SparkSession, base: String, ids: DataFrame): DataFrame = {
-    val cur = graft.sinks.VersionedStore.read(s, base).drop("df").drop("bkt")
-    val merged = withDf(cur.join(ids.select("doc_id").distinct(),
-        Seq("doc_id"), "left_anti"))
-      .localCheckpoint()
-    graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-      writeBucketed(merged, out)
+  def deletePostings(s: SparkSession, base: String, ids: DataFrame): DataFrame =
+    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
+      val cur = graft.sinks.VersionedStore.read(s, base).drop("df").drop("bkt")
+      val merged = withDf(cur.join(ids.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti"))
+        .localCheckpoint()
+      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
+        writeBucketed(merged, out)
+      }
+      graft.sinks.VersionedStore.read(s, base)
     }
-    graft.sinks.VersionedStore.read(s, base)
-  }
 
   /** Corpus stats recovered from a postings table (for serving an
     * appended store, whose fingerprint-keyed stats artifact doesn't

@@ -1238,30 +1238,31 @@ object VectorOps {
     * rebuilds the artifact rather than appending.
     */
   def appendCodes(s: SparkSession, base: String, newVecs: DataFrame,
-      books: Array[Array[Array[Long]]]): DataFrame = {
-    graft.functions.NativeFunctions.register(s)
-    val cur = graft.sinks.VersionedStore.readPointer(s, base)
-      .map(_ => graft.sinks.VersionedStore.read(s, base))
-    // add() is idempotent per vec_id (the postings-store discipline): a
-    // replayed/overlapping append must not duplicate a code row — a
-    // duplicated cand_id would surface TWICE in every ADC top-k it
-    // reaches. One column-pruned anti-join pass over the store per
-    // append; updates go through [[updateCodes]].
-    val fresh = cur match {
-      case Some(c) =>
-        newVecs.join(c.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
-      case None => newVecs
+      books: Array[Array[Array[Long]]]): DataFrame =
+    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
+      graft.functions.NativeFunctions.register(s)
+      val cur = graft.sinks.VersionedStore.readPointer(s, base)
+        .map(_ => graft.sinks.VersionedStore.read(s, base))
+      // add() is idempotent per vec_id (the postings-store discipline):
+      // a replayed/overlapping append must not duplicate a code row — a
+      // duplicated cand_id would surface TWICE in every ADC top-k it
+      // reaches. One column-pruned anti-join pass over the store per
+      // append; updates go through [[updateCodes]].
+      val fresh = cur match {
+        case Some(c) =>
+          newVecs.join(c.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        case None => newVecs
+      }
+      val add = encodeCodes(fresh, books)
+      // materialize BEFORE publish: the union lazily reads the version
+      // the publish supersedes (grace keeps it one cycle, but repeated
+      // appends in one lineage must not race retention)
+      val merged = cur.map(_.unionByName(add)).getOrElse(add).localCheckpoint()
+      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
+        merged.write.parquet(out)
+      }
+      graft.sinks.VersionedStore.read(s, base)
     }
-    val add = encodeCodes(fresh, books)
-    // materialize BEFORE publish: the union lazily reads the version the
-    // publish supersedes (grace keeps it one cycle, but repeated appends
-    // in one lineage must not race retention)
-    val merged = cur.map(_.unionByName(add)).getOrElse(add).localCheckpoint()
-    graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-      merged.write.parquet(out)
-    }
-    graft.sinks.VersionedStore.read(s, base)
-  }
 
   /** Incremental update — FAISS has no in-place update either: this is
     * delete-then-add in ONE publish (the Retrieval.updatePostings
@@ -1273,31 +1274,33 @@ object VectorOps {
     * maintenance, concurrent readers are safe.
     */
   def updateCodes(s: SparkSession, base: String, vecs: DataFrame,
-      books: Array[Array[Array[Long]]]): DataFrame = {
-    graft.functions.NativeFunctions.register(s)
-    val cur = graft.sinks.VersionedStore.read(s, base)
-      .join(vecs.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
-    val merged = cur.unionByName(encodeCodes(vecs, books)).localCheckpoint()
-    graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-      merged.write.parquet(out)
+      books: Array[Array[Array[Long]]]): DataFrame =
+    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
+      graft.functions.NativeFunctions.register(s)
+      val cur = graft.sinks.VersionedStore.read(s, base)
+        .join(vecs.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      val merged = cur.unionByName(encodeCodes(vecs, books)).localCheckpoint()
+      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
+        merged.write.parquet(out)
+      }
+      graft.sinks.VersionedStore.read(s, base)
     }
-    graft.sinks.VersionedStore.read(s, base)
-  }
 
   /** Incremental delete: drop `ids`' code rows in one publish. Unlike
     * the postings store there is no global statistic to refresh — ADC
     * distances are per-(query, candidate) — so a delete is pure
     * removal.
     */
-  def deleteCodes(s: SparkSession, base: String, ids: DataFrame): DataFrame = {
-    val merged = graft.sinks.VersionedStore.read(s, base)
-      .join(ids.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
-      .localCheckpoint()
-    graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-      merged.write.parquet(out)
+  def deleteCodes(s: SparkSession, base: String, ids: DataFrame): DataFrame =
+    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
+      val merged = graft.sinks.VersionedStore.read(s, base)
+        .join(ids.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
+        merged.write.parquet(out)
+      }
+      graft.sinks.VersionedStore.read(s, base)
     }
-    graft.sinks.VersionedStore.read(s, base)
-  }
 
   // ---- ADC serving core (shared by v8 / v9 / adcSearch) -------------
   //

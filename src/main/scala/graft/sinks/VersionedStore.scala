@@ -398,6 +398,54 @@ object VersionedStore {
     } catch { case _: java.io.IOException => () }
   }
 
+  /** Per-base JVM monitors backing [[withMaintenanceLease]] for
+    * same-process writers.
+    */
+  private val maintLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Advisory lease serializing MAINTENANCE read-modify-write cycles
+    * (append/update/delete of a store): publish's pointer flip is
+    * atomic but last-flip-wins, so two concurrent maintenance ops that
+    * both read version N would silently drop the loser's change. The
+    * lease closes that: same-process writers serialize on a JVM
+    * monitor; cross-process writers race on an EXCLUSIVE create of
+    * `.MAINT_LEASE` — atomic on HDFS (namenode-arbitrated create) and
+    * on object stores with conditional PUT (If-None-Match); the local
+    * filesystem's check-then-create window is covered by the JVM
+    * monitor, which is the only concurrency a single-machine test
+    * exercises. A lease older than the intent TTL is presumed crashed
+    * and taken over; acquisition gives up after the TTL (a stuck
+    * writer should surface, not queue silently). Readers never take
+    * the lease — serving stays lock-free (the OpsSpec
+    * serve-during-append pin).
+    */
+  def withMaintenanceLease[T](spark: SparkSession, base: String)(body: => T): T =
+    maintLocks.computeIfAbsent(base, _ => new Object).synchronized {
+      val basePath = new Path(base)
+      val f = fs(spark, basePath)
+      f.mkdirs(basePath)
+      val lock = new Path(basePath, ".MAINT_LEASE")
+      val ttl = intentTtlMs(spark)
+      val deadline = System.currentTimeMillis() + ttl
+      var acquired = false
+      while (!acquired) {
+        try {
+          f.create(lock, false).close()
+          acquired = true
+        } catch {
+          case e: java.io.IOException =>
+            val stale = try {
+              System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime >= ttl
+            } catch { case _: java.io.FileNotFoundException => false }
+            if (stale) { try f.delete(lock, false) catch { case _: java.io.IOException => () } }
+            else if (System.currentTimeMillis() > deadline) throw e
+            else Thread.sleep(20)
+        }
+      }
+      try body
+      finally { try f.delete(lock, false) catch { case _: java.io.IOException => () } }
+    }
+
   /** Read the live version (throws if nothing was ever published). */
   def read(spark: SparkSession, base: String): DataFrame =
     resolve(spark, base) match {

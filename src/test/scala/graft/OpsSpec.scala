@@ -1331,6 +1331,30 @@ class OpsSpec extends SparkSpec {
       "updated text's new term missing from the store")
   }
 
+  test("concurrent postings appends serialize under the maintenance lease — no lost update") {
+    // the lost-update scenario the lease exists to close: two appends
+    // racing read-modify-write would both read the same base version
+    // and last-flip-wins would drop one writer's docs. Under
+    // withMaintenanceLease they serialize: BOTH writers' docs must be
+    // in the final store, whichever order they ran in.
+    import graft.operators.Retrieval
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+    val base = tmpDir("graft-bm25-lease") + "/postings"
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(0, 1).map { par =>
+      new Thread(() =>
+        try Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 2 === par))
+        catch { case t: Throwable => failures.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(failures.isEmpty, s"append failed: ${failures.peek()}")
+    val store = graft.sinks.VersionedStore.read(spark, base)
+    val indexed = store.select("doc_id").distinct().count()
+    assert(indexed == docs.count(),
+      s"lost update: only $indexed of ${docs.count()} docs survived the concurrent appends")
+  }
+
   test("bm25 serving during a concurrent append sees only published index versions") {
     // the maintenance-while-serving race: a reader loops the r3 serving
     // path while an append publishes a new version. The pointer-flip
