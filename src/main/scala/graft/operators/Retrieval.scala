@@ -394,6 +394,23 @@ object Retrieval {
        |SELECT query_id, rn, doc_id, score_micro FROM ranked WHERE rn <= 10
        |ORDER BY query_id, rn""".stripMargin
 
+  /** Harman (1991) S-stemmer over a term expression — the minimal
+    * plural conflation every analyzer chain carries (lowercase →
+    * tokenize → stem), as ONE CASE expression in the Java∩RE2-safe
+    * LIKE subset (no lookbehind), interpolated VERBATIM into both
+    * engines so stemmed tokens can never drift. Rule order matters:
+    * ies→y (unless eies/aies), then es→e (unless aes/ees/oes), then
+    * s→∅ (unless us/ss).
+    */
+  private def stemSql(c: String): String =
+    s"""CASE WHEN $c LIKE '%ies' AND $c NOT LIKE '%eies' AND $c NOT LIKE '%aies'
+       |     THEN substr($c, 1, length($c) - 3) || 'y'
+       |     WHEN $c LIKE '%es' AND $c NOT LIKE '%aes' AND $c NOT LIKE '%ees' AND $c NOT LIKE '%oes'
+       |     THEN substr($c, 1, length($c) - 1)
+       |     WHEN $c LIKE '%s' AND $c NOT LIKE '%us' AND $c NOT LIKE '%ss'
+       |     THEN substr($c, 1, length($c) - 1)
+       |     ELSE $c END""".stripMargin
+
   /** The graded text planting, oracle side (MinHash.gradedPlanting's
     * SQL twin, shared by r4/r5): copies of every 20th doc at four
     * severities (0/4/16/48 leading words junked), planted at
@@ -795,6 +812,53 @@ object Retrieval {
       val q2 = qt.withColumn("w", lit(2L))
         .unionByName(expn.withColumn("w", lit(1L)))
       topK(bm25Scores(docs, q2, excludeSelf = false), 10)
+        .select("query_id", "rn", "doc_id", "score_micro")
+        .orderBy("query_id", "rn")
+    },
+
+    // R9: stemmed BM25 — the analyzer chain (lowercase → tokenize →
+    // STEM) r1 runs without its last stage. Morphological variants
+    // split a term's evidence across surface forms (df/tf fragment,
+    // recall drops); the Harman S-stemmer conflates plurals at
+    // tokenization time on BOTH the corpus and the query, entirely
+    // inside the existing one-scan plan (the stem is a per-token CASE
+    // in the same projection — zero extra passes, zero extra
+    // shuffles). Proof the stage matters: pluralized copies of every
+    // 25th doc are planted at +2e7 (the tok2 planting discipline —
+    // this corpus has NO organic plurals, verified empty LIKE '%s'
+    // vocabulary); their tokens match the UNCHANGED query terms only
+    // through stemming, and OpsSpec asserts planted docs reach top-10.
+    QueryDef.sql("r9_stemmed_bm25",
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $fixtureValuesSql)),
+         |base AS (SELECT doc_id, text FROM documents
+         |         UNION ALL
+         |         SELECT doc_id + 20000000 AS doc_id,
+         |                array_to_string(list_transform(string_split(text, ' '),
+         |                  w -> w || 's'), ' ') AS text
+         |         FROM documents WHERE doc_id % 25 = 0),
+         |dd AS (SELECT doc_id,
+         |              list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+         |                t -> ${stemSql("t")}) AS toks
+         |       FROM base),
+         |${bm25ChainSql(excludeSelf = false)},
+         |ranked AS (SELECT query_id, doc_id, score_micro,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score_micro DESC, doc_id) AS rn
+         |           FROM agg)
+         |SELECT query_id, rn, doc_id, score_micro FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs0.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("s"))), " ").as("text"))
+      val dd = docs0.union(planted)
+        .select(col("doc_id"),
+          expr(s"transform(regexp_extract_all(lower(text), '[a-z]+', 0), t -> ${stemSql("t")})")
+            .as("toks"))
+      topK(bm25Scores(dd, fixtureQueries.toDF("query_id", "term"),
+          excludeSelf = false), 10)
         .select("query_id", "rn", "doc_id", "score_micro")
         .orderBy("query_id", "rn")
     },

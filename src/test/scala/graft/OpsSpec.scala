@@ -1331,6 +1331,19 @@ class OpsSpec extends SparkSpec {
       "updated text's new term missing from the store")
   }
 
+  test("stemmed bm25: pluralized planted docs are reachable only through the stemmer") {
+    // the corpus has NO organic plural forms (vocabulary LIKE '%s' is
+    // empty), so a planted all-pluralized doc shares zero surface
+    // forms with the query terms — it can reach a top-10 ONLY if the
+    // analyzer's stem stage conflates its tokens back. At least one
+    // must make it (measured: 1 at both sf0.001 and sf0.01).
+    val rows = SparkEntry.queries("r9_stemmed_bm25")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._3 >= 20000000L),
+      "no pluralized planted doc reached a top-10 — the stem stage is not conflating")
+  }
+
   test("concurrent postings appends serialize under the maintenance lease — no lost update") {
     // the lost-update scenario the lease exists to close: two appends
     // racing read-modify-write would both read the same base version
