@@ -53,8 +53,13 @@ object ScaleBench {
     // retrieval round-9 additions: r6's shingle phrase match is a
     // map-only generate + one bounded shuffle; r7 is the deliberate
     // two-pass expansion — THREE bounded corpus stages, the suite's
-    // most expensive query, so its scaling matters most
-    "r6_phrase_search", "r7_prf_expansion",
+    // most expensive query, so its scaling matters most; r8 serves
+    // variable-length phrases from the stored positional index
+    // (bucket-pruned scan + doc_id positional merge); r9 adds the
+    // stem stage inside the r1 scan projection (same shape, heavier
+    // per-token expression)
+    "r6_phrase_search", "r7_prf_expansion", "r8_phrase_indexed",
+    "r9_stemmed_bm25",
     // corpus-prep: tok3's vocab table blows up ~25× (junk words are
     // copy-unique) while each merge round stays vocab-bounded; tok5's
     // encode is a broadcast vocab join + per-doc rollup over the

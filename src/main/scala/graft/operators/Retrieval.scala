@@ -213,9 +213,10 @@ object Retrieval {
     * during any maintenance op (OpsSpec pins that too).
     */
   def appendPostings(s: SparkSession, base: String, newDocs: DataFrame): DataFrame =
-    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
-      val cur = graft.sinks.VersionedStore.readPointer(s, base)
-        .map(_ => graft.sinks.VersionedStore.read(s, base).drop("df"))
+    graft.sinks.VersionedStore.maintain(s, base) { cur0 =>
+      // bkt is layout, not content — dropped here, recomputed by the
+      // bucketed write
+      val cur = cur0.map(_.drop("df").drop("bkt"))
       val fresh = cur match {
         case Some(c) =>
           newDocs.join(c.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
@@ -223,16 +224,8 @@ object Retrieval {
       }
       val add = rawPostings(fresh.select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
-      // materialize BEFORE publish (appendCodes' discipline): the union
-      // lazily reads the version this publish supersedes. bkt is layout,
-      // not content — dropped here, recomputed by the bucketed write
-      val merged = withDf(cur.map(c => c.drop("bkt").unionByName(add)).getOrElse(add))
-        .localCheckpoint()
-      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-        writeBucketed(merged, out)
-      }
-      graft.sinks.VersionedStore.read(s, base)
-    }
+      withDf(cur.map(_.unionByName(add)).getOrElse(add))
+    }(writeBucketed)
 
   /** Incremental update — delete-then-add in ONE publish: the current
     * store's postings for the updated doc_ids are dropped (anti-join),
@@ -246,20 +239,13 @@ object Retrieval {
     * append; the untouched corpus is never re-tokenized.
     */
   def updatePostings(s: SparkSession, base: String, docs: DataFrame): DataFrame =
-    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
+    graft.sinks.VersionedStore.maintain(s, base) { cur =>
       val add = rawPostings(docs.select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
-      val cur = graft.sinks.VersionedStore.readPointer(s, base)
-        .map(_ => graft.sinks.VersionedStore.read(s, base).drop("df"))
-      val kept = cur.map(_.drop("bkt")
+      val kept = cur.map(_.drop("df").drop("bkt")
         .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
-      val merged = withDf(kept.map(_.unionByName(add)).getOrElse(add))
-        .localCheckpoint()
-      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-        writeBucketed(merged, out)
-      }
-      graft.sinks.VersionedStore.read(s, base)
-    }
+      withDf(kept.map(_.unionByName(add)).getOrElse(add))
+    }(writeBucketed)
 
   /** Incremental delete: drop `ids`' postings and refresh df in one
     * publish (df is the one global statistic a delete must recompute —
@@ -267,16 +253,12 @@ object Retrieval {
     * pointer-flip atomicity as update.
     */
   def deletePostings(s: SparkSession, base: String, ids: DataFrame): DataFrame =
-    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
-      val cur = graft.sinks.VersionedStore.read(s, base).drop("df").drop("bkt")
-      val merged = withDf(cur.join(ids.select("doc_id").distinct(),
-          Seq("doc_id"), "left_anti"))
-        .localCheckpoint()
-      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-        writeBucketed(merged, out)
-      }
-      graft.sinks.VersionedStore.read(s, base)
-    }
+    graft.sinks.VersionedStore.maintain(s, base) { cur =>
+      val c = cur.getOrElse(throw new java.io.FileNotFoundException(
+        s"no published version at $base"))
+      withDf(c.drop("df").drop("bkt")
+        .join(ids.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+    }(writeBucketed)
 
   /** Corpus stats recovered from a postings table (for serving an
     * appended store, whose fingerprint-keyed stats artifact doesn't
@@ -341,12 +323,29 @@ object Retrieval {
     */
   def posIndexArtifact(s: SparkSession, d: String): DataFrame =
     graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_pospostings_b64") { out =>
-      rawPosPostings(tokenized(s, d))
-        .withColumn("bkt", bucketCol)
-        .repartition(col("bkt"))
-        .sortWithinPartitions("term", "doc_id")
-        .write.partitionBy("bkt").parquet(out)
+      writeBucketed(rawPosPostings(tokenized(s, d)), out)
     }
+
+  /** Incremental maintenance for the positional store — the same
+    * `VersionedStore.maintain` discipline as the BM25 postings and PQ
+    * code stores, and SIMPLER than the BM25 append: positions are
+    * pure per-document state with NO global statistic to refresh (df
+    * lives only in the scoring index), so an append is anti-join
+    * guard + union + bucketed rewrite. Append-then-serve equals
+    * one-shot-build-then-serve exactly (OpsSpec pins it).
+    */
+  def appendPosPostings(s: SparkSession, base: String, newDocs: DataFrame): DataFrame =
+    graft.sinks.VersionedStore.maintain(s, base) { cur0 =>
+      val cur = cur0.map(_.drop("bkt"))
+      val fresh = cur match {
+        case Some(c) =>
+          newDocs.join(c.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        case None => newDocs
+      }
+      val add = rawPosPostings(fresh.select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+      cur.map(_.unionByName(add)).getOrElse(add)
+    }(writeBucketed)
 
   def statsArtifact(s: SparkSession, d: String): DataFrame =
     graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stats") { out =>

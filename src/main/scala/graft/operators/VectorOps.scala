@@ -1239,10 +1239,8 @@ object VectorOps {
     */
   def appendCodes(s: SparkSession, base: String, newVecs: DataFrame,
       books: Array[Array[Array[Long]]]): DataFrame =
-    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
+    graft.sinks.VersionedStore.maintain(s, base) { cur =>
       graft.functions.NativeFunctions.register(s)
-      val cur = graft.sinks.VersionedStore.readPointer(s, base)
-        .map(_ => graft.sinks.VersionedStore.read(s, base))
       // add() is idempotent per vec_id (the postings-store discipline):
       // a replayed/overlapping append must not duplicate a code row — a
       // duplicated cand_id would surface TWICE in every ADC top-k it
@@ -1254,15 +1252,8 @@ object VectorOps {
         case None => newVecs
       }
       val add = encodeCodes(fresh, books)
-      // materialize BEFORE publish: the union lazily reads the version
-      // the publish supersedes (grace keeps it one cycle, but repeated
-      // appends in one lineage must not race retention)
-      val merged = cur.map(_.unionByName(add)).getOrElse(add).localCheckpoint()
-      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-        merged.write.parquet(out)
-      }
-      graft.sinks.VersionedStore.read(s, base)
-    }
+      cur.map(_.unionByName(add)).getOrElse(add)
+    }()
 
   /** Incremental update — FAISS has no in-place update either: this is
     * delete-then-add in ONE publish (the Retrieval.updatePostings
@@ -1275,16 +1266,13 @@ object VectorOps {
     */
   def updateCodes(s: SparkSession, base: String, vecs: DataFrame,
       books: Array[Array[Array[Long]]]): DataFrame =
-    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
+    graft.sinks.VersionedStore.maintain(s, base) { cur =>
       graft.functions.NativeFunctions.register(s)
-      val cur = graft.sinks.VersionedStore.read(s, base)
+      val kept = cur.getOrElse(throw new java.io.FileNotFoundException(
+          s"no published version at $base"))
         .join(vecs.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
-      val merged = cur.unionByName(encodeCodes(vecs, books)).localCheckpoint()
-      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-        merged.write.parquet(out)
-      }
-      graft.sinks.VersionedStore.read(s, base)
-    }
+      kept.unionByName(encodeCodes(vecs, books))
+    }()
 
   /** Incremental delete: drop `ids`' code rows in one publish. Unlike
     * the postings store there is no global statistic to refresh — ADC
@@ -1292,15 +1280,11 @@ object VectorOps {
     * removal.
     */
   def deleteCodes(s: SparkSession, base: String, ids: DataFrame): DataFrame =
-    graft.sinks.VersionedStore.withMaintenanceLease(s, base) {
-      val merged = graft.sinks.VersionedStore.read(s, base)
+    graft.sinks.VersionedStore.maintain(s, base) { cur =>
+      cur.getOrElse(throw new java.io.FileNotFoundException(
+          s"no published version at $base"))
         .join(ids.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
-        .localCheckpoint()
-      graft.sinks.VersionedStore.publish(s, base, keepVersions = 2) { out =>
-        merged.write.parquet(out)
-      }
-      graft.sinks.VersionedStore.read(s, base)
-    }
+    }()
 
   // ---- ADC serving core (shared by v8 / v9 / adcSearch) -------------
   //

@@ -446,6 +446,26 @@ object VersionedStore {
       finally { try f.delete(lock, false) catch { case _: java.io.IOException => () } }
     }
 
+  /** The one index-maintenance shape every store's append/update/
+    * delete shares: under the maintenance lease, read the current
+    * version (None before the first publish), produce the successor
+    * table via `merge`, MATERIALIZE it (the merged plan lazily reads
+    * the version this publish supersedes — grace keeps it one cycle,
+    * but repeated maintenance in one lineage must not race retention),
+    * publish with `write` (defaults to plain parquet; pass a bucketed
+    * writer for layout-managed artifacts), and serve the new version.
+    * keepVersions = 2 leaves the pre-maintenance table time-travelable.
+    */
+  def maintain(spark: SparkSession, base: String, keepVersions: Int = 2)(
+      merge: Option[DataFrame] => DataFrame)(
+      write: (DataFrame, String) => Unit = (df, out) => df.write.parquet(out)): DataFrame =
+    withMaintenanceLease(spark, base) {
+      val cur = readPointer(spark, base).map(_ => read(spark, base))
+      val merged = merge(cur).localCheckpoint()
+      publish(spark, base, keepVersions = keepVersions)(out => write(merged, out))
+      read(spark, base)
+    }
+
   /** Read the live version (throws if nothing was ever published). */
   def read(spark: SparkSession, base: String): DataFrame =
     resolve(spark, base) match {

@@ -1331,6 +1331,24 @@ class OpsSpec extends SparkSpec {
       "updated text's new term missing from the store")
   }
 
+  test("positional postings append: bootstrap + append equals the one-shot positional index") {
+    // the third store under the shared maintain() discipline — and the
+    // simplest: positions are pure per-doc state, no global statistic
+    // to refresh, so append is guard + union + bucketed rewrite
+    import graft.operators.Retrieval
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+    val base = tmpDir("graft-pospost") + "/pos"
+    Retrieval.appendPosPostings(spark, base, docs.filter(col("doc_id") % 5 =!= 0))
+    val store = Retrieval.appendPosPostings(spark, base, docs.filter(col("doc_id") % 5 === 0))
+    def norm(p: org.apache.spark.sql.DataFrame) =
+      p.select("term", "doc_id", "ps").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(norm(store) == norm(Retrieval.posIndexArtifact(spark, d)),
+      "appended positional store diverges from the one-shot index")
+  }
+
   test("stemmed bm25: pluralized planted docs are reachable only through the stemmer") {
     // the corpus has NO organic plural forms (vocabulary LIKE '%s' is
     // empty), so a planted all-pluralized doc shares zero surface
