@@ -401,7 +401,7 @@ object Retrieval {
     * ies→y (unless eies/aies), then es→e (unless aes/ees/oes), then
     * s→∅ (unless us/ss).
     */
-  private def stemSql(c: String): String =
+  private[graft] def stemSql(c: String): String =
     s"""CASE WHEN $c LIKE '%ies' AND $c NOT LIKE '%eies' AND $c NOT LIKE '%aies'
        |     THEN substr($c, 1, length($c) - 3) || 'y'
        |     WHEN $c LIKE '%es' AND $c NOT LIKE '%aes' AND $c NOT LIKE '%ees' AND $c NOT LIKE '%oes'

@@ -375,6 +375,28 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"$expectedBuckets query-term buckets (of ${Retrieval.PostingsBuckets})")
   }
 
+  test("r9 stemmed bm25: the stem stage adds zero exchanges to r1's plan shape") {
+    // the analyzer claim made physical: stemming happens inside the
+    // scan-side projection, so r9's shuffle census must match r1's
+    // bound (the planted-union scan is still one corpus pass) and
+    // every join must still broadcast
+    val df = SparkEntry.queries("r9_stemmed_bm25")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 7,
+      s"the stem stage grew the shuffle census: ${exchanges.length}")
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty && joins.forall(j =>
+      j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+        j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"non-broadcast join in the stemmed plan: ${joins.map(_.nodeName).mkString(", ")}")
+  }
+
   test("r8 positional phrase serving prunes to the phrase terms' buckets") {
     // the positional index inherits the bucketed-layout serving
     // contract: every scan of the .pos-analogue artifact carries the

@@ -54,6 +54,27 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("r9 stemmer: every S-stemmer rule branch and guard, pinned on literals") {
+    // the oracled corpus only exercises simple '%s' plurals (planted),
+    // so the ies→y and es→e branches and all five guard suffixes are
+    // pinned here on literals — a rule-order or guard regression fails
+    // THIS test, not a distant rank diff
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val cases = Seq(
+      "queries" -> "query", "flies" -> "fly", // ies → y
+      "tables" -> "table", "merges" -> "merge", // es → e (drop s)
+      "joins" -> "join", "scans" -> "scan", "trees" -> "tree", // s → ∅
+      "bus" -> "bus", "class" -> "class", // us/ss guards
+      "join" -> "join", "a" -> "a") // untouched
+    import org.apache.spark.sql.functions.{col, expr}
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), expr(Retrieval.stemSql("t")).as("stemmed"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases)
+      assert(got(in) == want, s"stem('$in') = '${got(in)}', want '$want'")
+  }
+
   test("r1: engine top-10 equals an independent driver-side BM25 recount, every query") {
     val got = SparkEntry.queries("r1_bm25")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
