@@ -54,6 +54,38 @@ class StoreConcurrencySpec extends SparkSpec {
     } catch { case _: java.io.IOException => None }
   }
 
+  test("maintain: eight concurrent maintainers each land their row — no lost update under contention") {
+    // the generalized lost-update pin: maintain() serializes the
+    // read-modify-write cycle under the lease, so N racing maintainers
+    // must ALL have their contribution in the final table — an
+    // unserialized interleaving loses every row a superseded reader
+    // missed. Eight threads start on a latch to race as tightly as the
+    // lease allows.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft-maintain-stress") + "/store"
+    val latch = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => try {
+        latch.await(30, TimeUnit.SECONDS)
+        VersionedStore.maintain(spark, base) { cur =>
+          val mine = Seq((i.toLong, s"writer-$i")).toDF("id", "who")
+          cur.map(_.unionByName(mine)).getOrElse(mine)
+        }()
+        ()
+      } catch { case t: Throwable => failures.add(t); () })
+    }
+    threads.foreach(_.start())
+    latch.countDown()
+    threads.foreach(_.join(180000))
+    assert(failures.isEmpty, s"maintain failed: ${failures.peek()}")
+    val rows = VersionedStore.read(spark, base)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == (0L until 8L),
+      s"lost update under contention: final ids $rows")
+  }
+
   test("concurrent publishers: the pointed version survives every prune, over randomized interleavings") {
     for (seed <- Seq(11, 42, 97)) {
       val rng = new scala.util.Random(seed)
