@@ -119,6 +119,13 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale")
+    // the report's "under linearity ≈ N" must be the SAME value the
+    // verdict/exponent compute with — integer division here once
+    // rendered "≈ 2" while the math used 2.5 for a 25/10 spot pair
+    def linTxt(spot: Int, base: Int): String = {
+      val v = spot.toDouble / base
+      if (v == v.floor) f"$v%.0f" else f"$v%.2f"
+    }
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = Sessions.local(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), appName = "graft-scale")
@@ -196,8 +203,8 @@ object ScaleBench {
          |d15 and v11 had the suite's worst ${factor}× ratios; two points cannot
          |distinguish constant-dominated from a mild super-linear term, so they
          |(plus r1 as the retrieval anchor) get a ${spotFactor}× corpus. Under
-         |linearity t${spotFactor}/t$factor ≈ ${spotFactor / factor}; the implied
-         |exponent is ln(t${spotFactor}/t$factor)/ln(${spotFactor / factor})
+         |linearity t${spotFactor}/t$factor ≈ ${linTxt(spotFactor, factor)}; the implied
+         |exponent is ln(t${spotFactor}/t$factor)/ln(${linTxt(spotFactor, factor)})
          |(< 1 = still constant-dominated, ≈ 1 = linear).
          |
          || query | 1× (s) | ${factor}× (s) | ${spotFactor}× (s) | t${spotFactor}/t$factor | implied exponent | verdict |

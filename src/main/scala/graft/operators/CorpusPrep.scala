@@ -389,7 +389,11 @@ object CorpusPrep {
     * w → wf → s0 → (p_i, c_i, t_i, s_i)* — t_i is round i's picked
     * pair, s_i the rewritten state. Textually mirrors
     * [[bpeStep]]/[[bpeTrain]]; shared by tok3 (reads the t_i) and
-    * tok4 (reads the final s_n).
+    * tok4 (reads the final s_n). When a round finds NO pair (vocab
+    * fully merged) t_i is empty; s_i falls back to the previous state
+    * via LEFT JOIN + COALESCE — mirroring the Scala loop's early stop,
+    * which keeps the last non-empty state, instead of collapsing every
+    * later s_j (and tok4/tok5's reads) to zero rows.
     */
   private def bpeChainSql(n: Int): String = {
     val iters = (1 to n).map { i =>
@@ -400,9 +404,11 @@ object CorpusPrep {
          |c$i AS (SELECT a[i] || ' ' || a[i + 1] AS pair, CAST(SUM(freq) AS BIGINT) AS n
          |        FROM p$i GROUP BY 1),
          |t$i AS (SELECT pair, n FROM c$i ORDER BY n DESC, pair LIMIT 1),
-         |s$i AS (SELECT replace(replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-         |                       ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s, freq
-         |        FROM $prev CROSS JOIN t$i)""".stripMargin
+         |s$i AS (SELECT COALESCE(
+         |                 replace(replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+         |                         ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+         |                 s) AS s, freq
+         |        FROM $prev LEFT JOIN t$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""w AS (
        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),

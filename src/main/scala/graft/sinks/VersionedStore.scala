@@ -413,11 +413,27 @@ object VersionedStore {
     * on object stores with conditional PUT (If-None-Match); the local
     * filesystem's check-then-create window is covered by the JVM
     * monitor, which is the only concurrency a single-machine test
-    * exercises. A lease older than the intent TTL is presumed crashed
-    * and taken over; acquisition gives up after the TTL (a stuck
-    * writer should surface, not queue silently). Readers never take
-    * the lease — serving stays lock-free (the OpsSpec
-    * serve-during-append pin).
+    * exercises. Acquisition gives up after the TTL (a stuck writer
+    * should surface, not queue silently). Readers never take the lease
+    * — serving stays lock-free (the OpsSpec serve-during-append pin).
+    *
+    * Crashed-writer recovery, two halves:
+    *  - While the body runs, a HEARTBEAT daemon touches the lock's
+    *    mtime every ttl/4, so a LIVE writer whose maintenance cycle
+    *    outlasts the TTL is never presumed crashed and taken over
+    *    mid-publish — the TTL bounds heartbeat loss (a real crash),
+    *    not cycle length.
+    *  - A lock whose mtime HAS gone stale is taken over by atomically
+    *    RENAMING that specific file to a per-contender reclaim name:
+    *    exactly one racer's rename succeeds (the loser's fails — the
+    *    source is gone), unlike the delete-then-create shape where two
+    *    contenders can both observe staleness, the second's delete
+    *    removing the first's freshly created lock and letting both
+    *    enter. The winner re-checks the RENAMED file's mtime (rename
+    *    preserves it): if it turned out fresh — the holder deleted the
+    *    stale lock and a new writer re-created it inside our
+    *    stat-to-rename window — the winner renames it back and keeps
+    *    waiting; it never enters on a stolen live lease.
     */
   def withMaintenanceLease[T](spark: SparkSession, base: String)(body: => T): T =
     maintLocks.computeIfAbsent(base, _ => new Object).synchronized {
@@ -437,13 +453,42 @@ object VersionedStore {
             val stale = try {
               System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime >= ttl
             } catch { case _: java.io.FileNotFoundException => false }
-            if (stale) { try f.delete(lock, false) catch { case _: java.io.IOException => () } }
+            if (stale) {
+              val reclaim = new Path(basePath,
+                s".MAINT_LEASE.reclaim_${java.util.UUID.randomUUID().toString.take(8)}")
+              val won = try f.rename(lock, reclaim)
+                catch { case _: java.io.IOException => false }
+              if (won) {
+                val reallyStale = try {
+                  System.currentTimeMillis() - f.getFileStatus(reclaim).getModificationTime >= ttl
+                } catch { case _: java.io.FileNotFoundException => true }
+                if (reallyStale)
+                  try f.delete(reclaim, false) catch { case _: java.io.IOException => () }
+                else // stole a live writer's fresh lock — put it back
+                  try f.rename(reclaim, lock) catch { case _: java.io.IOException => () }
+              }
+            }
             else if (System.currentTimeMillis() > deadline) throw e
             else Thread.sleep(20)
         }
       }
+      val beat = new Thread(() => {
+        try {
+          while (!Thread.currentThread().isInterrupted) {
+            Thread.sleep(math.max(ttl / 4, 1))
+            try f.setTimes(lock, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () }
+          }
+        } catch { case _: InterruptedException => () }
+      }, s"maint-lease-heartbeat-$base")
+      beat.setDaemon(true)
+      beat.start()
       try body
-      finally { try f.delete(lock, false) catch { case _: java.io.IOException => () } }
+      finally {
+        beat.interrupt()
+        beat.join(1000)
+        try f.delete(lock, false) catch { case _: java.io.IOException => () }
+      }
     }
 
   /** The one index-maintenance shape every store's append/update/
