@@ -282,7 +282,24 @@ object Retrieval {
     */
   def serveBm25(postings: DataFrame, stats: DataFrame, qterms: DataFrame,
                 terms: Seq[String], k: Int,
-                excludeSelf: Boolean = false): DataFrame = {
+                excludeSelf: Boolean = false): DataFrame =
+    topK(servedScores(postings, stats, qterms, terms, excludeSelf), k)
+      .select("query_id", "rn", "doc_id", "score_micro")
+      .orderBy("query_id", "rn")
+
+  /** [[serveBm25]] minus the top-k — the raw (query_id, doc_id,
+    * score_micro) frame, for callers that rank differently (r7's
+    * feedback pass) or re-weight. Like [[bm25Scores]], a `w` column
+    * (BIGINT) on `qterms` weights each term's contribution — integer
+    * micro-units × integer weight stays exact, so the indexed weighted
+    * pass reproduces the from-scratch one bit-for-bit.
+    */
+  private def servedScores(postings: DataFrame, stats: DataFrame,
+                           qterms: DataFrame, terms: Seq[String],
+                           excludeSelf: Boolean): DataFrame = {
+    val contrib =
+      if (qterms.columns.contains("w")) expr(s"($contribSql) * w")
+      else expr(contribSql)
     val pruned =
       if (postings.columns.contains("bkt"))
         postings.filter(col("bkt")
@@ -295,13 +312,10 @@ object Retrieval {
     val matched =
       if (excludeSelf) joined.filter(col("doc_id") =!= col("query_id"))
       else joined
-    val scored = matched
-      .withColumn("cm", expr(contribSql))
+    matched
+      .withColumn("cm", contrib)
       .groupBy("query_id", "doc_id")
       .agg(sum("cm").cast("long").as("score_micro"))
-    topK(scored, k)
-      .select("query_id", "rn", "doc_id", "score_micro")
-      .orderBy("query_id", "rn")
   }
 
   /** Positional postings: (term, doc_id, ps) with ps the SORTED token
@@ -410,6 +424,77 @@ object Retrieval {
        |     THEN substr($c, 1, length($c) - 1)
        |     ELSE $c END""".stripMargin
 
+  /** Driver-side twin of [[stemSql]] — what turns a literal query-term
+    * list into the literal STEMMED list the indexed read path prunes
+    * by (bucket partition filter + term IN filter are computed from
+    * literals at plan time, so the driver must stem identically to the
+    * engines). RetrievalSpec pins rule-for-rule parity against
+    * [[stemSql]] evaluated in Spark, including every NOT-LIKE guard.
+    */
+  private[graft] def stemScala(t: String): String =
+    if (t.endsWith("ies") && !t.endsWith("eies") && !t.endsWith("aies"))
+      t.dropRight(3) + "y"
+    else if (t.endsWith("es") && !t.endsWith("aes") && !t.endsWith("ees") &&
+      !t.endsWith("oes")) t.dropRight(1)
+    else if (t.endsWith("s") && !t.endsWith("us") && !t.endsWith("ss"))
+      t.dropRight(1)
+    else t
+
+  /** r9's eval corpus with the STEMMED analyzer chain applied:
+    * documents plus the planted pluralized copies (every 25th doc,
+    * each word + 's', at doc_id + 2e7 — deterministic derived state of
+    * the corpus, so it keys off the same fingerprint), tokenized
+    * lowercase → [a-z]+ → S-stem. Shared by the index/stats artifact
+    * builds and the from-scratch parity path — ONE definition of the
+    * analyzer, because build-time/query-time analyzer drift is the
+    * classic search-engine bug (RetrievalSpec pins indexed ==
+    * from-scratch row-for-row).
+    */
+  private[graft] def stemmedAug(s: SparkSession, d: String): DataFrame = {
+    val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs0.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("s"))), " ").as("text"))
+    docs0.union(planted)
+      .select(col("doc_id"),
+        expr(s"transform(regexp_extract_all(lower(text), '[a-z]+', 0), t -> ${stemSql("t")})")
+          .as("toks"))
+  }
+
+  /** The stemmed-analyzer inverted index as a bucketed corpus artifact
+    * — [[indexArtifact]]'s discipline with the S-stem stage folded
+    * into the build-time analyzer, so r9 serves from postings instead
+    * of rescoring the corpus (the same upgrade r2/r3 gave r1's math).
+    */
+  def stemmedIndexArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stemmed_postings_b64") { out =>
+      writeBucketed(withDf(rawPostings(stemmedAug(s, d))), out)
+    }
+
+  def stemmedStatsArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stemmed_stats") { out =>
+      stemmedAug(s, d)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("sum_dl"))
+        .write.parquet(out)
+    }
+
+  /** r9's from-scratch twin — rescore the stemmed corpus directly,
+    * bypassing the stored index. Not registered as a query; kept for
+    * RetrievalSpec's analyzer-parity pin (indexed serving must equal
+    * this row-for-row, else build-time and query-time analyzers have
+    * drifted).
+    */
+  private[graft] def r9FromScratch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stemmedQ = fixtureQueries.map { case (q, t) => (q, stemScala(t)) }
+    topK(bm25Scores(stemmedAug(s, d), stemmedQ.toDF("query_id", "term"),
+        excludeSelf = false), 10)
+      .select("query_id", "rn", "doc_id", "score_micro")
+      .orderBy("query_id", "rn")
+  }
+
   /** The graded text planting, oracle side (MinHash.gradedPlanting's
     * SQL twin, shared by r4/r5): copies of every 20th doc at four
     * severities (0/4/16/48 leading words junked), planted at
@@ -429,6 +514,41 @@ object Retrieval {
       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
       |                     unnest([0, 1, 2, 3]) AS sev
       |              FROM documents WHERE doc_id % 20 = 0))""".stripMargin
+
+  /** The graded-planting BM25 ranking as a corpus artifact, shared by
+    * the two recall dials (r4 grades BM25 alone, r5 grades the hybrid
+    * fusion against the SAME truth): the full ranking (query_id,
+    * cand_id, rn) of every matched candidate, with the per-query
+    * candidate count denormalized on each row (n_cands — what turns a
+    * rank into rank_ppm). The planting is deterministic derived state
+    * of `documents` (MinHash.gradedPlanting), so the artifact keys off
+    * the corpus fingerprint and ONE build serves both evals —
+    * previously each re-planted the corpus and re-ran the BM25 chain
+    * independently (the round-9 verdict's duplicated-planting flag).
+    */
+  private[graft] def gradedRankingArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "graded_bm25_ranking") { out =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val (planted, _) = MinHash.gradedPlanting(docs)
+      val aug = docs.union(planted.select("doc_id", "text"))
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+      val qterms = aug
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
+        .select(col("doc_id").as("query_id"), col("toks"),
+          explode(expr("sequence(1, least(size(toks), 57))")).as("i"))
+        .filter((col("i") - 1) % 4 === 0)
+        .select(col("query_id"), expr("element_at(toks, i)").as("term"))
+        .distinct()
+      bm25Scores(aug, qterms, excludeSelf = true)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .withColumn("n_cands",
+          count(lit(1)).over(Window.partitionBy("query_id")).cast("long"))
+        .select(col("query_id"), col("doc_id").as("cand_id"),
+          col("rn"), col("n_cands"))
+        .write.parquet(out)
+    }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -543,9 +663,10 @@ object Retrieval {
     //    all matched candidates (1e6 = matched nothing). Fraction-of-
     //    corpus is scale-comparable, so the severity dial stays
     //    readable at every SF even when the top-10 is swamped.
-    // 100 TB shape: r1's chain (one term-filtered corpus shuffle,
-    // broadcast joins) over the 1.08× augmented corpus; the rank join
-    // and rollup touch 40 truth rows + one bounded ncand agg.
+    // 100 TB shape: the ranking is built ONCE as a fingerprint-keyed
+    // artifact ([[gradedRankingArtifact]] — r1's chain over the 1.08×
+    // augmented corpus) and SHARED with r5's fusion dial; this query's
+    // own work is a 40-truth-row join + rollup against it.
     QueryDef.sql("r4_retrieval_recall", {
       val corpusSql = gradedCorpusSql
       s"""WITH corpus AS (
@@ -577,33 +698,22 @@ object Retrieval {
          |       round(median(rank_ppm), 1) AS median_rank_ppm
          |FROM rk GROUP BY sev ORDER BY sev""".stripMargin
     }) { (s, d) =>
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val (planted, _) = MinHash.gradedPlanting(docs)
-      val aug = docs.union(planted.select("doc_id", "text"))
-        .select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
-      val qterms = aug
+      // ranking + candidate counts come from the SHARED artifact (one
+      // planting + one BM25 chain, reused by r5); this body touches
+      // only 40 truth rows against it. n_cands rides the ranking row,
+      // so a missed join leaves it null alongside rn and the COALESCE
+      // still lands on the matched-nothing sentinel.
+      val ranked = gradedRankingArtifact(s, d)
+        .select(col("query_id").as("hit_query"), col("cand_id").as("hit_id"),
+          col("rn"), col("n_cands"))
+      val truth = Tables.documents(s, d)
         .filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
-        .select(col("doc_id").as("query_id"), col("toks"),
-          explode(expr("sequence(1, least(size(toks), 57))")).as("i"))
-        .filter((col("i") - 1) % 4 === 0)
-        .select(col("query_id"), expr("element_at(toks, i)").as("term"))
-        .distinct()
-      val scores = bm25Scores(aug, qterms, excludeSelf = true)
-      val ranked = scores
-        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("score_micro").desc, col("doc_id").asc)))
-        .select(col("query_id").as("hit_query"), col("doc_id").as("hit_id"), col("rn"))
-      val ncand = scores.groupBy(col("query_id").as("cand_query"))
-        .agg(count(lit(1)).cast("long").as("n_cands"))
-      val truth = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
         .select(col("doc_id"), explode(array((0 to 3).map(lit): _*)).as("sev"))
         .select(col("doc_id").as("query_id"),
           (col("doc_id") + 7000000 + col("sev") * 1000000).as("planted"), col("sev"))
       truth
         .join(ranked,
           col("query_id") === col("hit_query") && col("hit_id") === col("planted"), "left")
-        .join(ncand, col("query_id") === col("cand_query"), "left")
         .select(col("sev"),
           when(col("rn").isNotNull && col("rn") <= 10, 1).otherwise(0).as("hit"),
           coalesce(
@@ -740,17 +850,23 @@ object Retrieval {
     },
 
     // R7: pseudo-relevance-feedback query expansion (Rocchio 1971 /
-    // the RM3 shape): pass 1 runs r1's BM25 and takes each query's
-    // top-5 as feedback docs; the 3 most frequent terms across them
-    // (raw tf, the query's own terms anti-joined out, tie term asc)
-    // expand the query at weight 1 alongside the originals at weight
-    // 2; pass 2 rescores with the weighted union. Integer weights ×
-    // integer micro-unit contributions keep pass-2 ranks exact in both
-    // engines. The classical two-pass cost is explicit: two bounded
-    // corpus shuffles (each r1's term-filtered shape) plus a feedback
-    // term-count whose corpus side is filtered by the BROADCAST 5-doc
-    // × query set before its only shuffle — at 100 TB each pass reads
-    // matched tokens only, and the feedback frame is queries × 5 docs.
+    // the RM3 shape): pass 1 ranks each query and takes its top-5 as
+    // feedback docs; the 3 most frequent terms across them (raw tf,
+    // the query's own terms anti-joined out, tie term asc) expand the
+    // query at weight 1 alongside the originals at weight 2; pass 2
+    // rescores with the weighted union. Integer weights × integer
+    // micro-unit contributions keep pass-2 ranks exact in both
+    // engines. BOTH scoring passes serve from the STORED bucketed
+    // index (r3's read path — bucket partition filter + term IN
+    // filter, no corpus aggregation); the oracle recomputes from the
+    // raw corpus, so indexed two-pass serving must reproduce the
+    // from-scratch expansion exactly. The one raw-corpus read left is
+    // the feedback term count — it needs whole documents' token
+    // streams (raw tf over full text), which a by-TERM-bucketed
+    // postings layout cannot serve without scanning every bucket — and
+    // it is pruned by the LITERAL 5-doc × query id list (parquet
+    // row-group pruning). At 100 TB: two posting-bounded index reads +
+    // one literal-pruned corpus read of ≤ queries × 5 documents.
     QueryDef.sql("r7_prf_expansion",
       s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $fixtureValuesSql)),
          |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
@@ -789,17 +905,22 @@ object Retrieval {
          |SELECT query_id, rn, doc_id, score_micro FROM rankedb WHERE rn <= 10
          |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
       import s.implicits._
-      val docs = tokenized(s, d)
       val qt = fixtureQueries.toDF("query_id", "term")
-      // pass 1: r1's ranking; feedback = top-5 per query, COLLECTED
-      // (bounded: queries × 5 rows) so the term-count pass filters the
-      // corpus scan by LITERAL doc_ids — parquet row-group pruning on
-      // the feedback read instead of scanning the corpus into a join
-      val fbRows = topK(bm25Scores(docs, qt, excludeSelf = false), 5)
+      val baseTerms = fixtureQueries.map(_._2).distinct
+      val idx = indexArtifact(s, d)
+      val st = statsArtifact(s, d)
+      // pass 1 from the STORED index; feedback = top-5 per query,
+      // COLLECTED (bounded: queries × 5 rows) so the term-count pass
+      // filters the corpus scan by LITERAL doc_ids
+      val fbRows = topK(servedScores(idx, st, qt, baseTerms,
+          excludeSelf = false), 5)
         .select("query_id", "doc_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val fb = fbRows.toDF("query_id", "doc_id")
-      val expn = docs.filter(col("doc_id").isin(fbRows.map(_._2).distinct: _*))
+      // expansion terms COLLECTED too (bounded: queries × 3) — pass 2's
+      // index read prunes by the literal expanded term list
+      val expnRows = tokenized(s, d)
+        .filter(col("doc_id").isin(fbRows.map(_._2).distinct: _*))
         .join(broadcast(fb), Seq("doc_id"))
         .select(col("query_id"), explode(col("toks")).as("term"))
         .groupBy("query_id", "term").agg(count(lit(1)).cast("long").as("cnt"))
@@ -808,9 +929,12 @@ object Retrieval {
           .orderBy(col("cnt").desc, col("term").asc)))
         .filter(col("rk") <= 3)
         .select("query_id", "term")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       val q2 = qt.withColumn("w", lit(2L))
-        .unionByName(expn.withColumn("w", lit(1L)))
-      topK(bm25Scores(docs, q2, excludeSelf = false), 10)
+        .unionByName(expnRows.toDF("query_id", "term").withColumn("w", lit(1L)))
+      // pass 2: weighted rescoring, ALSO from the stored index
+      topK(servedScores(idx, st, q2,
+          (baseTerms ++ expnRows.map(_._2)).distinct, excludeSelf = false), 10)
         .select("query_id", "rn", "doc_id", "score_micro")
         .orderBy("query_id", "rn")
     },
@@ -819,16 +943,24 @@ object Retrieval {
     // STEM) r1 runs without its last stage. Morphological variants
     // split a term's evidence across surface forms (df/tf fragment,
     // recall drops); the Harman S-stemmer conflates plurals at
-    // tokenization time on BOTH the corpus and the query, entirely
-    // inside the existing one-scan plan (the stem is a per-token CASE
-    // in the same projection — zero extra passes, zero extra
-    // shuffles). Proof the stage matters: pluralized copies of every
-    // 25th doc are planted at +2e7 (the tok2 planting discipline —
-    // this corpus has NO organic plurals, verified empty LIKE '%s'
-    // vocabulary); their tokens match the UNCHANGED query terms only
-    // through stemming, and OpsSpec asserts planted docs reach top-10.
+    // tokenization time on BOTH the corpus and the query — the query
+    // terms pass through the SAME stem stage in both engines (every
+    // current fixture term is a stem fixed point, so the oracle output
+    // is unchanged, but the analyzer chain no longer relies on that).
+    // Serving reads the STORED stemmed-analyzer index
+    // ([[stemmedIndexArtifact]] — stem applied at BUILD time, query
+    // literals stemmed driver-side by [[stemScala]], whose parity with
+    // the engine stem is spec-pinned); the oracle recomputes from the
+    // raw corpus, and RetrievalSpec additionally pins indexed ==
+    // from-scratch row-for-row — the build/query analyzer-drift guard.
+    // Proof the stage matters: pluralized copies of every 25th doc are
+    // planted at +2e7 (the tok2 planting discipline — this corpus has
+    // NO organic plurals, verified empty LIKE '%s' vocabulary); their
+    // tokens match the query terms only through stemming, and OpsSpec
+    // asserts planted docs reach top-10.
     QueryDef.sql("r9_stemmed_bm25",
-      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $fixtureValuesSql)),
+      s"""WITH q(query_id, term) AS (SELECT query_id, ${stemSql("term")}
+         |                           FROM (VALUES $fixtureValuesSql) v(query_id, term)),
          |base AS (SELECT doc_id, text FROM documents
          |         UNION ALL
          |         SELECT doc_id + 20000000 AS doc_id,
@@ -847,19 +979,9 @@ object Retrieval {
          |SELECT query_id, rn, doc_id, score_micro FROM ranked WHERE rn <= 10
          |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
       import s.implicits._
-      val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val planted = docs0.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 20000000L).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("s"))), " ").as("text"))
-      val dd = docs0.union(planted)
-        .select(col("doc_id"),
-          expr(s"transform(regexp_extract_all(lower(text), '[a-z]+', 0), t -> ${stemSql("t")})")
-            .as("toks"))
-      topK(bm25Scores(dd, fixtureQueries.toDF("query_id", "term"),
-          excludeSelf = false), 10)
-        .select("query_id", "rn", "doc_id", "score_micro")
-        .orderBy("query_id", "rn")
+      val stemmedQ = fixtureQueries.map { case (q, t) => (q, stemScala(t)) }
+      serveBm25(stemmedIndexArtifact(s, d), stemmedStatsArtifact(s, d),
+        stemmedQ.toDF("query_id", "term"), stemmedQ.map(_._2).distinct, 10)
     },
 
     // R5: the recall dial pointed at the HYBRID fusion — r4's own
@@ -876,7 +998,9 @@ object Retrieval {
     // the augmented embeddings; fusion is r2's integer RRF. Output per
     // severity: planted-copy top-10 hits for BM25 alone vs the fusion
     // — OpsSpec gates n_hit_hybrid >= n_hit_bm25 at every severity.
-    // 100 TB shape: BM25 is r1's one-bounded-shuffle chain; the vector
+    // 100 TB shape: the BM25 channel is read from the SHARED
+    // fingerprint-keyed ranking artifact r4 also consumes (one
+    // planting + one r1-shaped chain for both evals); the vector
     // channel is a map-only pass (10 codegen'd cosine calls/row) + one
     // top-k window; fusion and rollup touch 2 × queries × 20 rows.
     QueryDef.sql("r5_hybrid_recall",
@@ -944,22 +1068,11 @@ object Retrieval {
          |       CAST(SUM(hhit) AS BIGINT) AS n_hit_hybrid
          |FROM rk GROUP BY sev ORDER BY sev""".stripMargin) { (s, d) =>
       graft.functions.NativeFunctions.register(s)
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val (planted, _) = MinHash.gradedPlanting(docs)
-      val aug = docs.union(planted.select("doc_id", "text"))
-        .select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
-      val qterms = aug
-        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
-        .select(col("doc_id").as("query_id"), col("toks"),
-          explode(expr("sequence(1, least(size(toks), 57))")).as("i"))
-        .filter((col("i") - 1) % 4 === 0)
-        .select(col("query_id"), expr("element_at(toks, i)").as("term"))
-        .distinct()
-      val kranked = bm25Scores(aug, qterms, excludeSelf = true)
-        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("score_micro").desc, col("doc_id").asc)))
-        .select(col("query_id"), col("doc_id").as("cand_id"), col("rn"))
+      // keyword channel = the SHARED graded ranking artifact (one
+      // planting + one BM25 chain across r4/r5 — built by whichever
+      // eval touches the corpus fingerprint first)
+      val kranked = gradedRankingArtifact(s, d)
+        .select(col("query_id"), col("cand_id"), col("rn"))
 
       // planted embeddings: first k(sev) dims replaced by the junk
       // grid — severity-graded cosine decay, exactly mirroring the
@@ -1002,7 +1115,8 @@ object Retrieval {
       val kr = kranked
         .select(col("query_id").as("kq"), col("cand_id").as("kc"), col("rn").as("krn"))
 
-      val truth = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
+      val truth = Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
         .select(col("doc_id"), explode(array((0 to 3).map(lit): _*)).as("sev"))
         .select(col("doc_id").as("query_id"),
           (col("doc_id") + 7000000 + col("sev") * 1000000).as("planted"), col("sev"))

@@ -375,19 +375,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"$expectedBuckets query-term buckets (of ${Retrieval.PostingsBuckets})")
   }
 
-  test("r9 stemmed bm25: the stem stage adds zero exchanges to r1's plan shape") {
-    // the analyzer claim made physical: stemming happens inside the
-    // scan-side projection, so r9's shuffle census must match r1's
-    // bound (the planted-union scan is still one corpus pass) and
-    // every join must still broadcast
+  test("r9 stemmed bm25: serving reads the stemmed index with bucket + term pruning") {
+    // r9 now serves from the STORED stemmed-analyzer index (the same
+    // read path as r3), so the physical claim is r3's: the artifact
+    // scan must carry the bkt partition filter (file-level pruning to
+    // the stemmed terms' buckets) and the term IN pushdown, no corpus
+    // scan appears, the serve-side shuffle census is the bounded
+    // score-agg + top-k pair, and every join broadcasts
     val df = SparkEntry.queries("r9_stemmed_bm25")(spark, sf)
     df.collect()
     val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val scans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("bm25_stemmed_postings")) => f
+    }
+    assert(scans.nonEmpty, "expected stemmed-postings artifact scans")
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("bkt"))),
+      "a stemmed-postings scan is missing its bkt partition filter")
+    assert(scans.forall(_.metadata.get("PushedFilters").exists(_.contains("In(term"))),
+      "a stemmed-postings scan is missing the term IN pushdown")
+    val corpusScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents.parquet")) => f
+    }
+    assert(corpusScans.isEmpty,
+      "stemmed serving must not touch the raw corpus — that is the build's job")
     val exchanges = collectWithSubqueries(plan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(exchanges.length <= 7,
-      s"the stem stage grew the shuffle census: ${exchanges.length}")
+    assert(exchanges.length <= 3,
+      s"indexed stemmed serving grew the shuffle census: ${exchanges.length}")
     val joins = collectWithSubqueries(plan) {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
@@ -416,12 +433,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "a positional scan is missing the term IN pushdown")
   }
 
+  test("r7: pass 2 serves from the postings artifact, bucket-pruned, corpus untouched") {
+    // both PRF scoring passes now read the STORED bucketed index; the
+    // returned frame is pass 2, whose plan must prune to the expanded
+    // term set's buckets and never rescan the corpus (the only corpus
+    // reads are the collected pass-1/feedback stages, literal-pruned)
+    val df = SparkEntry.queries("r7_prf_expansion")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val scans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("bm25_postings")) => f
+    }
+    assert(scans.nonEmpty, "expected postings artifact scans in pass 2")
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("bkt"))),
+      "a pass-2 postings scan is missing its bkt partition filter")
+    val corpusScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents.parquet")) => f
+    }
+    assert(corpusScans.isEmpty,
+      "pass 2 must score from postings, not rescan the corpus")
+  }
+
   test("r6/r7: phrase shingles and both expansion passes keep every join broadcast") {
     // r6's phrase match is a map-only bigram generate + broadcast
-    // phrase filter; r7 runs three corpus-touching stages (pass-1 tf,
-    // feedback term count, pass-2 tf) — each must meet its bounded
-    // dimension (query terms, 5-doc feedback set, weighted term set)
-    // as a broadcast, never by shuffling the corpus to a dimension
+    // phrase filter; r7's pass-2 weighted rescoring meets its bounded
+    // dimensions (weighted term set, corpus stats) as broadcasts,
+    // never by shuffling postings to a dimension
     for (qn <- Seq("r6_phrase_search", "r7_prf_expansion")) {
       val df = SparkEntry.queries(qn)(spark, sf)
       df.collect()

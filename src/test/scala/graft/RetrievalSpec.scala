@@ -75,6 +75,42 @@ class RetrievalSpec extends SparkSpec {
       assert(got(in) == want, s"stem('$in') = '${got(in)}', want '$want'")
   }
 
+  test("r9 stemmer: the driver-side stem twin matches the engine stem on every branch") {
+    // stemScala turns the literal query-term list into the literal
+    // STEMMED list the indexed read path prunes by — if it drifts from
+    // stemSql, serving silently prunes to the wrong buckets/terms. Pin
+    // every branch, every guard, and a corpus vocabulary sample.
+    import graft.operators.Retrieval
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, explode}
+    val branchCases = Seq("queries", "flies", "eies", "aies", "tables",
+      "merges", "aes", "ees", "oes", "shoes", "joins", "trees", "bus",
+      "class", "us", "ss", "s", "join", "a", "")
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val all = (branchCases ++ vocab ++ vocab.map(_ + "s")).distinct
+    val engine = all.toDF("t")
+      .select(col("t"), expr(Retrieval.stemSql("t")).as("stemmed"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (t <- all)
+      assert(Retrieval.stemScala(t) == engine(t),
+        s"stemScala('$t') = '${Retrieval.stemScala(t)}' but engine stems to '${engine(t)}'")
+  }
+
+  test("r9: stemmed-index serving reproduces the from-scratch stemmed ranking row for row") {
+    // the stemmed index is derived state built with the BUILD-time
+    // analyzer; queries stem at SERVE time — analyzer drift between
+    // the two is the classic search-engine bug, and it would show here
+    // as a row diff before it shows as a distant rank change
+    val fromScratch = graft.operators.Retrieval.r9FromScratch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val served = SparkEntry.queries("r9_stemmed_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(served == fromScratch,
+      s"stemmed indexed path diverged:\n served $served\n scratch $fromScratch")
+  }
+
   test("r1: engine top-10 equals an independent driver-side BM25 recount, every query") {
     val got = SparkEntry.queries("r1_bm25")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
