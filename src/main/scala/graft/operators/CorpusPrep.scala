@@ -307,7 +307,7 @@ object CorpusPrep {
          |UNION ALL SELECT 2, pair, n FROM t2
          |UNION ALL SELECT 3, pair, n FROM t3
          |ORDER BY iteration""".stripMargin) { (s, d) =>
-      bpeTrain(s, bpeInit(s, d), 3).orderBy("iteration")
+      bpeTrainLocalWithState(s, bpeInit(s, d), 3)._1.orderBy("iteration")
     },
 
     // TOK4: applying the learned tokenizer — the other half of the
@@ -329,7 +329,7 @@ object CorpusPrep {
          |top AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT 50)
          |SELECT row_number() OVER (ORDER BY n DESC, token) AS rn, token, n
          |FROM top ORDER BY n DESC, token""".stripMargin) { (s, d) =>
-      val (_, state) = bpeTrainWithState(s, bpeInit(s, d), 3)
+      val (_, state) = bpeTrainLocalWithState(s, bpeInit(s, d), 3)
       state.select(explode(split(trim(col("s")), " ")).as("token"), col("freq"))
         .groupBy("token").agg(sum("freq").cast("long").as("n"))
         .orderBy(col("n").desc, col("token").asc).limit(50)
@@ -367,7 +367,7 @@ object CorpusPrep {
          |SELECT doc_id, n_words, n_tokens,
          |       CAST((1000000 * n_tokens) // n_words AS BIGINT) AS fertility_ppm
          |FROM enc ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
-      val (_, state) = bpeTrainWithState(s, bpeInit(s, d), 3)
+      val (_, state) = bpeTrainLocalWithState(s, bpeInit(s, d), 3)
       val vmap = state.select(
         regexp_replace(trim(col("s")), " ", "").as("word"),
         size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
@@ -502,5 +502,67 @@ object CorpusPrep {
       i += 1
     }
     (picks.toSeq.toDF("iteration", "pair", "n"), cur)
+  }
+
+  /** Driver-local merge loop — the production-scale BPE trainer shape
+    * (what sentencepiece/HF trainers do): Spark's job is the ONE
+    * corpus scan into the word-frequency state ([[bpeInit]]); the
+    * state is VOCABULARY-bounded by construction (distinct [a-z]+
+    * words — a few MB even for web-scale corpora, which is why every
+    * production tokenizer trains on a collected word-count table), so
+    * the merge loop collects it once and runs locally. This removes
+    * the per-merge Spark-job round-trip that makes the distributed
+    * loop ([[bpeTrainWithState]], kept behind the same API for a
+    * hypothetical >driver-memory vocabulary) wall-clock-infeasible at
+    * production merge counts — O(10k) merges is O(10k) sequential
+    * scheduler latencies there, milliseconds each here
+    * (CorpusPrepSpec trains 1000 merges in seconds and pins
+    * bit-identical picks + state against the distributed loop).
+    * Semantics are [[bpeStep]]'s verbatim: pair counts weighted by
+    * word freq, pick = (n desc, pair asc) — Java String ordering
+    * equals Spark's UTF8String ordering on the [a-z ] alphabet —
+    * rewrite via the same non-overlapping left-to-right replace run
+    * twice, early stop when no pair remains. The returned state is a
+    * local DataFrame, exactly what tok4/tok5's vocab-bounded
+    * apply/encode stages broadcast.
+    */
+  def bpeTrainLocalWithState(s: org.apache.spark.sql.SparkSession,
+      init: org.apache.spark.sql.DataFrame, iters: Int):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    var state = init.select("s", "freq").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= iters && !exhausted) {
+      val counts = new java.util.HashMap[String, java.lang.Long]()
+      state.foreach { case (sv, freq) =>
+        val a = sv.trim.split(" ")
+        var j = 0
+        while (j < a.length - 1) {
+          counts.merge(a(j) + " " + a(j + 1), freq,
+            (x, y) => java.lang.Long.valueOf(x + y))
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: String = null
+        var bestN = Long.MinValue
+        counts.forEach { (p, n) =>
+          if (n > bestN || (n == bestN && p.compareTo(bestPair) < 0)) {
+            bestPair = p; bestN = n
+          }
+        }
+        val m = bestPair.replace(" ", "")
+        state = state.map { case (sv, freq) =>
+          (sv.replace(s" $bestPair ", s" $m ").replace(s" $bestPair ", s" $m "), freq)
+        }
+        picks += ((i, bestPair, bestN))
+      }
+      i += 1
+    }
+    (picks.toSeq.toDF("iteration", "pair", "n"), state.toSeq.toDF("s", "freq"))
   }
 }

@@ -149,6 +149,49 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == 3)
   }
 
+  test("bpe: the driver-local trainer is bit-identical to the distributed loop") {
+    // tok3/tok4/tok5 now train driver-local (one corpus scan, then a
+    // local merge loop over the vocab-bounded state); the distributed
+    // loop stays behind the same API for a >driver-memory vocabulary.
+    // The two must never diverge — picks AND final state, bit for bit.
+    import graft.operators.CorpusPrep
+    val init = CorpusPrep.bpeInit(spark, sf)
+    val (lp, ls) = CorpusPrep.bpeTrainLocalWithState(spark, init, 3)
+    val (dp, ds) = CorpusPrep.bpeTrainWithState(spark, init, 3)
+    val lPicks = lp.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val dPicks = dp.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(lPicks == dPicks, s"picks diverged:\n local $lPicks\n dist $dPicks")
+    def stateSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(stateSet(ls) == stateSet(ds), "final vocabulary state diverged")
+  }
+
+  test("bpe: 1000 driver-local merges train in seconds") {
+    // the production-merge-count feasibility claim, measured: a 2000-
+    // word synthetic vocabulary (distinct 8-symbol words, mixed freqs
+    // — enough distinct merge material that 1000 rounds never exhaust)
+    // through the driver-local loop. The distributed loop pays one
+    // Spark job + collect per merge — O(10k) scheduler latencies at
+    // production counts; this must stay wall-clock-trivial.
+    import graft.operators.CorpusPrep
+    def w(i: Int): String = {
+      val sb = new StringBuilder
+      var v = i
+      (0 until 8).foreach { _ => sb.append(('a' + v % 26).toChar); v /= 26 }
+      sb.toString
+    }
+    val init = (0 until 2000)
+      .map(i => (" " + w(i).mkString(" ") + " ", (i % 7 + 1).toLong))
+      .toDF("s", "freq")
+    val t0 = System.nanoTime()
+    val (picks, state) = CorpusPrep.bpeTrainLocalWithState(spark, init, 1000)
+    val nPicks = picks.count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(nPicks == 1000, s"expected 1000 merges, got $nPicks (vocab exhausted early)")
+    assert(state.count() == 2000)
+    assert(elapsed < 30.0, f"1000 merges took $elapsed%.1f s — driver-local loop regressed")
+  }
+
   test("s7: priority keys recount independently (java MD5), sample tilts toward heavy docs") {
     val rows = SparkEntry.queries("s7_weighted_sample")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
