@@ -188,9 +188,9 @@ object StreamDedup {
   }
 
   /** Fold deltas (and the previous fold) into one `fold_0_<hi>` range
-    * dir — the small-files maintenance pass, safe to run offline
-    * between (not during) stream runs. Write-then-delete order makes a
-    * crash leave overlap, never loss. Returns the number of dirs folded.
+    * dir — the small-files maintenance pass. Write-then-delete order
+    * makes a crash leave overlap, never loss. Returns the number of
+    * dirs folded.
     *
     * The NEWEST delta is never folded: only the last batch can be
     * uncommitted in the checkpoint (batch N+1 starts only after N
@@ -199,8 +199,27 @@ object StreamDedup {
     * would carry its id and be excluded from its own replay's screen,
     * re-admitting every previously-seen hash. Keeping the newest delta
     * out means every fold's hi is strictly below any replayable batch.
+    *
+    * Concurrency: the body runs under the store's MAINTENANCE LEASE
+    * (VersionedStore.withMaintenanceLease — the same advisory lock
+    * serializing the batch stores' CRUD). Two UNSERIALIZED folds can
+    * lose data: the loser overwrites the winner's just-committed fold
+    * dir while lazily reading input dirs the winner already deleted —
+    * a fold missing rows that then masquerades as the store's history.
+    * Racing the STREAMING ingest itself needs no lock: the ingest only
+    * ever creates new `delta_b<id>` dirs (which a fold snapshot either
+    * sees or leaves for next time), replay rewrites target only the
+    * newest delta (never an input — folds exclude it by construction),
+    * and readers absorb fold/delta overlap by distinct().
+    * StoreConcurrencySpec drives ingest and folds concurrently and
+    * pins that neither loses a write.
     */
-  def foldDeltas(spark: SparkSession, storeDir: String): Int = {
+  def foldDeltas(spark: SparkSession, storeDir: String): Int =
+    graft.sinks.VersionedStore.withMaintenanceLease(spark, storeDir) {
+      foldDeltasExclusive(spark, storeDir)
+    }
+
+  private def foldDeltasExclusive(spark: SparkSession, storeDir: String): Int = {
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (folds, deltas) = listParts(spark, storeDir).partition(p =>
       FoldRe.pattern.matcher(p._1.getName).matches())

@@ -33,6 +33,14 @@ import graft.operators.Retrieval
   * last-writer-wins — each delta row carries its batch id `b`, and the
   * reader keeps only each doc's max-b postings, so an updated doc is
   * re-indexed once instead of double-indexed with inflated df/tf.
+  *
+  * Every batch additionally writes one MARKER row per incoming doc_id
+  * (term = '' — unreachable by the [a-z]+ tokenizer — tf = 0), so the
+  * max-b computation sees EVERY reissue: a doc reissued with text that
+  * tokenizes to zero tokens emits no postings, and without the marker
+  * its older batch's rows would remain max-b and the doc would serve
+  * from its OLD text, breaking the served-from-newest-text-only
+  * contract. Markers are dropped after the last-writer filter.
   */
 object StreamPostings {
 
@@ -72,6 +80,9 @@ object StreamPostings {
         .withColumn("bmax", max("b").over(Window.partitionBy("doc_id")))
         .filter(col("b") === col("bmax"))
         .drop("bmax")
+        // markers have done their job (pulling bmax up to the reissue
+        // batch) — they are not postings
+        .filter(col("term") =!= "")
     }
   }
 
@@ -99,8 +110,13 @@ object StreamPostings {
             spark, storeDir, s"$checkpointDir/postings", batchId)
           ownershipVerified = true
         }
-        Retrieval.rawPostings(batch.select(col("doc_id"),
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+        val raw = Retrieval.rawPostings(batch.select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+        // one marker per incoming doc_id — see the object scaladoc
+        val markers = batch.select(col("doc_id")).distinct()
+          .select(lit("").as("term"), col("doc_id"),
+            lit(0L).as("tf"), lit(0).as("dl"))
+        raw.unionByName(markers)
           .withColumn("b", lit(batchId))
           .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
         ()

@@ -175,4 +175,104 @@ class StoreConcurrencySpec extends SparkSpec {
         }
     }
   }
+
+  test("maintenance lease: stale locks are reclaimed by rename; a live lease heartbeats fresh") {
+    val base = tmpDir("graft-lease")
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val lock = new Path(basePath, ".MAINT_LEASE")
+    // a crashed writer's hour-old lock must not block acquisition —
+    // takeover goes through an atomic rename of that specific file, so
+    // a racing reclaimer can never delete a FRESH lock by mistake (the
+    // delete-then-create hole this replaces)
+    fs.create(lock, true).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    var ran = false
+    VersionedStore.withMaintenanceLease(spark, base) { ran = true }
+    assert(ran, "takeover of a stale lease failed")
+    assert(!fs.exists(lock), "lease not released after the body")
+    assert(fs.listStatus(basePath).forall(
+      !_.getPath.getName.startsWith(".MAINT_LEASE.reclaim")),
+      "a reclaim temp file leaked")
+    // heartbeat: with a 400 ms TTL and a 1.5 s critical section, the
+    // holder's lock must keep its mtime fresh throughout — a live
+    // writer is never presumed crashed mid-publish
+    spark.conf.set("spark.graft.store.intentTtlMs", "600")
+    try {
+      val done = new CountDownLatch(1)
+      val holder = new Thread(() =>
+        VersionedStore.withMaintenanceLease(spark, base) {
+          Thread.sleep(2000); done.countDown()
+        })
+      holder.start()
+      // wait for the lock to appear, then watch its staleness
+      val deadline = System.currentTimeMillis() + 5000
+      while (!fs.exists(lock) && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(fs.exists(lock), "holder never acquired")
+      var everStale = false
+      while (done.getCount > 0 && System.currentTimeMillis() < deadline) {
+        try {
+          val age = System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime
+          if (age >= 600) everStale = true
+        } catch { case _: java.io.FileNotFoundException => () }
+        Thread.sleep(50)
+      }
+      assert(done.await(5, TimeUnit.SECONDS), "holder wedged")
+      holder.join(2000)
+      assert(!everStale,
+        "a live lease went stale mid-cycle — heartbeat not renewing")
+    } finally spark.conf.set("spark.graft.store.intentTtlMs", (15L * 60 * 1000).toString)
+  }
+
+  test("batch fold maintenance racing streaming postings ingest: neither write lost") {
+    // the round-9 untested seam: the lease serializes BATCH maintenance
+    // and the checkpoint epoch guard serializes STREAMING owners, but a
+    // batch fold running DURING ingest crossed both domains unpinned.
+    // foldDeltas now runs under the lease (fold-vs-fold serialization);
+    // fold-vs-ingest safety is structural (a fold snapshot either sees
+    // a new delta or leaves it for next time, and never touches the
+    // newest delta). Drive both concurrently and require the final
+    // store to serve EXACTLY the one-shot batch build — any lost delta
+    // or double-folded row diverges.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.operators.Retrieval
+    import graft.streaming.{StreamDedup, StreamPostings}
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val store = tmpDir("graft-foldrace") + "/store"
+    val cp = tmpDir("graft-foldrace-cp")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamPostings.start(in.toDF().toDF("doc_id", "text"), store, cp)
+    val stop = new CountDownLatch(1)
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val folder = new Thread(() => {
+      while (stop.getCount > 0) {
+        folds.addAndGet(StreamDedup.foldDeltas(spark, store))
+        Thread.sleep(20)
+      }
+    })
+    folder.start()
+    try docs.grouped((docs.size + 7) / 8).foreach { g =>
+      in.addData(g: _*); q.processAllAvailable()
+    } finally { stop.countDown(); folder.join(10000) }
+    q.stop()
+    StreamDedup.foldDeltas(spark, store)
+    assert(folds.get() > 0, "the racing folder never folded — race untested")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "doc_id", "tf", "dl").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val batchBuilt = Retrieval.rawPostings(
+      graft.sources.Tables.documents(spark, d).select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+    assert(norm(StreamPostings.served(spark, store).drop("df")) == norm(batchBuilt),
+      "store diverged from the one-shot build after racing folds")
+  }
 }

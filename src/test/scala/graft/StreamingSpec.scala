@@ -941,7 +941,9 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
     assert(served == scratch, "streamed index diverged from the from-scratch ranking")
     // replay idempotence is structural: re-tokenizing a batch is pure,
-    // so a rewritten delta holds identical content
+    // so a rewritten delta holds identical content (postings AND the
+    // per-doc tombstone markers, which are a pure function of the
+    // batch's doc_id set)
     val b0 = spark.read.parquet(s"$store/delta_b0")
     val again = Retrieval.rawPostings(
       b0.select("doc_id").distinct().join(
@@ -953,7 +955,11 @@ class StreamingSpec extends SparkSpec {
       df.select("term", "doc_id", "tf", "dl").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
         .sortBy(t => (t._1, t._2)).toSeq
-    assert(norm(b0) == norm(again))
+    assert(norm(b0.filter(col("term") =!= "")) == norm(again))
+    val markerDocs = b0.filter(col("term") === "")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(markerDocs == b0.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "every batch doc_id must carry exactly its tombstone marker")
     // fold compaction + the overlap crash contract hold here too
     assert(StreamDedup.foldDeltas(spark, store) > 0)
     val afterFold = Retrieval.serveBm25(StreamPostings.served(spark, store),
@@ -1003,6 +1009,97 @@ class StreamingSpec extends SparkSpec {
       s"stale postings for the reissued doc survived: $got")
     assert(got.contains(("beta", 1L, 2L, 1L)),
       s"df not refreshed after the reissue (beta should count doc 1 only): $got")
+  }
+
+  test("streaming positional index ingest: streamed store equals the batch build, phrase serving agrees") {
+    import graft.operators.Retrieval
+    import graft.streaming.{StreamDedup, StreamPosPostings}
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val store = tmpDir("graft-spos") + "/store"
+    val cp = tmpDir("graft-spos-cp")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamPosPostings.start(in.toDF().toDF("doc_id", "text"), store, cp)
+    docs.grouped((docs.size + 2) / 3).foreach { g =>
+      in.addData(g: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Seq[Int])] =
+      df.select("term", "doc_id", "ps").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2).toSeq))
+        .sortBy(t => (t._1, t._2)).toSeq
+    // positions are per-document state: the streamed store must hold
+    // EXACTLY the rows a one-shot batch build produces
+    val batchBuilt = Retrieval.rawPosPostings(
+      graft.sources.Tables.documents(spark, d).select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+    assert(norm(StreamPosPostings.served(spark, store)) == norm(batchBuilt),
+      "streamed positional store diverged from the batch build")
+    // r8-style phrase serving over the streamed store: the first doc's
+    // leading trigram must match its own doc via the same adjacency
+    // verify the stored-artifact path runs
+    val Seq(t1, t2, t3) = "[a-z]+".r.findAllIn(docs.head._2.toLowerCase).take(3).toSeq
+    val idx = StreamPosPostings.served(spark, store)
+      .filter(col("term").isin(t1, t2, t3))
+    val a = idx.filter(col("term") === t1).select(col("doc_id"), col("ps").as("ps1"))
+    val b = idx.filter(col("term") === t2).select(col("doc_id").as("d2"), col("ps").as("ps2"))
+    val c = idx.filter(col("term") === t3).select(col("doc_id").as("d3"), col("ps").as("ps3"))
+    val matched = a.join(b, col("doc_id") === col("d2"))
+      .join(c, col("doc_id") === col("d3"))
+      .withColumn("n", expr(
+        "size(filter(ps1, p -> array_contains(ps2, p + 1) AND array_contains(ps3, p + 2)))"))
+      .filter(col("n") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(matched.contains(docs.head._1),
+      s"phrase '${Seq(t1, t2, t3).mkString(" ")}' missed its own doc: $matched")
+    // fold compaction preserves content; a restart with no new data is
+    // a no-op (checkpoint idempotence)
+    assert(StreamDedup.foldDeltas(spark, store) > 0)
+    assert(norm(StreamPosPostings.served(spark, store)) == norm(batchBuilt),
+      "fold compaction changed the served positional index")
+    val q2 = StreamPosPostings.start(in.toDF().toDF("doc_id", "text"), store, cp)
+    q2.processAllAvailable(); q2.stop()
+    assert(norm(StreamPosPostings.served(spark, store)) == norm(batchBuilt),
+      "checkpoint restart perturbed the positional store")
+  }
+
+  test("postings tombstones: a doc reissued with zero-token text disappears from both stores") {
+    // the served-from-newest-text-only contract in its nastiest corner:
+    // the new text tokenizes to NOTHING, so the reissue batch emits no
+    // postings — only the per-doc marker row keeps the max-b
+    // computation aware of the reissue. Without it the older batch's
+    // rows stay max-b and the doc serves from DELETED text.
+    import graft.streaming.{StreamPosPostings, StreamPostings}
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val store1 = tmpDir("graft-tomb-post") + "/store"
+    val store2 = tmpDir("graft-tomb-pos") + "/store"
+    val cp = tmpDir("graft-tomb-cp")
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    val qa = StreamPostings.start(src, store1, s"$cp/a")
+    val qb = StreamPosPostings.start(src, store2, s"$cp/b")
+    in.addData((1L, "alpha beta beta"), (2L, "gamma alpha"))
+    qa.processAllAvailable(); qb.processAllAvailable()
+    // reissue doc 1 with text whose tokenization is EMPTY
+    in.addData((1L, "123 456 789"))
+    qa.processAllAvailable(); qb.processAllAvailable()
+    qa.stop(); qb.stop()
+    val served1 = StreamPostings.served(spark, store1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))) // term, doc, df
+    assert(!served1.exists(_._2 == 1L),
+      s"doc 1's deleted-text postings survived the reissue: ${served1.toSeq}")
+    // df must also reflect the departure: alpha now lives in doc 2 only
+    assert(served1.contains(("alpha", 2L, 1L)),
+      s"df not refreshed after the tombstone: ${served1.toSeq}")
+    val served2 = StreamPosPostings.served(spark, store2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(!served2.exists(_._2 == 1L),
+      s"doc 1's positional rows survived the reissue: ${served2.toSeq}")
+    assert(served2.toSet == Set(("gamma", 2L), ("alpha", 2L)))
   }
 
   test("streaming ANN index ingest: delta store serves exactly the one-shot encode, folds compact") {
