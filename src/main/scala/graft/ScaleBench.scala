@@ -50,14 +50,15 @@ object ScaleBench {
     // vector channel + fusion on top, r3 serves from the stored
     // postings artifact (build cost included on the warm-up run)
     "r1_bm25", "r2_hybrid_rrf", "r3_bm25_indexed",
-    // retrieval round-9 additions: r6's shingle phrase match is a
-    // map-only generate + one bounded shuffle; r7 is the deliberate
-    // two-pass expansion — THREE bounded corpus stages, the suite's
-    // most expensive query, so its scaling matters most; r8 serves
-    // variable-length phrases from the stored positional index
-    // (bucket-pruned scan + doc_id positional merge); r9 adds the
-    // stem stage inside the r1 scan projection (same shape, heavier
-    // per-token expression)
+    // retrieval round-9 additions (r7/r9 index-served since round 10):
+    // r6's shingle phrase match is a map-only generate + one bounded
+    // shuffle; r7's two PRF passes now read the stored postings with
+    // only the feedback term-count touching the (literal-pruned)
+    // corpus; r8 serves variable-length phrases from the stored
+    // positional index (bucket-pruned scan + doc_id positional merge);
+    // r9 serves from the stemmed-analyzer index (r3's read shape) —
+    // for r7/r9 the one-time index builds land on the warm-up run,
+    // like r3's
     "r6_phrase_search", "r7_prf_expansion", "r8_phrase_indexed",
     "r9_stemmed_bm25",
     // corpus-prep: tok3's vocab table blows up ~25× (junk words are
