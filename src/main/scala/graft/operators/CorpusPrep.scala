@@ -382,6 +382,64 @@ object CorpusPrep {
           expr("CAST((1000000 * n_tokens) div n_words AS BIGINT)"))
         .select("doc_id", "n_words", "n_tokens", "fertility_ppm")
         .orderBy("doc_id").limit(200)
+    },
+
+    // TOK6: token-ID sequence emission — the tokenizer's ACTUAL output
+    // contract (what tok5's design note promised): every document
+    // becomes its ordered sequence of vocabulary ids, the tensor a
+    // training run memory-maps. Vocabulary = the distinct post-merge
+    // symbols of the trained state, id = dense alphabetic rank (both
+    // engines rank the same [a-z]+ strings identically); each word's
+    // segmentation comes from the trained state (word → ordered symbol
+    // ids), so the corpus encode needs NO merge replay — it is one
+    // posexploded word stream joined to the BROADCAST vocab-bounded
+    // (word → ids) map, re-assembled per doc with an array_sort on the
+    // word position (order restored exactly, shuffle-order-proof).
+    // Output pinned on the first 200 docs: the full id sequence
+    // (comma-joined for cross-engine hashability) + its length.
+    // 100 TB shape: one bounded broadcast join + one per-doc groupBy —
+    // the same two-stage shape as tok5; emitting to a binary token
+    // store would swap the string join for a parquet array column.
+    QueryDef.sql("tok6_bpe_ids",
+      s"""WITH ${bpeChainSql(3)},
+         |vmap AS (SELECT replace(trim(s), ' ', '') AS word,
+         |                string_split(trim(s), ' ') AS subs
+         |         FROM s3),
+         |vocab AS (SELECT sym, row_number() OVER (ORDER BY sym) AS id
+         |          FROM (SELECT DISTINCT unnest(subs) AS sym FROM vmap)),
+         |wsub AS (SELECT word, generate_subscripts(subs, 1) AS i, unnest(subs) AS sym
+         |         FROM vmap),
+         |wid AS (SELECT word, list(id ORDER BY i) AS ids
+         |        FROM wsub JOIN vocab USING (sym) GROUP BY word),
+         |dw AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS word
+         |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |             FROM documents WHERE doc_id < 200)),
+         |enc AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS ids
+         |        FROM dw JOIN wid USING (word) GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+         |       array_to_string(ids, ',') AS id_seq
+         |FROM enc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val (_, state) = bpeTrainLocalWithState(s, bpeInit(s, d), 3)
+      // vocab ids + word→ids map assembled driver-side: the state is
+      // already local (vocab-bounded), and the id assignment must be
+      // the SAME dense alphabetic rank the oracle computes
+      val segs = state.collect().map(r => r.getString(0).trim.split(" ").toSeq)
+      val vocabIds = segs.flatten.distinct.sorted.zipWithIndex
+        .map { case (sym, i) => sym -> (i + 1) }.toMap
+      val wid = segs.map(subs => (subs.mkString(""), subs.map(vocabIds))).toSeq
+      val dw = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .as(Seq("wi", "word")))
+      dw.join(broadcast(wid.toDF("word", "ids")), Seq("word"))
+        .groupBy("doc_id")
+        .agg(flatten(expr(
+          "transform(array_sort(collect_list(struct(wi, ids))), x -> x.ids)"))
+          .as("ids"))
+        .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+          array_join(expr("transform(ids, x -> CAST(x AS STRING))"), ",").as("id_seq"))
+        .orderBy("doc_id")
     }
   )
 
