@@ -60,9 +60,12 @@ object Bench {
     // SHORT total-only line (no per-query map, always fits) as the very
     // LAST stdout line after spark.stop().
     println(full)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // FULL runs only: a BENCH_ONLY subset overwriting BENCH_LOCAL.json
+    // would feed scripts/update_coverage.py a 4-query "total"
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
   }

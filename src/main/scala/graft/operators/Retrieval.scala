@@ -984,6 +984,81 @@ object Retrieval {
         stemmedQ.toDF("query_id", "term"), stemmedQ.map(_._2).distinct, 10)
     },
 
+    // R10: snippet extraction — the highlighting stage every search
+    // serving stack runs after ranking (Lucene's highlighter): for
+    // each query's top-3 BM25 hits, find the 10-token window with the
+    // MOST query-term occurrences (tie → earliest window) and emit it
+    // as the snippet. Window scoring runs entirely on the merged
+    // per-doc position lists from the STORED positional index — the
+    // same artifact r8's phrase serving reads, pruned to the query
+    // terms' buckets (partition filter) and rows (IN filter), then to
+    // the collected hit doc_ids; the snippet token slice reads the
+    // corpus pruned by the same LITERAL doc_id list (row-group
+    // pruning, ≤ queries × 3 docs). The window argmax is a codegen'd
+    // higher-order expression over the sorted positions array (for
+    // each match position, count matches in [p, p+10)) — no window
+    // explode, no self-join. Oracle recomputes from the raw corpus:
+    // ranking, positions, and argmax must agree end to end.
+    QueryDef.sql("r10_snippets",
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $fixtureValuesSql)),
+         |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |${bm25ChainSql(excludeSelf = false)},
+         |hits AS (SELECT query_id, doc_id, rn FROM (
+         |           SELECT query_id, doc_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score_micro DESC, doc_id) AS rn
+         |           FROM agg) WHERE rn <= 3),
+         |pp AS (SELECT doc_id, unnest(toks) AS term,
+         |              generate_subscripts(toks, 1) - 1 AS p FROM dd),
+         |mp AS (SELECT h.query_id, h.doc_id, h.rn, list_sort(list(pp.p)) AS ps
+         |       FROM hits h
+         |       JOIN q ON q.query_id = h.query_id
+         |       JOIN pp ON pp.doc_id = h.doc_id AND pp.term = q.term
+         |       GROUP BY 1, 2, 3),
+         |best AS (SELECT query_id, doc_id, rn,
+         |                list_sort(list_transform(ps, p ->
+         |                  {'negm': -len(list_filter(ps, q2 -> q2 >= p AND q2 < p + 10)),
+         |                   'st': p}))[1] AS b
+         |         FROM mp)
+         |SELECT b2.query_id, b2.rn, b2.doc_id,
+         |       CAST(b2.b.st AS BIGINT) AS win_start,
+         |       CAST(-b2.b.negm AS BIGINT) AS n_in_window,
+         |       array_to_string(dd.toks[b2.b.st + 1 : b2.b.st + 10], ' ') AS snippet
+         |FROM best b2 JOIN dd ON dd.doc_id = b2.doc_id
+         |ORDER BY b2.query_id, b2.rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val terms = fixtureQueries.map(_._2).distinct
+      val qt = fixtureQueries.toDF("query_id", "term")
+      // ranking from the stored index; top-3 per query, COLLECTED
+      // (bounded: queries × 3) so every later read prunes by literals
+      val hits = serveBm25(indexArtifact(s, d), statsArtifact(s, d), qt, terms, 3)
+        .select("query_id", "rn", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val hitDocs = hits.map(_._3).distinct
+      // query-term positions in the hit docs, from the positional
+      // index (bucket + term pruned, then literal doc filter)
+      val pos = posIndexArtifact(s, d)
+        .filter(col("bkt").isin(terms.map(termBucket).distinct.map(Int.box): _*))
+        .filter(col("term").isin(terms: _*))
+        .filter(col("doc_id").isin(hitDocs.map(Long.box): _*))
+        .join(broadcast(qt), Seq("term"))
+      val merged = pos.groupBy("query_id", "doc_id")
+        .agg(sort_array(flatten(collect_list(col("ps")))).as("ps"))
+      val best = merged.withColumn("b", expr(
+        "element_at(array_sort(transform(ps, p -> named_struct(" +
+          "'negm', -size(filter(ps, q2 -> q2 >= p AND q2 < p + 10)), 'st', p))), 1)"))
+      val toks = tokenized(s, d)
+        .filter(col("doc_id").isin(hitDocs.map(Long.box): _*))
+      best
+        .join(broadcast(hits.toDF("query_id", "rn", "doc_id")), Seq("query_id", "doc_id"))
+        .join(broadcast(toks), Seq("doc_id"))
+        .select(col("query_id"), col("rn"), col("doc_id"),
+          col("b.st").cast("long").as("win_start"),
+          (-col("b.negm")).cast("long").as("n_in_window"),
+          array_join(slice(col("toks"), col("b.st") + 1, lit(10)), " ").as("snippet"))
+        .orderBy("query_id", "rn")
+    },
+
     // R5: the recall dial pointed at the HYBRID fusion — r4's own
     // honest finding is that lexical top-10 saturates on this tiny
     // common-word vocabulary; the vector channel exists to cover

@@ -192,6 +192,35 @@ class CorpusPrepSpec extends SparkSpec {
     assert(elapsed < 30.0, f"1000 merges took $elapsed%.1f s — driver-local loop regressed")
   }
 
+  test("tok6: id sequences decode back to the original text, ids are dense over the vocab") {
+    // the round-trip property a tokenizer must hold: decoding every
+    // doc's id sequence through the vocabulary reproduces the doc's
+    // letter stream exactly (segmentation partitions each word, so the
+    // concatenation of decoded subwords == the concatenation of words)
+    import graft.operators.CorpusPrep
+    val (_, state) = CorpusPrep.bpeTrainLocalWithState(
+      spark, CorpusPrep.bpeInit(spark, sf), 3)
+    val syms = state.collect().flatMap(_.getString(0).trim.split(" ")).distinct.sorted
+    val idToSym = syms.zipWithIndex.map { case (s2, i) => (i + 1) -> s2 }.toMap
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("tok6_bpe_ids")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val seen = scala.collection.mutable.Set.empty[Int]
+    rows.foreach { case (docId, n, seq) =>
+      val ids = seq.split(",").map(_.toInt)
+      assert(ids.length == n, s"doc $docId: n_tokens $n != ${ids.length} ids")
+      seen ++= ids
+      val decoded = ids.map(idToSym).mkString("")
+      val orig = "[a-z]+".r.findAllIn(texts(docId).toLowerCase).mkString("")
+      assert(decoded == orig, s"doc $docId fails the decode round-trip")
+    }
+    assert(seen.forall(i => i >= 1 && i <= syms.length),
+      "an emitted id falls outside the dense vocabulary range")
+  }
+
   test("s7: priority keys recount independently (java MD5), sample tilts toward heavy docs") {
     val rows = SparkEntry.queries("s7_weighted_sample")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))

@@ -158,6 +158,31 @@ class RetrievalSpec extends SparkSpec {
       s"indexed path diverged:\n served $served\n scratch $fromScratch")
   }
 
+  test("r10: every snippet window is the true argmax over query-term positions") {
+    // recount the whole highlighting decision driver-side: positions
+    // of the query terms in each hit doc, window counts, argmax with
+    // the earliest-window tie-break, and the emitted token slice
+    val rows = SparkEntry.queries("r10_snippets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == fixture.size,
+      "every fixture query must produce snippets")
+    val byDoc = corpus.toMap
+    rows.foreach { case (qid, _, docId, st, n, snip) =>
+      val toks = byDoc(docId)
+      val qterms = fixture(qid).toSet
+      val ps = toks.zipWithIndex.collect { case (t, i) if qterms(t) => i }
+      assert(ps.nonEmpty, s"hit doc $docId has no query-term match")
+      val (bestN, bestP) = ps.map(p => (ps.count(q => q >= p && q < p + 10), p))
+        .maxBy { case (c, p) => (c, -p) }
+      assert(n == bestN && st == bestP,
+        s"q$qid doc $docId: window ($st, $n) but argmax is ($bestP, $bestN)")
+      assert(snip == toks.slice(st.toInt, st.toInt + 10).mkString(" "),
+        s"q$qid doc $docId: snippet text diverges from the token slice")
+      assert(qterms(toks(st.toInt)), "a best window must start at a match")
+    }
+  }
+
   test("r4: the severity dial is monotone — rank percentile degrades as the copy is junked") {
     val rows = SparkEntry.queries("r4_retrieval_recall")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
