@@ -394,6 +394,10 @@ object VersionedStore {
           f.delete(st.getPath, false)
         else if (n.startsWith(IntentPrefix) && stale)
           f.delete(st.getPath, false)
+        else if (n.startsWith(".MAINT_LEASE.reclaim_") && stale)
+          // a lease reclaimer that crashed between its takeover rename
+          // and the delete leaves this orphan — harmless, but GC it
+          f.delete(st.getPath, false)
       }
     } catch { case _: java.io.IOException => () }
   }
@@ -434,6 +438,14 @@ object VersionedStore {
     *    stale lock and a new writer re-created it inside our
     *    stat-to-rename window — the winner renames it back and keeps
     *    waiting; it never enters on a stolen live lease.
+    *
+    * The lock file carries the holder's UUID: heartbeat renewal and
+    * the release delete both verify the lock is still OURS first, so a
+    * holder that was paused past the TTL and taken over cannot, on
+    * resume, refresh or delete the new holder's lease (the residual
+    * check-to-delete window requires a second >TTL pause landing
+    * exactly between the two — the heartbeat has just refreshed the
+    * mtime at that point).
     */
   def withMaintenanceLease[T](spark: SparkSession, base: String)(body: => T): T =
     maintLocks.computeIfAbsent(base, _ => new Object).synchronized {
@@ -443,10 +455,26 @@ object VersionedStore {
       val lock = new Path(basePath, ".MAINT_LEASE")
       val ttl = intentTtlMs(spark)
       val deadline = System.currentTimeMillis() + ttl
+      // the holder's identity, written INTO the lock: release deletes
+      // the lock only if it is still ours. Without this, a holder
+      // paused past the TTL (GC, CPU starvation) that was taken over
+      // would, on resume, delete the NEW holder's lock in its finally
+      // — reopening the mutual exclusion it had already lost.
+      val holderId = java.util.UUID.randomUUID().toString
+      def createLock(): Unit = {
+        val out = f.create(lock, false)
+        try out.write(holderId.getBytes(UTF_8)) finally out.close()
+      }
+      def lockIsOurs(): Boolean = try {
+        val in = f.open(lock)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        content == holderId
+      } catch { case _: java.io.IOException => false }
       var acquired = false
       while (!acquired) {
         try {
-          f.create(lock, false).close()
+          createLock()
           acquired = true
         } catch {
           case e: java.io.IOException =>
@@ -476,7 +504,9 @@ object VersionedStore {
         try {
           while (!Thread.currentThread().isInterrupted) {
             Thread.sleep(math.max(ttl / 4, 1))
-            try f.setTimes(lock, System.currentTimeMillis(), -1)
+            // renew only OUR lock — after a takeover the path holds the
+            // new holder's lease and touching it would be interference
+            try { if (lockIsOurs()) f.setTimes(lock, System.currentTimeMillis(), -1) }
             catch { case _: java.io.IOException => () }
           }
         } catch { case _: InterruptedException => () }
@@ -487,7 +517,8 @@ object VersionedStore {
       finally {
         beat.interrupt()
         beat.join(1000)
-        try f.delete(lock, false) catch { case _: java.io.IOException => () }
+        try { if (lockIsOurs()) f.delete(lock, false) }
+        catch { case _: java.io.IOException => () }
       }
     }
 

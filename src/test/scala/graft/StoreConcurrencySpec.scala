@@ -227,6 +227,48 @@ class StoreConcurrencySpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.store.intentTtlMs", (15L * 60 * 1000).toString)
   }
 
+  test("maintenance lease: a taken-over holder neither renews nor deletes the successor's lock") {
+    // the pause-past-TTL scenario: a holder that loses its lease to a
+    // reclaimer must not, on resume, touch the path — the lock now
+    // belongs to someone else. The lock carries the holder's UUID and
+    // both the heartbeat and the release delete verify ownership.
+    val base = tmpDir("graft-lease-steal")
+    val basePath = new Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val lock = new Path(basePath, ".MAINT_LEASE")
+    spark.conf.set("spark.graft.store.intentTtlMs", "600")
+    try {
+      val done = new CountDownLatch(1)
+      val holder = new Thread(() =>
+        VersionedStore.withMaintenanceLease(spark, base) {
+          Thread.sleep(1200); done.countDown()
+        })
+      holder.start()
+      val deadline = System.currentTimeMillis() + 5000
+      while (!fs.exists(lock) && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(fs.exists(lock), "holder never acquired")
+      // simulate a takeover: the lock is replaced by a successor's
+      // (different UUID content) while the original holder still runs
+      fs.delete(lock, false)
+      val out = fs.create(lock, true)
+      try out.write("successor-holder".getBytes("UTF-8")) finally out.close()
+      val m0 = fs.getFileStatus(lock).getModificationTime
+      assert(done.await(5, TimeUnit.SECONDS), "holder wedged")
+      holder.join(2000)
+      assert(fs.exists(lock),
+        "the resumed original holder deleted the successor's lock")
+      assert(fs.getFileStatus(lock).getModificationTime == m0,
+        "the original holder's heartbeat renewed the successor's lock")
+      val in = fs.open(lock)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      assert(content == "successor-holder")
+      fs.delete(lock, false)
+    } finally spark.conf.set("spark.graft.store.intentTtlMs", (15L * 60 * 1000).toString)
+  }
+
   test("batch fold maintenance racing streaming postings ingest: neither write lost") {
     // the round-9 untested seam: the lease serializes BATCH maintenance
     // and the checkpoint epoch guard serializes STREAMING owners, but a
