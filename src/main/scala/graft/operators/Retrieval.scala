@@ -1059,6 +1059,52 @@ object Retrieval {
         .orderBy("query_id", "rn")
     },
 
+    // R11: spelling correction — the "did you mean" stage every search
+    // engine pairs with its term dictionary (Lucene's spellchecker):
+    // for each misspelled input, the vocabulary terms within edit
+    // distance 2, ranked (distance asc, df desc, term asc) top-3 —
+    // closer beats popular, popular breaks ties. The dictionary is the
+    // DISTINCT (term, df) projection of the stored postings artifact
+    // (df is denormalized on every posting, so the projection needs no
+    // corpus aggregation — a column-pruned postings scan collapsing to
+    // the vocab-bounded term set; a production layout materializes it
+    // once as its own artifact). Candidate generation is the
+    // vocab-bounded dictionary × the BROADCAST misspelling set with a
+    // codegen'd levenshtein — both engines implement classic unit-cost
+    // edit distance, so the integer distances agree exactly. A query
+    // beyond distance 2 from everything simply yields no rows.
+    QueryDef.sql("r11_spell_correct",
+      """WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+        |vocab AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |          FROM (SELECT doc_id, unnest(toks) AS term FROM dd) GROUP BY 1),
+        |q(qid, mis) AS (SELECT * FROM (VALUES
+        |  (0, 'spak'), (1, 'joinn'), (2, 'windw'), (3, 'custmer'),
+        |  (4, 'tble'), (5, 'zzzzzzzzzz'))),
+        |cand AS (SELECT q.qid, q.mis, v.term,
+        |                CAST(levenshtein(q.mis, v.term) AS BIGINT) AS dist, v.df
+        |         FROM q CROSS JOIN vocab v
+        |         WHERE levenshtein(q.mis, v.term) <= 2),
+        |ranked AS (SELECT qid, mis, term, dist, df,
+        |                  row_number() OVER (PARTITION BY qid
+        |                                     ORDER BY dist, df DESC, term) AS rn
+        |           FROM cand)
+        |SELECT qid, rn, mis, term AS suggestion, dist, df
+        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val mis = Seq((0, "spak"), (1, "joinn"), (2, "windw"),
+        (3, "custmer"), (4, "tble"), (5, "zzzzzzzzzz"))
+      val vocab = indexArtifact(s, d).select("term", "df").distinct()
+      vocab.crossJoin(broadcast(mis.toDF("qid", "mis")))
+        .withColumn("dist", levenshtein(col("mis"), col("term")).cast("long"))
+        .filter(col("dist") <= 2)
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("df").desc, col("term").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("mis"),
+          col("term").as("suggestion"), col("dist"), col("df"))
+        .orderBy("qid", "rn")
+    },
+
     // R5: the recall dial pointed at the HYBRID fusion — r4's own
     // honest finding is that lexical top-10 saturates on this tiny
     // common-word vocabulary; the vector channel exists to cover

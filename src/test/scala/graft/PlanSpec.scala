@@ -456,6 +456,50 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "pass 2 must score from postings, not rescan the corpus")
   }
 
+  test("r10 snippets: positional scans bucket-pruned, corpus read doc_id-literal-pruned") {
+    // highlighting reads two stores, each pruned by bounded literals:
+    // the positional artifact by the query terms' buckets + term IN,
+    // and the corpus by the collected hit doc_id list — at 100 TB this
+    // plan opens the terms' buckets and ≤ queries×3 documents' row
+    // groups, nothing else
+    val df = SparkEntry.queries("r10_snippets")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val posScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("bm25_pospostings")) => f
+    }
+    assert(posScans.nonEmpty, "expected positional-artifact scans")
+    assert(posScans.forall(_.partitionFilters.exists(_.toString.contains("bkt"))),
+      "a positional scan is missing its bkt partition filter")
+    assert(posScans.forall(_.metadata.get("PushedFilters").exists(_.contains("In(term"))),
+      "a positional scan is missing the term IN pushdown")
+    val corpusScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents.parquet")) => f
+    }
+    assert(corpusScans.nonEmpty, "the snippet slice must read the corpus")
+    assert(corpusScans.forall(_.metadata.get("PushedFilters").exists(_.contains("In(doc_id"))),
+      "the corpus read must push the literal hit doc_id list")
+  }
+
+  test("tok6: the word-to-ids encode join broadcasts; no corpus-to-vocab shuffle") {
+    // the encode's only corpus-sized stages are the posexploded word
+    // stream and the per-doc reassembly groupBy; the vocab map must
+    // reach it as a broadcast, never by shuffling the corpus to a
+    // dimension
+    val df = SparkEntry.queries("tok6_bpe_ids")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected the vocab join")
+    assert(joins.forall(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"non-broadcast join in the encode: ${joins.map(_.nodeName).mkString(", ")}")
+  }
+
   test("r6/r7: phrase shingles and both expansion passes keep every join broadcast") {
     // r6's phrase match is a map-only bigram generate + broadcast
     // phrase filter; r7's pass-2 weighted rescoring meets its bounded

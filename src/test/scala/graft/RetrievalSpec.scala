@@ -183,6 +183,40 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("r11: suggestions recount against a driver-side edit distance and df") {
+    // independent replay: java-side Levenshtein over the collected
+    // vocabulary, df recounted from the corpus, the same
+    // (dist, df desc, term) ranking — the engine's codegen'd
+    // levenshtein and index-served df must agree with both
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val dfT = corpus.flatMap { case (id, toks) => toks.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val got = SparkEntry.queries("r11_spell_correct")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val mis = Map(0 -> "spak", 1 -> "joinn", 2 -> "windw", 3 -> "custmer",
+      4 -> "tble", 5 -> "zzzzzzzzzz")
+    // no-candidate query yields no rows
+    assert(!got.exists(_._1 == 5), "the beyond-distance-2 query must be empty")
+    for ((qid, m) <- mis if qid != 5) {
+      val want = dfT.keys.toSeq.map(t => (lev(m, t), t))
+        .filter(_._1 <= 2)
+        .sortBy { case (dist, t) => (dist, -dfT(t), t) }
+        .take(3).zipWithIndex
+        .map { case ((dist, t), i) => (qid, i + 1, m, t, dist.toLong, dfT(t)) }
+      val rows = got.filter(_._1 == qid).sortBy(_._2).toSeq
+      assert(rows == want, s"q$qid diverged:\n engine $rows\n replay $want")
+    }
+  }
+
   test("r4: the severity dial is monotone — rank percentile degrades as the copy is junked") {
     val rows = SparkEntry.queries("r4_retrieval_recall")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
