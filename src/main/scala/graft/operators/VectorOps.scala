@@ -904,8 +904,142 @@ object VectorOps {
           round(avg(when(col("n2") > 0, sqrt(col("n2").cast("double")) / 1e6)), 6)
             .as("avg_norm"))
         .orderBy("label")
+    },
+
+    // V15: MMR diversified re-ranking (Carbonell & Goldstein 1998) —
+    // the post-retrieval stage a RAG serving stack runs so the k
+    // passages handed to the model aren't five copies of the same
+    // fact: greedily select 5 of each query's top-20 cosine candidates,
+    // each pick maximizing λ·rel − (1−λ)·max-sim-to-already-selected
+    // (λ = 1/2; the reported mmr_micro is the ×2-scaled score
+    // rel − maxsim, argmax-identical). Determinism discipline:
+    // relevance and pairwise similarity are quantized to integer
+    // MICRO-COSINES (ROUND(1e6·cos) — the same double expression both
+    // engines already share for v1) BEFORE the greedy loop, so every
+    // selection compares exact integers and ties break on cand_id.
+    // 100 TB shape: candidate generation is v1's map-only literal-
+    // query pass + one top-k window; pairwise similarity runs on the
+    // BOUNDED candidate set (≤ queries × 20 vectors, literal-pruned
+    // embedding read, broadcast cross join); the greedy itself is
+    // O(k²·n) over ≤ queries × 20 collected rows — re-rankers run on
+    // the candidate set, never the corpus (the oracle unrolls the same
+    // 5 steps as CTEs and must agree pick-for-pick).
+    QueryDef.sql("v15_mmr_rerank", {
+      val steps = (2 to 5).map(mmrStepSql).mkString(",\n")
+      s"""WITH el AS MATERIALIZED ($elementsSql),
+         |norms AS MATERIALIZED (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM el GROUP BY vec_id),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         CAST(SUM(q.xi * c.xi) AS BIGINT) AS dot
+         |  FROM el q JOIN el c ON q.pos = c.pos
+         |    AND q.vec_id % 20 = 0 AND q.vec_id < 100 AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+         |                                     cand_id) AS rn
+         |  FROM dots JOIN norms nq ON query_id = nq.vec_id
+         |            JOIN norms nc ON cand_id = nc.vec_id),
+         |cands AS MATERIALIZED (SELECT query_id, cand_id,
+         |                 CAST(ROUND(1000000 * cos, 0) AS BIGINT) AS rel
+         |          FROM scored WHERE rn <= 20),
+         |cid AS (SELECT DISTINCT cand_id FROM cands),
+         |pd AS (SELECT a.vec_id AS c1, b.vec_id AS c2, CAST(SUM(a.xi * b.xi) AS BIGINT) AS dot
+         |       FROM el a JOIN el b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+         |       WHERE a.vec_id IN (SELECT cand_id FROM cid)
+         |         AND b.vec_id IN (SELECT cand_id FROM cid)
+         |       GROUP BY 1, 2),
+         |sims AS MATERIALIZED (SELECT c1, c2,
+         |                CAST(ROUND(1000000 * (CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))), 0) AS BIGINT) AS sim
+         |         FROM pd JOIN norms na ON c1 = na.vec_id
+         |                 JOIN norms nb ON c2 = nb.vec_id),
+         |sel1 AS (SELECT query_id, cand_id, rel, rel AS mmr FROM (
+         |           SELECT query_id, cand_id, rel,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY rel DESC, cand_id) AS rw
+         |           FROM cands) WHERE rw = 1),
+         |selall1 AS MATERIALIZED (SELECT query_id, 1 AS rn, cand_id, rel, mmr FROM sel1),
+         |$steps
+         |SELECT query_id, rn, cand_id, rel AS rel_micro, mmr AS mmr_micro
+         |FROM selall5 ORDER BY query_id, rn""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 100)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val qCos = queries.map { case (qid, arr) =>
+        struct(lit(qid).as("query_id"),
+          call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("cos"))
+      }
+      // candidate generation: v1's map-only pass, top-20, micro-quantized
+      val cands = emb.select(col("vec_id").as("cand_id"),
+          explode(array(qCos.toSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.cos"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(desc("cos"), asc("cand_id"))))
+        .filter(col("rn") <= 20)
+        .select(col("query_id"), col("cand_id"),
+          expr("CAST(ROUND(1000000 * cos, 0) AS BIGINT)").as("rel"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // pairwise micro-cosines on the BOUNDED candidate set, computed
+      // by the same codegen'd expression the corpus pass uses
+      val candIds = cands.map(_._2).distinct
+      val embC = emb.filter(col("vec_id").isin(candIds.map(Long.box): _*))
+      val sims = embC.select(col("vec_id").as("c1"), col("embedding").as("e1"))
+        .crossJoin(broadcast(
+          embC.select(col("vec_id").as("c2"), col("embedding").as("e2"))))
+        .filter(col("c1") =!= col("c2"))
+        .select(col("c1"), col("c2"),
+          expr("CAST(ROUND(1000000 * cosine_sim_q(e1, e2), 0) AS BIGINT)").as("sim"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      // greedy selection — exact integer comparisons, ties to cand_id
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long, Long)]
+      cands.groupBy(_._1).toSeq.foreach { case (qid, cs) =>
+        var pool = cs.map(c => (c._2, c._3)).toSeq
+        var selected = Seq.empty[Long]
+        for (step <- 1 to 5 if pool.nonEmpty) {
+          val (cand, rel, mmr) = pool.map { case (c, r) =>
+            val m = if (selected.isEmpty) r
+              else r - selected.map(sv => sims((c, sv))).max
+            (c, r, m)
+          }.maxBy { case (c, _, m) => (m, -c) }
+          out += ((qid, step, cand, rel, mmr))
+          selected = selected :+ cand
+          pool = pool.filterNot(_._1 == cand)
+        }
+      }
+      out.sortBy(t => (t._1, t._2)).toSeq
+        .toDF("query_id", "rn", "cand_id", "rel_micro", "mmr_micro")
+        .orderBy("query_id", "rn")
     }
   )
+
+  /** One unrolled MMR greedy step for the v15 oracle: pool = candidates
+    * minus selected, score each pool member rel − max(sim to any
+    * selected), pick the (mmr desc, cand_id asc) argmax, append to the
+    * running selection with its step number.
+    */
+  private def mmrStepSql(i: Int): String =
+    s"""pool$i AS (SELECT c.query_id, c.cand_id, c.rel FROM cands c
+       |           LEFT JOIN selall${i - 1} s
+       |             ON s.query_id = c.query_id AND s.cand_id = c.cand_id
+       |           WHERE s.cand_id IS NULL),
+       |sc$i AS (SELECT p.query_id, p.cand_id, p.rel, p.rel - MAX(sm.sim) AS mmr
+       |         FROM pool$i p
+       |         JOIN selall${i - 1} s ON s.query_id = p.query_id
+       |         JOIN sims sm ON sm.c1 = p.cand_id AND sm.c2 = s.cand_id
+       |         GROUP BY 1, 2, 3),
+       |sel$i AS (SELECT query_id, cand_id, rel, mmr FROM (
+       |            SELECT query_id, cand_id, rel, mmr,
+       |                   row_number() OVER (PARTITION BY query_id
+       |                                      ORDER BY mmr DESC, cand_id) AS rw
+       |            FROM sc$i) WHERE rw = 1),
+       |selall$i AS MATERIALIZED (SELECT * FROM selall${i - 1}
+       |             UNION ALL SELECT query_id, $i AS rn, cand_id, rel, mmr FROM sel$i)""".stripMargin
 
   /** v9's fixture plan (fixed vec_id < 10 query set, k = 10), shared by
     * the v9 oracle query and the v11 recall eval. Candidates carry

@@ -1094,6 +1094,66 @@ class OpsSpec extends SparkSpec {
     assert(keyed == all, "keyed broadcast scoring diverges from all-pairs scoring")
   }
 
+  test("v15 MMR: selections are genuinely diversified and start at the relevance argmax") {
+    // the property MMR exists for: within each query, the 5 selected
+    // candidates' mean pairwise similarity must not exceed that of the
+    // naive top-5-by-relevance set (equality allowed — on some queries
+    // the two sets coincide), with at least one query strictly
+    // diversified; and the first pick must be the pure relevance argmax
+    val d = "/root/testdata/sf0.001"
+    graft.functions.NativeFunctions.register(spark)
+    val rows = SparkEntry.queries("v15_mmr_rerank")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.values.forall(_.length == 5))
+    val emb = graft.sources.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < a.length) {
+        val xa = math.round(a(i).toDouble * 1e6)
+        val xb = math.round(b(i).toDouble * 1e6)
+        dot += xa * xb; na += xa * xa; nb += xb * xb; i += 1
+      }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- ids.indices if i < j)
+        yield cos(emb(ids(i)), emb(ids(j)))
+      ps.sum / ps.length
+    }
+    var strict = 0
+    for ((qid, sel) <- byQ) {
+      val ordered = sel.sortBy(_._2)
+      // first pick = max rel (ties cand asc) among the union of what we
+      // can see; at minimum it must carry the highest rel_micro of the
+      // five selected and mmr == rel on step 1
+      assert(ordered.head._4 == ordered.map(_._4).max,
+        s"q$qid: first pick is not the relevance argmax of the selection")
+      assert(ordered.head._4 == ordered.head._5, s"q$qid: step-1 mmr must equal rel")
+      // mmr = rel − max-sim-to-selected with sim ∈ [−1e6, 1e6] micro
+      // (an anti-correlated nearest-selected legitimately RAISES mmr
+      // above rel), so the exact bound is rel ± 1e6
+      assert(ordered.tail.forall(r =>
+        r._5 >= r._4 - 1000000L && r._5 <= r._4 + 1000000L),
+        s"q$qid: a step's mmr is outside the rel ± max-cosine band")
+      // diversity vs the naive top-5-by-relevance, recounted driver-side
+      // over the full corpus with the same quantized cosine
+      val q = emb(qid)
+      val naive = emb.keys.filter(_ != qid).toSeq
+        .map(c => (c, cos(q, emb(c))))
+        .sortBy { case (c, s2) => (-s2, c) }.take(5).map(_._1)
+      val mmrSim = meanPairSim(ordered.map(_._3).toSeq)
+      val naiveSim = meanPairSim(naive)
+      assert(mmrSim <= naiveSim + 1e-9,
+        s"q$qid: MMR set less diverse than naive top-5 ($mmrSim vs $naiveSim)")
+      if (mmrSim < naiveSim - 1e-9) strict += 1
+    }
+    assert(strict >= 1, "MMR never diversified beyond the naive top-5 anywhere")
+  }
+
   test("ivfServe: a 32-query batch (broadcast LUT path) reproduces v9 per query exactly") {
     val d = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
