@@ -92,11 +92,31 @@ object StreamPostings {
   def served(spark: SparkSession, storeDir: String): DataFrame =
     Retrieval.withDf(postings(spark, storeDir).drop("b"))
 
+  /** The default analyzer: lowercase → [a-z]+ tokens — r1's chain. */
+  val RawAnalyzer = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+
+  /** The stemmed analyzer — the streaming twin of
+    * `Retrieval.stemmedIndexArtifact`'s build-time chain, so a
+    * stemmed-search deployment can keep ITS index fresh under
+    * streaming append too (the same staleness symmetry argument that
+    * brought the positional store its ingest). Query-side stemming
+    * stays `Retrieval.stemScala` — analyzer parity is the operator's
+    * contract, spec-pinned for the batch path and inherited verbatim
+    * here because both paths interpolate the SAME stemSql.
+    */
+  def stemmedAnalyzer: String =
+    s"transform(${RawAnalyzer}, t -> ${Retrieval.stemSql("t")})"
+
   /** Start the ingest over a `(doc_id, text)` source. The STORE is the
     * output — readers serve via [[served]] + `Retrieval.serveBm25`.
+    * `analyzer` is the token-projection expression applied to `text`
+    * per micro-batch (the ONE definition of the store's analyzer —
+    * build-side only, queries must stem/normalize to match); it must
+    * be deterministic, or replays stop being byte-identical.
     */
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      analyzer: String = RawAnalyzer): StreamingQuery = {
     import org.apache.spark.sql.functions._
     var ownershipVerified = false
     docs.writeStream
@@ -111,7 +131,7 @@ object StreamPostings {
           ownershipVerified = true
         }
         val raw = Retrieval.rawPostings(batch.select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+          expr(analyzer).as("toks")))
         // one marker per incoming doc_id — see the object scaladoc
         val markers = batch.select(col("doc_id")).distinct()
           .select(lit("").as("term"), col("doc_id"),

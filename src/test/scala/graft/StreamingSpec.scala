@@ -1066,6 +1066,44 @@ class StreamingSpec extends SparkSpec {
       "checkpoint restart perturbed the positional store")
   }
 
+  test("streaming stemmed-analyzer ingest matches the batch stemmed build, analyzer applied") {
+    // the stemmed index's streaming twin: same delta discipline, the
+    // analyzer swapped at start() — a stemmed-search deployment keeps
+    // its index fresh under append exactly like the raw one
+    import graft.operators.Retrieval
+    import graft.streaming.StreamPostings
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq :+
+      ((900001L, "tables queries flies")) // stems: table, query, fly
+    val store = tmpDir("graft-stempost") + "/store"
+    val cp = tmpDir("graft-stempost-cp")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamPostings.start(in.toDF().toDF("doc_id", "text"), store, cp,
+      analyzer = StreamPostings.stemmedAnalyzer)
+    docs.grouped((docs.size + 1) / 2).foreach { g =>
+      in.addData(g: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "doc_id", "tf", "dl").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val batchBuilt = Retrieval.rawPostings(
+      docs.toDF("doc_id", "text").select(col("doc_id"),
+        expr(StreamPostings.stemmedAnalyzer).as("toks")))
+    assert(norm(StreamPostings.served(spark, store).drop("df")) == norm(batchBuilt),
+      "streamed stemmed store diverged from the batch stemmed build")
+    // the analyzer really ran: the plural-only doc serves under stems
+    val planted = StreamPostings.served(spark, store)
+      .filter(col("doc_id") === 900001L)
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(planted == Set("table", "query", "fly"),
+      s"stemmed analyzer not applied in the stream: $planted")
+  }
+
   test("postings tombstones: a doc reissued with zero-token text disappears from both stores") {
     // the served-from-newest-text-only contract in its nastiest corner:
     // the new text tokenizes to NOTHING, so the reissue batch emits no
