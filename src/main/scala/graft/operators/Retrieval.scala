@@ -62,12 +62,22 @@ object Retrieval {
     fixtureQueries.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
       .mkString(", ")
 
+  /** The default analyzer: lowercase → [a-z]+ token projection — ONE
+    * definition shared by the corpus scan, every maintenance op, and
+    * (via StreamPostings.RawAnalyzer) the streaming ingest.
+    */
+  private[graft] val RawAnalyzerSql = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+
+  /** The stemmed analyzer — [[RawAnalyzerSql]] + the S-stem stage. */
+  private[graft] def stemmedAnalyzerSql: String =
+    s"transform($RawAnalyzerSql, t -> ${stemSql("t")})"
+
   /** Narrow per-document token projection: ONE corpus scan feeding
     * tokens, document length, and the corpus stats.
     */
   private[graft] def tokenized(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
-      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+      expr(RawAnalyzerSql).as("toks"))
 
   /** BM25 scores (query_id, doc_id, score_micro) for an arbitrary
     * (query_id, term) frame. `qterms` must be small (it broadcasts);
@@ -198,6 +208,14 @@ object Retrieval {
     * broadcast. Re-adding a CHANGED document is not an update —
     * [[updatePostings]] is (delete-then-add in one publish).
     *
+    * `analyzer` is the store's token projection (default raw; pass
+    * [[stemmedAnalyzerSql]] for a stemmed store) — ONE analyzer per
+    * store for its whole life: mixing analyzers across maintenance ops
+    * silently fragments a term's postings across surface forms, the
+    * drift bug the parity specs exist to catch. Callers own that
+    * consistency (a production store would persist the analyzer id in
+    * the store and refuse a mismatch).
+    *
     * SINGLE-WRITER CONTRACT (append/update/delete): each maintenance
     * op reads the current version and publishes its successor; two
     * CONCURRENT maintenance ops would both read the same base and the
@@ -212,7 +230,8 @@ object Retrieval {
     * serialization. Concurrent READERS stay lock-free and are safe
     * during any maintenance op (OpsSpec pins that too).
     */
-  def appendPostings(s: SparkSession, base: String, newDocs: DataFrame): DataFrame =
+  def appendPostings(s: SparkSession, base: String, newDocs: DataFrame,
+      analyzer: String = RawAnalyzerSql): DataFrame =
     graft.sinks.VersionedStore.maintain(s, base) { cur0 =>
       // bkt is layout, not content — dropped here, recomputed by the
       // bucketed write
@@ -223,7 +242,7 @@ object Retrieval {
         case None => newDocs
       }
       val add = rawPostings(fresh.select(col("doc_id"),
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+        expr(analyzer).as("toks")))
       withDf(cur.map(_.unionByName(add)).getOrElse(add))
     }(writeBucketed)
 
@@ -238,10 +257,11 @@ object Retrieval {
     * the store + the posting-sized df window — same shape as an
     * append; the untouched corpus is never re-tokenized.
     */
-  def updatePostings(s: SparkSession, base: String, docs: DataFrame): DataFrame =
+  def updatePostings(s: SparkSession, base: String, docs: DataFrame,
+      analyzer: String = RawAnalyzerSql): DataFrame =
     graft.sinks.VersionedStore.maintain(s, base) { cur =>
       val add = rawPostings(docs.select(col("doc_id"),
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+        expr(analyzer).as("toks")))
       val kept = cur.map(_.drop("df").drop("bkt")
         .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
       withDf(kept.map(_.unionByName(add)).getOrElse(add))
@@ -348,7 +368,8 @@ object Retrieval {
     * guard + union + bucketed rewrite. Append-then-serve equals
     * one-shot-build-then-serve exactly (OpsSpec pins it).
     */
-  def appendPosPostings(s: SparkSession, base: String, newDocs: DataFrame): DataFrame =
+  def appendPosPostings(s: SparkSession, base: String, newDocs: DataFrame,
+      analyzer: String = RawAnalyzerSql): DataFrame =
     graft.sinks.VersionedStore.maintain(s, base) { cur0 =>
       val cur = cur0.map(_.drop("bkt"))
       val fresh = cur match {
@@ -357,7 +378,7 @@ object Retrieval {
         case None => newDocs
       }
       val add = rawPosPostings(fresh.select(col("doc_id"),
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+        expr(analyzer).as("toks")))
       cur.map(_.unionByName(add)).getOrElse(add)
     }(writeBucketed)
 
@@ -457,9 +478,7 @@ object Retrieval {
         array_join(transform(split(col("text"), " "),
           w => concat(w, lit("s"))), " ").as("text"))
     docs0.union(planted)
-      .select(col("doc_id"),
-        expr(s"transform(regexp_extract_all(lower(text), '[a-z]+', 0), t -> ${stemSql("t")})")
-          .as("toks"))
+      .select(col("doc_id"), expr(stemmedAnalyzerSql).as("toks"))
   }
 
   /** The stemmed-analyzer inverted index as a bucketed corpus artifact

@@ -92,8 +92,10 @@ object StreamPostings {
   def served(spark: SparkSession, storeDir: String): DataFrame =
     Retrieval.withDf(postings(spark, storeDir).drop("b"))
 
-  /** The default analyzer: lowercase → [a-z]+ tokens — r1's chain. */
-  val RawAnalyzer = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+  /** The default analyzer: lowercase → [a-z]+ tokens — r1's chain,
+    * the SAME definition the batch maintenance ops use.
+    */
+  val RawAnalyzer: String = Retrieval.RawAnalyzerSql
 
   /** The stemmed analyzer — the streaming twin of
     * `Retrieval.stemmedIndexArtifact`'s build-time chain, so a
@@ -104,8 +106,7 @@ object StreamPostings {
     * contract, spec-pinned for the batch path and inherited verbatim
     * here because both paths interpolate the SAME stemSql.
     */
-  def stemmedAnalyzer: String =
-    s"transform(${RawAnalyzer}, t -> ${Retrieval.stemSql("t")})"
+  def stemmedAnalyzer: String = Retrieval.stemmedAnalyzerSql
 
   /** Start the ingest over a `(doc_id, text)` source. The STORE is the
     * output — readers serve via [[served]] + `Retrieval.serveBm25`.

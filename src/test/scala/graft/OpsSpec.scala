@@ -1235,6 +1235,36 @@ class OpsSpec extends SparkSpec {
       .readVersion(spark, base, vs(vs.size - 2)).count() == oldV.count())
   }
 
+  test("bm25 stemmed-analyzer append: batch CRUD under the stemmed analyzer equals one-shot") {
+    // the batch twin of the streaming stemmed ingest: the maintenance
+    // ops take the analyzer, and a store maintained with the stemmed
+    // analyzer across two appends must equal the one-shot stemmed
+    // build — analyzer consistency across a store's life is the
+    // operator contract (the scaladoc's one-analyzer-per-store rule)
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+      .union(Seq((900001L, "tables queries flies")).toDF("doc_id", "text"))
+    val base = tmpDir("graft-bm25-stem-index") + "/postings"
+    Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 3 =!= 0),
+      analyzer = Retrieval.stemmedAnalyzerSql)
+    val store = Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 3 === 0),
+      analyzer = Retrieval.stemmedAnalyzerSql)
+    def normalized(p: org.apache.spark.sql.DataFrame) =
+      p.select("term", "doc_id", "tf", "dl", "df")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    val oneShot = Retrieval.withDf(Retrieval.rawPostings(
+      docs.select(col("doc_id"), expr(Retrieval.stemmedAnalyzerSql).as("toks"))))
+    assert(normalized(store.drop("bkt")) == normalized(oneShot),
+      "stemmed appended store diverged from the one-shot stemmed build")
+    // the analyzer really ran: the plural-only doc is indexed under stems
+    val planted = store.filter(col("doc_id") === 900001L)
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(planted == Set("table", "query", "fly"), s"unexpected stems: $planted")
+  }
+
   test("bm25 index append: bootstrap + append equals one-shot build, serves identically") {
     import spark.implicits._
     import graft.operators.Retrieval
