@@ -1114,6 +1114,100 @@ object TextOps {
             .as("char_share_ppm"),
           round(lit(-1.0) * p * log(p), 6).as("ent_contrib"))
         .orderBy("source")
+    },
+
+    // T17: pipeline ablation waterfall — the per-stage survival report
+    // every training-data paper publishes (and every pipeline owner
+    // watches): docs and chars surviving length → language →
+    // repetition → exact-dedup, with retention vs raw and vs the
+    // previous stage in exact ppm. Copies of every 4th doc are planted
+    // (the d17 discipline — this corpus has no organic exact dupes, so
+    // without plants the dedup stage would report a vacuous 100%).
+    // Stage predicates are self-contained: n_chars >= 150, lang = 'en',
+    // max single-token share <= 12% (the t8 repetition signal), first
+    // copy per md5(text) — planted copies are byte-identical to their
+    // originals, so every stage flag agrees within a dup group and the
+    // global first-copy equals the survivor-restricted one.
+    // 100 TB shape: ONE corpus scan computes all flags (the repetition
+    // flag adds the per-doc token rollup — map-side-combined, the only
+    // corpus shuffle beside the md5 window), the five stage aggregates
+    // are map-side-combined counts, and the waterfall windows run over
+    // FIVE rows. Reporting five stages costs one pipeline pass, not
+    // five.
+    QueryDef.sql("t17_pipeline_waterfall",
+      """WITH aug AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text, lang, n_chars
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |rep AS (SELECT doc_id, 1000000 * MAX(c) // SUM(c) AS max_share_ppm FROM (
+        |          SELECT doc_id, COUNT(*) AS c FROM (
+        |            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |            FROM aug) GROUP BY doc_id, t)
+        |        GROUP BY doc_id),
+        |flags AS (SELECT a.doc_id, a.n_chars,
+        |                 CASE WHEN a.n_chars >= 150 THEN 1 ELSE 0 END AS f1,
+        |                 CASE WHEN a.lang = 'en' THEN 1 ELSE 0 END AS f2,
+        |                 CASE WHEN r.max_share_ppm <= 120000 THEN 1 ELSE 0 END AS f3,
+        |                 CASE WHEN row_number() OVER (PARTITION BY md5(a.text)
+        |                                              ORDER BY a.doc_id) = 1
+        |                      THEN 1 ELSE 0 END AS f4
+        |          FROM aug a JOIN rep r USING (doc_id)),
+        |stages AS (
+        |  SELECT 0 AS stage_id, 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total FROM flags
+        |  UNION ALL SELECT 1, 'length', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM flags WHERE f1 = 1
+        |  UNION ALL SELECT 2, 'language', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM flags
+        |            WHERE f1 = 1 AND f2 = 1
+        |  UNION ALL SELECT 3, 'repetition', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM flags
+        |            WHERE f1 = 1 AND f2 = 1 AND f3 = 1
+        |  UNION ALL SELECT 4, 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM flags
+        |            WHERE f1 = 1 AND f2 = 1 AND f3 = 1 AND f4 = 1)
+        |SELECT stage_id, stage, n_docs, n_chars_total,
+        |       CAST(1000000 * n_docs // FIRST_VALUE(n_docs) OVER (ORDER BY stage_id) AS BIGINT) AS retained_ppm,
+        |       CAST(1000000 * n_docs // LAG(n_docs, 1, n_docs) OVER (ORDER BY stage_id) AS BIGINT) AS step_ppm
+        |FROM stages ORDER BY stage_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "n_chars")
+      val aug = docs.union(docs.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          col("text"), col("lang"), col("n_chars")))
+      val rep = aug
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(expr("1000000 * MAX(c) div SUM(c)").as("max_share_ppm"))
+      val flags = aug.join(rep, Seq("doc_id"))
+        .withColumn("f1", when(col("n_chars") >= 150, 1).otherwise(0))
+        .withColumn("f2", when(col("lang") === "en", 1).otherwise(0))
+        .withColumn("f3", when(col("max_share_ppm") <= 120000, 1).otherwise(0))
+        .withColumn("f4", when(row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))) === 1, 1)
+          .otherwise(0))
+        .select("doc_id", "n_chars", "f1", "f2", "f3", "f4")
+      def stage(id: Int, name: String, pred: org.apache.spark.sql.Column) =
+        flags.filter(pred).agg(
+          lit(id).as("stage_id"), lit(name).as("stage"),
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("n_chars").cast("long").as("n_chars_total"))
+          .select("stage_id", "stage", "n_docs", "n_chars_total")
+      val stages = stage(0, "raw", lit(true))
+        .unionByName(stage(1, "length", col("f1") === 1))
+        .unionByName(stage(2, "language", col("f1") === 1 && col("f2") === 1))
+        .unionByName(stage(3, "repetition",
+          col("f1") === 1 && col("f2") === 1 && col("f3") === 1))
+        .unionByName(stage(4, "exact_dedup",
+          col("f1") === 1 && col("f2") === 1 && col("f3") === 1 && col("f4") === 1))
+      val w = Window.orderBy("stage_id")
+      stages
+        .withColumn("first_docs", first("n_docs").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_docs", coalesce(lag("n_docs", 1).over(w), col("n_docs")))
+        .select(col("stage_id"), col("stage"), col("n_docs"), col("n_chars_total"),
+          expr("CAST((1000000 * n_docs) div first_docs AS BIGINT)").as("retained_ppm"),
+          expr("CAST((1000000 * n_docs) div prev_docs AS BIGINT)").as("step_ppm"))
+        .orderBy("stage_id")
     }
   )
 }
