@@ -483,6 +483,27 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "the corpus read must push the literal hit doc_id list")
   }
 
+  test("r11: the term dictionary read is column-pruned to (term, df)") {
+    // the spellchecker's dictionary is a projection of the postings
+    // artifact — the scan must NOT drag tf/dl/doc_id along (at 100 TB
+    // that is the difference between reading two small columns and the
+    // whole postings table)
+    val df = SparkEntry.queries("r11_spell_correct")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val scans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("bm25_postings")) => f
+    }
+    assert(scans.nonEmpty, "expected a postings-artifact scan")
+    scans.foreach { f =>
+      val readSchema = f.metadata.getOrElse("ReadSchema", "")
+      assert(readSchema.contains("term") && readSchema.contains("df") &&
+        !readSchema.contains("doc_id") && !readSchema.contains("tf"),
+        s"dictionary scan not column-pruned: $readSchema")
+    }
+  }
+
   test("tok6: the word-to-ids encode join broadcasts; no corpus-to-vocab shuffle") {
     // the encode's only corpus-sized stages are the posexploded word
     // stream and the per-doc reassembly groupBy; the vocab map must
