@@ -440,6 +440,74 @@ object CorpusPrep {
         .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
           array_join(expr("transform(ids, x -> CAST(x AS STRING))"), ",").as("id_seq"))
         .orderBy("doc_id")
+    },
+
+    // TOK7: OOV / UNK accounting — the semantic hole tok5/tok6 leave
+    // open: their INNER vocab join silently DROPS words the tokenizer
+    // never saw (fine for this corpus, where the vocab was trained on
+    // the same data — catastrophic for a production pipeline encoding
+    // NEW data with a frozen tokenizer, where silent drops corrupt the
+    // token stream). This op encodes an augmented corpus (documents +
+    // planted docs whose every 3rd word is a fabricated never-seen
+    // token, under source 'synthetic') with a LEFT join against the
+    // frozen vocab and reports per source: word/known/UNK counts,
+    // unk_ppm, and the token count under a 1-UNK-token-per-unknown-word
+    // policy — the coverage report a tokenizer owner reads before
+    // trusting an encode run. Organic sources must land at unk_ppm = 0
+    // and 'synthetic' at ~1/3; OpsSpec gates both.
+    // 100 TB shape: tok5's — one corpus scan into the exploded word
+    // stream, the vocab-bounded map BROADCAST against it (left join),
+    // one map-side-combined per-source rollup.
+    QueryDef.sql("tok7_unk_accounting",
+      s"""WITH ${bpeChainSql(3)},
+         |vmap AS (SELECT replace(trim(s), ' ', '') AS word,
+         |                CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sub
+         |         FROM s3),
+         |aug AS (SELECT doc_id, source, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 30000000, 'synthetic' AS source,
+         |               array_to_string(list_transform(string_split(text, ' '),
+         |                 (w, i) -> CASE WHEN i % 3 = 0 THEN 'qxzunkword' ELSE w END),
+         |                 ' ') AS text
+         |        FROM documents WHERE doc_id % 10 = 0),
+         |dw AS (SELECT doc_id, source,
+         |              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |       FROM aug),
+         |enc AS (SELECT d.source, COUNT(*) AS n_words,
+         |               CAST(SUM(CASE WHEN v.word IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_known,
+         |               CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+         |               CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE v.n_sub END) AS BIGINT) AS n_tokens_unk1
+         |        FROM dw d LEFT JOIN vmap v ON d.word = v.word
+         |        GROUP BY 1)
+         |SELECT source, CAST(n_words AS BIGINT) AS n_words, n_known, n_unk,
+         |       CAST(1000000 * n_unk // n_words AS BIGINT) AS unk_ppm,
+         |       n_tokens_unk1
+         |FROM enc ORDER BY source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val (_, state) = bpeTrainLocalWithState(s, bpeInit(s, d), 3)
+      val vmap = state.select(
+        regexp_replace(trim(col("s")), " ", "").as("word"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val aug = docs.union(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          lit("synthetic").as("source"),
+          array_join(expr(
+            "transform(split(text, ' '), (w, i0) -> " +
+              "CASE WHEN (i0 + 1) % 3 = 0 THEN 'qxzunkword' ELSE w END)"),
+            " ").as("text")))
+      val dw = aug.select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      dw.join(broadcast(vmap), Seq("word"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(when(col("n_sub").isNull, 0).otherwise(1)).cast("long").as("n_known"),
+          sum(when(col("n_sub").isNull, 1).otherwise(0)).cast("long").as("n_unk"),
+          sum(coalesce(col("n_sub"), lit(1L))).cast("long").as("n_tokens_unk1"))
+        .withColumn("unk_ppm",
+          expr("CAST((1000000 * n_unk) div n_words AS BIGINT)"))
+        .select("source", "n_words", "n_known", "n_unk", "unk_ppm", "n_tokens_unk1")
+        .orderBy("source")
     }
   )
 

@@ -1124,6 +1124,45 @@ object Retrieval {
         .orderBy("qid", "rn")
     },
 
+    // R12: prefix suggest (autocomplete) — the search-box companion to
+    // r11's did-you-mean, over the SAME term dictionary: for each
+    // typed prefix, the vocabulary terms starting with it, top-3 by
+    // (df desc, term asc) — popularity first, alphabet breaks ties.
+    // Same serving shape as r11: the dictionary is the column-pruned
+    // DISTINCT (term, df) projection of the stored postings artifact,
+    // crossed with the BROADCAST prefix set under a codegen'd
+    // startswith; a prefix matching nothing yields no rows. At scale a
+    // dictionary this hot would sit in a serving cache — the point
+    // here is that it is DERIVED state of the index, never a second
+    // corpus pass.
+    QueryDef.sql("r12_prefix_suggest",
+      """WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+        |vocab AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |          FROM (SELECT doc_id, unnest(toks) AS term FROM dd) GROUP BY 1),
+        |q(qid, prefix) AS (SELECT * FROM (VALUES
+        |  (0, 'sc'), (1, 'sp'), (2, 's'), (3, 'wi'), (4, 'zzz'))),
+        |cand AS (SELECT q.qid, q.prefix, v.term, v.df
+        |         FROM q CROSS JOIN vocab v
+        |         WHERE starts_with(v.term, q.prefix)),
+        |ranked AS (SELECT qid, prefix, term, df,
+        |                  row_number() OVER (PARTITION BY qid
+        |                                     ORDER BY df DESC, term) AS rn
+        |           FROM cand)
+        |SELECT qid, rn, prefix, term AS suggestion, df
+        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val prefixes = Seq((0, "sc"), (1, "sp"), (2, "s"), (3, "wi"), (4, "zzz"))
+      val vocab = indexArtifact(s, d).select("term", "df").distinct()
+      vocab.crossJoin(broadcast(prefixes.toDF("qid", "prefix")))
+        .filter(expr("startswith(term, prefix)"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("df").desc, col("term").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("prefix"),
+          col("term").as("suggestion"), col("df"))
+        .orderBy("qid", "rn")
+    },
+
     // R5: the recall dial pointed at the HYBRID fusion — r4's own
     // honest finding is that lexical top-10 saturates on this tiny
     // common-word vocabulary; the vector channel exists to cover

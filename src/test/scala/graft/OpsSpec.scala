@@ -11,6 +11,26 @@ import graft.operators.{MinHash, Multimodal, VectorOps}
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tok7: organic sources encode with ZERO unk; synthetic lands at the planted third") {
+    // the gate behind the UNK report: a vocab trained on this corpus
+    // must cover every organic word exactly (any nonzero organic
+    // unk_ppm means the encode path silently drops real data), and the
+    // planted every-3rd-word source must land near 1/3 — sensitive to
+    // both the LEFT-join accounting and the planting itself
+    val rows = SparkEntry.queries("tok7_unk_accounting")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val (synth, organic) = rows.partition(_._1 == "synthetic")
+    assert(organic.nonEmpty && organic.forall(_._5 == 0),
+      s"organic source with nonzero unk_ppm: ${organic.filter(_._5 != 0).toSeq}")
+    assert(organic.forall(r => r._2 == r._3 && r._4 == 0))
+    assert(synth.length == 1)
+    val s1 = synth.head
+    assert(s1._5 > 250000 && s1._5 < 400000,
+      s"synthetic unk_ppm ${s1._5} not near the planted 1/3")
+    assert(s1._2 == s1._3 + s1._4, "known + unk must partition the word count")
+  }
+
   test("left-anti join returns rows with no match (gap: j4 is empty on sf data)") {
     val part = Seq((1L, "B1"), (2L, "B1"), (3L, "B2")).toDF("p_partkey", "p_brand")
     val li = Seq(1L, 1L).toDF("l_partkey")
