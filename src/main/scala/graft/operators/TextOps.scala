@@ -1135,7 +1135,7 @@ object TextOps {
     // FIVE rows. Reporting five stages costs one pipeline pass, not
     // five.
     QueryDef.sql("t17_pipeline_waterfall",
-      """WITH aug AS (
+      """WITH aug AS MATERIALIZED (
         |  SELECT doc_id, text, lang, n_chars FROM documents
         |  UNION ALL
         |  SELECT doc_id + 5000000, text, lang, n_chars
@@ -1145,14 +1145,14 @@ object TextOps {
         |            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
         |            FROM aug) GROUP BY doc_id, t)
         |        GROUP BY doc_id),
-        |flags AS (SELECT a.doc_id, a.n_chars,
+        |flags AS MATERIALIZED (SELECT a.doc_id, a.n_chars,
         |                 CASE WHEN a.n_chars >= 150 THEN 1 ELSE 0 END AS f1,
         |                 CASE WHEN a.lang = 'en' THEN 1 ELSE 0 END AS f2,
-        |                 CASE WHEN r.max_share_ppm <= 120000 THEN 1 ELSE 0 END AS f3,
+        |                 CASE WHEN COALESCE(r.max_share_ppm, 0) <= 120000 THEN 1 ELSE 0 END AS f3,
         |                 CASE WHEN row_number() OVER (PARTITION BY md5(a.text)
         |                                              ORDER BY a.doc_id) = 1
         |                      THEN 1 ELSE 0 END AS f4
-        |          FROM aug a JOIN rep r USING (doc_id)),
+        |          FROM aug a LEFT JOIN rep r USING (doc_id)),
         |stages AS (
         |  SELECT 0 AS stage_id, 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total FROM flags
@@ -1178,14 +1178,23 @@ object TextOps {
         .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(expr("1000000 * MAX(c) div SUM(c)").as("max_share_ppm"))
-      val flags = aug.join(rep, Seq("doc_id"))
+      // LEFT join: a doc whose text tokenizes to NOTHING has no rep
+      // row — it must still count in 'raw' (and trivially passes the
+      // repetition stage: no tokens, no repetition). An inner join
+      // here silently shrank the baseline. flags is per-doc tiny and
+      // feeds FIVE stage aggregates — localCheckpoint so the corpus
+      // scan, token rollup, and md5 window run ONCE, which is the
+      // one-pipeline-pass claim this query makes.
+      val flags = aug.join(rep, Seq("doc_id"), "left")
         .withColumn("f1", when(col("n_chars") >= 150, 1).otherwise(0))
         .withColumn("f2", when(col("lang") === "en", 1).otherwise(0))
-        .withColumn("f3", when(col("max_share_ppm") <= 120000, 1).otherwise(0))
+        .withColumn("f3",
+          when(coalesce(col("max_share_ppm"), lit(0L)) <= 120000, 1).otherwise(0))
         .withColumn("f4", when(row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))) === 1, 1)
           .otherwise(0))
         .select("doc_id", "n_chars", "f1", "f2", "f3", "f4")
+        .localCheckpoint()
       def stage(id: Int, name: String, pred: org.apache.spark.sql.Column) =
         flags.filter(pred).agg(
           lit(id).as("stage_id"), lit(name).as("stage"),

@@ -478,26 +478,56 @@ object VersionedStore {
           acquired = true
         } catch {
           case e: java.io.IOException =>
-            val stale = try {
-              System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime >= ttl
-            } catch { case _: java.io.FileNotFoundException => false }
-            if (stale) {
-              val reclaim = new Path(basePath,
-                s".MAINT_LEASE.reclaim_${java.util.UUID.randomUUID().toString.take(8)}")
-              val won = try f.rename(lock, reclaim)
-                catch { case _: java.io.IOException => false }
-              if (won) {
-                val reallyStale = try {
-                  System.currentTimeMillis() - f.getFileStatus(reclaim).getModificationTime >= ttl
-                } catch { case _: java.io.FileNotFoundException => true }
-                if (reallyStale)
-                  try f.delete(reclaim, false) catch { case _: java.io.IOException => () }
-                else // stole a live writer's fresh lock — put it back
-                  try f.rename(reclaim, lock) catch { case _: java.io.IOException => () }
-              }
+            // capture the stale lock's mtime — the IDENTITY of the
+            // instance we are allowed to reclaim
+            val staleMtime = try {
+              val m = f.getFileStatus(lock).getModificationTime
+              if (System.currentTimeMillis() - m >= ttl) Some(m) else None
+            } catch { case _: java.io.FileNotFoundException => None }
+            staleMtime match {
+              case Some(m0) =>
+                val reclaim = new Path(basePath,
+                  s".MAINT_LEASE.reclaim_${java.util.UUID.randomUUID().toString.take(8)}")
+                // re-stat IMMEDIATELY before the rename: a fresh lock
+                // created in the window since the first stat carries
+                // mtime ≈ now, never m0 — so requiring the identical
+                // mtime shrinks the stealable window to stat→rename
+                // (microseconds) instead of the whole retry iteration
+                val stillSame = try {
+                  f.getFileStatus(lock).getModificationTime == m0
+                } catch { case _: java.io.FileNotFoundException => false }
+                val won = stillSame && (try f.rename(lock, reclaim)
+                  catch { case _: java.io.IOException => false })
+                if (won) {
+                  // verify we renamed EXACTLY the instance observed
+                  // stale (rename preserves mtime); anything else is a
+                  // live writer's fresh lock grabbed in the residual
+                  // window — put it back, retrying past any contender
+                  // that slipped in (its release frees the path; the
+                  // restored lease's owner then resumes heartbeating,
+                  // a full recovery)
+                  val sameInstance = try {
+                    f.getFileStatus(reclaim).getModificationTime == m0
+                  } catch { case _: java.io.FileNotFoundException => false }
+                  if (sameInstance)
+                    try f.delete(reclaim, false) catch { case _: java.io.IOException => () }
+                  else {
+                    var restored = false
+                    while (!restored && System.currentTimeMillis() < deadline) {
+                      restored = try f.rename(reclaim, lock)
+                        catch { case _: java.io.IOException => false }
+                      if (!restored) Thread.sleep(20)
+                    }
+                    // if never restored, the reclaim file stays as
+                    // evidence; prune GCs it once stale
+                    if (!restored) throw new java.io.IOException(
+                      s"could not restore a mistakenly reclaimed live lease at $lock", e)
+                  }
+                }
+              case None =>
+                if (System.currentTimeMillis() > deadline) throw e
+                else Thread.sleep(20)
             }
-            else if (System.currentTimeMillis() > deadline) throw e
-            else Thread.sleep(20)
         }
       }
       val beat = new Thread(() => {

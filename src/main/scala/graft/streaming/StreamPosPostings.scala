@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
@@ -37,8 +36,6 @@ import graft.operators.Retrieval
   */
 object StreamPosPostings {
 
-  private val DeltaRe = "delta_b(\\d+)".r
-
   private def posSchema: StructType = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
     StructField("ps", ArrayType(IntegerType)), StructField("b", LongType)))
@@ -48,31 +45,8 @@ object StreamPosPostings {
     * doc_id only the LATEST batch's rows, markers dropped.
     * Empty-but-typed before the first commit.
     */
-  def postings(spark: SparkSession, storeDir: String): DataFrame = {
-    val base = new Path(storeDir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(base)) Seq.empty[String]
-      else fs.listStatus(base).toSeq.collect {
-        case st if st.isDirectory &&
-          fs.exists(new Path(st.getPath, "_SUCCESS")) &&
-          (DeltaRe.pattern.matcher(st.getPath.getName).matches() ||
-            st.getPath.getName.startsWith("fold_0_")) =>
-          st.getPath.toString
-      }
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], posSchema)
-    else {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(dirs: _*).distinct()
-        .withColumn("bmax", max("b").over(Window.partitionBy("doc_id")))
-        .filter(col("b") === col("bmax"))
-        .drop("bmax")
-        .filter(col("term") =!= "")
-    }
-  }
+  def postings(spark: SparkSession, storeDir: String): DataFrame =
+    DeltaPostingsStore.read(spark, storeDir, posSchema)
 
   /** The servable positional index — no global statistic to refresh,
     * so this is [[postings]] minus the batch-id bookkeeping column.
@@ -81,10 +55,15 @@ object StreamPosPostings {
     postings(spark, storeDir).drop("b")
 
   /** Start the ingest over a `(doc_id, text)` source. The STORE is the
-    * output — readers serve phrase queries via [[served]].
+    * output — readers serve phrase queries via [[served]]. `analyzer`
+    * mirrors StreamPostings.start's parameter (one analyzer per store
+    * for its whole life — a stemmed scoring index MUST pair with a
+    * stemmed positional store, or phrase/snippet reads silently miss
+    * the stemmed query literals the BM25 ranking matched).
     */
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      analyzer: String = Retrieval.RawAnalyzerSql): StreamingQuery = {
     import org.apache.spark.sql.functions._
     var ownershipVerified = false
     docs.writeStream
@@ -99,7 +78,7 @@ object StreamPosPostings {
           ownershipVerified = true
         }
         val raw = Retrieval.rawPosPostings(batch.select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks")))
+          expr(analyzer).as("toks")))
         val markers = batch.select(col("doc_id")).distinct()
           .select(lit("").as("term"), col("doc_id"),
             expr("CAST(array() AS ARRAY<INT>)").as("ps"))

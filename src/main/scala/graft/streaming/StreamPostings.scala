@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
@@ -44,8 +43,6 @@ import graft.operators.Retrieval
   */
 object StreamPostings {
 
-  private val DeltaRe = "delta_b(\\d+)".r
-
   private def postingsSchema: StructType = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
     StructField("tf", LongType), StructField("dl", IntegerType),
@@ -58,33 +55,8 @@ object StreamPostings {
     * served from its newest text only). Empty-but-typed before the
     * first commit.
     */
-  def postings(spark: SparkSession, storeDir: String): DataFrame = {
-    val base = new Path(storeDir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(base)) Seq.empty[String]
-      else fs.listStatus(base).toSeq.collect {
-        case st if st.isDirectory &&
-          fs.exists(new Path(st.getPath, "_SUCCESS")) &&
-          (DeltaRe.pattern.matcher(st.getPath.getName).matches() ||
-            st.getPath.getName.startsWith("fold_0_")) =>
-          st.getPath.toString
-      }
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingsSchema)
-    else {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(dirs: _*).distinct()
-        .withColumn("bmax", max("b").over(Window.partitionBy("doc_id")))
-        .filter(col("b") === col("bmax"))
-        .drop("bmax")
-        // markers have done their job (pulling bmax up to the reissue
-        // batch) — they are not postings
-        .filter(col("term") =!= "")
-    }
-  }
+  def postings(spark: SparkSession, storeDir: String): DataFrame =
+    DeltaPostingsStore.read(spark, storeDir, postingsSchema)
 
   /** The servable index: df refreshed over the CURRENT store content —
     * exact idf after every micro-batch, never stale between segments.
