@@ -1102,6 +1102,20 @@ class StreamingSpec extends SparkSpec {
       .select("term").collect().map(_.getString(0)).toSet
     assert(planted == Set("table", "query", "fly"),
       s"stemmed analyzer not applied in the stream: $planted")
+    // and the POSITIONAL twin honors the same parameter — a stemmed
+    // scoring index must pair with a stemmed positional store, or
+    // phrase/snippet reads miss the stemmed query literals
+    import graft.streaming.StreamPosPostings
+    val store2 = tmpDir("graft-stempos") + "/store"
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamPosPostings.start(in2.toDF().toDF("doc_id", "text"), store2,
+      tmpDir("graft-stempos-cp"), analyzer = StreamPostings.stemmedAnalyzer)
+    in2.addData((900001L, "tables queries flies"))
+    q2.processAllAvailable(); q2.stop()
+    val posTerms = StreamPosPostings.served(spark, store2)
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(posTerms == Set("table", "query", "fly"),
+      s"positional ingest ignored the stemmed analyzer: $posTerms")
   }
 
   test("postings tombstones: a doc reissued with zero-token text disappears from both stores") {
