@@ -231,8 +231,8 @@ object Retrieval {
     * during any maintenance op (OpsSpec pins that too).
     */
   def appendPostings(s: SparkSession, base: String, newDocs: DataFrame,
-      analyzer: String = RawAnalyzerSql): DataFrame =
-    graft.sinks.VersionedStore.maintain(s, base) { cur0 =>
+      analyzer: String = RawAnalyzerSql): DataFrame = {
+    val store = graft.sinks.VersionedStore.maintain(s, base) { cur0 =>
       // bkt is layout, not content — dropped here, recomputed by the
       // bucketed write
       val cur = cur0.map(_.drop("df").drop("bkt"))
@@ -245,6 +245,12 @@ object Retrieval {
         expr(analyzer).as("toks")))
       withDf(cur.map(_.unionByName(add)).getOrElse(add))
     }(writeBucketed)
+    // eager dictionary refresh: df changed, so the derived dictionary
+    // must follow — version-keyed, so this is a no-op if already fresh
+    // and a skipped refresh would still rebuild lazily at read time
+    termDictStore(s, base)
+    store
+  }
 
   /** Incremental update — delete-then-add in ONE publish: the current
     * store's postings for the updated doc_ids are dropped (anti-join),
@@ -389,6 +395,159 @@ object Retrieval {
           sum(size(col("toks"))).cast("long").as("sum_dl"))
         .write.parquet(out)
     }
+
+  // ── Term dictionary: the spellcheck/autocomplete serving artifact ──
+  //
+  // Round-10 served r11/r12 from `indexArtifact.select("term","df")
+  // .distinct()` — a posting-sized shuffle on EVERY call, and r11
+  // levenshteined the whole vocabulary. The production layout (Lucene's
+  // spellchecker index analogue) materializes the dictionary ONCE as
+  // its own artifact in two layouts:
+  //  - `term_dictionary` (term, df, len), partitioned by first letter
+  //    `pb` — autocomplete prunes to its prefixes' partitions at PLAN
+  //    time, the same file-level pruning the postings buckets give
+  //    BM25 serving;
+  //  - `term_dict_grams` (gram, term, df, len), the exploded distinct
+  //    character-bigram index, partitioned by CRC32 gram bucket —
+  //    spellcheck candidate generation reads only the query's bigrams'
+  //    buckets instead of scanning the vocabulary.
+  // Both are vocab-bounded DERIVED state of the postings artifact,
+  // keyed on the corpus fingerprint ([[corpusArtifact]] discipline);
+  // [[termDictStore]] is the maintained-store twin, keyed on the store
+  // VERSION so a dictionary served for store version v is exactly
+  // [[dictRows]](v) — maintenance can never leave it stale.
+
+  /** Distinct (term, df, len) dictionary rows of a postings frame —
+    * df is already denormalized on every posting, so this is a
+    * column-pruned projection collapsing to the vocabulary, never a
+    * corpus aggregation.
+    */
+  private[graft] def dictRows(postings: DataFrame): DataFrame =
+    postings.select("term", "df").distinct()
+      .select(col("term"), col("df"), length(col("term")).as("len"))
+
+  /** First-letter partitioned dictionary layout: a prefix query prunes
+    * to its first letters' partitions before any row is read.
+    */
+  private def writeDictPrefixed(dict: DataFrame, out: String): Unit =
+    dict.withColumn("pb", substring(col("term"), 1, 1))
+      .repartition(col("pb"))
+      .sortWithinPartitions("term")
+      .write.partitionBy("pb").parquet(out)
+
+  /** SQL for the distinct character bigrams of a string column. */
+  private def bigramsSql(c: String): String =
+    s"array_distinct(transform(sequence(1, length($c) - 1), i -> substring($c, i, 2)))"
+
+  /** Driver-side bigrams of a query string — the literal gram list the
+    * serving plan turns into bucket + IN pruning, mirroring
+    * [[termBucket]]'s engine/driver parity.
+    */
+  private[graft] def bigramsOf(q: String): Seq[String] =
+    q.sliding(2).toSeq.distinct
+
+  /** Gram-bucketed candidate index: one row per (distinct bigram, term),
+    * bucketed by CRC32 of the gram mod [[PostingsBuckets]] (the
+    * [[writeBucketed]] discipline applied to grams). Terms of length 1
+    * have no bigrams and are absent — sound, because the gram path only
+    * serves queries of length ≥ [[GramMinQueryLen]], whose distance-2
+    * neighborhood starts at length ≥ 4.
+    */
+  private def writeGramBucketed(g: DataFrame, out: String): Unit =
+    g.withColumn("gb",
+        pmod(crc32(col("gram").cast("binary")), lit(PostingsBuckets.toLong)).cast("int"))
+      .repartition(col("gb"))
+      .sortWithinPartitions("gram", "term")
+      .write.partitionBy("gb").parquet(out)
+
+  private[graft] def gramRows(dict: DataFrame): DataFrame =
+    dict.filter(col("len") >= 2)
+      .select(explode(expr(bigramsSql("term"))).as("gram"),
+        col("term"), col("df"), col("len"))
+
+  /** Minimum query length at which the bigram index is a SOUND
+    * edit-distance-2 prune: by the q-gram lemma (Jokinen–Ukkonen;
+    * Gravano et al., VLDB 2001), strings within edit distance k share
+    * at least max(|s|,|t|) − n + 1 − k·n n-grams — for n = 2, k = 2
+    * that is max-len − 5, positive whenever the query has ≥ 6 chars.
+    * Shorter queries take the length-pruned dictionary path instead
+    * (|len − qlen| ≤ 2 is necessary for distance ≤ 2, so that prune
+    * loses nothing either): both paths are exact, and OpsSpec pins the
+    * split serving against the full-scan oracle.
+    */
+  private[graft] val GramMinQueryLen = 6
+
+  /** The term dictionary as a build-once corpus artifact (first-letter
+    * partitioned). Built FROM the postings artifact — serving reads
+    * this, never re-aggregates postings (PlanSpec pins it).
+    */
+  def termDictArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "term_dictionary") { out =>
+      writeDictPrefixed(dictRows(indexArtifact(s, d)), out)
+    }
+
+  /** The bigram candidate index as a build-once corpus artifact
+    * (gram-bucketed), derived from [[termDictArtifact]].
+    */
+  def termGramArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "term_dict_grams") { out =>
+      writeGramBucketed(gramRows(termDictArtifact(s, d)), out)
+    }
+
+  /** Spellcheck candidate generation over the materialized dictionary
+    * artifacts — the SOUND edit-distance-2 prune both serving and the
+    * property spec share. Long queries (≥ [[GramMinQueryLen]]) read the
+    * gram-bucketed bigram index (bucket + gram IN pruning, exact by the
+    * q-gram lemma); short queries read the dictionary under the
+    * |len − qlen| ≤ 2 length prune. Returns (qid, mis, term, df)
+    * candidate rows — callers apply the exact levenshtein filter.
+    */
+  private[graft] def spellCandidates(s: SparkSession, d: String,
+      queries: Seq[(Int, String)]): DataFrame = {
+    import s.implicits._
+    val (longQ, shortQ) = queries.partition(_._2.length >= GramMinQueryLen)
+    val empty = Seq.empty[(Int, String, String, Long)]
+      .toDF("qid", "mis", "term", "df")
+    val longCand = if (longQ.isEmpty) empty else {
+      val qgrams = longQ.flatMap { case (qid, m) =>
+        bigramsOf(m).map(g => (qid, m, g)) }
+      termGramArtifact(s, d)
+        .filter(col("gb").isin(
+          qgrams.map(t => termBucket(t._3)).distinct.map(Int.box): _*))
+        .filter(col("gram").isin(qgrams.map(_._3).distinct: _*))
+        .join(broadcast(qgrams.toDF("qid", "mis", "gram")), Seq("gram"))
+        .select("qid", "mis", "term", "df").distinct()
+    }
+    val shortCand = if (shortQ.isEmpty) empty else {
+      val maxShortLen = shortQ.map(_._2.length).max + 2
+      termDictArtifact(s, d)
+        .filter(col("len") <= maxShortLen)
+        .crossJoin(broadcast(shortQ.toDF("qid", "mis")))
+        .filter(abs(col("len") - length(col("mis"))) <= 2)
+        .select("qid", "mis", "term", "df")
+    }
+    longCand.unionByName(shortCand)
+  }
+
+  /** The dictionary of a MAINTAINED postings store at `base`: derived
+    * state cached at `base + "_dict"`, keyed on the store's current
+    * VERSION id — a maintenance op publishes a new version, so the next
+    * dictionary read rebuilds from exactly that version ([[readOrBuild]]
+    * read-through; [[appendPostings]] also refreshes it eagerly inside
+    * its maintenance path so the cost lands on the writer, not the
+    * first spellcheck). Consistency is by construction: a dictionary
+    * served under version key v is [[dictRows]] of version v, and
+    * OpsSpec pins dictionary-after-append == dictionary-from-scratch.
+    */
+  def termDictStore(s: SparkSession, base: String): DataFrame = {
+    val ptr = graft.sinks.VersionedStore.readPointer(s, base)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no published postings version at $base"))
+    graft.sinks.VersionedStore.readOrBuild(s, base + "_dict", ptr.version) { out =>
+      writeDictPrefixed(
+        dictRows(graft.sinks.VersionedStore.readVersion(s, base, ptr.version)), out)
+    }
+  }
 
   private def topK(scores: DataFrame, k: Int): DataFrame =
     scores
@@ -1082,16 +1241,20 @@ object Retrieval {
     // engine pairs with its term dictionary (Lucene's spellchecker):
     // for each misspelled input, the vocabulary terms within edit
     // distance 2, ranked (distance asc, df desc, term asc) top-3 —
-    // closer beats popular, popular breaks ties. The dictionary is the
-    // DISTINCT (term, df) projection of the stored postings artifact
-    // (df is denormalized on every posting, so the projection needs no
-    // corpus aggregation — a column-pruned postings scan collapsing to
-    // the vocab-bounded term set; a production layout materializes it
-    // once as its own artifact). Candidate generation is the
-    // vocab-bounded dictionary × the BROADCAST misspelling set with a
-    // codegen'd levenshtein — both engines implement classic unit-cost
-    // edit distance, so the integer distances agree exactly. A query
-    // beyond distance 2 from everything simply yields no rows.
+    // closer beats popular, popular breaks ties. Serving reads the
+    // MATERIALIZED dictionary artifacts ([[termDictArtifact]] /
+    // [[termGramArtifact]]), never the postings store (PlanSpec pins
+    // zero postings scans): queries of length ≥ GramMinQueryLen
+    // generate candidates from the gram-bucketed bigram index —
+    // bucket-pruned + gram IN pushdown, SOUND for distance ≤ 2 by the
+    // q-gram lemma (see [[GramMinQueryLen]]) — and shorter queries
+    // read the dictionary under the |len − qlen| ≤ 2 length prune
+    // (necessary for distance ≤ 2, so also exact). Both paths finish
+    // with the codegen'd levenshtein as the EXACT filter; both engines
+    // implement classic unit-cost edit distance, so the integer
+    // distances agree exactly and the pruned serving hash-matches the
+    // oracle's full vocabulary × query scan. A query beyond distance 2
+    // from everything simply yields no rows.
     QueryDef.sql("r11_spell_correct",
       """WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
         |vocab AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
@@ -1109,11 +1272,9 @@ object Retrieval {
         |           FROM cand)
         |SELECT qid, rn, mis, term AS suggestion, dist, df
         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
-      import s.implicits._
       val mis = Seq((0, "spak"), (1, "joinn"), (2, "windw"),
         (3, "custmer"), (4, "tble"), (5, "zzzzzzzzzz"))
-      val vocab = indexArtifact(s, d).select("term", "df").distinct()
-      vocab.crossJoin(broadcast(mis.toDF("qid", "mis")))
+      spellCandidates(s, d, mis)
         .withColumn("dist", levenshtein(col("mis"), col("term")).cast("long"))
         .filter(col("dist") <= 2)
         .withColumn("rn", row_number().over(Window.partitionBy("qid")
@@ -1125,16 +1286,18 @@ object Retrieval {
     },
 
     // R12: prefix suggest (autocomplete) — the search-box companion to
-    // r11's did-you-mean, over the SAME term dictionary: for each
-    // typed prefix, the vocabulary terms starting with it, top-3 by
-    // (df desc, term asc) — popularity first, alphabet breaks ties.
-    // Same serving shape as r11: the dictionary is the column-pruned
-    // DISTINCT (term, df) projection of the stored postings artifact,
-    // crossed with the BROADCAST prefix set under a codegen'd
-    // startswith; a prefix matching nothing yields no rows. At scale a
-    // dictionary this hot would sit in a serving cache — the point
-    // here is that it is DERIVED state of the index, never a second
-    // corpus pass.
+    // r11's did-you-mean, over the SAME materialized term dictionary:
+    // for each typed prefix, the vocabulary terms starting with it,
+    // top-3 by (df desc, term asc) — popularity first, alphabet breaks
+    // ties. Serving reads [[termDictArtifact]]'s first-letter
+    // partitioned layout: the prefixes' first letters become a `pb`
+    // PARTITION filter (file-level pruning before any row is read, the
+    // postings-bucket discipline applied to the dictionary), then the
+    // BROADCAST prefix set joins under a codegen'd startswith; a
+    // prefix matching nothing yields no rows. The postings store is
+    // never touched at serve time (PlanSpec pins it) — the dictionary
+    // is DERIVED state of the index, refreshed by maintenance, never a
+    // second corpus pass.
     QueryDef.sql("r12_prefix_suggest",
       """WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
         |vocab AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
@@ -1152,8 +1315,9 @@ object Retrieval {
         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
       import s.implicits._
       val prefixes = Seq((0, "sc"), (1, "sp"), (2, "s"), (3, "wi"), (4, "zzz"))
-      val vocab = indexArtifact(s, d).select("term", "df").distinct()
-      vocab.crossJoin(broadcast(prefixes.toDF("qid", "prefix")))
+      termDictArtifact(s, d)
+        .filter(col("pb").isin(prefixes.map(_._2.take(1)).distinct: _*))
+        .crossJoin(broadcast(prefixes.toDF("qid", "prefix")))
         .filter(expr("startswith(term, prefix)"))
         .withColumn("rn", row_number().over(Window.partitionBy("qid")
           .orderBy(col("df").desc, col("term").asc)))

@@ -1255,6 +1255,76 @@ class OpsSpec extends SparkSpec {
       .readVersion(spark, base, vs(vs.size - 2)).count() == oldV.count())
   }
 
+  test("term dictionary store: after-append dictionary equals from-scratch, and maintenance refreshes it") {
+    // the r11/r12 serving artifact as DERIVED state of a maintained
+    // store: version-keyed, so the dictionary can never serve a df the
+    // store no longer has — after the second append (which changes df
+    // for every term the new docs share) the served dictionary must be
+    // EXACTLY the from-scratch dictionary of the full corpus
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+    val base = tmpDir("graft-dict-store") + "/postings"
+    Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 4 =!= 0))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "df").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val partial = norm(Retrieval.termDictStore(spark, base))
+    Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 4 === 0))
+    val served = norm(Retrieval.termDictStore(spark, base))
+    val scratch = norm(Retrieval.dictRows(Retrieval.indexArtifact(spark, d)))
+    assert(served == scratch,
+      "after-append dictionary diverged from the from-scratch dictionary")
+    assert(partial != served,
+      "teeth: the pre-append dictionary should differ (df changed)")
+  }
+
+  test("spellcheck pruning is exact: gram/length candidates reproduce the full-vocabulary scan") {
+    // the q-gram-lemma soundness claim, held to account beyond the six
+    // fixture queries: for seeded 1-and-2-edit corruptions of real
+    // vocabulary terms (plus no-match garbage), the pruned candidate
+    // paths must recover EVERY term within edit distance 2 that the
+    // unpruned vocabulary × query scan finds
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val d = "/root/testdata/sf0.001"
+    val vocab = Retrieval.dictRows(Retrieval.indexArtifact(spark, d))
+    val terms = vocab.select("term").collect().map(_.getString(0)).sorted
+    val rnd = new scala.util.Random(421)
+    def edit(w: String): String = {
+      val c = ('a' + rnd.nextInt(26)).toChar
+      val i = rnd.nextInt(w.length)
+      rnd.nextInt(3) match {
+        case 0 => w.updated(i, c).mkString            // substitute
+        case 1 => w.take(i) + c + w.drop(i)            // insert
+        case _ if w.length > 1 => w.take(i) + w.drop(i + 1) // delete
+        case _ => w + c
+      }
+    }
+    val queries = (0 until 24).map { qid =>
+      val base = terms(rnd.nextInt(terms.length))
+      qid -> (if (qid % 3 == 0) edit(base) else edit(edit(base)))
+    } ++ Seq(24 -> "qqqqqqq", 25 -> "xq")
+    assert(queries.exists(_._2.length >= Retrieval.GramMinQueryLen) &&
+      queries.exists(_._2.length < Retrieval.GramMinQueryLen),
+      s"fixture must exercise both candidate paths: $queries")
+    def matches(cand: org.apache.spark.sql.DataFrame) =
+      cand.withColumn("dist", levenshtein(col("mis"), col("term")))
+        .filter(col("dist") <= 2)
+        .select("qid", "term", "dist", "df").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val full = matches(vocab.crossJoin(
+      broadcast(queries.toDF("qid", "mis"))).select("qid", "mis", "term", "df"))
+    val pruned = matches(Retrieval.spellCandidates(spark, d, queries))
+    assert(full.nonEmpty, "the corruption fixture found no matches at all")
+    assert(pruned == full,
+      s"pruned candidate generation lost or invented matches:\n" +
+        s" full - pruned: ${(full.toSet -- pruned.toSet).take(5)}\n" +
+        s" pruned - full: ${(pruned.toSet -- full.toSet).take(5)}")
+  }
+
   test("bm25 stemmed-analyzer append: batch CRUD under the stemmed analyzer equals one-shot") {
     // the batch twin of the streaming stemmed ingest: the maintenance
     // ops take the analyzer, and a store maintained with the stemmed

@@ -483,25 +483,61 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "the corpus read must push the literal hit doc_id list")
   }
 
-  test("r11: the term dictionary read is column-pruned to (term, df)") {
-    // the spellchecker's dictionary is a projection of the postings
-    // artifact — the scan must NOT drag tf/dl/doc_id along (at 100 TB
-    // that is the difference between reading two small columns and the
-    // whole postings table)
+  test("r11: serves from the materialized gram/dict artifacts — zero postings aggregation") {
+    // the spellchecker reads the MATERIALIZED dictionary layouts, never
+    // the postings store: candidate generation for long queries prunes
+    // the gram index to the query bigrams' gb partitions with the gram
+    // IN list pushed, short queries read the dictionary under a pushed
+    // len range — no posting-sized DISTINCT shuffle anywhere at serve
+    // time (at 100 TB that shuffle per spellcheck call is the bug)
     val df = SparkEntry.queries("r11_spell_correct")(spark, sf)
     df.collect()
     val plan = stripAQEPlan(df.queryExecution.executedPlan)
-    val scans = collectWithSubqueries(plan) {
+    val postingsScans = collectWithSubqueries(plan) {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
         if f.metadata.get("Location").exists(_.contains("bm25_postings")) => f
     }
-    assert(scans.nonEmpty, "expected a postings-artifact scan")
-    scans.foreach { f =>
-      val readSchema = f.metadata.getOrElse("ReadSchema", "")
-      assert(readSchema.contains("term") && readSchema.contains("df") &&
-        !readSchema.contains("doc_id") && !readSchema.contains("tf"),
-        s"dictionary scan not column-pruned: $readSchema")
+    assert(postingsScans.isEmpty,
+      "spellcheck serving must read the dictionary artifacts, not the postings store")
+    val gramScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("term_dict_grams")) => f
     }
+    assert(gramScans.nonEmpty, "expected gram-index scans")
+    assert(gramScans.forall(_.partitionFilters.exists(_.toString.contains("gb"))),
+      "a gram scan is missing its gb partition filter")
+    assert(gramScans.forall(_.metadata.get("PushedFilters").exists(_.contains("In(gram"))),
+      "a gram scan is missing the gram IN pushdown")
+    val dictScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("term_dictionary")) => f
+    }
+    assert(dictScans.nonEmpty, "expected a dictionary scan for the short queries")
+    assert(dictScans.forall(_.metadata.get("PushedFilters")
+        .exists(_.contains("LessThanOrEqual(len"))),
+      "the short-query dictionary scan is missing the len range pushdown")
+  }
+
+  test("r12: serves from the prefix-partitioned dictionary — pb-pruned, zero postings scans") {
+    // autocomplete reads the first-letter partitioned dictionary: the
+    // prefixes' first letters are a PARTITION filter (file-level
+    // pruning), and the postings store is never opened at serve time
+    val df = SparkEntry.queries("r12_prefix_suggest")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val postingsScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("bm25_postings")) => f
+    }
+    assert(postingsScans.isEmpty,
+      "autocomplete serving must read the dictionary artifact, not the postings store")
+    val dictScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("term_dictionary")) => f
+    }
+    assert(dictScans.nonEmpty, "expected a dictionary scan")
+    assert(dictScans.forall(_.partitionFilters.exists(_.toString.contains("pb"))),
+      "the dictionary scan is missing its pb partition filter")
   }
 
   test("tok6: the word-to-ids encode join broadcasts; no corpus-to-vocab shuffle") {
