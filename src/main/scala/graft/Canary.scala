@@ -85,10 +85,22 @@ object Canary {
       sys.env.get("SPARK_GRAFT_CANARY_BASELINE").map { p =>
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)), "UTF-8")
-        "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+        // parse ONLY the queries object — a gated prior run's file also
+        // carries value/ratio/normalized/run_shift numerics, which a
+        // whole-file grep would sweep into the baseline map
+        val qobj = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(qobj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
-    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+    // Locale.ROOT throughout: the f-interpolator formats with the
+    // default locale, and a comma-decimal locale would emit invalid
+    // JSON that poisons the NEXT round's baseline parse
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+        Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${num(v, 4)}""" }
+      .mkString("{", ",", "}")
     // Gate on the ratio NORMALIZED by the run-level median ratio: the
     // residual cross-run drift on this host is uniform (a whole run
     // lands 1.1-1.35× off — hypervisor neighbors), and a uniform shift
@@ -108,10 +120,10 @@ object Canary {
           (k, r, norm, norm >= 0.8 && norm <= 1.2)
         }
         val per = gate.map { case (k, r, n, ok) =>
-          f""""$k":{"ratio":$r%.3f,"normalized":$n%.3f,"pass":$ok}""" }
+          s""""$k":{"ratio":${num(r, 3)},"normalized":${num(n, 3)},"pass":$ok}""" }
           .mkString("{", ",", "}")
         val verdict = if (gate.forall(_._4)) "pass" else "FAIL"
-        f"""{"verdict":"$verdict","run_shift":$shift%.3f,"per_query":$per}"""
+        s"""{"verdict":"$verdict","run_shift":${num(shift, 3)},"per_query":$per}"""
       }
     val total = results.map(_._2).sum
     val line =

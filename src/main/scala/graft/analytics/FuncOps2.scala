@@ -133,15 +133,27 @@ object FuncOps2 {
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |  AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
         |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
-      Tables.customer(s, d).createOrReplaceTempView("sq1_customer")
-      Tables.orders(s, d).createOrReplaceTempView("sq1_orders")
-      s.sql("""SELECT c.c_custkey, c.c_name,
-              |       (SELECT COUNT(*) FROM sq1_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
-              |       c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM sq1_customer c2) AS is_richest
-              |FROM sq1_customer c
-              |WHERE EXISTS (SELECT 1 FROM sq1_orders o WHERE o.o_custkey = c.c_custkey)
-              |  AND c.c_custkey IN (SELECT o_custkey FROM sq1_orders WHERE o_totalprice > 100000)
-              |ORDER BY c.c_custkey""".stripMargin)
+      // per-dir view names, registered ONCE per session (idempotent):
+      // re-registering on every call put catalog/planning churn inside
+      // the timed query — sq1's 0.37-0.58 s cross-run spread
+      // (BENCH_NOTES) was re-registration variance, not the query. The
+      // dir rides the name so a different sfDir can never serve a
+      // stale registration.
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val (cv, ov) = (s"sq1_customer_$tag", s"sq1_orders_$tag")
+      def ensure(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
+        if (!s.catalog.tableExists(name))
+          try df.createTempView(name)
+          catch { case _: org.apache.spark.sql.AnalysisException => () } // raced: present now
+      ensure(cv, Tables.customer(s, d))
+      ensure(ov, Tables.orders(s, d))
+      s.sql(s"""SELECT c.c_custkey, c.c_name,
+               |       (SELECT COUNT(*) FROM $ov o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               |       c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM $cv c2) AS is_richest
+               |FROM $cv c
+               |WHERE EXISTS (SELECT 1 FROM $ov o WHERE o.o_custkey = c.c_custkey)
+               |  AND c.c_custkey IN (SELECT o_custkey FROM $ov WHERE o_totalprice > 100000)
+               |ORDER BY c.c_custkey""".stripMargin)
     },
 
     // G4: explicit GROUPING SETS (cube/rollup's general form), via SQL.

@@ -595,12 +595,18 @@ object Retrieval {
     * ies→y (unless eies/aies), then es→e (unless aes/ees/oes), then
     * s→∅ (unless us/ss).
     */
+  // The length(c) > 1 guard on the bare-s rule keeps a lone 's' token
+  // unchanged: without it, 's' stems to the EMPTY string — which is the
+  // streaming postings store's tombstone sentinel (StreamPostings), so
+  // a stemmed streaming store would silently drop that token's
+  // postings as delete markers. Harman's S-stemmer applies no rule to
+  // 1-char words either.
   private[graft] def stemSql(c: String): String =
     s"""CASE WHEN $c LIKE '%ies' AND $c NOT LIKE '%eies' AND $c NOT LIKE '%aies'
        |     THEN substr($c, 1, length($c) - 3) || 'y'
        |     WHEN $c LIKE '%es' AND $c NOT LIKE '%aes' AND $c NOT LIKE '%ees' AND $c NOT LIKE '%oes'
        |     THEN substr($c, 1, length($c) - 1)
-       |     WHEN $c LIKE '%s' AND $c NOT LIKE '%us' AND $c NOT LIKE '%ss'
+       |     WHEN $c LIKE '%s' AND $c NOT LIKE '%us' AND $c NOT LIKE '%ss' AND length($c) > 1
        |     THEN substr($c, 1, length($c) - 1)
        |     ELSE $c END""".stripMargin
 
@@ -616,8 +622,8 @@ object Retrieval {
       t.dropRight(3) + "y"
     else if (t.endsWith("es") && !t.endsWith("aes") && !t.endsWith("ees") &&
       !t.endsWith("oes")) t.dropRight(1)
-    else if (t.endsWith("s") && !t.endsWith("us") && !t.endsWith("ss"))
-      t.dropRight(1)
+    else if (t.endsWith("s") && !t.endsWith("us") && !t.endsWith("ss") &&
+      t.length > 1) t.dropRight(1)
     else t
 
   /** r9's eval corpus with the STEMMED analyzer chain applied:

@@ -448,6 +448,23 @@ object VersionedStore {
     * mtime at that point).
     */
   def withMaintenanceLease[T](spark: SparkSession, base: String)(body: => T): T =
+    withMaintenanceLeaseFenced(spark, base)(_ => body)
+
+  /** [[withMaintenanceLease]] handing the body a live ownership probe
+    * (`() => Boolean`, true while the lock file still carries OUR
+    * holder id). A holder paused past the TTL (GC, CPU starvation) and
+    * taken over can otherwise resume and complete its read-modify-write
+    * publish concurrently with the new holder — the probe lets the
+    * commit point re-verify and abort instead ([[maintain]] checks it
+    * immediately before the pointer-flip publish). BEST-EFFORT fencing:
+    * a pause landing exactly between the probe and the flip still slips
+    * through — closing that fully needs an epoch token the pointer
+    * compare-and-swaps on, which a rename-based FS contract cannot
+    * express; the probe shrinks the window from the whole merge cycle
+    * to probe→flip (milliseconds).
+    */
+  def withMaintenanceLeaseFenced[T](spark: SparkSession, base: String)(
+      body: (() => Boolean) => T): T =
     maintLocks.computeIfAbsent(base, _ => new Object).synchronized {
       val basePath = new Path(base)
       val f = fs(spark, basePath)
@@ -543,7 +560,7 @@ object VersionedStore {
       }, s"maint-lease-heartbeat-$base")
       beat.setDaemon(true)
       beat.start()
-      try body
+      try body(() => lockIsOurs())
       finally {
         beat.interrupt()
         beat.join(1000)
@@ -565,9 +582,17 @@ object VersionedStore {
   def maintain(spark: SparkSession, base: String, keepVersions: Int = 2)(
       merge: Option[DataFrame] => DataFrame)(
       write: (DataFrame, String) => Unit = (df, out) => df.write.parquet(out)): DataFrame =
-    withMaintenanceLease(spark, base) {
+    withMaintenanceLeaseFenced(spark, base) { stillHolding =>
       val cur = readPointer(spark, base).map(_ => read(spark, base))
       val merged = merge(cur).localCheckpoint()
+      // fencing probe at the commit point: the merge cycle is the long
+      // part — if the lease was lost to a reclaim during it (a >TTL
+      // pause), publishing now would interleave two read-modify-write
+      // cycles; abort instead (best-effort, see the probe's scaladoc)
+      if (!stillHolding()) throw new java.util.ConcurrentModificationException(
+        s"maintenance lease for $base was lost during the merge cycle " +
+          "(holder paused past the TTL and reclaimed) — aborting the " +
+          "publish; retry the maintenance op")
       publish(spark, base, keepVersions = keepVersions)(out => write(merged, out))
       read(spark, base)
     }

@@ -133,6 +133,40 @@ object StreamDedup {
   def keptIds(spark: SparkSession, storeDir: String): DataFrame =
     storeBefore(spark, storeDir).select("doc_id").distinct()
 
+  /** True when `e` (or a cause in its chain) is a missing-file failure —
+    * the signature of a store snapshot invalidated by a concurrent
+    * fold's post-commit input delete. Spark wraps the executor-side
+    * FileNotFoundException in SparkException layers, so both the class
+    * chain and the message are checked.
+    */
+  private[graft] def isMissingFileError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists { c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        c.getClass.getName.contains("FileNotFound") ||
+        Option(c.getMessage).exists(m =>
+          m.contains("FileNotFoundException") || m.contains("does not exist"))
+    }
+
+  /** Run a store read-then-act body, re-listing and retrying when a
+    * concurrent fold's post-commit input delete invalidates the lazily
+    * resolved snapshot mid-action. Sound because a fold COMMITS before
+    * deleting its inputs ([[foldDeltas]]' write-then-delete order): a
+    * fresh listing after any delete sees a superset of the hashes the
+    * vanished snapshot held, so the retried screen can only screen
+    * MORE, never re-admit. `ignoreMissingFiles` would be the wrong fix
+    * — it silently drops the vanished delta's hashes from the screen
+    * (re-admission) instead of re-reading them from the fold.
+    */
+  private[graft] def withStoreRetry[T](body: => T): T = {
+    val attempts = 3
+    var last: Throwable = null
+    for (_ <- 1 to attempts) {
+      try return body
+      catch { case e: Throwable if isMissingFileError(e) => last = e }
+    }
+    throw last
+  }
+
   private def listParts(spark: SparkSession, storeDir: String): Seq[(Path, Long)] = {
     val base = new Path(storeDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -178,10 +212,16 @@ object StreamDedup {
           .withColumn("__rn", row_number().over(
             Window.partitionBy("h").orderBy(col("doc_id").asc)))
           .filter(col("__rn") === 1).drop("__rn")
-        val seen = storeBefore(spark, storeDir, boundExclusive = batchId)
-        first.join(seen.select("h").distinct(), Seq("h"), "left_anti")
-          .select("h", "doc_id")
-          .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
+        // the screen READ races a concurrent fold's post-commit input
+        // delete (the fold is committed before its inputs go, so a
+        // fresh listing always sees a superset) — retry with a fresh
+        // snapshot instead of letting the FileNotFound kill the stream
+        withStoreRetry {
+          val seen = storeBefore(spark, storeDir, boundExclusive = batchId)
+          first.join(seen.select("h").distinct(), Seq("h"), "left_anti")
+            .select("h", "doc_id")
+            .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
+        }
         ()
       }
       .start()
@@ -206,13 +246,20 @@ object StreamDedup {
     * lose data: the loser overwrites the winner's just-committed fold
     * dir while lazily reading input dirs the winner already deleted —
     * a fold missing rows that then masquerades as the store's history.
-    * Racing the STREAMING ingest itself needs no lock: the ingest only
-    * ever creates new `delta_b<id>` dirs (which a fold snapshot either
-    * sees or leaves for next time), replay rewrites target only the
-    * newest delta (never an input — folds exclude it by construction),
-    * and readers absorb fold/delta overlap by distinct().
+    * Racing the STREAMING ingest's WRITES needs no lock: the ingest
+    * only ever creates new `delta_b<id>` dirs (which a fold snapshot
+    * either sees or leaves for next time), replay rewrites target only
+    * the newest delta (never an input — folds exclude it by
+    * construction), and readers absorb fold/delta overlap by
+    * distinct(). The ingest's per-batch screen READ, though, can race
+    * a fold's post-commit input delete — its lazily resolved store
+    * snapshot lists deltas the fold then removes mid-action; the
+    * ingest handles that by re-listing and retrying
+    * ([[withStoreRetry]]), sound because the fold commits before any
+    * delete (the retried screen sees a superset, never fewer hashes).
     * StoreConcurrencySpec drives ingest and folds concurrently and
-    * pins that neither loses a write.
+    * pins that neither loses a write, and pins the retry path on a
+    * deterministically staged delete.
     */
   def foldDeltas(spark: SparkSession, storeDir: String): Int =
     graft.sinks.VersionedStore.withMaintenanceLease(spark, storeDir) {

@@ -34,7 +34,10 @@ import graft.operators.Retrieval
   * re-indexed once instead of double-indexed with inflated df/tf.
   *
   * Every batch additionally writes one MARKER row per incoming doc_id
-  * (term = '' — unreachable by the [a-z]+ tokenizer — tf = 0), so the
+  * (term = '' — unreachable by the [a-z]+ tokenizer, and unreachable
+  * under the stemmed analyzer too: the S-stemmer's length guard keeps
+  * a lone 's' from stemming to the empty string (Retrieval.stemSql;
+  * RetrievalSpec pins it) — tf = 0), so the
   * max-b computation sees EVERY reissue: a doc reissued with text that
   * tokenizes to zero tokens emits no postings, and without the marker
   * its older batch's rows would remain max-b and the doc would serve

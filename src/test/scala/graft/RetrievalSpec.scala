@@ -66,6 +66,9 @@ class RetrievalSpec extends SparkSpec {
       "tables" -> "table", "merges" -> "merge", // es → e (drop s)
       "joins" -> "join", "scans" -> "scan", "trees" -> "tree", // s → ∅
       "bus" -> "bus", "class" -> "class", // us/ss guards
+      // the lone 's' must NOT stem to '' — the empty string is the
+      // streaming store's tombstone sentinel (length guard)
+      "s" -> "s",
       "join" -> "join", "a" -> "a") // untouched
     import org.apache.spark.sql.functions.{col, expr}
     val got = cases.map(_._1).toDF("t")

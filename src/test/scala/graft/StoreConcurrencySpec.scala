@@ -317,4 +317,44 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(norm(StreamPostings.served(spark, store).drop("df")) == norm(batchBuilt),
       "store diverged from the one-shot build after racing folds")
   }
+
+  test("dedup screen read survives a fold's post-commit input delete: retry re-lists, never re-admits") {
+    // the ADVICE-flagged half of the fold-vs-ingest seam: unlike the
+    // write-only postings ingest, the dedup ingest READS the store
+    // every batch, and a fold's post-commit delete can invalidate that
+    // lazily resolved snapshot mid-action. Stage the race
+    // deterministically: resolve a screen over the pre-fold deltas,
+    // fold (commit + delete inputs) underneath it, then require (a)
+    // the stale snapshot indeed fails with a missing-file error —
+    // the race is real, not hypothetical — and (b) the retrying screen
+    // converges on the fold's superset listing with ZERO re-admissions.
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamDedup
+    import spark.implicits._
+    val store = tmpDir("graft-dedup-foldrace") + "/store"
+    // three committed deltas, distinct hashes
+    for (b <- 0 to 2)
+      (0 until 20).map(i => (s"h_${b}_$i", b * 100L + i)).toDF("h", "doc_id")
+        .coalesce(1).write.parquet(s"$store/delta_b$b")
+    // a batch-3 screen: half previously seen hashes, half new
+    val batch = ((0 until 10).map(i => (s"h_1_$i", 900L + i)) ++
+      (0 until 10).map(i => (s"h_new_$i", 950L + i))).toDF("h", "doc_id")
+    // resolve the snapshot BEFORE the fold; the fold then removes its
+    // input deltas after committing the covering fold dir
+    val stale = StreamDedup.storeBefore(spark, store, boundExclusive = 3L)
+    assert(StreamDedup.foldDeltas(spark, store) > 0, "fold did not run")
+    val staleFailed =
+      try { stale.count(); false }
+      catch { case e: Throwable => StreamDedup.isMissingFileError(e) }
+    assert(staleFailed, "staging failed: the stale snapshot did not trip " +
+      "a missing-file error — the race this test exists for was not exercised")
+    // the ingest's shape: retry re-lists and screens against the fold
+    val survived = StreamDedup.withStoreRetry {
+      val seen = StreamDedup.storeBefore(spark, store, boundExclusive = 3L)
+      batch.join(seen.select("h").distinct(), Seq("h"), "left_anti")
+        .select("h").collect().map(_.getString(0)).toSet
+    }
+    assert(survived == (0 until 10).map(i => s"h_new_$i").toSet,
+      s"retried screen re-admitted seen hashes or lost new ones: $survived")
+  }
 }
