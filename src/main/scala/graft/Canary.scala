@@ -48,7 +48,12 @@ object Canary {
     "r2_hybrid_rrf",          // hybrid fusion (index-served keyword channel)
     "r4_retrieval_recall",    // r9 mover + shared-artifact consumer
     "r7_prf_expansion",       // two-pass PRF (index-served as of r10)
-    "r9_stemmed_bm25")        // stemmed serving (index-served as of r10)
+    "r9_stemmed_bm25",        // stemmed serving (index-served as of r10)
+    // round-11 additions (verdict-10 ask #3): the round-10 serving
+    // family was outside the gate — tok7 was its heaviest query and
+    // r10 exercises the positional-store read path end to end
+    "tok7_unk_accounting",    // BPE UNK gate (heaviest round-10 query)
+    "r10_snippets")           // positional-index highlighter
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
