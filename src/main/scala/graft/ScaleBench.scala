@@ -66,7 +66,17 @@ object ScaleBench {
     // encode is a broadcast vocab join + per-doc rollup over the
     // corpus word stream; s7's weighted sample is map-only + a
     // bounded top-k heap
-    "tok3_bpe_train", "tok5_bpe_encode", "s7_weighted_sample")
+    "tok3_bpe_train", "tok5_bpe_encode", "s7_weighted_sample",
+    // the round-10 serving family (verdict-10 ask #3 — previously
+    // outside this net): r10's highlighter reads the positional
+    // artifact bucket-pruned then slices ≤ queries×3 documents; v15's
+    // greedy MMR runs on collected queries×20 candidates, so its
+    // corpus-side term is the candidate generation; tok6's encode is
+    // a broadcast word→ids join + per-doc reassembly over the corpus
+    // word stream; tok7 is one corpus scan with a broadcast-vocab
+    // LEFT join; t17 computes all five stage flags in ONE corpus pass
+    "r10_snippets", "v15_mmr_rerank", "tok6_bpe_ids",
+    "tok7_unk_accounting", "t17_pipeline_waterfall")
 
   /** The third-point spot-check set: the two WORST observed 10× ratios
     * (d15, v11 — precisely where fixed costs least conclusively

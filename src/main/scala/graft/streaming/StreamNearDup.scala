@@ -135,15 +135,21 @@ object StreamNearDup {
         val survivors = sig.join(
           inPairs.select(col("doc2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         // stage 2: band-screen survivors against the admitted store
-        // (strictly earlier batches — replay-safe)
-        val seen = sigStore(spark, storeDir, boundExclusive = batchId)
-        val storeMatches = MinHash.crossMatches(seen, survivors, threshold)
-          .withColumn("stage", lit("store"))
-          .localCheckpoint()
-        batchMatches.unionByName(storeMatches)
-          .write.mode("overwrite").parquet(s"$storeDir/matches_b$batchId")
-        survivors.join(storeMatches.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
+        // (strictly earlier batches — replay-safe). Like StreamDedup's
+        // screen, this READ races a concurrent fold's post-commit
+        // input delete — retry with a fresh listing (sound: the fold
+        // commits the same signature set before deleting its inputs,
+        // and every write below is mode(overwrite)-idempotent)
+        StreamDedup.withStoreRetry {
+          val seen = sigStore(spark, storeDir, boundExclusive = batchId)
+          val storeMatches = MinHash.crossMatches(seen, survivors, threshold)
+            .withColumn("stage", lit("store"))
+            .localCheckpoint()
+          batchMatches.unionByName(storeMatches)
+            .write.mode("overwrite").parquet(s"$storeDir/matches_b$batchId")
+          survivors.join(storeMatches.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
+        }
         ()
       }
       .start()

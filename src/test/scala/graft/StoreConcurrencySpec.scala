@@ -245,10 +245,18 @@ class StoreConcurrencySpec extends SparkSpec {
           Thread.sleep(1200); done.countDown()
         })
       holder.start()
+      // wait until the holder's createLock has COMPLETED — the file
+      // exists from create() but its UUID content lands at close(), and
+      // a takeover staged mid-create breaks the in-flight write and
+      // sends the holder into a retry loop against the successor's
+      // fresh lock (a staging artifact: production takeovers require
+      // TTL staleness, which a mid-create lock never has)
+      def lockLen(): Long =
+        try fs.getFileStatus(lock).getLen catch { case _: java.io.IOException => -1L }
       val deadline = System.currentTimeMillis() + 5000
-      while (!fs.exists(lock) && System.currentTimeMillis() < deadline)
+      while (lockLen() < 36 && System.currentTimeMillis() < deadline)
         Thread.sleep(10)
-      assert(fs.exists(lock), "holder never acquired")
+      assert(lockLen() >= 36, "holder never finished acquiring")
       // simulate a takeover: the lock is replaced by a successor's
       // (different UUID content) while the original holder still runs
       fs.delete(lock, false)
