@@ -180,7 +180,8 @@ object Retrieval {
     * after that reads only its terms' buckets ([[writeBucketed]]).
     */
   def indexArtifact(s: SparkSession, d: String): DataFrame =
-    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_postings_b64") { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_postings_b64",
+        logicKey = RawAnalyzerSql) { out =>
       writeBucketed(withDf(rawPostings(tokenized(s, d))), out)
     }
 
@@ -362,7 +363,8 @@ object Retrieval {
     * `.pos` file analogue.
     */
   def posIndexArtifact(s: SparkSession, d: String): DataFrame =
-    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_pospostings_b64") { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_pospostings_b64",
+        logicKey = RawAnalyzerSql) { out =>
       writeBucketed(rawPosPostings(tokenized(s, d)), out)
     }
 
@@ -389,7 +391,8 @@ object Retrieval {
     }(writeBucketed)
 
   def statsArtifact(s: SparkSession, d: String): DataFrame =
-    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stats") { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stats",
+        logicKey = RawAnalyzerSql) { out =>
       tokenized(s, d)
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("toks"))).cast("long").as("sum_dl"))
@@ -482,7 +485,8 @@ object Retrieval {
     * this, never re-aggregates postings (PlanSpec pins it).
     */
   def termDictArtifact(s: SparkSession, d: String): DataFrame =
-    graft.sinks.VersionedStore.corpusArtifact(s, d, "term_dictionary") { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "term_dictionary",
+        logicKey = RawAnalyzerSql) { out =>
       writeDictPrefixed(dictRows(indexArtifact(s, d)), out)
     }
 
@@ -490,7 +494,8 @@ object Retrieval {
     * (gram-bucketed), derived from [[termDictArtifact]].
     */
   def termGramArtifact(s: SparkSession, d: String): DataFrame =
-    graft.sinks.VersionedStore.corpusArtifact(s, d, "term_dict_grams") { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "term_dict_grams",
+        logicKey = RawAnalyzerSql) { out =>
       writeGramBucketed(gramRows(termDictArtifact(s, d)), out)
     }
 
@@ -652,12 +657,14 @@ object Retrieval {
     * of rescoring the corpus (the same upgrade r2/r3 gave r1's math).
     */
   def stemmedIndexArtifact(s: SparkSession, d: String): DataFrame =
-    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stemmed_postings_b64") { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stemmed_postings_b64",
+        logicKey = stemmedAnalyzerSql) { out =>
       writeBucketed(withDf(rawPostings(stemmedAug(s, d))), out)
     }
 
   def stemmedStatsArtifact(s: SparkSession, d: String): DataFrame =
-    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stemmed_stats") { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stemmed_stats",
+        logicKey = stemmedAnalyzerSql) { out =>
       stemmedAug(s, d)
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("toks"))).cast("long").as("sum_dl"))
@@ -699,6 +706,15 @@ object Retrieval {
       |                     unnest([0, 1, 2, 3]) AS sev
       |              FROM documents WHERE doc_id % 20 = 0))""".stripMargin
 
+  /** One DCG term — gain discounted by log2(rank + 1) — computed in
+    * doubles with this TEXTUALLY IDENTICAL expression in both engines
+    * and quantized to integer micro-units BEFORE any sum (the
+    * contribSql determinism discipline applied to eval metrics).
+    */
+  private def dcgTermSql(g: String, rank: String): String =
+    s"CAST(ROUND(1000000 * (CAST($g AS DOUBLE) / " +
+      s"(ln(CAST($rank + 1 AS DOUBLE)) / ln(2.0))), 0) AS BIGINT)"
+
   /** The graded-planting BM25 ranking as a corpus artifact, shared by
     * the two recall dials (r4 grades BM25 alone, r5 grades the hybrid
     * fusion against the SAME truth): the full ranking (query_id,
@@ -711,7 +727,8 @@ object Retrieval {
     * independently (the round-9 verdict's duplicated-planting flag).
     */
   private[graft] def gradedRankingArtifact(s: SparkSession, d: String): DataFrame =
-    graft.sinks.VersionedStore.corpusArtifact(s, d, "graded_bm25_ranking") { out =>
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "graded_bm25_ranking",
+        logicKey = RawAnalyzerSql + contribSql) { out =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val (planted, _) = MinHash.gradedPlanting(docs)
       val aug = docs.union(planted.select("doc_id", "text"))
@@ -1331,6 +1348,97 @@ object Retrieval {
         .select(col("qid"), col("rn"), col("prefix"),
           col("term").as("suggestion"), col("df"))
         .orderBy("qid", "rn")
+    },
+
+    // R13: graded relevance metrics — nDCG@10 (Järvelin & Kekäläinen
+    // 2002) and reciprocal rank, the two numbers every search-quality
+    // dashboard tracks, computed over the SAME graded planting r4/r5
+    // grade recall on (one truth, three dials). Gains are exponential
+    // in severity (sev 0 → 7, 1 → 3, 2 → 1, 3 → 0: a 48-junked copy is
+    // judged irrelevant); per query: nDCG@10 against the ideal ordering
+    // of its four planted copies, reciprocal rank of the first
+    // relevant hit over the FULL ranking, and the top-10 relevant
+    // count. Determinism: each DCG term is computed in doubles with a
+    // TEXTUALLY IDENTICAL expression in both engines and quantized to
+    // integer micro-units BEFORE the sum ([[dcgTermSql]]); the final
+    // nDCG and RR are integer divisions — no float accumulation can
+    // flip a value.
+    // 100 TB shape: the ranking comes from the SHARED fingerprint-keyed
+    // [[gradedRankingArtifact]] (r4/r5's build, reused — zero extra
+    // corpus work); this query's own plan joins 40 broadcast truth rows
+    // against it and aggregates per query. An eval over a production
+    // qrels set is the same plan with the truth table read instead of
+    // planted.
+    QueryDef.sql("r13_graded_metrics", {
+      s"""WITH corpus AS (
+         |  $gradedCorpusSql),
+         |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM corpus),
+         |q AS (SELECT DISTINCT doc_id AS query_id, toks[i] AS term
+         |      FROM (SELECT doc_id, toks,
+         |                   unnest(generate_series(1, least(len(toks), 57))) AS i
+         |            FROM dd WHERE doc_id % 20 = 0 AND doc_id < 200)
+         |      WHERE (i - 1) % 4 = 0),
+         |${bm25ChainSql(excludeSelf = true)},
+         |ranked AS (SELECT query_id, doc_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score_micro DESC, doc_id) AS rn
+         |           FROM agg),
+         |truth AS (SELECT doc_id AS query_id,
+         |                 doc_id + 7000000 + sev * 1000000 AS planted,
+         |                 CAST(CASE sev WHEN 0 THEN 7 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS g
+         |          FROM (SELECT doc_id, unnest([0, 1, 2, 3]) AS sev
+         |                FROM documents WHERE doc_id % 20 = 0 AND doc_id < 200)),
+         |dcg AS (SELECT r.query_id,
+         |               CAST(SUM(${dcgTermSql("t.g", "r.rn")}) AS BIGINT) AS dcg_micro,
+         |               CAST(SUM(CASE WHEN t.g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top10
+         |        FROM ranked r JOIN truth t ON t.query_id = r.query_id AND t.planted = r.doc_id
+         |        WHERE r.rn <= 10 GROUP BY 1),
+         |idcg AS (SELECT CAST(SUM(${dcgTermSql("g", "irn")}) AS BIGINT) AS idcg_micro
+         |         FROM (VALUES (1, 7), (2, 3), (3, 1)) AS v(irn, g)),
+         |firstrel AS (SELECT r.query_id, MIN(r.rn) AS frn
+         |             FROM ranked r JOIN truth t ON t.query_id = r.query_id AND t.planted = r.doc_id
+         |             WHERE t.g > 0 GROUP BY 1),
+         |base AS (SELECT DISTINCT doc_id AS query_id FROM documents
+         |         WHERE doc_id % 20 = 0 AND doc_id < 200)
+         |SELECT b.query_id,
+         |       COALESCE(CAST((1000000 * d.dcg_micro) // i.idcg_micro AS BIGINT), 0) AS ndcg_ppm,
+         |       COALESCE(CAST(1000000 // f.frn AS BIGINT), 0) AS rr_ppm,
+         |       COALESCE(d.n_rel_top10, 0) AS n_rel_top10
+         |FROM base b CROSS JOIN idcg i
+         |LEFT JOIN dcg d ON d.query_id = b.query_id
+         |LEFT JOIN firstrel f ON f.query_id = b.query_id
+         |ORDER BY b.query_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val art = gradedRankingArtifact(s, d)
+        .select(col("query_id").as("hit_query"), col("cand_id").as("hit_id"),
+          col("rn"))
+      val truth = Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 200)
+        .select(col("doc_id"), explode(array((0 to 3).map(lit): _*)).as("sev"))
+        .select(col("doc_id").as("query_id"),
+          (col("doc_id") + 7000000 + col("sev") * 1000000).as("planted"),
+          expr("CAST(CASE sev WHEN 0 THEN 7 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END AS BIGINT)").as("g"))
+      val hits = art.join(broadcast(truth),
+        col("hit_query") === col("query_id") && col("hit_id") === col("planted"))
+      val dcg = hits.filter(col("rn") <= 10)
+        .groupBy("query_id")
+        .agg(sum(expr(dcgTermSql("g", "rn"))).cast("long").as("dcg_micro"),
+          sum(when(col("g") > 0, 1).otherwise(0)).cast("long").as("n_rel_top10"))
+      val idcg = Seq((1, 7), (2, 3), (3, 1)).toDF("irn", "g")
+        .agg(sum(expr(dcgTermSql("g", "irn"))).cast("long").as("idcg_micro"))
+      val firstrel = hits.filter(col("g") > 0)
+        .groupBy("query_id").agg(min("rn").as("frn"))
+      truth.select("query_id").distinct()
+        .crossJoin(broadcast(idcg))
+        .join(dcg, Seq("query_id"), "left")
+        .join(firstrel, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(expr("CAST((1000000 * dcg_micro) div idcg_micro AS BIGINT)"),
+            lit(0L)).as("ndcg_ppm"),
+          coalesce(expr("CAST(1000000 div frn AS BIGINT)"), lit(0L)).as("rr_ppm"),
+          coalesce(col("n_rel_top10"), lit(0L)).as("n_rel_top10"))
+        .orderBy("query_id")
     },
 
     // R5: the recall dial pointed at the HYBRID fusion — r4's own

@@ -617,15 +617,37 @@ object VersionedStore {
   }
 
   /** The standard corpus-derived-artifact cache: warehouse-dir base
-    * named `<name>_<sf-basename>`, keyed by the fingerprint of
-    * `<sfDir>/<srcTable>.parquet`. One definition of the path scheme
-    * and keying for every staged artifact (shingle index, pair table,
-    * MinHash/SimHash signatures, partitioned layouts), so a change to
-    * the scheme lands in one place.
+    * named `<name>[_<logic-crc>]_<sf-basename>`, keyed by the
+    * fingerprint of `<sfDir>/<srcTable>.parquet`. One definition of
+    * the path scheme and keying for every staged artifact (shingle
+    * index, pair table, MinHash/SimHash signatures, partitioned
+    * layouts), so a change to the scheme lands in one place.
+    *
+    * `logicKey`: the fingerprint keys on SOURCE data only, so an
+    * artifact whose BUILD EXPRESSION can evolve (an analyzer chain, a
+    * block size) would silently serve stale content across a code
+    * change — the round-11 stemmer fix made this hazard concrete (the
+    * cached stemmed index predated the length guard; it happened to be
+    * content-identical on this corpus, but nothing enforced that).
+    * Passing the logic string (e.g. the analyzer SQL) folds its CRC
+    * into the artifact NAME, so a logic change lands in a fresh path
+    * and rebuilds automatically; the superseded artifact is orphaned
+    * disk, never served. Builders whose logic is part of the contract
+    * should pass it.
     */
   def corpusArtifact(spark: SparkSession, sfDir: String, name: String,
-      srcTable: String = "documents")(write: String => Unit): DataFrame = {
-    val base = s"${spark.conf.get("spark.sql.warehouse.dir")}/${name}_${new java.io.File(sfDir).getName}"
+      srcTable: String = "documents", logicKey: String = "")(
+      write: String => Unit): DataFrame = {
+    val tag = if (logicKey.isEmpty) "" else s"_${logicTag(logicKey)}"
+    val base = s"${spark.conf.get("spark.sql.warehouse.dir")}/${name}${tag}_${new java.io.File(sfDir).getName}"
     readOrBuild(spark, base, fingerprintOf(spark, s"$sfDir/$srcTable.parquet"))(write)
+  }
+
+  /** CRC32 hex of a build-logic string — see [[corpusArtifact]]. */
+  def logicTag(logic: String): String = {
+    val c = new java.util.zip.CRC32()
+    val b = logic.getBytes(UTF_8)
+    c.update(b, 0, b.length)
+    java.lang.Long.toHexString(c.getValue)
   }
 }

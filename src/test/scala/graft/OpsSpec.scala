@@ -1255,6 +1255,33 @@ class OpsSpec extends SparkSpec {
       .readVersion(spark, base, vs(vs.size - 2)).count() == oldV.count())
   }
 
+  test("corpusArtifact logicKey: a build-logic change rebuilds instead of serving the stale cache") {
+    // the round-11 hazard made concrete by the stemmer fix: artifacts
+    // key on the SOURCE fingerprint, so two different build expressions
+    // under the same name would serve whichever built first. With the
+    // logic string folded into the artifact name, each logic version
+    // gets its own cache — same name + same logic = reuse, same name +
+    // different logic = rebuild
+    import spark.implicits._
+    import graft.sinks.VersionedStore
+    val d = "/root/testdata/sf0.001"
+    val name = s"logickey_probe_${System.nanoTime()}"
+    var builds = 0
+    def artifact(logic: String) =
+      VersionedStore.corpusArtifact(spark, d, name, logicKey = logic) { out =>
+        builds += 1
+        Seq(logic).toDF("which").write.parquet(out)
+      }
+    assert(artifact("analyzer-v1").collect().map(_.getString(0)).toSeq == Seq("analyzer-v1"))
+    assert(artifact("analyzer-v1").collect().map(_.getString(0)).toSeq == Seq("analyzer-v1"))
+    assert(builds == 1, "same logic must reuse the cache")
+    assert(artifact("analyzer-v2").collect().map(_.getString(0)).toSeq == Seq("analyzer-v2"),
+      "a changed build logic served the stale cache")
+    assert(builds == 2, "changed logic must rebuild")
+    assert(artifact("analyzer-v1").collect().map(_.getString(0)).toSeq == Seq("analyzer-v1"))
+    assert(builds == 2, "both logic versions should persist independently")
+  }
+
   test("term dictionary store: after-append dictionary equals from-scratch, and maintenance refreshes it") {
     // the r11/r12 serving artifact as DERIVED state of a maintained
     // store: version-keyed, so the dictionary can never serve a df the
@@ -1397,6 +1424,26 @@ class OpsSpec extends SparkSpec {
     // the pre-append segment survives as a time-travel target
     val vs = graft.sinks.VersionedStore.listVersions(spark, base)
     assert(vs.size >= 2)
+  }
+
+  test("r13 graded metrics: nDCG/RR invariants hold and the dial separates") {
+    // the metric-definition invariants no oracle hash can express:
+    // both metrics live in [0, 1e6]; nDCG is positive exactly when a
+    // relevant copy made the top-10; and a query whose top-10 holds a
+    // relevant hit has RR ≥ 1e6/10 (the first relevant rank is ≤ 10)
+    val rows = SparkEntry.queries("r13_graded_metrics")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10 && rows.map(_._1).toSeq == (0L until 200L by 20).toSeq)
+    for ((qid, ndcg, rr, nrel) <- rows) {
+      assert(ndcg >= 0 && ndcg <= 1000000, s"q$qid ndcg_ppm $ndcg out of range")
+      assert(rr >= 0 && rr <= 1000000, s"q$qid rr_ppm $rr out of range")
+      assert((ndcg > 0) == (nrel > 0),
+        s"q$qid: ndcg $ndcg inconsistent with n_rel_top10 $nrel")
+      if (nrel > 0) assert(rr >= 100000,
+        s"q$qid: relevant in top-10 but rr_ppm $rr < 1e5")
+    }
+    assert(rows.exists(_._4 > 0),
+      "the dial separated nothing: no query had a relevant top-10 hit at sf0.001")
   }
 
   test("hybrid recall dial: fusion recovers at least BM25's hits at every severity") {
