@@ -508,6 +508,92 @@ object CorpusPrep {
           expr("CAST((1000000 * n_unk) div n_words AS BIGINT)"))
         .select("source", "n_words", "n_known", "n_unk", "unk_ppm", "n_tokens_unk1")
         .orderBy("source")
+    },
+
+    // TOK8: vocabulary coverage curve — the "how big must the vocab
+    // be" analysis run before freezing any tokenizer budget: rank the
+    // vocabulary by frequency (ties alphabetic — fully deterministic)
+    // and report, at each candidate vocab size k, how many corpus
+    // tokens the top-k words cover. The knee of this curve is where a
+    // vocab budget stops paying; its tail is tok7's UNK rate before
+    // the fact. Integer ppm shares keep both engines exact.
+    // 100 TB shape: ONE corpus scan into the map-side-combined word
+    // frequency table; everything after (rank window, the k-threshold
+    // join, the total) runs on the VOCAB-bounded frame — the window
+    // orders the agg, never the corpus, and the candidate sizes join
+    // in as a broadcast literal table.
+    QueryDef.sql("tok8_vocab_coverage",
+      """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        |freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY 1),
+        |ranked AS (SELECT word, f, row_number() OVER (ORDER BY f DESC, word) AS rk FROM freq),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total_tokens FROM freq),
+        |ks(k) AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16), (24), (31))),
+        |cov AS (SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |               CAST(SUM(r.f) AS BIGINT) AS covered_tokens
+        |        FROM ks k JOIN ranked r ON r.rk <= k.k GROUP BY 1)
+        |SELECT c.k, c.n_vocab, c.covered_tokens, t.total_tokens,
+        |       CAST((1000000 * c.covered_tokens) // t.total_tokens AS BIGINT) AS coverage_ppm
+        |FROM cov c CROSS JOIN tot t ORDER BY c.k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val freq = Tables.documents(s, d)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy("word").agg(count(lit(1)).cast("long").as("f"))
+      // rank + total run on the vocab-bounded freq agg (the s6/t16
+      // window-reads-the-agg discipline), candidate sizes broadcast
+      val ranked = freq.withColumn("rk",
+        row_number().over(Window.orderBy(col("f").desc, col("word").asc)))
+      val tot = freq.agg(sum("f").cast("long").as("total_tokens"))
+      val ks = Seq(1, 2, 4, 8, 16, 24, 31).toDF("k")
+      ranked.join(broadcast(ks), col("rk") <= col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).cast("long").as("n_vocab"),
+          sum("f").cast("long").as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_vocab"), col("covered_tokens"), col("total_tokens"),
+          expr("CAST((1000000 * covered_tokens) div total_tokens AS BIGINT)")
+            .as("coverage_ppm"))
+        .orderBy("k")
+    },
+
+    // S8: deterministic stratified dataset split — the train/val/test
+    // assignment every training pipeline runs before anything else,
+    // done the reshuffle-proof way: a Knuth multiplicative hash of the
+    // doc id (integer arithmetic, identical in both engines — no RNG,
+    // no sampling operator whose sequence depends on partitioning)
+    // buckets each doc 0-99; <80 train, <90 val, else test. A doc's
+    // split NEVER changes when the corpus grows or the job reruns —
+    // the property random splits lose and the reason leakage audits
+    // (d7) can trust yesterday's test set. Reported per source × split
+    // with integer ppm shares: the stratification check that catches a
+    // source whose id space correlates with the hash.
+    // 100 TB shape: one narrow map-only pass (no text read) + one
+    // map-side-combined rollup to ≤ sources×3 rows; the share window
+    // reads that bounded agg.
+    QueryDef.sql("s8_dataset_split",
+      """WITH b AS (SELECT doc_id, source, n_chars,
+        |                  ((doc_id * 2654435761) % 4294967296) % 100 AS bkt
+        |           FROM documents),
+        |a AS (SELECT source,
+        |             CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        |             CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |      FROM b GROUP BY 1, 2)
+        |SELECT source, split, n_docs, n_chars,
+        |       CAST((1000000 * n_docs) // SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_ppm
+        |FROM a ORDER BY source, split""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          expr("((doc_id * 2654435761) % 4294967296) % 100").as("bkt"))
+        .select(col("source"), col("n_chars"),
+          expr("CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END")
+            .as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_chars").cast("long").as("n_chars"))
+        .withColumn("share_ppm", expr(
+          "CAST((1000000 * n_docs) div SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)"))
+        .select("source", "split", "n_docs", "n_chars", "share_ppm")
+        .orderBy("source", "split")
     }
   )
 

@@ -1446,6 +1446,58 @@ class OpsSpec extends SparkSpec {
       "the dial separated nothing: no query had a relevant top-10 hit at sf0.001")
   }
 
+  test("tok8 coverage curve: monotone in k, exact-count vocab, saturates at full vocabulary") {
+    val rows = SparkEntry.queries("tok8_vocab_coverage")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8, 16, 24, 31))
+    // coverage and vocab counts are nondecreasing in k; each k's vocab
+    // count is min(k, |V|); the last point covers every token
+    for (pair <- rows.toSeq.sliding(2)) {
+      val (a, b) = (pair.head, pair.last)
+      assert(a._5 <= b._5, s"coverage decreased from k=${a._1} to k=${b._1}")
+      assert(a._2 <= b._2)
+    }
+    for ((k, nv, cov, tot, ppm) <- rows) {
+      assert(nv <= k, s"k=$k claims $nv vocab words")
+      assert(cov <= tot)
+      assert(ppm == 1000000L * cov / tot, s"k=$k ppm drifted from its definition")
+    }
+    val last = rows.last
+    assert(last._3 == last._4 && last._5 == 1000000,
+      "the full-vocabulary point must cover every token")
+  }
+
+  test("s8 split: deterministic, reshuffle-proof, stratified near 80/10/10") {
+    // the property that makes a hash split worth having: a doc's
+    // assignment is a pure function of its id — recomputable anywhere,
+    // stable under corpus growth — and every source lands near the
+    // 80/10/10 design (the hash must not correlate with any source's
+    // id space)
+    val rows = SparkEntry.queries("s8_dataset_split")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    val bySource = rows.groupBy(_._1)
+    for ((src, rs) <- bySource) {
+      assert(rs.map(_._4).sum >= 999998 && rs.map(_._4).sum <= 1000000,
+        s"$src: shares don't sum to ~1e6: $rs")
+      val train = rs.find(_._2 == "train").map(_._4).getOrElse(0L)
+      assert(train >= 650000 && train <= 950000,
+        s"$src: train share $train ppm far from the 800000 design")
+    }
+    // reshuffle-proof: the engine's assignment for a sampled id equals
+    // the driver-side recomputation of the same integer hash
+    def splitOf(id: Long): String = {
+      val bkt = ((id * 2654435761L) % 4294967296L) % 100
+      if (bkt < 80) "train" else if (bkt < 90) "val" else "test"
+    }
+    val perDoc = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        expr("CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train' " +
+          "WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val' ELSE 'test' END").as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    for ((id, s) <- perDoc)
+      assert(s == splitOf(id), s"doc $id: engine split $s != driver ${splitOf(id)}")
+  }
+
   test("hybrid recall dial: fusion recovers at least BM25's hits at every severity") {
     // the r5 gate: the vector channel exists to cover lexical
     // saturation, so the fused top-10 must never lose a planted doc

@@ -540,6 +540,44 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "the dictionary scan is missing its pb partition filter")
   }
 
+  test("s8 split: the scan never reads text — assignment is id-arithmetic only") {
+    // the split is a pure function of doc_id; dragging the text column
+    // through the scan would turn a metadata-sized pass into a corpus
+    // read (at 100 TB, the difference between seconds and hours)
+    val df = SparkEntry.queries("s8_dataset_split")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val scans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents.parquet")) => f
+    }
+    assert(scans.nonEmpty, "expected a documents scan")
+    scans.foreach { f =>
+      val readSchema = f.metadata.getOrElse("ReadSchema", "")
+      assert(!readSchema.contains("text"),
+        s"the split pass reads the text column: $readSchema")
+    }
+  }
+
+  test("tok8 coverage: one corpus scan; rank window and k-join run on the vocab agg") {
+    val df = SparkEntry.queries("tok8_vocab_coverage")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val corpusScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents.parquet")) => f
+    }
+    assert(corpusScans.size == 1,
+      s"coverage curve should scan the corpus ONCE, found ${corpusScans.size}")
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.forall(j =>
+      j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+        j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"non-broadcast join in the bounded tail: ${joins.map(_.nodeName).mkString(", ")}")
+  }
+
   test("tok6: the word-to-ids encode join broadcasts; no corpus-to-vocab shuffle") {
     // the encode's only corpus-sized stages are the posexploded word
     // stream and the per-doc reassembly groupBy; the vocab map must
