@@ -1015,6 +1015,87 @@ object VectorOps {
       out.sortBy(t => (t._1, t._2)).toSeq
         .toDF("query_id", "rn", "cand_id", "rel_micro", "mmr_micro")
         .orderBy("query_id", "rn")
+    },
+
+    // V16: codebook drift audit — the maintenance signal every frozen-
+    // codebook ANN deployment watches (FAISS operational practice): a
+    // PQ codebook trained on yesterday's distribution quantizes
+    // tomorrow's drifted vectors with growing residual error, and
+    // recall decays silently — the code table looks healthy, the
+    // distances are just wrong. This op encodes the original corpus
+    // PLUS a deterministically drifted cohort (every 5th vector scaled
+    // ×4 — the classic production accident: a new encoder version
+    // ships un-normalized embeddings; ×4 is a float-exact power of
+    // two, so both engines quantize the drifted elements identically)
+    // against the FROZEN v7 codebook and reports per cohort: count,
+    // mean/median/max integer squared error, the drifted-to-baseline
+    // mean ratio in ppm, and the retrain flag (mean error ≥ 1.5×
+    // baseline). OpsSpec gates that the dial actually separates.
+    // 100 TB shape: v7's — the encode is map-only (codebooks inlined
+    // as literals, the per-vector argmin runs inside codegen, no join,
+    // no shuffle of embeddings); the rollup is ≤ 2 rows. Auditing a
+    // day's ingest costs one narrow pass over that day's vectors.
+    QueryDef.sql("v16_codebook_drift",
+      s"""WITH el AS ($elementsSql),
+         |$pqChainSql,
+         |dr AS (SELECT vec_id + 5000000 AS vec_id, 'drifted' AS cohort, pos,
+         |              CAST(round(CAST(x AS DOUBLE) * 4 * 1000000.0, 0) AS BIGINT) AS xi
+         |       FROM (SELECT vec_id, unnest(embedding) AS x,
+         |                    generate_subscripts(embedding, 1) - 1 AS pos
+         |             FROM embeddings)
+         |       WHERE vec_id % 5 = 0),
+         |ela AS (SELECT vec_id, 'original' AS cohort, pos, xi FROM el
+         |        UNION ALL SELECT vec_id, cohort, pos, xi FROM dr),
+         |suba AS (SELECT vec_id, cohort, CAST(pos // 16 AS INT) AS m, pos % 16 AS p, xi FROM ela),
+         |da AS (SELECT a.vec_id, a.cohort, a.m, c.cent_id,
+         |              CAST(SUM((a.xi - c.xi) * (a.xi - c.xi)) AS BIGINT) AS dist
+         |       FROM suba a JOIN c1 c ON a.m = c.m AND a.p = c.p
+         |       GROUP BY a.vec_id, a.cohort, a.m, c.cent_id),
+         |cha AS (SELECT vec_id, cohort, m, dist FROM (
+         |          SELECT vec_id, cohort, m, dist,
+         |                 row_number() OVER (PARTITION BY vec_id, m
+         |                                    ORDER BY dist, cent_id) AS rn
+         |          FROM da) WHERE rn = 1),
+         |pv AS (SELECT vec_id, cohort, CAST(SUM(dist) AS BIGINT) AS sq_err
+         |       FROM cha GROUP BY 1, 2),
+         |st AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |              CAST(SUM(sq_err) AS BIGINT) AS sum_err,
+         |              round(median(sq_err), 1) AS med_err,
+         |              CAST(MAX(sq_err) AS BIGINT) AS max_err
+         |       FROM pv GROUP BY 1),
+         |st2 AS (SELECT cohort, n_vecs, CAST(sum_err // n_vecs AS BIGINT) AS mean_err,
+         |               med_err, max_err FROM st),
+         |b AS (SELECT mean_err AS base_mean FROM st2 WHERE cohort = 'original')
+         |SELECT s.cohort, s.n_vecs, s.mean_err, s.med_err, s.max_err,
+         |       CAST(s.mean_err // (b.base_mean // 1000000) AS BIGINT) AS drift_ppm,
+         |       s.mean_err // (b.base_mean // 1000000) >= 1500000 AS retrain
+         |FROM st2 s CROSS JOIN b ORDER BY s.cohort""".stripMargin) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val drifted = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 5000000L).as("vec_id"),
+          expr("transform(embedding, v -> v * CAST(4.0 AS FLOAT))").as("embedding"))
+      val aug = emb.withColumn("cohort", lit("original"))
+        .unionByName(drifted.withColumn("cohort", lit("drifted")))
+      val perVec = pqAssign(aug, pqTrainCached(s, d))
+        .select(col("cohort"),
+          (0 until PqM).map(m => col(s"err$m")).reduce(_ + _).as("sq_err"))
+      val stats = perVec.groupBy("cohort")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum("sq_err").cast("long").as("sum_err"),
+          round(expr("percentile(sq_err, 0.5)"), 1).as("med_err"),
+          max("sq_err").cast("long").as("max_err"))
+        .withColumn("mean_err", expr("CAST(sum_err div n_vecs AS BIGINT)"))
+      val base = stats.filter(col("cohort") === "original")
+        .select(col("mean_err").as("base_mean"))
+      stats.crossJoin(broadcast(base))
+        .select(col("cohort"), col("n_vecs"), col("mean_err"),
+          col("med_err"), col("max_err"),
+          // divide the baseline down instead of multiplying the mean up:
+          // 1e6 * a 1e13-scale mean overflows INT64 in ANSI engines
+          expr("CAST(mean_err div (base_mean div 1000000) AS BIGINT)").as("drift_ppm"),
+          expr("mean_err div (base_mean div 1000000) >= 1500000").as("retrain"))
+        .orderBy("cohort")
     }
   )
 

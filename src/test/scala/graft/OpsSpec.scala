@@ -1446,6 +1446,24 @@ class OpsSpec extends SparkSpec {
       "the dial separated nothing: no query had a relevant top-10 hit at sf0.001")
   }
 
+  test("v16 drift audit: the dial separates — drifted cohort flags retrain, baseline doesn't") {
+    // the property the oracle hash can't express: the audit must
+    // actually DISCRIMINATE. The baseline cohort is its own reference
+    // (drift_ppm exactly 1e6, no retrain); the norm-drifted cohort's
+    // mean error must exceed the retrain threshold and flag
+    val rows = SparkEntry.queries("v16_codebook_drift")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getBoolean(6)))
+    assert(rows.map(_._1).toSeq == Seq("drifted", "original"))
+    val drifted = rows.head; val orig = rows.last
+    assert(orig._4 == 1000000L && !orig._5,
+      s"baseline must self-reference at exactly 1e6 ppm, no retrain: $orig")
+    assert(drifted._3 > orig._3, "drifted mean error must exceed baseline")
+    assert(drifted._4 >= 1500000L && drifted._5,
+      s"the x4 norm drift must trip the 1.5x retrain threshold: $drifted")
+    assert(drifted._2 * 5 == orig._2, "cohort sizes: every 5th vector drifts")
+  }
+
   test("tok8 coverage curve: monotone in k, exact-count vocab, saturates at full vocabulary") {
     val rows = SparkEntry.queries("tok8_vocab_coverage")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
