@@ -137,14 +137,25 @@ object FuncOps2 {
       // re-registering on every call put catalog/planning churn inside
       // the timed query — sq1's 0.37-0.58 s cross-run spread
       // (BENCH_NOTES) was re-registration variance, not the query. The
-      // dir rides the name so a different sfDir can never serve a
-      // stale registration.
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      // FULL sanitized dir rides the name (not a 32-bit hash, which
+      // can collide two dirs onto one view) so a different sfDir can
+      // never serve a stale registration; note the registered view
+      // freezes its file listing for the session — regenerating the
+      // parquet at the same path mid-session is out of contract here,
+      // as it is for every fingerprint-keyed artifact.
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val (cv, ov) = (s"sq1_customer_$tag", s"sq1_orders_$tag")
       def ensure(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
         if (!s.catalog.tableExists(name))
           try df.createTempView(name)
-          catch { case _: org.apache.spark.sql.AnalysisException => () } // raced: present now
+          catch {
+            // swallow ONLY the lost-registration race — if the view is
+            // still absent, this was a real failure (missing path,
+            // unreadable parquet) and eating it would resurface later
+            // as a baffling TABLE_OR_VIEW_NOT_FOUND
+            case e: org.apache.spark.sql.AnalysisException =>
+              if (!s.catalog.tableExists(name)) throw e
+          }
       ensure(cv, Tables.customer(s, d))
       ensure(ov, Tables.orders(s, d))
       s.sql(s"""SELECT c.c_custkey, c.c_name,

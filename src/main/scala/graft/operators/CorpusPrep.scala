@@ -571,7 +571,7 @@ object CorpusPrep {
     // reads that bounded agg.
     QueryDef.sql("s8_dataset_split",
       """WITH b AS (SELECT doc_id, source, n_chars,
-        |                  ((doc_id * 2654435761) % 4294967296) % 100 AS bkt
+        |                  (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bkt
         |           FROM documents),
         |a AS (SELECT source,
         |             CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
@@ -583,7 +583,10 @@ object CorpusPrep {
         |FROM a ORDER BY source, split""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("source"), col("n_chars"),
-          expr("((doc_id * 2654435761) % 4294967296) % 100").as("bkt"))
+          // fold the id mod 2^31 BEFORE the multiply: 2^31 * 2654435761
+          // ~ 5.7e18 stays inside INT64, where the unfolded product
+          // overflows (ANSI engines error, non-ANSI wraps — divergence)
+          expr("(((doc_id % 2147483648) * 2654435761) % 4294967296) % 100").as("bkt"))
         .select(col("source"), col("n_chars"),
           expr("CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END")
             .as("split"))

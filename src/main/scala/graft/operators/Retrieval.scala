@@ -232,7 +232,8 @@ object Retrieval {
     * during any maintenance op (OpsSpec pins that too).
     */
   def appendPostings(s: SparkSession, base: String, newDocs: DataFrame,
-      analyzer: String = RawAnalyzerSql): DataFrame = {
+      analyzer: String = RawAnalyzerSql,
+      refreshDict: Boolean = false): DataFrame = {
     val store = graft.sinks.VersionedStore.maintain(s, base) { cur0 =>
       // bkt is layout, not content — dropped here, recomputed by the
       // bucketed write
@@ -246,10 +247,18 @@ object Retrieval {
         expr(analyzer).as("toks")))
       withDf(cur.map(_.unionByName(add)).getOrElse(add))
     }(writeBucketed)
-    // eager dictionary refresh: df changed, so the derived dictionary
-    // must follow — version-keyed, so this is a no-op if already fresh
-    // and a skipped refresh would still rebuild lazily at read time
-    termDictStore(s, base)
+    // OPT-IN eager dictionary warm (spellcheck/autocomplete
+    // deployments): builds the version-keyed dictionary now so the
+    // writer pays, not the first query. Freshness never depends on
+    // this — [[termDictStore]]'s read-through rebuilds on version
+    // mismatch — so a store that never serves r11/r12 skips the cost
+    // entirely, and a warm that loses a race with further maintenance
+    // (its version retired mid-build) is swallowed: the append itself
+    // committed, and the next read rebuilds against whatever version
+    // is then current.
+    if (refreshDict)
+      try termDictStore(s, base)
+      catch { case scala.util.control.NonFatal(_) => () }
     store
   }
 
@@ -538,8 +547,8 @@ object Retrieval {
     * state cached at `base + "_dict"`, keyed on the store's current
     * VERSION id — a maintenance op publishes a new version, so the next
     * dictionary read rebuilds from exactly that version ([[readOrBuild]]
-    * read-through; [[appendPostings]] also refreshes it eagerly inside
-    * its maintenance path so the cost lands on the writer, not the
+    * read-through; [[appendPostings]]' opt-in `refreshDict` warms it
+    * eagerly after the append so the cost lands on the writer, not the
     * first spellcheck). Consistency is by construction: a dictionary
     * served under version key v is [[dictRows]] of version v, and
     * OpsSpec pins dictionary-after-append == dictionary-from-scratch.

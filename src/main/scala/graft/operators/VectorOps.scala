@@ -1067,8 +1067,8 @@ object VectorOps {
          |               med_err, max_err FROM st),
          |b AS (SELECT mean_err AS base_mean FROM st2 WHERE cohort = 'original')
          |SELECT s.cohort, s.n_vecs, s.mean_err, s.med_err, s.max_err,
-         |       CAST(s.mean_err // (b.base_mean // 1000000) AS BIGINT) AS drift_ppm,
-         |       s.mean_err // (b.base_mean // 1000000) >= 1500000 AS retrain
+         |       CAST(ROUND(1000000 * (CAST(s.mean_err AS DOUBLE) / CAST(GREATEST(b.base_mean, 1) AS DOUBLE)), 0) AS BIGINT) AS drift_ppm,
+         |       CAST(ROUND(1000000 * (CAST(s.mean_err AS DOUBLE) / CAST(GREATEST(b.base_mean, 1) AS DOUBLE)), 0) AS BIGINT) >= 1500000 AS retrain
          |FROM st2 s CROSS JOIN b ORDER BY s.cohort""".stripMargin) { (s, d) =>
       graft.functions.NativeFunctions.register(s)
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -1091,10 +1091,16 @@ object VectorOps {
       stats.crossJoin(broadcast(base))
         .select(col("cohort"), col("n_vecs"), col("mean_err"),
           col("med_err"), col("max_err"),
-          // divide the baseline down instead of multiplying the mean up:
-          // 1e6 * a 1e13-scale mean overflows INT64 in ANSI engines
-          expr("CAST(mean_err div (base_mean div 1000000) AS BIGINT)").as("drift_ppm"),
-          expr("mean_err div (base_mean div 1000000) >= 1500000").as("retrain"))
+          // the ratio runs in doubles (one divide, one multiply, one
+          // round — identical IEEE op order in both engines, so the ppm
+          // is deterministic): 1e6 * a 1e13-scale mean overflows INT64,
+          // and integer-dividing the baseline down is wrong below 1e6
+          // and lossy below 1e12. GREATEST(.,1) guards the
+          // perfect-codebook zero baseline.
+          expr("CAST(ROUND(1000000 * (CAST(mean_err AS DOUBLE) / " +
+            "CAST(GREATEST(base_mean, 1) AS DOUBLE)), 0) AS BIGINT)").as("drift_ppm"),
+          expr("CAST(ROUND(1000000 * (CAST(mean_err AS DOUBLE) / " +
+            "CAST(GREATEST(base_mean, 1) AS DOUBLE)), 0) AS BIGINT) >= 1500000").as("retrain"))
         .orderBy("cohort")
     }
   )

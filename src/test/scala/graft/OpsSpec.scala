@@ -1298,7 +1298,10 @@ class OpsSpec extends SparkSpec {
       df.select("term", "df").collect()
         .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
     val partial = norm(Retrieval.termDictStore(spark, base))
-    Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 4 === 0))
+    // second append warms the dictionary eagerly (the opt-in
+    // writer-pays path); the read below must still serve it fresh
+    Retrieval.appendPostings(spark, base, docs.filter(col("doc_id") % 4 === 0),
+      refreshDict = true)
     val served = norm(Retrieval.termDictStore(spark, base))
     val scratch = norm(Retrieval.dictRows(Retrieval.indexArtifact(spark, d)))
     assert(served == scratch,
@@ -1504,13 +1507,13 @@ class OpsSpec extends SparkSpec {
     // reshuffle-proof: the engine's assignment for a sampled id equals
     // the driver-side recomputation of the same integer hash
     def splitOf(id: Long): String = {
-      val bkt = ((id * 2654435761L) % 4294967296L) % 100
+      val bkt = (((id % 2147483648L) * 2654435761L) % 4294967296L) % 100
       if (bkt < 80) "train" else if (bkt < 90) "val" else "test"
     }
     val perDoc = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"),
-        expr("CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train' " +
-          "WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val' ELSE 'test' END").as("split"))
+        expr("CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 80 THEN 'train' " +
+          "WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90 THEN 'val' ELSE 'test' END").as("split"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     for ((id, s) <- perDoc)
       assert(s == splitOf(id), s"doc $id: engine split $s != driver ${splitOf(id)}")
