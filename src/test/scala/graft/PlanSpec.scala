@@ -540,6 +540,46 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "the dictionary scan is missing its pb partition filter")
   }
 
+  test("r13 metrics: ranking comes from the shared artifact; the corpus read carries no text") {
+    // the eval's whole point is zero extra corpus work: the ranking is
+    // the fingerprint-keyed graded_bm25_ranking artifact r4/r5 built,
+    // and the only documents read is the 10-id truth derivation, which
+    // must not drag the text column along
+    val df = SparkEntry.queries("r13_graded_metrics")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val artScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("graded_bm25_ranking")) => f
+    }
+    assert(artScans.nonEmpty, "expected the shared ranking artifact scan")
+    val corpusScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents.parquet")) => f
+    }
+    corpusScans.foreach { f =>
+      val readSchema = f.metadata.getOrElse("ReadSchema", "")
+      assert(!readSchema.contains("text"),
+        s"the truth derivation reads document text: $readSchema")
+    }
+  }
+
+  test("v16 drift audit: the encode is map-only — no shuffle join anywhere in the plan") {
+    // the audit's scale claim: codebooks are inlined literals, the
+    // per-vector argmin runs inside codegen, and only the 2-row stats
+    // frames ever join (broadcast) — embeddings never shuffle
+    val df = SparkEntry.queries("v16_codebook_drift")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.forall(j =>
+      j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+        j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"non-broadcast join in the drift audit: ${joins.map(_.nodeName).mkString(", ")}")
+  }
+
   test("s8 split: the scan never reads text — assignment is id-arithmetic only") {
     // the split is a pure function of doc_id; dragging the text column
     // through the scan would turn a metadata-sized pass into a corpus
