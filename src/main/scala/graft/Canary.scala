@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * 1.2-2.4× depending on what executed before them, wide enough to
   * hide a real single-query regression (the round-9 verdict measured a
   * near-uniform 1.27× swing on byte-identical plans). This main times
-  * a PINNED 15-query subset in its own JVM — same starting state every
+  * a PINNED query subset (17 queries since round 11; see [[queries]])
+  * in its own JVM — same starting state every
   * round — with one untimed warm-up and the MEDIAN OF FIVE timed runs
   * per query (the full bench's median-of-3, widened because the canary
   * exists to flag ±20% moves, not ±2× ones).

@@ -137,13 +137,20 @@ object FuncOps2 {
       // re-registering on every call put catalog/planning churn inside
       // the timed query — sq1's 0.37-0.58 s cross-run spread
       // (BENCH_NOTES) was re-registration variance, not the query. The
-      // FULL sanitized dir rides the name (not a 32-bit hash, which
-      // can collide two dirs onto one view) so a different sfDir can
-      // never serve a stale registration; note the registered view
-      // freezes its file listing for the session — regenerating the
-      // parquet at the same path mid-session is out of contract here,
-      // as it is for every fingerprint-keyed artifact.
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // FULL dir rides the name under an INJECTIVE encoding —
+      // alphanumerics pass through, everything else becomes _hex_
+      // (terminated, so no two dirs can encode alike; a lossy
+      // strip-to-underscore would collide sf0.1 with sf0_1) — so a
+      // different sfDir can never serve a stale registration; note the
+      // registered view freezes its file listing for the session —
+      // regenerating the parquet at the same path mid-session is out
+      // of contract here, as it is for every fingerprint-keyed
+      // artifact.
+      val tag = d.flatMap { c =>
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9')) c.toString
+        else f"_${c.toInt}%x_"
+      }
       val (cv, ov) = (s"sq1_customer_$tag", s"sq1_orders_$tag")
       def ensure(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
         if (!s.catalog.tableExists(name))

@@ -491,20 +491,26 @@ object Retrieval {
 
   /** The term dictionary as a build-once corpus artifact (first-letter
     * partitioned). Built FROM the postings artifact — serving reads
-    * this, never re-aggregates postings (PlanSpec pins it).
+    * this, never re-aggregates postings (PlanSpec pins it). The
+    * logicKey folds in the LAYOUT scheme alongside the analyzer:
+    * serving soundness depends on the prefix/gram/bucket layout
+    * matching the driver-side pruning, so a scheme change must rebuild,
+    * not serve the stale layout.
     */
   def termDictArtifact(s: SparkSession, d: String): DataFrame =
     graft.sinks.VersionedStore.corpusArtifact(s, d, "term_dictionary",
-        logicKey = RawAnalyzerSql) { out =>
+        logicKey = s"$RawAnalyzerSql|prefix1") { out =>
       writeDictPrefixed(dictRows(indexArtifact(s, d)), out)
     }
 
   /** The bigram candidate index as a build-once corpus artifact
-    * (gram-bucketed), derived from [[termDictArtifact]].
+    * (gram-bucketed), derived from [[termDictArtifact]]. logicKey
+    * carries the gram definition AND the bucket count — the two pieces
+    * of build logic the driver-side pruning must agree with.
     */
   def termGramArtifact(s: SparkSession, d: String): DataFrame =
     graft.sinks.VersionedStore.corpusArtifact(s, d, "term_dict_grams",
-        logicKey = RawAnalyzerSql) { out =>
+        logicKey = s"$RawAnalyzerSql|${bigramsSql("term")}|b$PostingsBuckets") { out =>
       writeGramBucketed(gramRows(termDictArtifact(s, d)), out)
     }
 

@@ -1066,10 +1066,12 @@ object VectorOps {
          |st2 AS (SELECT cohort, n_vecs, CAST(sum_err // n_vecs AS BIGINT) AS mean_err,
          |               med_err, max_err FROM st),
          |b AS (SELECT mean_err AS base_mean FROM st2 WHERE cohort = 'original')
-         |SELECT s.cohort, s.n_vecs, s.mean_err, s.med_err, s.max_err,
-         |       CAST(ROUND(1000000 * (CAST(s.mean_err AS DOUBLE) / CAST(GREATEST(b.base_mean, 1) AS DOUBLE)), 0) AS BIGINT) AS drift_ppm,
-         |       CAST(ROUND(1000000 * (CAST(s.mean_err AS DOUBLE) / CAST(GREATEST(b.base_mean, 1) AS DOUBLE)), 0) AS BIGINT) >= 1500000 AS retrain
-         |FROM st2 s CROSS JOIN b ORDER BY s.cohort""".stripMargin) { (s, d) =>
+         |SELECT cohort, n_vecs, mean_err, med_err, max_err, drift_ppm,
+         |       drift_ppm >= 1500000 AS retrain
+         |FROM (SELECT s.cohort, s.n_vecs, s.mean_err, s.med_err, s.max_err,
+         |             CAST(ROUND(1000000 * (CAST(s.mean_err AS DOUBLE) / CAST(GREATEST(b.base_mean, 1) AS DOUBLE)), 0) AS BIGINT) AS drift_ppm
+         |      FROM st2 s CROSS JOIN b)
+         |ORDER BY cohort""".stripMargin) { (s, d) =>
       graft.functions.NativeFunctions.register(s)
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val drifted = emb.filter(col("vec_id") % 5 === 0)
@@ -1096,11 +1098,13 @@ object VectorOps {
           // is deterministic): 1e6 * a 1e13-scale mean overflows INT64,
           // and integer-dividing the baseline down is wrong below 1e6
           // and lossy below 1e12. GREATEST(.,1) guards the
-          // perfect-codebook zero baseline.
+          // perfect-codebook zero baseline. retrain derives FROM the
+          // computed ppm column (one formula instance per engine) so a
+          // threshold or guard edit cannot make the flag disagree with
+          // the reported ratio.
           expr("CAST(ROUND(1000000 * (CAST(mean_err AS DOUBLE) / " +
-            "CAST(GREATEST(base_mean, 1) AS DOUBLE)), 0) AS BIGINT)").as("drift_ppm"),
-          expr("CAST(ROUND(1000000 * (CAST(mean_err AS DOUBLE) / " +
-            "CAST(GREATEST(base_mean, 1) AS DOUBLE)), 0) AS BIGINT) >= 1500000").as("retrain"))
+            "CAST(GREATEST(base_mean, 1) AS DOUBLE)), 0) AS BIGINT)").as("drift_ppm"))
+        .withColumn("retrain", col("drift_ppm") >= 1500000L)
         .orderBy("cohort")
     }
   )

@@ -253,7 +253,7 @@ object VersionedStore {
     * reader over randomized schedules to hold this contract to account.
     */
   def publish(spark: SparkSession, base: String, fingerprint: String = "",
-      keepVersions: Int = 1)(
+      keepVersions: Int = 1, fence: () => Boolean = () => true)(
       write: String => Unit): Path = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val basePath = new Path(base)
@@ -282,6 +282,17 @@ object VersionedStore {
       // toward data surviving)
       val retained = listVersions(spark, base)
         .filter(_ < version).takeRight(keepVersions - 1).toSet + version
+      // fencing hook, checked AFTER the full data write and immediately
+      // before the pointer flip: the write is the long part of a
+      // publish (a store rewrite can take minutes), so a fence checked
+      // any earlier leaves the whole write as an unfenced window —
+      // [[maintain]] passes its lease-ownership probe here, which is
+      // what actually shrinks the paused-past-TTL double-writer window
+      // to fence→flip
+      if (!fence()) throw new java.util.ConcurrentModificationException(
+        s"publish fence failed for $base: the caller's guard (e.g. its " +
+          "maintenance lease) was lost during the version write — " +
+          "aborting before the pointer flip; the written dir is an orphan")
       // Single-object atomic pointer flip — never a directory rename.
       flipPointer(spark, basePath, s"$version\t$fingerprint")
       prune(spark, basePath, keep = Set(version) ++ grace ++ retained)
@@ -455,13 +466,15 @@ object VersionedStore {
     * holder id). A holder paused past the TTL (GC, CPU starvation) and
     * taken over can otherwise resume and complete its read-modify-write
     * publish concurrently with the new holder — the probe lets the
-    * commit point re-verify and abort instead ([[maintain]] checks it
-    * immediately before the pointer-flip publish). BEST-EFFORT fencing:
-    * a pause landing exactly between the probe and the flip still slips
-    * through — closing that fully needs an epoch token the pointer
-    * compare-and-swaps on, which a rename-based FS contract cannot
-    * express; the probe shrinks the window from the whole merge cycle
-    * to probe→flip (milliseconds).
+    * commit path re-verify and abort instead: [[maintain]] checks it
+    * once after the merge (cheap early abort before paying the version
+    * write) and passes it as [[publish]]'s `fence`, which re-checks
+    * AFTER the full data write, immediately before the pointer flip.
+    * BEST-EFFORT fencing: a pause landing exactly between the fence
+    * and the flip still slips through — closing that fully needs an
+    * epoch token the pointer compare-and-swaps on, which a rename-based
+    * FS contract cannot express; the fence shrinks the window from the
+    * whole merge-plus-write cycle to fence→flip (milliseconds).
     */
   def withMaintenanceLeaseFenced[T](spark: SparkSession, base: String)(
       body: (() => Boolean) => T): T =
@@ -585,15 +598,16 @@ object VersionedStore {
     withMaintenanceLeaseFenced(spark, base) { stillHolding =>
       val cur = readPointer(spark, base).map(_ => read(spark, base))
       val merged = merge(cur).localCheckpoint()
-      // fencing probe at the commit point: the merge cycle is the long
-      // part — if the lease was lost to a reclaim during it (a >TTL
-      // pause), publishing now would interleave two read-modify-write
-      // cycles; abort instead (best-effort, see the probe's scaladoc)
+      // early probe: if the lease was already lost during the merge
+      // cycle (a >TTL pause), abort before paying the version write at
+      // all; the REAL guarantee is the fence below, which publish
+      // re-checks after the write, immediately before the pointer flip
       if (!stillHolding()) throw new java.util.ConcurrentModificationException(
         s"maintenance lease for $base was lost during the merge cycle " +
           "(holder paused past the TTL and reclaimed) — aborting the " +
           "publish; retry the maintenance op")
-      publish(spark, base, keepVersions = keepVersions)(out => write(merged, out))
+      publish(spark, base, keepVersions = keepVersions,
+        fence = () => stillHolding())(out => write(merged, out))
       read(spark, base)
     }
 

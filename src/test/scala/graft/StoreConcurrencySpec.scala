@@ -277,6 +277,54 @@ class StoreConcurrencySpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.store.intentTtlMs", (15L * 60 * 1000).toString)
   }
 
+  test("publish fence: a failed fence aborts after the write, before the pointer flip") {
+    import spark.implicits._
+    val base = tmpDir("graft-fence") + "/store"
+    VersionedStore.publish(spark, base)(out =>
+      Seq(1).toDF("x").coalesce(1).write.parquet(out))
+    val before = VersionedStore.readPointer(spark, base).get.version
+    var wrote = false
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedStore.publish(spark, base, fence = () => false) { out =>
+        Seq(2).toDF("x").coalesce(1).write.parquet(out); wrote = true
+      }
+    }
+    assert(wrote, "the fence must be checked AFTER the data write")
+    assert(VersionedStore.readPointer(spark, base).get.version == before,
+      "a fenced-out publish flipped the pointer anyway")
+    assert(VersionedStore.read(spark, base).collect().map(_.getInt(0)).toSeq == Seq(1),
+      "served content changed despite the aborted publish")
+  }
+
+  test("maintain: a lease lost DURING the version write aborts before the flip") {
+    // the paused-past-TTL double-writer scenario at its worst point —
+    // the takeover lands while the (potentially minutes-long) version
+    // write is running, AFTER the early post-merge probe passed. The
+    // publish-time fence must catch it and leave the pointer (and the
+    // served table) untouched.
+    import spark.implicits._
+    val base = tmpDir("graft-fence-maint") + "/store"
+    VersionedStore.maintain(spark, base)(_ => Seq(1).toDF("x"))()
+    val before = VersionedStore.readPointer(spark, base).get.version
+    val lock = new Path(base, ".MAINT_LEASE")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedStore.maintain(spark, base)(_ => Seq(2).toDF("x")) { (df, out) =>
+        // simulate the takeover landing mid-write: the lock now carries
+        // a successor's identity, exactly what a TTL reclaim leaves
+        fs.delete(lock, false)
+        val o = fs.create(lock, true)
+        try o.write("successor-holder".getBytes("UTF-8")) finally o.close()
+        df.coalesce(1).write.parquet(out)
+      }
+    }
+    assert(VersionedStore.readPointer(spark, base).get.version == before,
+      "a maintain that lost its lease mid-write flipped the pointer anyway")
+    assert(VersionedStore.read(spark, base).collect().map(_.getInt(0)).toSeq == Seq(1),
+      "served content changed despite the lost lease")
+    fs.delete(lock, false) // clear the simulated successor's lock
+  }
+
   test("batch fold maintenance racing streaming postings ingest: neither write lost") {
     // the round-9 untested seam: the lease serializes BATCH maintenance
     // and the checkpoint epoch guard serializes STREAMING owners, but a
