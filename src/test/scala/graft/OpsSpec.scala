@@ -1449,6 +1449,25 @@ class OpsSpec extends SparkSpec {
       "the dial separated nothing: no query had a relevant top-10 hit at sf0.001")
   }
 
+  test("r14 fielded search: per-field stats + title boost actually reorder against flat BM25") {
+    // the teeth the oracle hash can't provide: fielded scoring must
+    // DIFFER from flat BM25 somewhere (else the field split and boost
+    // are vacuous), while staying a well-formed per-query top-10
+    val d = "/root/testdata/sf0.001"
+    def ranking(q: String) =
+      SparkEntry.queries(q)(spark, d).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val flat = ranking("r1_bm25")
+    val fielded = ranking("r14_fielded_search")
+    assert(fielded.map(_._1).distinct == flat.map(_._1).distinct,
+      "fielded search must answer the same query set as r1")
+    for ((qid, rns) <- fielded.groupBy(_._1))
+      assert(rns.map(_._2).sorted == (1 to rns.size),
+        s"query $qid: malformed rank sequence")
+    assert(fielded != flat,
+      "title boost + per-field statistics changed nothing vs flat BM25 — vacuous")
+  }
+
   test("v16 drift audit: the dial separates — drifted cohort flags retrain, baseline doesn't") {
     // the property the oracle hash can't express: the audit must
     // actually DISCRIMINATE. The baseline cohort is its own reference
