@@ -76,7 +76,18 @@ object ScaleBench {
     // word stream; tok7 is one corpus scan with a broadcast-vocab
     // LEFT join; t17 computes all five stage flags in ONE corpus pass
     "r10_snippets", "v15_mmr_rerank", "tok6_bpe_ids",
-    "tok7_unk_accounting", "t17_pipeline_waterfall")
+    "tok7_unk_accounting", "t17_pipeline_waterfall",
+    // the round-11 family (same net-lag rule — new operators join the
+    // scaling net the round they land): r13's metrics aggregate the
+    // shared graded-ranking artifact + 40 broadcast truth rows, so its
+    // corpus term is the ranking build on the warm-up; r14 re-scores
+    // per-field over the one corpus token stream (two window passes on
+    // the matched-token frame); v16 is a map-only frozen-codebook
+    // encode + 2-row rollup; tok8 is tok3's one-scan word-freq table
+    // with a vocab-bounded rank window; s8 is a map-only hash +
+    // bounded rollup that never reads the text column
+    "r13_graded_metrics", "r14_fielded_search", "v16_codebook_drift",
+    "tok8_vocab_coverage", "s8_dataset_split")
 
   /** The third-point spot-check set: the two WORST observed 10× ratios
     * (d15, v11 — precisely where fixed costs least conclusively

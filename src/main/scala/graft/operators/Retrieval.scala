@@ -45,6 +45,16 @@ object Retrieval {
       "(tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) " +
       "* 1000000, 0) AS BIGINT)"
 
+  /** r15's term-selection weight: the idf factor of [[contribSql]]
+    * quantized to integer micro-units on its own, BEFORE the multiply
+    * by the seed-document tf — Lucene MoreLikeThis ranks candidate
+    * query terms by tf·idf exactly like this. Single-sourced into both
+    * engines so the top-5 selection can never drift on a tie.
+    * Expects columns: df, n_docs, tf.
+    */
+  private val mltIdfSql: String =
+    "CAST(ROUND(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000, 0) AS BIGINT)"
+
   /** The r1 fixture query set: two-to-three-term queries over the
     * testbed vocabulary — a rare term ('dup', df ≈ 5%) to exercise idf
     * separation and an out-of-vocabulary term ('shuffle') to exercise
@@ -1670,6 +1680,88 @@ object Retrieval {
           sum("bhit").cast("long").as("n_hit_bm25"),
           sum("hhit").cast("long").as("n_hit_hybrid"))
         .orderBy("sev")
+    },
+
+    // R15: more-like-this — Lucene's MoreLikeThis query shape: the
+    // input is a SEED DOCUMENT, not a term list. Pass 1 selects the
+    // seed's most distinctive terms by tf·idf (Lucene MLT's ranking):
+    // idf quantized to integer micro-units on its own ([[mltIdfSql]])
+    // BEFORE the multiply by the seed tf, ties by term — fully
+    // deterministic cross-engine; hapaxes gated out (df ≥ 2 — a term
+    // occurring in no other document cannot retrieve one) and
+    // sub-3-char tokens dropped (the minWordLen gate). Pass 2 runs the
+    // top-5 terms as a BM25 query re-weighted by seed tf (Rocchio's
+    // positive centroid in integer form — the same exact `w` hook r7
+    // uses), excluding the seed itself.
+    // 100 TB shape: pass 1's corpus read is pruned by 5 LITERAL seed
+    // doc_ids (row-group pruning; a seed's term profile is per-doc
+    // bounded state, like r10's snippet slices); the df lookup reads
+    // the MATERIALIZED term dictionary pruned to the profile terms'
+    // literal first-letter partitions — never a postings aggregation;
+    // pass 2 is r3's bucket-pruned indexed serving (partition filter +
+    // term IN pushdown). Both collects are bounded: seeds × doc
+    // vocabulary, then seeds × 5.
+    QueryDef.sql("r15_more_like_this",
+      s"""WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |stv AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM dd),
+         |sv AS (SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id AS query_id, unnest(toks) AS term FROM dd
+         |             WHERE doc_id IN (0, 1, 2, 3, 4))
+         |       WHERE length(term) >= 3 GROUP BY 1, 2),
+         |vocab AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |          FROM (SELECT doc_id, unnest(toks) AS term FROM dd) GROUP BY 1),
+         |sel AS (SELECT query_id, term, tf, ($mltIdfSql) * tf AS w_sel
+         |        FROM sv JOIN vocab USING (term) CROSS JOIN stv WHERE df >= 2),
+         |q AS (SELECT query_id, term, tf AS w FROM (
+         |        SELECT query_id, term, tf,
+         |               row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY w_sel DESC, term) AS rk
+         |        FROM sel) WHERE rk <= 5),
+         |ex2 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM dd),
+         |tfb AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM ex2
+         |        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+         |tfb2 AS (SELECT doc_id, term, tf, dl,
+         |                CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tfb),
+         |bscb AS (SELECT q.query_id, tfb2.doc_id, ($contribSql) * q.w AS cm
+         |         FROM tfb2 JOIN q USING (term) CROSS JOIN stv
+         |         WHERE tfb2.doc_id <> q.query_id),
+         |aggb AS (SELECT query_id, doc_id, CAST(SUM(cm) AS BIGINT) AS score_micro
+         |         FROM bscb GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, score_micro,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score_micro DESC, doc_id) AS rn
+         |           FROM aggb)
+         |SELECT query_id, rn, doc_id, score_micro FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val seeds = Seq(0L, 1L, 2L, 3L, 4L)
+      // pass 1a: seed term profiles — the corpus read prunes to the 5
+      // literal seed doc_ids; the collect is seeds × doc vocabulary
+      val seedTfRows = tokenized(s, d).filter(col("doc_id").isin(seeds: _*))
+        .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy("query_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val profTerms = seedTfRows.map(_._2).distinct
+      // pass 1b: df from the MATERIALIZED dictionary — first-letter
+      // partition pruning + term IN, never a postings re-aggregation
+      val dict = termDictArtifact(s, d)
+        .filter(col("pb").isin(profTerms.map(_.take(1)).distinct: _*))
+        .filter(col("term").isin(profTerms: _*))
+        .filter(col("df") >= 2)
+      val selRows = dict
+        .join(broadcast(seedTfRows.toDF("query_id", "term", "tf")), Seq("term"))
+        .crossJoin(broadcast(statsArtifact(s, d).select("n_docs")))
+        .withColumn("w_sel", expr(s"($mltIdfSql) * tf"))
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("w_sel").desc, col("term").asc)))
+        .filter(col("rk") <= 5)
+        .select("query_id", "term", "tf")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // pass 2: indexed weighted serving, seed excluded (w = seed tf)
+      serveBm25(indexArtifact(s, d), statsArtifact(s, d),
+        selRows.toDF("query_id", "term", "w"),
+        selRows.map(_._2).distinct, 10, excludeSelf = true)
     }
   )
 }

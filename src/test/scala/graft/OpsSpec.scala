@@ -1468,6 +1468,31 @@ class OpsSpec extends SparkSpec {
       "title boost + per-field statistics changed nothing vs flat BM25 — vacuous")
   }
 
+  test("r15 more-like-this: seed never self-retrieves; every hit shares a selected seed term") {
+    // the invariants the oracle hash can't express: (1) excludeSelf has
+    // teeth — a seed document must never appear in its own result (it
+    // would otherwise win every term trivially); (2) relevance is
+    // grounded — a returned doc can only score through a term selected
+    // FROM the seed, so every hit must share at least one ≥3-char token
+    // with its seed document
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("r15_more_like_this")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty, "MLT returned nothing at sf0.001")
+    for ((qid, hits) <- rows.groupBy(_._1)) {
+      assert(hits.map(_._2).sorted.toSeq == (1 to hits.size), s"seed $qid: rank gaps")
+      assert(!hits.exists(_._3 == qid), s"seed $qid retrieved itself")
+    }
+    val toks = graft.sources.Tables.documents(spark, d)
+      .filter(col("doc_id").isin(rows.map(_._3).distinct.toSeq ++ Seq(0L, 1L, 2L, 3L, 4L): _*))
+      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS t")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.length >= 3).toSet)
+      .toMap
+    for ((qid, _, hit) <- rows)
+      assert(toks(qid).intersect(toks(hit)).nonEmpty,
+        s"hit $hit shares no >=3-char token with seed $qid — score impossible")
+  }
+
   test("v16 drift audit: the dial separates — drifted cohort flags retrain, baseline doesn't") {
     // the property the oracle hash can't express: the audit must
     // actually DISCRIMINATE. The baseline cohort is its own reference

@@ -540,6 +540,32 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "the dictionary scan is missing its pb partition filter")
   }
 
+  test("r15 more-like-this: pass 2 is pure indexed serving — bucket-pruned, no corpus read") {
+    // both MLT collects happen while the query builds; the RETURNED
+    // plan is pass 2 and must be r3's serving shape: the postings scan
+    // pruned to the selected terms' bkt partitions with the term IN
+    // list pushed, and the corpus parquet never opened (the seed
+    // profile read already happened, literal-pruned, during pass 1)
+    val df = SparkEntry.queries("r15_more_like_this")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val corpusScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents.parquet")) => f
+    }
+    assert(corpusScans.isEmpty,
+      "pass 2 must serve from the index, never re-open the corpus")
+    val postingsScans = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("bm25_postings_b64")) => f
+    }
+    assert(postingsScans.nonEmpty, "expected bucketed postings scans")
+    assert(postingsScans.forall(_.partitionFilters.exists(_.toString.contains("bkt"))),
+      "a postings scan is missing its bkt partition filter")
+    assert(postingsScans.forall(_.metadata.get("PushedFilters").exists(_.contains("In(term"))),
+      "a postings scan is missing the term IN pushdown")
+  }
+
   test("r13 metrics: ranking comes from the shared artifact; the corpus read carries no text") {
     // the eval's whole point is zero extra corpus work: the ranking is
     // the fingerprint-keyed graded_bm25_ranking artifact r4/r5 built,
