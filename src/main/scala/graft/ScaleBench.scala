@@ -87,7 +87,14 @@ object ScaleBench {
     // with a vocab-bounded rank window; s8 is a map-only hash +
     // bounded rollup that never reads the text column
     "r13_graded_metrics", "r14_fielded_search", "v16_codebook_drift",
-    "tok8_vocab_coverage", "s8_dataset_split")
+    "tok8_vocab_coverage", "s8_dataset_split",
+    // r15's corpus-side terms are the 5-literal-doc profile read and
+    // the bucket-pruned pass-2 serving (the dictionary/stats artifact
+    // builds land on the warm-up); d18's stride-1 window stream is the
+    // suite's largest deliberate linear blowup — the corpus token
+    // stream hashed once, duplicate detection two linear aggs, NO pair
+    // join (the d8 comparison this row exists to make)
+    "r15_more_like_this", "d18_substring_spans")
 
   /** The third-point spot-check set: the two WORST observed 10× ratios
     * (d15, v11 — precisely where fixed costs least conclusively

@@ -765,6 +765,90 @@ object TextOps {
         .orderBy("doc1", "doc2")
     },
 
+    // D18: duplicated-substring SPANS — the Lee et al. 2021
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // substring-level report d8's block pairs can't give: WHERE in each
+    // document the cross-document duplication lives, as maximal merged
+    // token spans — the output a trimming pass actually cuts. Every
+    // 8-word window (stride 1, so duplication is caught at ANY
+    // alignment — d8's non-overlapping blocks miss shifted copies) is
+    // hashed; windows appearing in ≥ 2 DISTINCT docs are duplicate
+    // evidence; a doc's covered window starts merge into maximal spans
+    // by gaps-and-islands (starts ≤ 8 apart overlap or touch). Planted
+    // passage reuse (every 5th long doc re-appears at +3e7 as 12-word
+    // prefix + 8 doc-unique fillers + words 31-42) exercises shifted
+    // alignment AND multi-island merging in one planting; within-doc
+    // repetition is deliberately out of scope (that's t8's axis).
+    // 100 TB shape: the window stream is one narrow array transform
+    // over the corpus (hashes computed IN the projection, so shuffles
+    // carry (doc_id, i, h) — never 8-word strings); duplicate-hash
+    // detection is two map-side-combinable linear aggregations; the
+    // island merge is one doc_id-partitioned window over COVERED rows
+    // only. No pair join ever forms — unlike d8, boilerplate shared by
+    // a million docs costs its row count, not its row count squared,
+    // so this needs no df cap to stay linear.
+    QueryDef.sql("d18_substring_spans",
+      s"""WITH sp0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id, ws FROM sp0
+         |      UNION ALL
+         |      SELECT doc_id + 30000000 AS doc_id, ws[1:12] || fill || ws[31:42] AS ws
+         |      FROM (SELECT doc_id, ws,
+         |                   list_transform(generate_series(0, 7),
+         |                     i -> 'x' || CAST(doc_id AS VARCHAR) || 'f' || CAST(i AS VARCHAR)) AS fill
+         |            FROM sp0 WHERE doc_id % 5 = 0 AND len(ws) >= 48)),
+         |win AS (SELECT doc_id, i, ${phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+         |              FROM c WHERE len(ws) >= 8)),
+         |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM win)
+         |        GROUP BY h HAVING COUNT(*) >= 2),
+         |cov AS (SELECT doc_id, i FROM win JOIN dup USING (h)),
+         |isl AS (SELECT doc_id, i,
+         |               CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+         |                      OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+         |                    THEN 1 ELSE 0 END AS brk
+         |        FROM cov),
+         |isl2 AS (SELECT doc_id, i,
+         |                SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |         FROM isl)
+         |SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+         |       CAST(MAX(i) + 8 - MIN(i) AS BIGINT) AS span_len,
+         |       CAST(COUNT(*) AS BIGINT) AS n_windows
+         |FROM isl2 GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val sp0 = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val planted = sp0.filter(col("doc_id") % 5 === 0 && size(col("ws")) >= 48)
+        .select(col("doc_id"), col("ws"),
+          expr("transform(sequence(0, 7), " +
+            "i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          expr("concat(slice(ws, 1, 12), fill, slice(ws, 31, 12))").as("ws"))
+      val c = sp0.unionByName(planted)
+      val win = c.filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 8), " +
+            "i -> struct(i AS i, concat_ws(' ', slice(ws, i + 1, 8)) AS w))")).as("s"))
+        .select(col("doc_id"), col("s.i").cast("long").as("i"),
+          phash(col("s.w")).as("h"))
+        .localCheckpoint() // feeds the dup-hash agg and the cover join
+      val dup = win.select("h", "doc_id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val wspec = Window.partitionBy("doc_id").orderBy("i")
+      win.join(dup, Seq("h"))
+        .select("doc_id", "i")
+        .withColumn("brk",
+          when(lag("i", 1).over(wspec).isNull ||
+            col("i") - lag("i", 1).over(wspec) > 8, 1).otherwise(0))
+        .withColumn("grp", sum("brk").over(wspec))
+        .groupBy("doc_id", "grp")
+        .agg(min("i").cast("long").as("span_start"),
+          (max("i") + 8 - min("i")).cast("long").as("span_len"),
+          count(lit(1)).cast("long").as("n_windows"))
+        .select("doc_id", "span_start", "span_len", "n_windows")
+        .orderBy("doc_id", "span_start")
+    },
+
     // E2E: the corpus-prep stages CHAINED the way a real training-data
     // pipeline runs them — quality gate (t3's single-sourced formula) →
     // exact dedup keeping the min-id representative (d1's idiom) →

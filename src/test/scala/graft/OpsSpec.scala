@@ -943,6 +943,40 @@ class OpsSpec extends SparkSpec {
     assert(shared.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("d18 spans: planted shifted reuse yields multi-island spans; spans are disjoint maximal") {
+    // the structural teeth: a planted doc (12-word prefix + unique
+    // fillers + words 31-42 of its original) must report ≥ 2 spans —
+    // the filler block BREAKS the island, proving the merge doesn't
+    // over-coalesce — and its first span must start at 0 and cover the
+    // full 12-word prefix; span geometry invariants hold everywhere
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("d18_substring_spans")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((doc, spans) <- rows.groupBy(_._1)) {
+      val sorted = spans.sortBy(_._2)
+      for ((_, st, len, nw) <- sorted) {
+        assert(len >= 8, s"doc $doc: span shorter than one window")
+        assert(nw >= 1 && nw <= len - 7, s"doc $doc: window count $nw vs len $len")
+      }
+      for (pair <- sorted.sliding(2) if pair.size == 2)
+        assert(pair(1)._2 > pair(0)._2 + pair(0)._3,
+          s"doc $doc: islands ${pair(0)} and ${pair(1)} should have merged")
+    }
+    val plantedDocs = rows.filter(_._1 >= 30000000L).groupBy(_._1)
+    assert(plantedDocs.nonEmpty, "no planted doc reported any span")
+    for ((doc, spans) <- plantedDocs) {
+      val sorted = spans.sortBy(_._2)
+      assert(sorted.size >= 2,
+        s"planted doc $doc: filler failed to break the span into islands: $sorted")
+      assert(sorted.head._2 == 0 && sorted.head._3 >= 12,
+        s"planted doc $doc: prefix span wrong: ${sorted.head}")
+      // every planted ORIGINAL must report spans too (reuse is mutual)
+      assert(rows.exists(_._1 == doc - 30000000L),
+        s"original ${doc - 30000000L} of planted $doc reported no span")
+    }
+  }
+
   test("every events column is non-null somewhere at each sf (p5 oracle assumption)") {
     // p5_dropna_cols' oracle hardcodes the surviving projection, which
     // is only valid while no real events column is entirely NULL — pin
