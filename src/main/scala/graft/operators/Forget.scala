@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Right-to-be-forgotten propagation — the deletion flow a GDPR/CCPA
+  * erasure request actually triggers against a 100 TB corpus: a
+  * document is not one row in one table, it is postings in the keyword
+  * index, position lists in the phrase index, and a code row in the
+  * ANN index, and an erasure that misses ONE of them keeps the content
+  * retrievable. [[forgetDocs]] fans the same id list out to every
+  * maintained store's single-publish delete and returns a per-store
+  * audit report (the evidence trail an erasure workflow must retain).
+  *
+  * Design points, deliberately inherited rather than re-invented:
+  *  - Each leg IS that store's existing CRUD delete
+  *    ([[Retrieval.deletePostings]] — refreshes df, the one global
+  *    statistic; [[Retrieval.deletePosPostings]] and
+  *    [[VectorOps.deleteCodes]] — pure removals), so
+  *    forget-then-serve equals serve-over-a-corpus-that-never-had-the-
+  *    docs, store by store (OpsSpec pins all three equalities plus the
+  *    serving-path exclusion).
+  *  - Derived dictionary state (`base + "_dict"`) needs NO explicit
+  *    invalidation: [[Retrieval.termDictStore]] keys on the store
+  *    VERSION, and every delete publishes a new version — the next
+  *    dictionary read rebuilds by construction.
+  *  - Atomicity is per store, not global: each leg is one pointer-flip
+  *    publish, and legs run in sequence. A reader can never see a
+  *    half-deleted STORE; it can see store A deleted while store B's
+  *    delete is in flight — the same eventual-erasure contract real
+  *    erasure pipelines document (erasure is a workflow with a
+  *    deadline, not a cross-system transaction). The report records
+  *    per-leg row counts so an incomplete run is visible, re-runnable
+  *    (every leg is idempotent), and auditable.
+  *  - 100 TB shape: each leg is one anti-join against a broadcast id
+  *    list over the store's bucketed layout + rewrite — no corpus
+  *    read, no pair work; cost is proportional to store size, and the
+  *    retention machinery keeps `keepVersions` prior versions readable
+  *    for time-travel until maintenance prunes them (an erasure SLA
+  *    therefore also bounds the retention window — noted here because
+  *    auditors ask exactly that question).
+  */
+object Forget {
+
+  /** One store's erasure evidence: rows before/after the delete and
+    * the published version serving readers afterwards.
+    */
+  final case class StoreReport(store: String, rowsBefore: Long,
+      rowsAfter: Long, version: String)
+
+  /** The maintained stores one erasure request must reach. Absent legs
+    * are skipped (a deployment without a phrase index has no
+    * positional store to erase).
+    */
+  final case class Targets(postings: Option[String] = None,
+      posPostings: Option[String] = None, codes: Option[String] = None)
+
+  private def currentCount(s: SparkSession, base: String): Long =
+    graft.sinks.VersionedStore.readPointer(s, base)
+      .map(p => graft.sinks.VersionedStore.readVersion(s, base, p.version).count())
+      .getOrElse(0L)
+
+  private def publishedVersion(s: SparkSession, base: String): String =
+    graft.sinks.VersionedStore.readPointer(s, base).map(_.version).getOrElse("")
+
+  /** Erase `ids` from every present store; returns one [[StoreReport]]
+    * per leg, in execution order. Idempotent: a re-run (the recovery
+    * path for a run that died mid-sequence) publishes fresh versions
+    * whose row counts equal the previous ones.
+    */
+  def forgetDocs(s: SparkSession, ids: Seq[Long], targets: Targets): Seq[StoreReport] = {
+    import s.implicits._
+    val docIds = ids.toDF("doc_id")
+    val vecIds = ids.toDF("vec_id")
+    val legs = Seq(
+      targets.postings.map(b => ("bm25_postings", b,
+        () => Retrieval.deletePostings(s, b, docIds))),
+      targets.posPostings.map(b => ("positional_postings", b,
+        () => Retrieval.deletePosPostings(s, b, docIds))),
+      targets.codes.map(b => ("ann_codes", b,
+        () => VectorOps.deleteCodes(s, b, vecIds)))).flatten
+    legs.map { case (name, base, del) =>
+      val before = currentCount(s, base)
+      val after = del().count()
+      StoreReport(name, before, after, publishedVersion(s, base))
+    }
+  }
+}

@@ -409,6 +409,20 @@ object Retrieval {
       cur.map(_.unionByName(add)).getOrElse(add)
     }(writeBucketed)
 
+  /** Incremental delete for the positional store — like [[deleteCodes]]'
+    * shape: positions are pure per-document state with no global
+    * statistic, so a delete is one anti-join + bucketed rewrite in one
+    * pointer-flip publish. Completes the positional store's CRUD and
+    * gives [[graft.operators.Forget]] its positional leg.
+    */
+  def deletePosPostings(s: SparkSession, base: String, ids: DataFrame): DataFrame =
+    graft.sinks.VersionedStore.maintain(s, base) { cur =>
+      cur.getOrElse(throw new java.io.FileNotFoundException(
+          s"no published version at $base"))
+        .drop("bkt")
+        .join(ids.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    }(writeBucketed)
+
   def statsArtifact(s: SparkSession, d: String): DataFrame =
     graft.sinks.VersionedStore.corpusArtifact(s, d, "bm25_stats",
         logicKey = RawAnalyzerSql) { out =>

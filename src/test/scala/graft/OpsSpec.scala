@@ -1740,6 +1740,73 @@ class OpsSpec extends SparkSpec {
       "appended positional store diverges from the one-shot index")
   }
 
+  test("forget flow: one erasure call reaches all three index stores and serving forgets the docs") {
+    // the GDPR property: after forgetDocs, every store equals a
+    // from-scratch build of a corpus that never contained the docs,
+    // the keyword serving path returns none of them, and a re-run (the
+    // crash-recovery path) is a no-op row-count-wise
+    import graft.operators.{Forget, Retrieval, VectorOps}
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val root = tmpDir("graft-forget")
+    val (pBase, posBase, cBase) = (root + "/postings", root + "/pos", root + "/codes")
+    Retrieval.appendPostings(spark, pBase, docs)
+    Retrieval.appendPosPostings(spark, posBase, docs)
+    VectorOps.appendCodes(spark, cBase, emb, books)
+    val gone = docs.filter(col("doc_id") % 9 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val targets = Forget.Targets(Some(pBase), Some(posBase), Some(cBase))
+
+    val reports = Forget.forgetDocs(spark, gone, targets)
+    assert(reports.map(_.store) ==
+      Seq("bm25_postings", "positional_postings", "ann_codes"))
+    for (r <- reports)
+      assert(r.rowsBefore > r.rowsAfter && r.version.nonEmpty,
+        s"leg ${r.store} erased nothing: $r")
+
+    // each store == from-scratch-minus-docs (erasure leaves no residue)
+    val minus = docs.filter(!col("doc_id").isin(gone: _*))
+    val minusToks = minus.select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("toks"))
+    val pStore = graft.sinks.VersionedStore.read(spark, pBase)
+    def pNorm(p: org.apache.spark.sql.DataFrame) =
+      p.select("term", "doc_id", "tf", "dl", "df").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(pNorm(pStore) == pNorm(Retrieval.withDf(Retrieval.rawPostings(minusToks))),
+      "postings store diverges from the never-had-them index")
+    val posStore = graft.sinks.VersionedStore.read(spark, posBase)
+    def posNorm(p: org.apache.spark.sql.DataFrame) =
+      p.select("term", "doc_id", "ps").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(posNorm(posStore) == posNorm(Retrieval.rawPosPostings(minusToks)),
+      "positional store diverges from the never-had-them index")
+    val cStore = graft.sinks.VersionedStore.read(spark, cBase)
+    def cNorm(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (0 until r.length).map(i => r.get(i)).toSeq)
+        .sortBy(_.head.asInstanceOf[Long].toString).toSeq
+    assert(cNorm(cStore) ==
+      cNorm(VectorOps.encodeCodes(emb.filter(!col("vec_id").isin(gone: _*)), books)),
+      "code store diverges from the never-had-them encode")
+
+    // the user-visible teeth: keyword serving over the erased store
+    // cannot return a forgotten doc for ANY fixture query
+    val qt = Retrieval.fixtureQueries.toDF("query_id", "term")
+    val served = Retrieval.serveBm25(pStore, Retrieval.statsFromPostings(pStore),
+        qt, Retrieval.fixtureQueries.map(_._2).distinct, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(gone.toSet).isEmpty,
+      s"serving still returns forgotten docs: ${served.intersect(gone.toSet)}")
+
+    // idempotence: the crash-recovery re-run erases nothing further
+    for (r <- Forget.forgetDocs(spark, gone, targets))
+      assert(r.rowsBefore == r.rowsAfter, s"re-run was not a no-op: $r")
+  }
+
   test("stemmed bm25: pluralized planted docs are reachable only through the stemmer") {
     // the corpus has NO organic plural forms (vocabulary LIKE '%s' is
     // empty), so a planted all-pluralized doc shares zero surface
