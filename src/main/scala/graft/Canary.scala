@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * 1.2-2.4× depending on what executed before them, wide enough to
   * hide a real single-query regression (the round-9 verdict measured a
   * near-uniform 1.27× swing on byte-identical plans). This main times
-  * a PINNED query subset (17 queries since round 11; see [[queries]])
+  * a PINNED query subset (20 queries since round 11; see [[queries]])
   * in its own JVM — same starting state every
   * round — with one untimed warm-up and the MEDIAN OF FIVE timed runs
   * per query (the full bench's median-of-3, widened because the canary
@@ -54,7 +54,16 @@ object Canary {
     // family was outside the gate — tok7 was its heaviest query and
     // r10 exercises the positional-store read path end to end
     "tok7_unk_accounting",    // BPE UNK gate (heaviest round-10 query)
-    "r10_snippets")           // positional-index highlighter
+    "r10_snippets",           // positional-index highlighter
+    // round-11 additions (same net-lag rule, applied the round the
+    // operators land): r14 re-scores the corpus token stream per field
+    // (the round's heaviest from-scratch query), r15 chains both
+    // dictionary serving and weighted indexed serving in one call,
+    // d18's stride-1 window stream is the dedup family's largest
+    // deliberate linear blowup
+    "r14_fielded_search",     // per-field BM25 (heaviest round-11 query)
+    "r15_more_like_this",     // dictionary + weighted index serving chain
+    "d18_substring_spans")    // substring-span dedup (window stream)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -849,6 +849,75 @@ object TextOps {
         .orderBy("doc_id", "span_start")
     },
 
+    // T18: cross-source overlap matrix — the mixture-decontamination
+    // question ("how much of source A is verbatim inside source B?")
+    // asked BEFORE freezing a training mix: for every ordered source
+    // pair, the fraction of A's distinct 8-gram windows also present
+    // in B, in integer ppm. d18 localizes duplication per document;
+    // this rolls the same window evidence up to the source registry —
+    // the level mixture weights are set at. Planted reuse (every 4th
+    // doc's 12-word prefix + unique fillers re-appears under a
+    // 'synthetic' source at +4e7) gives the matrix observable mass;
+    // organic rows measure the corpus as-is.
+    // 100 TB shape: the window stream is d18's narrow transform with
+    // hashes computed in the projection; DISTINCT (source, h) and the
+    // per-source totals are linear map-side-combinable aggregations;
+    // the overlap join fans each window hash out by the number of
+    // SOURCES containing it — bounded by the source registry (20ish,
+    // never corpus-sized), so the pair rollup lands on a ≤|sources|²
+    // frame. Nothing here is quadratic in documents.
+    QueryDef.sql("t18_source_overlap",
+      s"""WITH sp0 AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id, source, ws FROM sp0
+         |      UNION ALL
+         |      SELECT doc_id + 40000000 AS doc_id, 'synthetic' AS source,
+         |             ws[1:12] || fill AS ws
+         |      FROM (SELECT doc_id, ws,
+         |                   list_transform(generate_series(0, 7),
+         |                     i -> 'y' || CAST(doc_id AS VARCHAR) || 'g' || CAST(i AS VARCHAR)) AS fill
+         |            FROM sp0 WHERE doc_id % 4 = 0 AND len(ws) >= 12)),
+         |win AS (SELECT DISTINCT source, ${phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
+         |        FROM (SELECT source, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+         |              FROM c WHERE len(ws) >= 8)),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM win GROUP BY 1),
+         |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+         |              CAST(COUNT(*) AS BIGINT) AS n_shared
+         |       FROM win a JOIN win b ON a.h = b.h AND a.source <> b.source
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, t.n_src AS n_a,
+         |       CAST((1000000 * n_shared) // t.n_src AS BIGINT) AS overlap_ppm
+         |FROM ov JOIN tot t ON t.source = source_a
+         |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val sp0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      val planted = sp0.filter(col("doc_id") % 4 === 0 && size(col("ws")) >= 12)
+        .select(col("doc_id"), col("ws"),
+          expr("transform(sequence(0, 7), " +
+            "i -> concat('y', CAST(doc_id AS STRING), 'g', CAST(i AS STRING)))").as("fill"))
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          lit("synthetic").as("source"),
+          expr("concat(slice(ws, 1, 12), fill)").as("ws"))
+      val win = sp0.unionByName(planted)
+        .filter(size(col("ws")) >= 8)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(ws) - 8), " +
+            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+        .select(col("source"), phash(col("w")).as("h"))
+        .distinct()
+        .localCheckpoint() // feeds totals and both overlap-join sides
+      val tot = win.groupBy("source").agg(count(lit(1)).cast("long").as("n_src"))
+      val ov = win.select(col("source").as("source_a"), col("h"))
+        .join(win.select(col("source").as("source_b"), col("h")), Seq("h"))
+        .filter(col("source_a") =!= col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+      ov.join(broadcast(tot.withColumnRenamed("source", "source_a")), Seq("source_a"))
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_src").as("n_a"),
+          expr("CAST((1000000 * n_shared) div n_src AS BIGINT)").as("overlap_ppm"))
+        .orderBy("source_a", "source_b")
+    },
+
     // E2E: the corpus-prep stages CHAINED the way a real training-data
     // pipeline runs them — quality gate (t3's single-sourced formula) →
     // exact dedup keeping the min-id representative (d1's idiom) →

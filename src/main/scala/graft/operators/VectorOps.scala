@@ -777,6 +777,138 @@ object VectorOps {
         .orderBy("query_id")
     },
 
+    // V17: nprobe sweep — the recall-vs-cost CURVE behind v11's single
+    // point, the dial a FAISS operator actually tunes before fixing a
+    // serving config: IVF-PQ recall@10 AND candidate volume at nprobe
+    // ∈ {1, 2, 4, 8}, against the same exact integer-L2 truth. IVF
+    // probe sets are NESTED in nprobe, so the rows share one cell
+    // assignment, one code table, one truth — only the probe filter
+    // moves. Reported per nprobe: scored candidate pairs (the cost
+    // axis — it grows ~linearly with probed cells), hits into the
+    // exact top-10, and integer-ppm recall. Recall is not
+    // THEORETICALLY monotone under approximate ADC ordering (a new
+    // candidate can displace a true hit from the ADC top-10), which is
+    // exactly why the curve is measured, not assumed — and measured
+    // here it FALLS as probes widen (sf0.01: 40% → 28% ppm-recall from
+    // nprobe 1 → 8): at this deliberately coarse M=4/K=8 codebook the
+    // recall ceiling is the QUANTIZER, and the curve says so — the
+    // operational reading is "spend bits on M/K, not on probes", the
+    // diagnosis this instrument exists to deliver.
+    // 100 TB shape: cells/codes are the stored artifacts (assignment
+    // localCheckpointed once, probed four times); the query-side cell
+    // ranking is 10 × 16 bounded rows; each nprobe's serving is v9's
+    // shape — broadcast probe list into the cell-pruned candidate
+    // join, ADC from the code table; the exact-truth channel is v1's
+    // map-only literal scoring. Sweep cost ≈ Σ candidate volumes,
+    // never corpus × nprobe re-encodes.
+    QueryDef.sql("v17_nprobe_curve", {
+      s"""WITH el AS ($elementsSql),
+         |$ivfCellsSql,
+         |$pqChainSql,
+         |qd AS (SELECT q.vec_id AS query_id, c.m, c.cent_id,
+         |              CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dist
+         |       FROM sub q JOIN c1 c ON q.m = c.m AND q.p = c.p
+         |       WHERE q.vec_id < 10
+         |       GROUP BY q.vec_id, c.m, c.cent_id),
+         |np(np) AS (SELECT * FROM (VALUES (1), (2), (4), (8))),
+         |probesn AS (SELECT np.np, r.vec_id AS query_id, r.cent_id AS cell
+         |            FROM ranked r CROSS JOIN np
+         |            WHERE r.crn <= np.np AND r.vec_id < 10),
+         |candn AS (SELECT np, query_id, cand_id FROM probesn JOIN cells USING (cell)
+         |          WHERE cand_id <> query_id),
+         |scn AS (SELECT candn.np, candn.query_id, candn.cand_id,
+         |               CAST(SUM(qd.dist) AS BIGINT) AS adist
+         |        FROM candn JOIN ch ON ch.vec_id = candn.cand_id
+         |                   JOIN qd ON qd.query_id = candn.query_id
+         |                          AND qd.m = ch.m AND qd.cent_id = ch.cent_id
+         |        GROUP BY 1, 2, 3),
+         |atopn AS (SELECT np, query_id, cand_id FROM (
+         |            SELECT np, query_id, cand_id,
+         |                   row_number() OVER (PARTITION BY np, query_id
+         |                                      ORDER BY adist, cand_id) AS rn
+         |            FROM scn) WHERE rn <= 10),
+         |xl2 AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |               CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS l2
+         |        FROM el q JOIN el c ON q.pos = c.pos
+         |        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |        GROUP BY query_id, cand_id),
+         |xtop AS (SELECT query_id, cand_id FROM (
+         |           SELECT query_id, cand_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY l2, cand_id) AS rn
+         |           FROM xl2) WHERE rn <= 10),
+         |nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |              CAST(COUNT(*) AS BIGINT) AS n_exact FROM xtop),
+         |ncand AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_cand FROM scn GROUP BY 1),
+         |hitsn AS (SELECT a.np, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |          FROM atopn a JOIN xtop x
+         |            ON a.query_id = x.query_id AND a.cand_id = x.cand_id
+         |          GROUP BY 1)
+         |SELECT nc.np AS nprobe, nq.n_queries, nc.n_cand,
+         |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, nq.n_exact,
+         |       CAST((1000000 * COALESCE(h.n_hit, 0)) // nq.n_exact AS BIGINT) AS recall_ppm
+         |FROM ncand nc CROSS JOIN nq LEFT JOIN hitsn h ON h.np = nc.np
+         |ORDER BY nprobe""".stripMargin
+    }) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+      // exact truth: v11's map-only literal-L2 channel, verbatim shape
+      val qfloats = emb.filter(col("vec_id") < 10).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val qCols = qfloats.map { case (qid, arr) =>
+        val qn = arr.map(quantF).map(v => v * v).sum
+        struct(lit(qid).as("query_id"),
+          (call_function("dot_q", col("embedding"), col("embedding"))
+            - lit(2L) * call_function("dot_q", col("embedding"), typedLit(arr))
+            + lit(qn)).as("l2"))
+      }
+      val xtop = emb
+        .select(col("vec_id").as("cand_id"), explode(array(qCols.toIndexedSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.l2"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("l2"), asc("cand_id"))))
+        .filter(col("rn") <= 10).select("query_id", "cand_id")
+        .localCheckpoint() // joined by every nprobe row + the totals
+      // shared serving state: one cell assignment, one stored code
+      // table, one bounded query-side cell ranking
+      val books = pqTrainCached(s, d)
+      val codes = codesArtifact(s, d).withColumnRenamed("vec_id", "cand_id")
+      val cents = ivfCents(emb)
+      val cells = ivfRank(emb, cents).filter(col("crn") === 1)
+        .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
+        .localCheckpoint() // probed once per nprobe value
+      val queries = emb.filter(col("vec_id") < 10)
+      val qc = collectQueries(queries)
+      val qRank = ivfRank(queries, cents)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cell"), col("crn"))
+      val scoredNp = Seq(1, 2, 4, 8).map { np =>
+        val cand = broadcast(qRank.filter(col("crn") <= np).drop("crn"))
+          .join(cells, Seq("cell"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .join(codes, Seq("cand_id"))
+        adcScoreKeyed(s, cand, qc, books).withColumn("np", lit(np))
+      }.reduce(_ unionByName _)
+        .localCheckpoint() // feeds the volume rollup and the top-10 rank
+      val atopn = scoredNp
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("np", "query_id").orderBy(asc("adist"), asc("cand_id"))))
+        .filter(col("rn") <= 10).select("np", "query_id", "cand_id")
+      val nq = xtop.agg(
+        countDistinct("query_id").cast("long").as("n_queries"),
+        count(lit(1)).cast("long").as("n_exact"))
+      val ncand = scoredNp.groupBy("np").agg(count(lit(1)).cast("long").as("n_cand"))
+      val hitsn = atopn.join(xtop, Seq("query_id", "cand_id"))
+        .groupBy("np").agg(count(lit(1)).cast("long").as("n_hit"))
+      ncand.crossJoin(broadcast(nq))
+        .join(broadcast(hitsn), Seq("np"), "left")
+        .select(col("np").as("nprobe"), col("n_queries"), col("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+          expr("CAST((1000000 * COALESCE(n_hit, 0)) div n_exact AS BIGINT)").as("recall_ppm"))
+        .orderBy("nprobe")
+    },
+
     // V12: scalar (int8) quantization — SQ8, the per-dimension affine
     // counterpart to v7's PQ (FAISS's ScalarQuantizer): train a
     // [min,max] range per dimension, encode each element to an 8-bit

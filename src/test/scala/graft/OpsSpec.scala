@@ -977,6 +977,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("t18 source overlap: shared-mass symmetric, ppm well-formed, planted synthetic reuse visible") {
+    // the matrix semantics the oracle hash can't state: n_shared is
+    // |A∩B| on distinct window hashes, so it must be SYMMETRIC in the
+    // source pair (the ppm is not — it normalizes by A); shares are
+    // bounded by the row source's total; and the planted 'synthetic'
+    // source (verbatim 12-word prefixes of organic docs) must show
+    // overlap in BOTH directions with at least one organic source
+    val rows = SparkEntry.queries("t18_source_overlap")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "overlap matrix is empty — planting failed")
+    val byPair = rows.map(t => (t._1, t._2) -> t._3).toMap
+    for ((a, b, shared, na, ppm) <- rows) {
+      assert(a != b, "diagonal must be excluded")
+      assert(shared >= 1 && shared <= na, s"($a,$b): n_shared $shared vs n_a $na")
+      assert(ppm == 1000000L * shared / na, s"($a,$b): ppm drifted from definition")
+      assert(byPair.get((b, a)).contains(shared),
+        s"($a,$b): shared window mass is not symmetric")
+    }
+    assert(rows.exists(t => t._1 == "synthetic" && t._5 > 0),
+      "synthetic source shows no outgoing overlap")
+    assert(rows.exists(t => t._2 == "synthetic" && t._5 > 0),
+      "no organic source shows overlap INTO synthetic")
+  }
+
   test("every events column is non-null somewhere at each sf (p5 oracle assumption)") {
     // p5_dropna_cols' oracle hardcodes the surviving projection, which
     // is only valid while no real events column is entirely NULL — pin
@@ -1500,6 +1525,29 @@ class OpsSpec extends SparkSpec {
         s"query $qid: malformed rank sequence")
     assert(fielded != flat,
       "title boost + per-field statistics changed nothing vs flat BM25 — vacuous")
+  }
+
+  test("v17 nprobe curve: cost axis strictly grows, recall well-formed and never empty") {
+    // what the oracle hash can't say: the sweep must SEPARATE on the
+    // cost axis (candidate volume strictly grows with probed cells —
+    // flat volume would mean the probe filter is dead), every row's
+    // recall must be internally consistent, and every nprobe must
+    // retrieve SOMETHING. Recall monotonicity is deliberately NOT
+    // asserted: measured, it falls as probes widen (the coarse-codebook
+    // diagnosis the operator's scaladoc documents).
+    val rows = SparkEntry.queries("v17_nprobe_curve")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    for (pair <- rows.toSeq.sliding(2))
+      assert(pair(0)._3 < pair(1)._3,
+        s"candidate volume did not grow from nprobe ${pair(0)._1} to ${pair(1)._1}")
+    for ((np, nq, ncand, nhit, nexact, ppm) <- rows) {
+      assert(nq > 0 && nexact == 10 * nq, s"np=$np: truth set malformed")
+      assert(nhit >= 1 && nhit <= nexact, s"np=$np: n_hit $nhit out of range")
+      assert(ppm == 1000000L * nhit / nexact, s"np=$np: ppm drifted from definition")
+      assert(ncand >= nhit, s"np=$np: more hits than candidates")
+    }
   }
 
   test("r15 more-like-this: seed never self-retrieves; every hit shares a selected seed term") {
