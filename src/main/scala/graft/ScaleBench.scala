@@ -94,7 +94,12 @@ object ScaleBench {
     // suite's largest deliberate linear blowup — the corpus token
     // stream hashed once, duplicate detection two linear aggs, NO pair
     // join (the d8 comparison this row exists to make)
-    "r15_more_like_this", "d18_substring_spans")
+    "r15_more_like_this", "d18_substring_spans",
+    // t18 rolls d18's window stream up to the source registry (the
+    // overlap join fans by sources-per-hash, bounded by the registry);
+    // v17 sweeps four probe widths over ONE cell assignment + stored
+    // code table — its corpus term is the encode/assignment warm-up
+    "t18_source_overlap", "v17_nprobe_curve")
 
   /** The third-point spot-check set: the two WORST observed 10× ratios
     * (d15, v11 — precisely where fixed costs least conclusively

@@ -597,6 +597,142 @@ object CorpusPrep {
           "CAST((1000000 * n_docs) div SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)"))
         .select("source", "split", "n_docs", "n_chars", "share_ppm")
         .orderBy("source", "split")
+    },
+
+    // TOK9: decode round-trip audit — the other half of the tokenizer
+    // API (every encode ships with a decode, and the contract is
+    // decode(encode(x)) == analyzer(x) byte-for-byte): tok6's id
+    // sequences decoded back through the inverse vocabulary and
+    // compared to the analyzer-normalized text. An audit whose rows
+    // are all "pass" proves nothing, so corruption is PLANTED: every
+    // 50th doc's id sequence re-appears with its first id dropped (the
+    // classic off-by-one truncation bug) under a corrupted=1 cohort —
+    // the audit must catch 100% of it (a dropped symbol removes ≥ 1
+    // character, so a corrupted decode can never equal the truth) while
+    // passing 100% of the organic cohort; OpsSpec gates both exactly.
+    // 100 TB shape: tok6's — broadcast word→ids join + per-doc
+    // reassembly; decode is a MAP-ONLY transform with the vocab-bounded
+    // symbol table inlined as a literal array; the compare is one
+    // equality per doc.
+    QueryDef.sql("tok9_decode_roundtrip",
+      s"""WITH ${bpeChainSql(3)},
+         |vmap AS (SELECT replace(trim(s), ' ', '') AS word,
+         |                string_split(trim(s), ' ') AS subs
+         |         FROM s3),
+         |vocab AS (SELECT sym, row_number() OVER (ORDER BY sym) AS id
+         |          FROM (SELECT DISTINCT unnest(subs) AS sym FROM vmap)),
+         |wsub AS (SELECT word, generate_subscripts(subs, 1) AS i, unnest(subs) AS sym
+         |         FROM vmap),
+         |wid AS (SELECT word, list(id ORDER BY i) AS ids
+         |        FROM wsub JOIN vocab USING (sym) GROUP BY word),
+         |dw AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS word
+         |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |             FROM documents WHERE doc_id < 200)),
+         |enc AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS ids
+         |        FROM dw JOIN wid USING (word) GROUP BY doc_id),
+         |aug AS (SELECT doc_id, 0 AS corrupted, ids FROM enc
+         |        UNION ALL
+         |        SELECT doc_id + 50000000 AS doc_id, 1 AS corrupted, ids[2:] AS ids
+         |        FROM enc WHERE doc_id % 50 = 0),
+         |symlist AS (SELECT list(sym ORDER BY id) AS ls FROM vocab),
+         |dec AS (SELECT doc_id, corrupted,
+         |               array_to_string(list_transform(ids, x -> ls[x]), '') AS decoded
+         |        FROM aug CROSS JOIN symlist),
+         |truth AS (SELECT doc_id AS tdoc,
+         |                 array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '') AS t
+         |          FROM documents WHERE doc_id < 200),
+         |cmp AS (SELECT d.corrupted, CASE WHEN d.decoded = t.t THEN 1 ELSE 0 END AS ok
+         |        FROM dec d JOIN truth t ON t.tdoc = d.doc_id % 50000000)
+         |SELECT corrupted, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(ok) AS BIGINT) AS n_match,
+         |       CAST(COUNT(*) - SUM(ok) AS BIGINT) AS n_mismatch,
+         |       CAST((1000000 * SUM(ok)) // COUNT(*) AS BIGINT) AS match_ppm
+         |FROM cmp GROUP BY corrupted ORDER BY corrupted""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val (_, state) = bpeTrainLocalWithState(s, bpeInit(s, d), 3)
+      val segs = state.collect().map(r => r.getString(0).trim.split(" ").toSeq)
+      val vocabIds = segs.flatten.distinct.sorted.zipWithIndex
+        .map { case (sym, i) => sym -> (i + 1) }.toMap
+      val wid = segs.map(subs => (subs.mkString(""), subs.map(vocabIds))).toSeq
+      val dw = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .as(Seq("wi", "word")))
+      val enc = dw.join(broadcast(wid.toDF("word", "ids")), Seq("word"))
+        .groupBy("doc_id")
+        .agg(flatten(expr(
+          "transform(array_sort(collect_list(struct(wi, ids))), x -> x.ids)"))
+          .as("ids"))
+      val aug = enc.select(col("doc_id"), lit(0).as("corrupted"), col("ids"))
+        .unionByName(enc.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 50000000L).as("doc_id"), lit(1).as("corrupted"),
+            expr("slice(ids, 2, size(ids) - 1)").as("ids")))
+      // inverse vocabulary as a literal array (vocab-bounded; symbols
+      // are [a-z]+ so the inline quoting is hazard-free) — decode is
+      // map-only, the tok6 design note's promise kept in reverse
+      val symArrSql = vocabIds.toSeq.sortBy(_._2).map(p => s"'${p._1}'")
+        .mkString("array(", ", ", ")")
+      val dec = aug.select(col("doc_id"), col("corrupted"),
+        expr(s"array_join(transform(ids, x -> element_at($symArrSql, x)), '')")
+          .as("decoded"))
+      val truth = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("tdoc"),
+          expr("array_join(regexp_extract_all(lower(text), '[a-z]+', 0), '')").as("t"))
+      dec.join(broadcast(truth), (col("doc_id") % 50000000L) === col("tdoc"))
+        .select(col("corrupted"),
+          when(col("decoded") === col("t"), 1).otherwise(0).as("ok"))
+        .groupBy("corrupted")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("ok").cast("long").as("n_match"),
+          (count(lit(1)) - sum("ok")).cast("long").as("n_mismatch"),
+          expr("CAST((1000000 * SUM(ok)) div COUNT(*) AS BIGINT)").as("match_ppm"))
+        .orderBy("corrupted")
+    },
+
+    // S9: token-budget mixture planner — the table a pretraining run
+    // derives before any sampling happens (the GPT-3/Pile data-mixing
+    // arithmetic): given each source's token inventory (one scan) and
+    // its mixture weight, the per-source token allocation under a
+    // fixed budget, the implied epochs in ppm (> 1e6 means the source
+    // REPEATS — the signal mixture designers watch, since repetition
+    // is where memorization risk and diminishing returns start), the
+    // single-epoch portion, and the repeated-token overflow. Weights
+    // here are a deterministic fixture (1 + source index mod 3); a
+    // production run feeds its config table through the same plan.
+    // All integer arithmetic — shares and epochs never see a float.
+    // 100 TB shape: one map-side-combined scan to the |sources|-row
+    // inventory; everything after is arithmetic on that bounded frame.
+    QueryDef.sql("s9_mixture_budget",
+      """WITH tok AS (SELECT source,
+        |                    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_tokens
+        |             FROM documents GROUP BY 1),
+        |wts AS (SELECT source, n_tokens,
+        |               CAST(1 + CAST(substr(source, 4) AS INT) % 3 AS BIGINT) AS weight
+        |        FROM tok),
+        |tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM wts)
+        |SELECT source, n_tokens, weight,
+        |       CAST((100000 * weight) // total_w AS BIGINT) AS allocated,
+        |       CAST((1000000 * ((100000 * weight) // total_w)) // n_tokens AS BIGINT) AS epochs_ppm,
+        |       CAST(LEAST((100000 * weight) // total_w, n_tokens) AS BIGINT) AS single_epoch_tokens,
+        |       CAST(GREATEST((100000 * weight) // total_w - n_tokens, 0) AS BIGINT) AS repeat_tokens
+        |FROM wts CROSS JOIN tw ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+          .cast("long").as("n_tokens"))
+      val wts = tok.withColumn("weight",
+        expr("CAST(1 + CAST(substring(source, 4) AS INT) % 3 AS BIGINT)"))
+      val tw = wts.agg(sum("weight").cast("long").as("total_w"))
+      wts.crossJoin(broadcast(tw))
+        .select(col("source"), col("n_tokens"), col("weight"),
+          expr("CAST((100000 * weight) div total_w AS BIGINT)").as("allocated"),
+          expr("CAST((1000000 * ((100000 * weight) div total_w)) div n_tokens AS BIGINT)")
+            .as("epochs_ppm"),
+          expr("CAST(LEAST((100000 * weight) div total_w, n_tokens) AS BIGINT)")
+            .as("single_epoch_tokens"),
+          expr("CAST(GREATEST((100000 * weight) div total_w - n_tokens, 0) AS BIGINT)")
+            .as("repeat_tokens"))
+        .orderBy("source")
     }
   )
 

@@ -1527,6 +1527,41 @@ class OpsSpec extends SparkSpec {
       "title boost + per-field statistics changed nothing vs flat BM25 — vacuous")
   }
 
+  test("tok9 round-trip: organic cohort decodes perfectly, planted truncation caught 100%") {
+    // the two exact gates the audit exists for: decode(encode(x)) must
+    // equal analyzer(x) on EVERY organic doc (a single silent mismatch
+    // means the id pipeline corrupts data), and the planted
+    // dropped-first-id cohort must fail on EVERY doc (a dropped symbol
+    // removes >= 1 char, so a pass there would mean the audit is blind)
+    val rows = SparkEntry.queries("tok9_decode_roundtrip")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1), s"expected both cohorts: ${rows.toSeq}")
+    val organic = rows.head; val corrupted = rows.last
+    assert(organic._2 > 0 && organic._3 == organic._2 && organic._4 == 0 &&
+      organic._5 == 1000000L, s"organic cohort must round-trip perfectly: $organic")
+    assert(corrupted._2 > 0 && corrupted._3 == 0 && corrupted._4 == corrupted._2 &&
+      corrupted._5 == 0L, s"every planted truncation must be caught: $corrupted")
+  }
+
+  test("s9 mixture budget: allocation conserves, epochs flag repetition exactly") {
+    val rows = SparkEntry.queries("s9_mixture_budget")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.size == 20)
+    val totalW = rows.map(_._3).sum
+    for ((src, nTok, w, alloc, epochs, single, rep) <- rows) {
+      assert(w == 1 + src.drop(3).toLong % 3, s"$src: weight drifted from fixture")
+      assert(alloc == 100000L * w / totalW, s"$src: allocation not budget*w/totalW")
+      assert(single == math.min(alloc, nTok) && rep == math.max(alloc - nTok, 0L),
+        s"$src: single/repeat split broken")
+      assert((epochs > 1000000L) == (rep > 0),
+        s"$src: epochs_ppm and repeat_tokens disagree on repetition")
+    }
+    // allocations sum to <= budget (floor rounding), never above
+    assert(rows.map(_._4).sum <= 100000L)
+  }
+
   test("v17 nprobe curve: cost axis strictly grows, recall well-formed and never empty") {
     // what the oracle hash can't say: the sweep must SEPARATE on the
     // cost axis (candidate volume strictly grows with probed cells —
