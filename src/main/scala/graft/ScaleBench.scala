@@ -99,7 +99,11 @@ object ScaleBench {
     // overlap join fans by sources-per-hash, bounded by the registry);
     // v17 sweeps four probe widths over ONE cell assignment + stored
     // code table — its corpus term is the encode/assignment warm-up
-    "t18_source_overlap", "v17_nprobe_curve")
+    "t18_source_overlap", "v17_nprobe_curve",
+    // tok9's corpus-side terms are the vocab build (one scan) and the
+    // bounded 200-doc encode/decode; s9 is one map-side-combined scan
+    // to the |sources|-row inventory + bounded arithmetic
+    "tok9_decode_roundtrip", "s9_mixture_budget")
 
   /** The third-point spot-check set: the two WORST observed 10× ratios
     * (d15, v11 — precisely where fixed costs least conclusively
