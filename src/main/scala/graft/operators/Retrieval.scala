@@ -72,6 +72,22 @@ object Retrieval {
     fixtureQueries.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
       .mkString(", ")
 
+  /** r17's boolean-clause fixtures over the same vocabulary: role 'm'
+    * = MUST (required, scoring), 's' = SHOULD (optional, scoring),
+    * 'n' = MUST_NOT (excluding, never scoring) — one query with two
+    * MUSTs, one pure-OR query, two queries with exclusions.
+    */
+  val booleanQueries: Seq[(Long, String, String)] = Seq(
+    (0L, "dup", "m"), (0L, "scan", "s"), (0L, "join", "n"),
+    (1L, "spark", "m"), (1L, "join", "m"),
+    (2L, "window", "s"), (2L, "order", "s"), (2L, "sort", "n"),
+    (3L, "customer", "m"), (3L, "table", "s"),
+    (4L, "fast", "s"), (4L, "slow", "s"))
+
+  private def booleanValuesSql: String =
+    booleanQueries.map { case (q, t, r) => s"(CAST($q AS BIGINT), '$t', '$r')" }
+      .mkString(", ")
+
   /** The default analyzer: lowercase → [a-z]+ token projection — ONE
     * definition shared by the corpus scan, every maintenance op, and
     * (via StreamPostings.RawAnalyzer) the streaming ingest.
@@ -1776,6 +1792,162 @@ object Retrieval {
       serveBm25(indexArtifact(s, d), statsArtifact(s, d),
         selRows.toDF("query_id", "term", "w"),
         selRows.map(_._2).distinct, 10, excludeSelf = true)
+    },
+
+    // R16: faceted search — the aggregation every search UI renders
+    // beside the hit list (Lucene facets / Elasticsearch terms agg):
+    // for each query, the per-source count of ALL matching documents
+    // (any query term present — the facet population is the match set,
+    // not the top-k) with integer-ppm shares. The engine side serves
+    // the match set from the STORED index (bucket + IN pruned — facets
+    // must not cost a corpus scan) and joins doc metadata through a
+    // COLUMN-PRUNED (doc_id, source) projection — PlanSpec pins that
+    // no text column rides along; at 100 TB that projection is the
+    // doc-metadata store every serving stack keeps beside the index.
+    QueryDef.sql("r16_faceted_search",
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $fixtureValuesSql)),
+         |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |m AS (SELECT DISTINCT q.query_id, e.doc_id
+         |      FROM (SELECT doc_id, unnest(toks) AS term FROM dd) e
+         |      JOIN q USING (term)),
+         |f AS (SELECT m.query_id, s.source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |      FROM m JOIN (SELECT doc_id, source FROM documents) s
+         |        ON s.doc_id = m.doc_id
+         |      GROUP BY 1, 2),
+         |tq AS (SELECT query_id, CAST(SUM(n_docs) AS BIGINT) AS total FROM f GROUP BY 1)
+         |SELECT f.query_id, f.source, f.n_docs,
+         |       CAST((1000000 * f.n_docs) // tq.total AS BIGINT) AS share_ppm
+         |FROM f JOIN tq USING (query_id)
+         |ORDER BY query_id, source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val qt = fixtureQueries.toDF("query_id", "term")
+      val terms = fixtureQueries.map(_._2).distinct
+      val idx = indexArtifact(s, d)
+      // match set from the pruned index read — facet population is
+      // every matching doc, never a corpus scan
+      val m = idx.filter(col("bkt").isin(terms.map(termBucket).distinct.map(Int.box): _*))
+        .filter(col("term").isin(terms: _*))
+        .join(broadcast(qt), Seq("term"))
+        .select("query_id", "doc_id").distinct()
+      val src = Tables.documents(s, d).select("doc_id", "source")
+      val f = m.join(src, Seq("doc_id"))
+        .groupBy("query_id", "source")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      f.withColumn("total", sum("n_docs").over(Window.partitionBy("query_id")))
+        .select(col("query_id"), col("source"), col("n_docs"),
+          expr("CAST((1000000 * n_docs) div total AS BIGINT)").as("share_ppm"))
+        .orderBy("query_id", "source")
+    },
+
+    // R17: boolean query semantics — Lucene's BooleanQuery clause roles
+    // over the same BM25 scoring: MUST terms are required (a doc
+    // missing any is out), MUST_NOT terms exclude, SHOULD terms only
+    // score; MUST and SHOULD matches both contribute to the score
+    // (Lucene's semantics — required clauses are scoring clauses).
+    // The whole evaluation is ONE pass over the pruned postings: per
+    // (query, doc) the role-gated aggregate computes score, distinct
+    // matched-MUST count, and the NOT flag together; the filter
+    // compares must_hit to the query's required-clause count (bounded
+    // broadcast). No per-clause subqueries, no intersect chains — the
+    // set algebra rides the aggregate, which is what survives 100 TB.
+    QueryDef.sql("r17_boolean_query",
+      s"""WITH qb(query_id, term, role) AS (SELECT * FROM (VALUES $booleanValuesSql)),
+         |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM dd),
+         |ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM dd),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM ex
+         |       WHERE term IN (SELECT DISTINCT term FROM qb) GROUP BY 1, 2),
+         |tf2 AS (SELECT doc_id, term, tf, dl,
+         |               CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf),
+         |j AS (SELECT qb.query_id, tf2.doc_id, qb.role, qb.term, $contribSql AS cm
+         |      FROM tf2 JOIN qb USING (term) CROSS JOIN st),
+         |per AS (SELECT query_id, doc_id,
+         |               CAST(SUM(CASE WHEN role <> 'n' THEN cm ELSE 0 END) AS BIGINT) AS score_micro,
+         |               CAST(COUNT(DISTINCT CASE WHEN role = 'm' THEN term END) AS BIGINT) AS must_hit,
+         |               MAX(CASE WHEN role = 'n' THEN 1 ELSE 0 END) AS has_not
+         |        FROM j GROUP BY 1, 2),
+         |req AS (SELECT query_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS req
+         |        FROM qb WHERE role = 'm' GROUP BY 1),
+         |ok AS (SELECT p.query_id, p.doc_id, p.score_micro
+         |       FROM per p LEFT JOIN req r USING (query_id)
+         |       WHERE p.has_not = 0 AND p.must_hit = COALESCE(r.req, 0)),
+         |ranked AS (SELECT query_id, doc_id, score_micro,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score_micro DESC, doc_id) AS rn
+         |           FROM ok)
+         |SELECT query_id, rn, doc_id, score_micro FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val qb = booleanQueries.toDF("query_id", "term", "role")
+      val allTerms = booleanQueries.map(_._2).distinct
+      val pruned = indexArtifact(s, d)
+        .filter(col("bkt").isin(allTerms.map(termBucket).distinct.map(Int.box): _*))
+        .filter(col("term").isin(allTerms: _*))
+      val j = pruned.join(broadcast(qb), Seq("term"))
+        .crossJoin(broadcast(statsArtifact(s, d)))
+        .withColumn("cm", expr(contribSql))
+      val per = j.groupBy("query_id", "doc_id")
+        .agg(sum(when(col("role") =!= "n", col("cm")).otherwise(0L))
+            .cast("long").as("score_micro"),
+          countDistinct(when(col("role") === "m", col("term")))
+            .cast("long").as("must_hit"),
+          max(when(col("role") === "n", 1).otherwise(0)).as("has_not"))
+      val req = booleanQueries.filter(_._3 == "m")
+        .groupBy(_._1).map { case (q, ts) => (q, ts.map(_._2).distinct.size.toLong) }
+        .toSeq.toDF("query_id", "req")
+      val ok = per.join(broadcast(req), Seq("query_id"), "left")
+        .filter(col("has_not") === 0 &&
+          col("must_hit") === coalesce(col("req"), lit(0L)))
+        .select("query_id", "doc_id", "score_micro")
+      topK(ok, 10)
+        .select("query_id", "rn", "doc_id", "score_micro")
+        .orderBy("query_id", "rn")
+    },
+
+    // R18: per-source result crowding cap — the serving-time diversity
+    // rule every web engine applies ("host crowding": at most K results
+    // per site): r1's ranking re-served with AT MOST 2 documents per
+    // source in each query's top-10. Two stacked windows — rank within
+    // (query, source), keep ≤ 2, re-rank within query — over the
+    // match-set frame; source arrives through the same column-pruned
+    // (doc_id, source) metadata projection r16 uses. Measured on this
+    // corpus the cap BINDS (queries 0 and 2 carry a 3-doc source in
+    // the flat top-10), so the output provably differs from r1's —
+    // OpsSpec pins both the cap and the difference. v15 (MMR) solves
+    // the same problem by similarity; this is the rule-based quota
+    // variant that needs no vectors.
+    QueryDef.sql("r18_source_crowding",
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $fixtureValuesSql)),
+         |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |${bm25ChainSql(excludeSelf = false)},
+         |wsrc AS (SELECT a.query_id, a.doc_id, a.score_micro, s.source
+         |         FROM agg a JOIN (SELECT doc_id, source FROM documents) s
+         |           ON s.doc_id = a.doc_id),
+         |capped AS (SELECT query_id, doc_id, score_micro, source,
+         |                  row_number() OVER (PARTITION BY query_id, source
+         |                                     ORDER BY score_micro DESC, doc_id) AS srn
+         |           FROM wsrc),
+         |ranked AS (SELECT query_id, doc_id, score_micro, source,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score_micro DESC, doc_id) AS rn
+         |           FROM capped WHERE srn <= 2)
+         |SELECT query_id, rn, doc_id, source, score_micro FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val qt = fixtureQueries.toDF("query_id", "term")
+      val scored = servedScores(indexArtifact(s, d), statsArtifact(s, d), qt,
+        fixtureQueries.map(_._2).distinct, excludeSelf = false)
+      val withSrc = scored
+        .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+      withSrc
+        .withColumn("srn", row_number().over(Window.partitionBy("query_id", "source")
+          .orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .filter(col("srn") <= 2)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "doc_id", "source", "score_micro")
+        .orderBy("query_id", "rn")
     }
   )
 }
