@@ -729,6 +729,86 @@ object TextOps {
         .orderBy("doc_id", "bench_id")
     },
 
+    // D7B: threshold-overlap decontamination — the field-practice
+    // screen (GPT-3 App. C / PaLM App. G decontamination) verbatim d7
+    // cannot be: instead of one exact needle, score each (doc, bench
+    // item) by the FRACTION of the item's distinct 8-gram windows
+    // present in the doc, and flag at ≥ 50%. A lightly-paraphrased
+    // eval item (planted here: 8 unique filler words prepended to a
+    // 24-word verbatim slice of each bench doc, bench_id + 100) slips
+    // d7's first-3-words needle — the fillers ARE its first words —
+    // but keeps 17 of its 25 windows intact (68%) and is caught here;
+    // OpsSpec pins that exact discrimination. Organic items (the d7
+    // bench set, doc_id < 5) self-match at 100%, the planted item
+    // flags its source doc, and sub-threshold incidental overlap
+    // stays silent.
+    // 100 TB shape: bench windows are fixture-sized → BROADCAST both
+    // at the probe join and the totals join; the corpus side is ONE
+    // narrow window-hash projection (d18's shape — shuffles carry
+    // (doc_id, h), never text) into a (doc_id, bench_id) partial agg.
+    // No corpus self-join, no cross join, nothing quadratic
+    // (PlanSpec pins the broadcasts and the single corpus scan).
+    QueryDef.sql("d7b_overlap_decontam",
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bench AS (
+         |  SELECT doc_id AS bench_id, ws AS bws FROM sp WHERE doc_id < 5
+         |  UNION ALL
+         |  SELECT doc_id + 100 AS bench_id, fill || ws[1:24] AS bws
+         |  FROM (SELECT doc_id, ws,
+         |               list_transform(generate_series(0, 7),
+         |                 i -> 'z' || CAST(doc_id AS VARCHAR) || 'p' || CAST(i AS VARCHAR)) AS fill
+         |        FROM sp WHERE doc_id < 5)),
+         |bw AS (SELECT DISTINCT bench_id, ${phashSql("array_to_string(bws[i + 1 : i + 8], ' ')")} AS h
+         |       FROM (SELECT bench_id, bws, unnest(generate_series(0, len(bws) - 8)) AS i
+         |             FROM bench WHERE len(bws) >= 8)),
+         |bt AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_item_windows FROM bw GROUP BY 1),
+         |dw AS (SELECT doc_id, ${phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
+         |       FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+         |             FROM sp WHERE len(ws) >= 8)),
+         |hit AS (SELECT d.doc_id, b.bench_id, CAST(COUNT(DISTINCT d.h) AS BIGINT) AS n_present
+         |        FROM dw d JOIN bw b ON d.h = b.h
+         |        GROUP BY 1, 2)
+         |SELECT h.doc_id, h.bench_id, t.n_item_windows, h.n_present,
+         |       CAST((1000000 * h.n_present) // t.n_item_windows AS BIGINT) AS overlap_ppm
+         |FROM hit h JOIN bt t USING (bench_id)
+         |WHERE 2 * h.n_present >= t.n_item_windows
+         |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+      val sp = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val benchDocs = sp.filter(col("doc_id") < 5)
+      val bench = benchDocs
+        .select(col("doc_id").as("bench_id"), col("ws").as("bws"))
+        .unionByName(benchDocs
+          .select(col("doc_id"), col("ws"),
+            expr("transform(sequence(0, 7), " +
+              "i -> concat('z', CAST(doc_id AS STRING), 'p', CAST(i AS STRING)))").as("fill"))
+          .select((col("doc_id") + 100L).as("bench_id"),
+            expr("concat(fill, slice(ws, 1, 24))").as("bws")))
+      val bw = bench.filter(size(col("bws")) >= 8)
+        .select(col("bench_id"), explode(expr(
+          "transform(sequence(0, size(bws) - 8), " +
+            "i -> concat_ws(' ', slice(bws, i + 1, 8)))")).as("w"))
+        .select(col("bench_id"), phash(col("w")).as("h"))
+        .distinct()
+        .localCheckpoint() // fixture-sized; feeds probe join + totals
+      val bt = bw.groupBy("bench_id")
+        .agg(count(lit(1)).cast("long").as("n_item_windows"))
+      val dw = sp.filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 8), " +
+            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+        .select(col("doc_id"), phash(col("w")).as("h"))
+      val hit = dw.join(broadcast(bw), Seq("h"))
+        .groupBy("doc_id", "bench_id")
+        .agg(countDistinct("h").cast("long").as("n_present"))
+      hit.join(broadcast(bt), Seq("bench_id"))
+        .filter(col("n_present") * 2 >= col("n_item_windows"))
+        .select(col("doc_id"), col("bench_id"), col("n_item_windows"),
+          col("n_present"),
+          expr("CAST((1000000 * n_present) div n_item_windows AS BIGINT)").as("overlap_ppm"))
+        .orderBy("doc_id", "bench_id")
+    },
+
     // D8: passage-level exact dedup — the copy-paste-passage detector
     // (C4-style): docs are cut into non-overlapping 8-word blocks
     // NARROWLY (pure array transform over the token array — no window,
@@ -847,6 +927,108 @@ object TextOps {
           count(lit(1)).cast("long").as("n_windows"))
         .select("doc_id", "span_start", "span_len", "n_windows")
         .orderBy("doc_id", "span_start")
+    },
+
+    // D19: duplicated-span REMOVAL — the action half of d18's report,
+    // i.e. the deliverable of the Lee et al. 2021 substring pipeline:
+    // the DEDUPLICATED corpus itself, spans cut and text reassembled.
+    // Duplicate evidence is d18's (8-word windows in ≥ 2 distinct docs,
+    // same planted shifted copies at doc_id + 3e7); of all occurrences
+    // of a duplicated window, the lexicographically-first (doc_id, i)
+    // is CANONICAL and survives — every other occurrence is cut. Cut
+    // window starts merge into maximal islands (d18's gaps-and-islands
+    // — an island's token coverage [min_i, max_i + 8) is exactly the
+    // union of its windows' coverage, since starts ≤ 8 apart touch),
+    // and surviving tokens reassemble in order. Because the planted
+    // copies sit ABOVE their originals, the originals are canonical:
+    // planted shifted-copy mass vanishes while the original text
+    // reassembles byte-identically (OpsSpec pins both, plus byte
+    // identity for every span-free doc).
+    // 100 TB shape: the window stream is d18's narrow projection
+    // (shuffles carry (doc_id, i, h), never 8-word strings); canonical
+    // selection is ONE row_number window keyed on the same hash the
+    // dup-evidence agg already shuffles on; the island merge is a
+    // doc_id window over CUT rows only; the rewrite is a narrow
+    // per-doc array filter after one doc_id-keyed join of the corpus
+    // against its sparse span lists. No pair join ever forms — like
+    // d18 and unlike d8, mass duplication costs its row count, never
+    // its square (PlanSpec pins zero SortMergeJoin/cartesian).
+    QueryDef.sql("d19_span_removal",
+      s"""WITH sp0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id, ws FROM sp0
+         |      UNION ALL
+         |      SELECT doc_id + 30000000 AS doc_id, ws[1:12] || fill || ws[31:42] AS ws
+         |      FROM (SELECT doc_id, ws,
+         |                   list_transform(generate_series(0, 7),
+         |                     i -> 'x' || CAST(doc_id AS VARCHAR) || 'f' || CAST(i AS VARCHAR)) AS fill
+         |            FROM sp0 WHERE doc_id % 5 = 0 AND len(ws) >= 48)),
+         |win AS (SELECT doc_id, i, ${phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+         |              FROM c WHERE len(ws) >= 8)),
+         |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM win)
+         |        GROUP BY h HAVING COUNT(*) >= 2),
+         |cutw AS (SELECT doc_id, i FROM (
+         |         SELECT doc_id, i, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+         |         FROM win JOIN dup USING (h)) WHERE rn > 1),
+         |covp AS (SELECT DISTINCT doc_id, p
+         |         FROM (SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM cutw)),
+         |tokp AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1)) AS p FROM c),
+         |surv AS (SELECT t.doc_id, t.p, t.ws[t.p + 1] AS tok
+         |         FROM tokp t LEFT JOIN covp v ON t.doc_id = v.doc_id AND t.p = v.p
+         |         WHERE v.doc_id IS NULL),
+         |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text_clean,
+         |               CAST(COUNT(*) AS BIGINT) AS n_after
+         |        FROM surv GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(len(c.ws) AS BIGINT) AS n_before,
+         |       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+         |       coalesce(a.text_clean, '') AS text_clean
+         |FROM c LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sp0 = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val planted = sp0.filter(col("doc_id") % 5 === 0 && size(col("ws")) >= 48)
+        .select(col("doc_id"), col("ws"),
+          expr("transform(sequence(0, 7), " +
+            "i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          expr("concat(slice(ws, 1, 12), fill, slice(ws, 31, 12))").as("ws"))
+      val c = sp0.unionByName(planted)
+      val win = c.filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 8), " +
+            "i -> struct(i AS i, concat_ws(' ', slice(ws, i + 1, 8)) AS w))")).as("s"))
+        .select(col("doc_id"), col("s.i").cast("long").as("i"),
+          phash(col("s.w")).as("h"))
+        .localCheckpoint() // feeds the dup-evidence agg and the ranking
+      val dup = win.select("h", "doc_id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val hspec = Window.partitionBy("h").orderBy("doc_id", "i")
+      val cutw = win.join(dup, Seq("h"))
+        .withColumn("rn", row_number().over(hspec))
+        .filter(col("rn") > 1)
+        .select("doc_id", "i")
+      val wspec = Window.partitionBy("doc_id").orderBy("i")
+      val spans = cutw
+        .withColumn("brk",
+          when(lag("i", 1).over(wspec).isNull ||
+            col("i") - lag("i", 1).over(wspec) > 8, 1).otherwise(0))
+        .withColumn("grp", sum("brk").over(wspec))
+        .groupBy("doc_id", "grp")
+        .agg(min("i").as("a"), (max("i") + 8).as("b"))
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("a"), col("b"))).as("spans"))
+      c.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ws"),
+          expr("CASE WHEN spans IS NULL THEN ws ELSE " +
+            "filter(transform(ws, (t, p) -> " +
+            "IF(exists(spans, sp -> p >= sp.a AND p < sp.b), CAST(NULL AS STRING), t)), " +
+            "t -> t IS NOT NULL) END").as("kept"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_before"),
+          size(col("kept")).cast("long").as("n_after"),
+          concat_ws(" ", col("kept")).as("text_clean"))
+        .orderBy("doc_id")
     },
 
     // T18: cross-source overlap matrix — the mixture-decontamination

@@ -977,6 +977,90 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("d19 span removal: planted copies stripped to fillers, canonical survives, span-free docs byte-identical") {
+    // the three contracts the oracle hash can't state as invariants:
+    // (a) a doc the cutter never touched reassembles BYTE-identically
+    // (split+join is lossless on this corpus); (b) the planted shifted
+    // copies lose exactly their duplicated mass — all 24 copied words
+    // cut, the 8 unique fillers and nothing else surviving; (c) the
+    // canonical (first) occurrence of a duplicated span survives: an
+    // untouched original still carries the 12-word prefix its planted
+    // copy lost. Plus teeth that ORGANIC cross-doc duplication is cut
+    // (not just the planting).
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d19_span_removal")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val orig = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.nonEmpty)
+    for ((id, nb, na, _) <- out) assert(na <= nb, s"doc $id gained tokens")
+    // (a) byte-identity wherever nothing was cut
+    val unchanged = out.filter { case (id, nb, na, _) => id < 30000000L && nb == na }
+    assert(unchanged.nonEmpty)
+    for ((id, _, _, txt) <- unchanged)
+      assert(txt == orig(id), s"span-free doc $id did not reassemble byte-identically")
+    // (b) planted copies: exactly the 8 unique fillers survive
+    val planted = out.filter(_._1 >= 30000000L)
+    assert(planted.nonEmpty, "no planted doc in the output")
+    for ((id, nb, na, txt) <- planted) {
+      val src = id - 30000000L
+      assert(na == 8L, s"planted $id kept $na tokens, expected its 8 fillers")
+      assert(txt == (0 to 7).map(i => s"x${src}f$i").mkString(" "),
+        s"planted $id surviving text is not exactly its fillers: $txt")
+      assert(nb == 32L, s"planted $id should enter with 12 + 8 + 12 tokens")
+    }
+    // (c) canonical survival: an untouched original keeps the prefix
+    // its copy lost (the copy's text_clean has no original words at all
+    // by (b), so the asymmetry is total)
+    val byId = out.map(t => t._1 -> t).toMap
+    val witness = planted.map(_._1 - 30000000L).filter { src =>
+      byId.get(src).exists { case (_, nb, na, _) => nb == na }
+    }
+    assert(witness.nonEmpty, "no planted original left untouched — canonical pin has no witness")
+    for (src <- witness) {
+      val prefix = orig(src).split(" ").take(12).mkString(" ")
+      assert(byId(src)._4.contains(prefix), s"original $src lost its canonical prefix")
+    }
+    // teeth: organic (non-planted-driven) duplication is also cut
+    val organicTrimmed = out.filter { case (id, nb, na, _) => id < 30000000L && na < nb }
+    assert(organicTrimmed.nonEmpty, "no organic doc was trimmed — cutter only sees the planting")
+  }
+
+  test("d7b decontamination: paraphrased item slips d7's needle but is caught at ≥ 50% window overlap") {
+    // the discrimination d7b exists for: the planted bench items
+    // (8 unique fillers + a 24-word verbatim slice) start with words
+    // that appear NOWHERE in the corpus, so d7's first-3-words needle
+    // misses them — while d7b flags them against their source doc with
+    // strictly partial overlap. Organic items self-match at exactly
+    // 100%.
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("d7b_overlap_decontam")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((_, _, nw, np, ppm) <- rows) {
+      assert(np <= nw && 2 * np >= nw, "flagged row violates the threshold definition")
+      assert(ppm == 1000000L * np / nw, "ppm drifted from definition")
+    }
+    // organic self-matches: full overlap
+    for (b <- 0L to 4L)
+      assert(rows.exists(t => t._1 == b && t._2 == b && t._5 == 1000000L),
+        s"bench doc $b does not self-match at 100%")
+    // planted items flag their source doc with strictly partial overlap
+    val plantedHits = rows.filter(t => t._2 >= 100L && t._1 == t._2 - 100L)
+    assert(plantedHits.size == 5, s"expected all 5 planted items to flag their source: $plantedHits")
+    for ((_, _, nw, np, _) <- plantedHits)
+      assert(np < nw, "planted paraphrase should NOT be a verbatim full match")
+    // d7's screen misses every planted item: its needle (the item's
+    // first 3 words) contains filler tokens absent from every doc
+    val texts = graft.sources.Tables.documents(spark, d)
+      .select("text").as[String].collect()
+    for (src <- 0 to 4) {
+      val needle = s" z${src}p0 z${src}p1 z${src}p2 "
+      assert(!texts.exists(t => (" " + t + " ").contains(needle)),
+        s"planted item $src's needle unexpectedly appears verbatim — d7 would catch it")
+    }
+  }
+
   test("t18 source overlap: shared-mass symmetric, ppm well-formed, planted synthetic reuse visible") {
     // the matrix semantics the oracle hash can't state: n_shared is
     // |A∩B| on distinct window hashes, so it must be SYMMETRIC in the

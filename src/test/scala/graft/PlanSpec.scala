@@ -960,6 +960,39 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected exactly one shard-deal exchange, got ${hashExchanges.length}:\n${plan.toString.take(1000)}")
   }
 
+  test("d19 span removal: no pair join — corpus scans bounded, nothing cartesian") {
+    // the structural guarantee that lets d19 skip d8's df cap: duplicate
+    // evidence and canonical ranking ride hash-keyed shuffles of the
+    // (doc_id, i, h) window stream; no plan node ever pairs one corpus
+    // window stream against another (boilerplate in a million docs
+    // costs row count, not its square)
+    val df = SparkEntry.queries("d19_span_removal")(spark, sf)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in d19:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pair join in d19:\n${p.take(800)}")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // the rewrite join reads the corpus union (2 branches); the window
+    // stream side is checkpointed — a pair join would need more
+    assert(scans.length <= 2,
+      s"d19 rescans the corpus ${scans.length} times — pair-join smell")
+  }
+
+  test("d7b decontamination: bench windows broadcast; one corpus scan, no shuffle of text") {
+    val df = SparkEntry.queries("d7b_overlap_decontam")(spark, sf)
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"), s"bench probe fell off broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"a fixture-sized side shuffled the corpus:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1,
+      s"expected one corpus scan (bench side is checkpointed), got ${scans.length}")
+  }
+
   test("s6 curriculum: one corpus scan; the epoch window reads the bounded agg only") {
     val df = SparkEntry.queries("s6_curriculum_schedule")(spark, sf)
     df.collect()
