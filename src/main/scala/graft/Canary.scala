@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * 1.2-2.4× depending on what executed before them, wide enough to
   * hide a real single-query regression (the round-9 verdict measured a
   * near-uniform 1.27× swing on byte-identical plans). This main times
-  * a PINNED query subset (20 queries since round 11; see [[queries]])
+  * a PINNED query subset (23 queries since round 12; see [[queries]])
   * in its own JVM — same starting state every
   * round — with one untimed warm-up and the MEDIAN OF FIVE timed runs
   * per query (the full bench's median-of-3, widened because the canary
@@ -63,7 +63,26 @@ object Canary {
     // deliberate linear blowup
     "r14_fielded_search",     // per-field BM25 (heaviest round-11 query)
     "r15_more_like_this",     // dictionary + weighted index serving chain
-    "d18_substring_spans")    // substring-span dedup (window stream)
+    "d18_substring_spans",    // substring-span dedup (window stream)
+    // round-12 additions (net-lag rule + verdict-11 ask #5): r18 is the
+    // heaviest of the round-11 serving trio (two stacked crowding
+    // windows); d19 is the span-removal rewrite (row_number ranking +
+    // island merge + corpus rewrite — the round's heaviest new query);
+    // d7b is the broadcast decontamination screen
+    "r18_source_crowding",    // crowding windows over the match set
+    "d19_span_removal",       // substring-span removal (corpus rewrite)
+    "d7b_overlap_decontam")   // threshold-overlap decontamination
+
+  /** Per-query normalized-gate half-width; default ±20%. sq1's
+    * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,
+    * judge-measured over rounds 9-11 — subquery planning variance, not
+    * a plan change: its PlanSpec pins and driver-bench medians are
+    * stable) exceeds the default gate width, so every lone sq1 flag
+    * was noise; a widened gate makes its row informative again.
+    */
+  private val gateHalfWidth: Map[String, Double] =
+    Map("sq1_subqueries" -> 0.45)
+  private val DefaultHalfWidth = 0.2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,7 +151,8 @@ object Canary {
         val shift = ratios.map(_._2).sorted.apply(ratios.length / 2)
         val gate = ratios.map { case (k, r) =>
           val norm = r / shift
-          (k, r, norm, norm >= 0.8 && norm <= 1.2)
+          val w = gateHalfWidth.getOrElse(k, DefaultHalfWidth)
+          (k, r, norm, norm >= 1.0 - w && norm <= 1.0 + w)
         }
         val per = gate.map { case (k, r, n, ok) =>
           s""""$k":{"ratio":${num(r, 3)},"normalized":${num(n, 3)},"pass":$ok}""" }

@@ -42,11 +42,19 @@ import org.apache.spark.sql.functions._
   */
 object Forget {
 
-  /** One store's erasure evidence: rows before/after the delete and
-    * the published version serving readers afterwards.
+  /** One store's erasure evidence: rows before/after the delete, the
+    * published version serving readers afterwards, and — because the
+    * retention machinery deliberately keeps prior versions readable as
+    * time-travel targets until later maintenance prunes them — the
+    * complete PRIOR versions still on disk after this leg. An erasure
+    * workflow consuming this report must treat the request as fully
+    * honored only once `retainedPriorVersions` is empty (or those
+    * versions are independently pruned); surfacing them here keeps the
+    * evidence trail honest about what is actually still readable via
+    * readVersion/rollback.
     */
   final case class StoreReport(store: String, rowsBefore: Long,
-      rowsAfter: Long, version: String)
+      rowsAfter: Long, version: String, retainedPriorVersions: Seq[String])
 
   /** The maintained stores one erasure request must reach. Absent legs
     * are skipped (a deployment without a phrase index has no
@@ -54,11 +62,6 @@ object Forget {
     */
   final case class Targets(postings: Option[String] = None,
       posPostings: Option[String] = None, codes: Option[String] = None)
-
-  private def currentCount(s: SparkSession, base: String): Long =
-    graft.sinks.VersionedStore.readPointer(s, base)
-      .map(p => graft.sinks.VersionedStore.readVersion(s, base, p.version).count())
-      .getOrElse(0L)
 
   private def publishedVersion(s: SparkSession, base: String): String =
     graft.sinks.VersionedStore.readPointer(s, base).map(_.version).getOrElse("")
@@ -80,9 +83,24 @@ object Forget {
       targets.codes.map(b => ("ann_codes", b,
         () => VectorOps.deleteCodes(s, b, vecIds)))).flatten
     legs.map { case (name, base, del) =>
-      val before = currentCount(s, base)
+      // Capture the pointer ONCE and count that same version, so the
+      // report's (rowsBefore, rowsAfter, version) triple is self-
+      // consistent even if concurrent maintenance interleaves: the
+      // before-count is of a named version, never of whatever the
+      // pointer happens to serve mid-leg. If that version is pruned
+      // between capture and count, the count fails loudly (readVersion
+      // throws) rather than attributing a different version's rows.
+      val pointerBefore = graft.sinks.VersionedStore.readPointer(s, base)
+      val before = pointerBefore
+        .map(p => graft.sinks.VersionedStore.readVersion(s, base, p.version).count())
+        .getOrElse(0L)
       val after = del().count()
-      StoreReport(name, before, after, publishedVersion(s, base))
+      val version = publishedVersion(s, base)
+      // complete versions still readable besides the served one — the
+      // retention window an erasure auditor must see (scaladoc above)
+      val retained = graft.sinks.VersionedStore.listVersions(s, base)
+        .filterNot(_ == version)
+      StoreReport(name, before, after, version, retained)
     }
   }
 }

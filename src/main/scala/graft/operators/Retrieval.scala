@@ -279,12 +279,21 @@ object Retrieval {
     // this — [[termDictStore]]'s read-through rebuilds on version
     // mismatch — so a store that never serves r11/r12 skips the cost
     // entirely, and a warm that loses a race with further maintenance
-    // (its version retired mid-build) is swallowed: the append itself
+    // (its version retired mid-build) is absorbed: the append itself
     // committed, and the next read rebuilds against whatever version
-    // is then current.
+    // is then current. ONLY that race signature is absorbed — a
+    // deterministic dictionary-build bug must fail the call loudly,
+    // not silently degrade every append's warm to read-through.
     if (refreshDict)
       try termDictStore(s, base)
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch {
+        case _: java.io.FileNotFoundException => () // version retired mid-build
+        case e: org.apache.spark.SparkException
+            // Spark wraps the task-side FileNotFound of a pruned
+            // version dir; match the wrapped cause, not all failures
+            if Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .take(8).exists(_.isInstanceOf[java.io.FileNotFoundException]) => ()
+      }
     store
   }
 

@@ -289,10 +289,24 @@ object VersionedStore {
       // [[maintain]] passes its lease-ownership probe here, which is
       // what actually shrinks the paused-past-TTL double-writer window
       // to fence→flip
-      if (!fence()) throw new java.util.ConcurrentModificationException(
-        s"publish fence failed for $base: the caller's guard (e.g. its " +
-          "maintenance lease) was lost during the version write — " +
-          "aborting before the pointer flip; the written dir is an orphan")
+      if (!fence()) {
+        // Unlike a crash orphan, a fenced-out writer is ALIVE — so it
+        // can (and must) clean up after itself: its fully-written dir
+        // has _SUCCESS, making it indistinguishable from a committed
+        // version to listVersions, and with keepVersions >= 2 the next
+        // publish's retention pass could retain this never-served merge
+        // as a time-travel target while pruning a genuinely-served
+        // prior version. Best-effort recursive delete before throwing
+        // removes that hazard at its source; if the delete itself fails
+        // the dir degrades to a crash-orphan-equivalent (kept only by
+        // the documented retention ambiguity, never pointed at).
+        try f.delete(dir, true) catch { case _: java.io.IOException => () }
+        throw new java.util.ConcurrentModificationException(
+          s"publish fence failed for $base: the caller's guard (e.g. its " +
+            "maintenance lease) was lost during the version write — " +
+            "aborting before the pointer flip; the written dir was " +
+            "best-effort deleted")
+      }
       // Single-object atomic pointer flip — never a directory rename.
       flipPointer(spark, basePath, s"$version\t$fingerprint")
       prune(spark, basePath, keep = Set(version) ++ grace ++ retained)

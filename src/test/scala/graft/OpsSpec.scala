@@ -1933,6 +1933,13 @@ class OpsSpec extends SparkSpec {
     for (r <- reports)
       assert(r.rowsBefore > r.rowsAfter && r.version.nonEmpty,
         s"leg ${r.store} erased nothing: $r")
+    // the audit must surface the retention window: the pre-delete
+    // version (still containing the forgotten docs) stays readable as
+    // a time-travel target until later maintenance prunes it, and an
+    // erasure workflow consuming only this report must SEE that
+    for (r <- reports)
+      assert(r.retainedPriorVersions.nonEmpty,
+        s"leg ${r.store}: report hides the still-readable prior versions: $r")
 
     // each store == from-scratch-minus-docs (erasure leaves no residue)
     val minus = docs.filter(!col("doc_id").isin(gone: _*))

@@ -294,6 +294,13 @@ class StoreConcurrencySpec extends SparkSpec {
       "a fenced-out publish flipped the pointer anyway")
     assert(VersionedStore.read(spark, base).collect().map(_.getInt(0)).toSeq == Seq(1),
       "served content changed despite the aborted publish")
+    // the fenced-out dir must NOT survive as a complete version: its
+    // _SUCCESS would make it indistinguishable from a committed version,
+    // letting a later retention pass keep the never-served merge as a
+    // time-travel target (and a rollback then serve the exact lost-
+    // update state the fence exists to prevent)
+    assert(VersionedStore.listVersions(spark, base) == Seq(before),
+      "the fenced-out write survived as a listable complete version")
   }
 
   test("maintain: a lease lost DURING the version write aborts before the flip") {
