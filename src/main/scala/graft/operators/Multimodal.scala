@@ -8,19 +8,40 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, and a batched decode/feature-extract stage.
   *
-  * The decode itself is a clearly-marked deterministic STUB (this
-  * container has no image/audio codecs); everything around it — schema,
-  * partitioning, batched per-partition execution shape, feature schema —
-  * is real. Swapping `decodeBatch` for a JNI/codec call is the only
-  * change needed on a real cluster.
+  * As of round 12 the image path is REAL: each document carries an
+  * actual PNG payload (8-bit grayscale, generated deterministically
+  * from the doc's portable content hash — dims and pixel values follow
+  * closed-form formulas), [[decodeBatch]] decodes it with the JDK's
+  * `javax.imageio` (no new dependencies) and measures width/height/
+  * mean level from the DECODED PIXELS, and the DuckDB oracle
+  * reproduces the same features analytically from the generating
+  * formulas — so a lossy or misbehaving encode→decode→measure chain
+  * hash-mismatches. Audio/video codecs remain out of scope in this
+  * container; frame COUNT rides as typed metadata next to the binary
+  * column (the container-metadata shape a video pipeline reads),
+  * which m3's sampler consumes.
   *
-  * Scale shape: decode is narrow (mapPartitions, no shuffle); batches of
-  * [[BatchSize]] amortize per-call setup exactly the way an Arrow-batched
+  * Scale shape: encode and decode are narrow batched `mapPartitions`
+  * hops (no shuffle, no driver involvement); batches of [[BatchSize]]
+  * amortize per-call setup exactly the way an Arrow-batched
   * pandas/tensor UDF would.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte], source: String, n_chars: Long)
+
+  /** A real image payload plus its typed metadata: `media` is a PNG
+    * byte stream; `n_frames` is container metadata (a still PNG is one
+    * frame — the fixture models multi-frame media by carrying the
+    * count alongside the payload, where a video container stores it).
+    */
+  case class PngRow(doc_id: Long, media: Array[Byte], n_frames: Int)
+
+  /** Decoded-pixel features: `n_bytes` is the DECODED payload size
+    * (width × height at 8-bit gray — encoder-independent, unlike the
+    * PNG stream length, which no oracle could reproduce), `mean_level`
+    * the mean decoded pixel value normalized to [0, 1].
+    */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int, height: Int,
       n_frames: Int, mean_level: Double)
 
@@ -28,38 +49,67 @@ object Multimodal {
 
   val BatchSize = 64
 
-  /** STUB decoder: deterministic pseudo-features from the raw bytes.
-    * A real implementation would decode image/audio here; the signature
-    * (batch in → features out) is the real contract. The fake features
-    * derive from the portable 60-bit md5 hash of the payload (same
-    * definition as TextOps.phash) so the whole stage — including the
-    * mapPartitions plumbing — is oracle-checkable end to end.
+  /** Deterministic PNG fixture formulas, shared (in lockstep) with the
+    * oracle SQL: from the doc's portable 60-bit hash `h`,
+    * width = 4 + h % 13, height = 3 + (h / 13) % 11, and the pixel at
+    * (x, y) is (h + 31x + 17y) mod 256. Everything downstream of the
+    * ENCODE is real decoding — these formulas only pin what image got
+    * generated.
     */
-  def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
-    // one digest per batch (reset between rows) — this per-call setup
-    // amortization is exactly what the BatchSize plumbing exists for
-    val md = java.security.MessageDigest.getInstance("MD5")
-    batch.map { r =>
-      md.reset()
-      val d = md.digest(r.media)
-      // portable 60-bit hash = first 15 hex chars = high 60 bits of
-      // the first 8 digest bytes
-      val top64 = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
-      val h = top64 >>> 4
-      MediaFeatures(
-        doc_id = r.doc_id,
-        n_bytes = r.media.length.toLong,
-        width = (64 + h % 512).toInt,
-        height = (64 + (h / 512) % 512).toInt,
-        n_frames = (1 + r.media.length % 30),
-        mean_level = (h % 10000L).toDouble / 10000.0)
+  def pngDims(h: Long): (Int, Int) =
+    ((4 + h % 13).toInt, (3 + (h / 13) % 11).toInt)
+
+  /** Batched PNG ENCODE (the fixture's media source): one reusable
+    * stream per batch, real `ImageIO` PNG writing per row.
+    */
+  def encodePngBatch(batch: Seq[(Long, Long)]): Seq[PngRow] = {
+    val baos = new java.io.ByteArrayOutputStream(4096)
+    batch.map { case (docId, h) =>
+      val (w, ht) = pngDims(h)
+      val img = new java.awt.image.BufferedImage(
+        w, ht, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((h + 31L * x + 17L * y) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      baos.reset()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      PngRow(docId, baos.toByteArray, (1 + h % 30).toInt)
     }
   }
 
-  /** STUB resize: fit-to-box dimension computation in pure integer math
-    * (so the oracle reproduces it with `//`). A real implementation
-    * would transform pixel bytes here; batch-in → batch-out is the
-    * contract, same as decode.
+  /** REAL batched decode: `ImageIO.read` over the PNG bytes, features
+    * measured from the decoded raster (not from the generating
+    * formulas — the oracle holds the two equal). A payload that fails
+    * to decode fails the batch loudly; a real pipeline would divert
+    * such rows to a quarantine sink instead.
+    */
+  def decodeBatch(batch: Seq[PngRow]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+      val (w, ht) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      MediaFeatures(r.doc_id, w.toLong * ht, w, ht, r.n_frames,
+        sum.toDouble / (w.toLong * ht * 255.0))
+    }
+
+  /** Fit-to-box resize dimension computation in pure integer math (so
+    * the oracle reproduces it with `//`) over the REAL decoded dims; a
+    * full build would also rescale the raster here (same batched hop).
     */
   def resizeBatch(batch: Seq[MediaFeatures], box: Int = 224): Seq[ResizedMeta] =
     batch.map { f =>
@@ -107,7 +157,9 @@ object Multimodal {
     * below (Python hashlib over the same 11 bytes) instead of computing
     * them in SQL — still an engine-independent check of Spark's
     * md5-over-binary. n_chars is -1: char count is undefined for a
-    * non-text payload (sentinel on both sides).
+    * non-text payload (sentinel on both sides). It pins m1's
+    * arbitrary-bytes catalog path only — it is deliberately NOT an
+    * encodable image, so the PNG table (m2-m4) excludes it.
     */
   val BinaryProbeHex = "FF00C328DEADBEEF41429F"
   val BinaryProbeBytes = 11L
@@ -115,8 +167,8 @@ object Multimodal {
   val BinaryProbeH = 1044616621626957210L // int(md5[:15], 16)
 
   /** The binary-level media table: docs text cast to UTF-8 bytes, plus
-    * the non-UTF-8 probe row. This is the frame m1-m4 read — every
-    * oracle-checked media query sees the arbitrary-bytes row.
+    * the non-UTF-8 probe row. This is the frame m1 reads — the
+    * catalog query sees the arbitrary-bytes row.
     */
   def mediaBin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -138,31 +190,49 @@ object Multimodal {
     mediaBin(s, d).as[MediaRow]
   }
 
+  /** The PNG media table m2-m4 read: one REAL PNG payload per doc (incl.
+    * the -1 text probe; the -2 binary probe is m1's, see its scaladoc),
+    * generated in a batched narrow encode hop from the doc's portable
+    * hash, with the frame-count metadata column alongside.
+    */
+  def mediaPng(s: SparkSession, d: String): Dataset[PngRow] = {
+    import s.implicits._
+    mediaDocs(s, d)
+      .select(col("doc_id"), TextOps.phash(col("text")).as("h"))
+      .as[(Long, Long)]
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => encodePngBatch(g.toSeq)))
+  }
+
   /** The batched decode stage: per-partition, grouped into BatchSize
     * chunks — no shuffle, no driver involvement.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[PngRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(BatchSize).flatMap(g => decodeBatch(g.toSeq)))
   }
 
-  /** Single source for the oracle's stub-feature derivation (used by
-    * m2/m3/m4 — keep in lockstep with [[decodeBatch]]): n_bytes and the
-    * portable 60-bit md5 hash per document. NOTE DuckDB `strlen` is
-    * BYTE length (UTF-8 octets; `length` is the char count —
-    * strlen('héllo')=6, length('héllo')=5), so it matches the engine's
-    * `media.length` byte semantics for non-ASCII documents too.
+  /** Single source for the oracle's analytic feature derivation (kept
+    * in lockstep with [[pngDims]]/[[encodePngBatch]]'s generating
+    * formulas — the engine side measures DECODED pixels; equality of
+    * the two is exactly what the hash-match proves): per doc the
+    * portable hash, the generated dims, and the closed-form pixel sum.
     */
   private val featsSql: String =
     s"""$docsSql,
-      |f AS (
+      |hs AS (
       |  SELECT doc_id,
-      |         CAST(strlen(text) AS BIGINT) AS n_bytes,
       |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
-      |  FROM docs
-      |  UNION ALL
-      |  SELECT CAST(-2 AS BIGINT), CAST($BinaryProbeBytes AS BIGINT),
-      |         CAST($BinaryProbeH AS BIGINT))""".stripMargin
+      |  FROM docs),
+      |dims AS (
+      |  SELECT doc_id, h,
+      |         CAST(4 + (h % 13) AS BIGINT) AS w,
+      |         CAST(3 + ((h // 13) % 11) AS BIGINT) AS hh
+      |  FROM hs),
+      |gx AS (SELECT doc_id, h, w, hh, unnest(generate_series(0, w - 1)) AS x FROM dims),
+      |gxy AS (SELECT doc_id, h, w, hh, x, unnest(generate_series(0, hh - 1)) AS y FROM gx),
+      |px AS (SELECT doc_id, SUM((h + 31 * x + 17 * y) % 256) AS sum_px FROM gxy GROUP BY doc_id),
+      |f AS (SELECT d2.doc_id, d2.h, d2.w, d2.hh, p.sum_px
+      |      FROM dims d2 JOIN px p USING (doc_id))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -189,35 +259,38 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // M2: batched stub decode + feature extraction. The stub features
-    // are defined on the portable md5 hash, so the oracle reproduces
-    // them in SQL and checks the whole mapPartitions stage.
+    // M2: REAL batched decode + feature extraction — ImageIO decodes
+    // each generated PNG and measures dims + mean level from the
+    // raster; the oracle derives the same numbers analytically from
+    // the generating formulas, so any encode/decode lossiness (or a
+    // broken measurement loop) hash-mismatches.
     QueryDef.sql("m2_media_features",
       s"""WITH $featsSql
-        |SELECT doc_id, n_bytes,
-        |       CAST(64 + (h % 512) AS INT) AS width,
-        |       CAST(64 + ((h // 512) % 512) AS INT) AS height,
-        |       CAST(1 + (n_bytes % 30) AS INT) AS n_frames,
-        |       CAST(h % 10000 AS DOUBLE) / 10000.0 AS mean_level
+        |SELECT doc_id, CAST(w * hh AS BIGINT) AS n_bytes,
+        |       CAST(w AS INT) AS width,
+        |       CAST(hh AS INT) AS height,
+        |       CAST(1 + (h % 30) AS INT) AS n_frames,
+        |       CAST(sum_px AS DOUBLE) / (w * hh * 255.0) AS mean_level
         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
-      extractFeatures(mediaTable(s, d)).toDF().orderBy("doc_id")
+      extractFeatures(mediaPng(s, d)).toDF().orderBy("doc_id")
     },
 
     // M3: frame sampling — every 5th frame index per media item, driven
-    // by the decoded n_frames. The explode(sequence(...)) generator is
-    // the real plumbing a video pipeline uses to fan one row out to its
-    // sampled frames (narrow, no shuffle); a real build would follow
-    // with a per-frame decode.
+    // by the container's frame-count metadata riding next to the
+    // payload. The explode(sequence(...)) generator is the real
+    // plumbing a video pipeline uses to fan one row out to its sampled
+    // frames (narrow, no shuffle); a real build would follow with a
+    // per-frame decode.
     QueryDef.sql("m3_frame_sample",
       s"""WITH $featsSql,
-        |feats AS (SELECT doc_id, 1 + (n_bytes % 30) AS n_frames FROM f)
+        |feats AS (SELECT doc_id, 1 + (h % 30) AS n_frames FROM f)
         |SELECT doc_id, n_frames, frame_idx FROM (
         |  SELECT doc_id, n_frames,
         |         unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
         |  FROM feats)
         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.functions.{explode, sequence}
-      extractFeatures(mediaTable(s, d)).toDF()
+      extractFeatures(mediaPng(s, d)).toDF()
         .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"))
         .withColumn("frame_idx",
           explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))))
@@ -225,21 +298,20 @@ object Multimodal {
     },
 
     // M4: resize stage — second batched mapPartitions hop chained after
-    // decode (the decode→transform pipeline shape), fit-to-224 box in
-    // integer math so the oracle reproduces the dims exactly.
+    // the REAL decode (the decode→transform pipeline shape), fit-to-224
+    // box in integer math over the decoded dims so the oracle
+    // reproduces them exactly.
     QueryDef.sql("m4_resize",
       s"""WITH $featsSql,
-        |dims AS (
-        |  SELECT doc_id,
-        |         CAST(64 + (h % 512) AS INT) AS width,
-        |         CAST(64 + ((h // 512) % 512) AS INT) AS height
+        |dims2 AS (
+        |  SELECT doc_id, CAST(w AS INT) AS width, CAST(hh AS INT) AS height
         |  FROM f)
         |SELECT doc_id, width, height,
         |       CAST(width * 224 // GREATEST(width, height) AS INT) AS new_w,
         |       CAST(height * 224 // GREATEST(width, height) AS INT) AS new_h
-        |FROM dims ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |FROM dims2 ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      extractFeatures(mediaTable(s, d))
+      extractFeatures(mediaPng(s, d))
         .mapPartitions(_.grouped(BatchSize).flatMap(g => resizeBatch(g.toSeq)))
         .toDF()
         .orderBy("doc_id")

@@ -1120,30 +1120,59 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(c.first().getDouble(0) - 1.0) < 1e-12)
   }
 
-  test("multimodal stub decode is deterministic and batch-shaped") {
-    val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+  test("multimodal decode is REAL: a known 2x2 PNG yields exact pixel features; encode/decode lossless") {
+    // (1) the fixture-independent pin: hand-build a 2×2 gray PNG with
+    // pixels [[0, 100], [200, 255]] via ImageIO directly and require
+    // decodeBatch to measure EXACTLY those pixels — proving the decode
+    // path reads real rasters, not any formula
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 0)
+    img.getRaster.setSample(1, 0, 0, 100)
+    img.getRaster.setSample(0, 1, 0, 200)
+    img.getRaster.setSample(1, 1, 0, 255)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val known = Multimodal.decodeBatch(
+      Seq(Multimodal.PngRow(7L, baos.toByteArray, 3))).head
+    assert(known == Multimodal.MediaFeatures(7L, 4L, 2, 2, 3,
+      (0 + 100 + 200 + 255).toDouble / (4 * 255.0)),
+      s"decode of the known 2x2 PNG drifted: $known")
+    // (2) encode→decode is lossless and matches the generating
+    // formulas for an arbitrary hash seed
+    val h = 987654321987654321L % (1L << 60)
+    val (w, ht) = Multimodal.pngDims(h)
+    val rt = Multimodal.decodeBatch(
+      Multimodal.encodePngBatch(Seq((42L, h)))).head
+    val expectedSum = (for (y <- 0 until ht; x <- 0 until w)
+      yield (h + 31L * x + 17L * y) % 256).sum
+    assert(rt.width == w && rt.height == ht && rt.n_bytes == w.toLong * ht)
+    assert(rt.mean_level == expectedSum.toDouble / (w.toLong * ht * 255.0))
+    assert(rt.n_frames == (1 + h % 30).toInt)
+    // (3) the distributed stage: deterministic, one feature row per
+    // media doc, levels in range
+    val media = Multimodal.mediaPng(spark, "/root/testdata/sf0.001")
     val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
     val f2 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
     assert(f1.toSeq == f2.toSeq) // deterministic
-    assert(f1.forall(f => f.width >= 64 && f.mean_level >= 0 && f.mean_level <= 1))
-    assert(f1.length == media.count())
-    // the planted non-ASCII probe must expose the byte-vs-char split:
-    // its UTF-8 payload is strictly longer in bytes than in codepoints
-    val probe = f1.find(_.doc_id == -1L).get
+    assert(f1.forall(f => f.width >= 4 && f.height >= 3 &&
+      f.mean_level >= 0 && f.mean_level <= 1))
+    assert(f1.length == Multimodal.mediaDocs(spark, "/root/testdata/sf0.001").count())
+    // (4) the m1 catalog probes keep their byte semantics: the
+    // non-ASCII probe's payload is strictly longer in bytes than in
+    // codepoints, and the binary probe stays NON-UTF-8 (a strict
+    // decode must fail, or the arbitrary-bytes md5/length coverage
+    // m1's oracle constants pin would silently degrade back to text)
+    val rows = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.doc_id -> r.media).toMap
     val codepoints = Multimodal.NonAsciiProbe
       .codePointCount(0, Multimodal.NonAsciiProbe.length)
-    assert(probe.n_bytes > codepoints)
-    // the binary probe must stay NON-UTF-8 — a strict decode of its
-    // bytes must fail, or the arbitrary-bytes md5/length coverage that
-    // m1/m2's oracle constants pin would silently degrade back to text
-    val binBytes = Multimodal.BinaryProbeHex.grouped(2)
-      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(rows(-1L).length > codepoints)
+    assert(rows(-2L).length == Multimodal.BinaryProbeBytes)
     val strictUtf8 = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
     assertThrows[java.nio.charset.CharacterCodingException] {
-      strictUtf8.decode(java.nio.ByteBuffer.wrap(binBytes))
+      strictUtf8.decode(java.nio.ByteBuffer.wrap(rows(-2L)))
     }
-    val bin = f1.find(_.doc_id == -2L).get
-    assert(bin.n_bytes == Multimodal.BinaryProbeBytes)
   }
 
   test("v7 pq: codes in range, identical vectors get identical codes and error") {
