@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * 1.2-2.4× depending on what executed before them, wide enough to
   * hide a real single-query regression (the round-9 verdict measured a
   * near-uniform 1.27× swing on byte-identical plans). This main times
-  * a PINNED query subset (23 queries since round 12; see [[queries]])
+  * a PINNED query subset (25 queries since round 12; see [[queries]])
   * in its own JVM — same starting state every
   * round — with one untimed warm-up and the MEDIAN OF FIVE timed runs
   * per query (the full bench's median-of-3, widened because the canary
@@ -71,7 +71,9 @@ object Canary {
     // d7b is the broadcast decontamination screen
     "r18_source_crowding",    // crowding windows over the match set
     "d19_span_removal",       // substring-span removal (corpus rewrite)
-    "d7b_overlap_decontam")   // threshold-overlap decontamination
+    "d7b_overlap_decontam",   // threshold-overlap decontamination
+    "qa4_split_leakage",      // split-leakage audit (two window streams)
+    "v19_exact_rerank")       // ANN + exact-refine serving chain
 
   /** Per-query normalized-gate half-width; default ±20%. sq1's
     * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,

@@ -103,17 +103,39 @@ object ScaleBench {
     // tok9's corpus-side terms are the vocab build (one scan) and the
     // bounded 200-doc encode/decode; s9 is one map-side-combined scan
     // to the |sources|-row inventory + bounded arithmetic
-    "tok9_decode_roundtrip", "s9_mixture_budget")
+    "tok9_decode_roundtrip", "s9_mixture_budget",
+    // the round-11 serving trio (verdict-11 ask #5): all three read the
+    // bucket+IN-pruned postings artifact with broadcast fixtures —
+    // r16's facet rollup and r17's role-gated boolean aggregate are
+    // match-set-sized; r18 stacks two crowding windows on the match
+    // frame with a column-pruned metadata join
+    "r16_faceted_search", "r17_boolean_query", "r18_source_crowding",
+    // round 12 (net-lag rule): d19 re-runs d18's window stream plus a
+    // row_number ranking, island merge and a doc_id-keyed corpus
+    // rewrite — the largest new linear blowup; d7b is one corpus
+    // window projection against broadcast bench windows; m2 is the
+    // real PNG encode+decode pair of narrow batched hops
+    "d19_span_removal", "d7b_overlap_decontam", "m2_media_features",
+    // round 12 second wave: qa4's two corpus window streams meet in a
+    // hash membership join (train side corpus-sized, never broadcast);
+    // v18 ranks one shared scored frame two ways with the metadata
+    // semi-join; v19 chains v9's serving with the bounded exact-refine
+    // stage (raw vectors touched only through the broadcast id slice)
+    "qa4_split_leakage", "v18_filtered_ann", "v19_exact_rerank")
 
-  /** The third-point spot-check set: the two WORST observed 10× ratios
-    * (d15, v11 — precisely where fixed costs least conclusively
-    * dominate and two points cannot tell constant-dominated from a
-    * mild n^1.3 term) plus r1 as the retrieval anchor. Under
-    * linearity t(spot)/t(factor) ≈ spot/factor; a hidden super-linear
-    * term grows the ratio with the corpus instead of converging.
+  /** The third-point spot-check set: the WORST observed 10× ratios
+    * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×
+    * was the suite's worst and the only one without a third point,
+    * tracking the blowup's distinct-window growth) — precisely where
+    * fixed costs least conclusively dominate and two points cannot
+    * tell constant-dominated from a mild n^1.3 term — plus r1 as the
+    * retrieval anchor. Under linearity t(spot)/t(factor) ≈
+    * spot/factor; a hidden super-linear term grows the ratio with the
+    * corpus instead of converging.
     */
   private val SpotQueries = Seq(
-    "d15_incremental_neardup", "v11_ivfpq_recall", "r1_bm25")
+    "d15_incremental_neardup", "v11_ivfpq_recall", "r1_bm25",
+    "t18_source_overlap")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space
@@ -259,7 +281,9 @@ object ScaleBench {
          |
          |## ${spotFactor}× spot-check — a third point where two were least conclusive
          |
-         |d15 and v11 had the suite's worst ${factor}× ratios; two points cannot
+         |d15 and v11 had the suite's worst historical ${factor}× ratios, and
+         |t18's round-11 ratio (5.45× at 10×, tracking distinct-window growth)
+         |was the one worst-case without a third point; two points cannot
          |distinguish constant-dominated from a mild super-linear term, so they
          |(plus r1 as the retrieval anchor) get a ${spotFactor}× corpus. Under
          |linearity t${spotFactor}/t$factor ≈ ${linTxt(spotFactor, factor)}; the implied

@@ -44,6 +44,14 @@ object Verify {
     // never hand-maintain these numbers
     println(s"[verify] coverage: ${SparkEntry.queries.size} registered queries, " +
       s"${SparkEntry.oracleSql.size} oracled")
+    // machine-readable twin at the repo root (best-effort: only lands
+    // when Verify runs from the repo, as the driver and dev loop do) —
+    // scripts/update_coverage.py regenerates COVERAGE.md's status
+    // counts from it, the same no-hand-typed-numbers discipline as the
+    // bench line
+    try Files.writeString(Paths.get("COUNTS.json"),
+      s"""{"registered":${SparkEntry.queries.size},"oracled":${SparkEntry.oracleSql.size}}""" + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

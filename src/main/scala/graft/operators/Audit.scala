@@ -252,6 +252,76 @@ object Audit {
             col("pn.n_null") =!= col("po.n_null") ||
             col("pn.n_distinct") =!= col("po.n_distinct")).as("drifted"))
         .orderBy("col")
+    },
+
+    // QA4: train/test split-leakage audit — the contamination check a
+    // team runs on its OWN splits (d7b screens external benchmarks;
+    // this screens the split boundary): for every test-split document
+    // under s8's deterministic Knuth-hash assignment (formula inlined
+    // verbatim — the audit must see exactly the splits s8 ships), the
+    // fraction of its distinct 8-gram windows that also appear in ANY
+    // train-split document, flagged at ≥ 50%. Window evidence is
+    // d18's; because s8's assignment is id-hash-random, near-duplicate
+    // doc groups straddle splits and leak PARTIALLY — the report shows
+    // that organic gradient, while planted cross-split exact
+    // duplicates (every even-id test doc re-appearing as a train doc
+    // at +5e7 — the "same page crawled twice" accident) pin the
+    // flagged end at exactly 1e6 ppm (OpsSpec).
+    // 100 TB shape: both window streams are narrow projections
+    // (shuffles carry (doc_id, h) / h, never text); the train-hash set
+    // is corpus-sized, so the membership probe is a hash LEFT join on
+    // h — linear, never broadcast, never a pair join; the rollup is
+    // one test-doc-keyed agg. Nothing is quadratic in documents.
+    QueryDef.sql("qa4_split_leakage",
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |                  (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bkt
+         |           FROM documents),
+         |lab AS (SELECT doc_id, ws,
+         |               CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+         |        FROM b),
+         |aug AS (SELECT doc_id, split, ws FROM lab
+         |        UNION ALL
+         |        SELECT doc_id + 50000000 AS doc_id, 'train' AS split, ws
+         |        FROM lab WHERE split = 'test' AND doc_id % 2 = 0),
+         |trw AS (SELECT DISTINCT ${TextOps.phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
+         |        FROM (SELECT ws, unnest(generate_series(0, len(ws) - 8)) AS i
+         |              FROM aug WHERE split = 'train' AND len(ws) >= 8)),
+         |tew AS (SELECT DISTINCT doc_id, ${TextOps.phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+         |              FROM aug WHERE split = 'test' AND len(ws) >= 8))
+         |SELECT tew.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |       CAST(SUM(CASE WHEN t.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_in_train,
+         |       CAST((1000000 * SUM(CASE WHEN t.h IS NULL THEN 0 ELSE 1 END)) // COUNT(*) AS BIGINT) AS leak_ppm,
+         |       2 * SUM(CASE WHEN t.h IS NULL THEN 0 ELSE 1 END) >= COUNT(*) AS flagged
+         |FROM tew LEFT JOIN trw t USING (h)
+         |GROUP BY tew.doc_id ORDER BY tew.doc_id""".stripMargin) { (s, d) =>
+      val lab = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"),
+          expr("(((doc_id % 2147483648) * 2654435761) % 4294967296) % 100").as("bkt"))
+        .select(col("doc_id"), col("ws"),
+          expr("CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END")
+            .as("split"))
+      val aug = lab.unionByName(
+        lab.filter(col("split") === "test" && col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 50000000L).as("doc_id"), col("ws"),
+            lit("train").as("split")))
+      def windows(df: org.apache.spark.sql.DataFrame) =
+        df.filter(size(col("ws")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws) - 8), " +
+              "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+          .select(col("doc_id"), TextOps.phash(col("w")).as("h"))
+      val trw = windows(aug.filter(col("split") === "train"))
+        .select("h").distinct().withColumn("hit", lit(1))
+      val tew = windows(aug.filter(col("split") === "test")).distinct()
+      tew.join(trw, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_windows"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_in_train"))
+        .select(col("doc_id"), col("n_windows"), col("n_in_train"),
+          expr("CAST((1000000 * n_in_train) div n_windows AS BIGINT)").as("leak_ppm"),
+          (col("n_in_train") * 2 >= col("n_windows")).as("flagged"))
+        .orderBy("doc_id")
     }
   )
 }

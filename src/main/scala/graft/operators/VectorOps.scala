@@ -662,6 +662,68 @@ object VectorOps {
       v9TopK(s, d)
     },
 
+    // V18: metadata-FILTERED vector search — the feature every vector
+    // store ships (FAISS IDSelector; the filtered-search mode of
+    // Qdrant/Weaviate/pgvector) and the classic engineering trade it
+    // carries: PRE-filter (restrict candidates to the allowed metadata
+    // set, then rank — always fills k when k allowed candidates exist
+    // in the probed cells) vs POST-filter (rank everything, then drop
+    // disallowed rows from the global top-k — cheaper, but returns
+    // < k whenever the flat top-k spends slots on disallowed
+    // candidates). Both strategies are served side by side from ONE
+    // shared ADC-scored candidate frame over v9's IVF-PQ stack, so the
+    // output IS the trade: per query, 'pre' rows fill to 10 while
+    // 'post' rows are exactly the allowed survivors of the flat
+    // top-10 at their original ranks (OpsSpec pins post ⊆ pre with
+    // never-worse pre ranks, plus that the filter observably binds).
+    // The filter is the vector store's OWN metadata (label < 3, ~30%
+    // of the corpus) through a COLUMN-PRUNED (vec_id, label)
+    // projection — PlanSpec pins no 64-float embedding column rides
+    // the metadata scan. 100 TB shape: the allowed set is
+    // corpus-sized, so it semi-joins the candidate stream on its hash
+    // key (never broadcast, never crossed); a pre-only deployment
+    // would push that semi-join below the ADC scoring — here both
+    // strategies deliberately share one scored frame because the
+    // comparison is the product.
+    QueryDef.sql("v18_filtered_ann",
+      s"""WITH $v9ChainSql,
+         |allowed AS (SELECT vec_id AS cand_id FROM embeddings WHERE label < 3),
+         |pre AS (SELECT query_id, cand_id, adist,
+         |               row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY adist, cand_id) AS rn
+         |        FROM sc JOIN allowed USING (cand_id))
+         |SELECT strategy, query_id, rn, cand_id, adist FROM (
+         |  SELECT 'pre' AS strategy, query_id, rn, cand_id, adist
+         |  FROM pre WHERE rn <= 10
+         |  UNION ALL
+         |  SELECT 'post' AS strategy, query_id, rn, cand_id, adist
+         |  FROM ranked2 JOIN allowed USING (cand_id) WHERE rn <= 10)
+         |ORDER BY strategy, query_id, rn""".stripMargin) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val (cells, probes) = ivfCellsAndProbes(s, emb.select("vec_id", "embedding"))
+      val books = pqTrainCached(s, d)
+      val codes = codesArtifact(s, d).withColumnRenamed("vec_id", "cand_id")
+      val qs = collectQueries(
+        emb.select("vec_id", "embedding").filter(col("vec_id") < 10))
+      val cand = broadcast(probes).join(cells, Seq("cell"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .join(codes, Seq("cand_id"))
+      val scored = adcScoreKeyed(s, cand, qs, books)
+        .select("query_id", "cand_id", "adist")
+        .localCheckpoint() // bounded (queries × probed candidates); both strategies rank it
+      val allowed = emb.filter(col("label") < 3)
+        .select(col("vec_id").as("cand_id"))
+      val pre = adcTopKTail(scored.join(allowed, Seq("cand_id"), "left_semi"), 10)
+        .withColumn("strategy", lit("pre"))
+      val post = adcTopKTail(scored, 10)
+        .join(allowed, Seq("cand_id"), "left_semi")
+        .withColumn("strategy", lit("post"))
+      pre.unionByName(post)
+        .select("strategy", "query_id", "rn", "cand_id", "adist")
+        .orderBy("strategy", "query_id", "rn")
+    },
+
     // V14: retrieval serving — the RAG read path assembled from
     // oracled parts: v9's IVF-PQ top-k (its oracle chain verbatim —
     // single-sourced via v9ChainSql) joined back to the document
@@ -775,6 +837,70 @@ object VectorOps {
           (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
             .as("recall_at_10"))
         .orderBy("query_id")
+    },
+
+    // V19: exact-refine reranking — the two-stage serving pattern FAISS
+    // ships as IndexRefineFlat and every production ANN stack runs: the
+    // compressed index (v9's IVF-PQ) proposes a WIDE candidate list
+    // (top-50 by ADC), then the raw vectors of just those candidates
+    // are fetched and re-scored with EXACT integer L2, and the final
+    // top-10 ranks by the exact distance. The math guarantees refined
+    // recall@10 ≥ ADC recall@10 (any true top-10 member the ADC stage
+    // kept in its 50 is exact-better than every non-member, so refine
+    // always promotes it into the final 10) — OpsSpec pins that
+    // inequality against v11's numbers plus observable reordering.
+    // 100 TB shape: stage 1 is v9's serving (probe-pruned, code-table
+    // bytes); stage 2 touches queries × 50 raw vectors — the candidate
+    // id list BROADCASTS into the embeddings scan (left_semi), and the
+    // exact scoring is v1's map-only literal arithmetic over that
+    // bounded slice; the refine pair list broadcasts into the score
+    // join. The corpus-wide raw embeddings are never scanned for
+    // scoring and never shuffled (PlanSpec pins no SortMergeJoin and
+    // the bounded-side broadcasts).
+    QueryDef.sql("v19_exact_rerank", {
+      s"""WITH $v9ChainSql,
+         |refine AS (SELECT query_id, cand_id FROM ranked2 WHERE rn <= 50),
+         |xl2 AS (SELECT r.query_id, r.cand_id,
+         |               CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS l2
+         |        FROM refine r JOIN el q ON q.vec_id = r.query_id
+         |                      JOIN el c ON c.vec_id = r.cand_id AND c.pos = q.pos
+         |        GROUP BY r.query_id, r.cand_id)
+         |SELECT query_id, rn, cand_id, l2 FROM (
+         |  SELECT query_id, cand_id, l2,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY l2, cand_id) AS rn
+         |  FROM xl2) WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin
+    }) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      def quantF(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+      // stage 1: the compressed index proposes — v9's ranking at depth 50
+      val refinePairs = v9Ranked(s, d, 50).select("query_id", "cand_id")
+        .localCheckpoint() // bounded (queries × 50); feeds the id slice + the pair join
+      val refineIds = refinePairs.select("cand_id").distinct()
+      // stage 2: fetch ONLY the candidates' raw vectors (broadcast id
+      // slice), score them exactly against the query literals (v11's
+      // exact-side arithmetic: l2 = dot_q(c,c) - 2·dot_q(c,q) + |q|²),
+      // keep the pairs stage 1 proposed
+      val qfloats = vecs.filter(col("vec_id") < 10).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val qCols = qfloats.map { case (qid, arr) =>
+        val qn = arr.map(quantF).map(v => v * v).sum
+        struct(lit(qid).as("query_id"),
+          (call_function("dot_q", col("embedding"), col("embedding"))
+            - lit(2L) * call_function("dot_q", col("embedding"), typedLit(arr))
+            + lit(qn)).as("l2"))
+      }
+      vecs.join(broadcast(refineIds), vecs("vec_id") === refineIds("cand_id"), "left_semi")
+        .select(col("vec_id").as("cand_id"), explode(array(qCols.toIndexedSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.l2"))
+        .join(broadcast(refinePairs), Seq("query_id", "cand_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("l2"), asc("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "cand_id", "l2")
+        .orderBy("query_id", "rn")
     },
 
     // V17: nprobe sweep — the recall-vs-cost CURVE behind v11's single

@@ -1175,6 +1175,120 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("v18 filtered ANN: post ⊆ pre at never-worse ranks, labels honored, and the filter binds") {
+    // the strategy-comparison semantics the oracle hash can't state as
+    // invariants: (a) every returned candidate satisfies the metadata
+    // filter (recounted from the embeddings table, no engine
+    // machinery); (b) any allowed candidate in the flat top-10 (post)
+    // must appear in the pre-filtered ranking at an equal-or-better
+    // rank — filtering can only remove competitors; (c) the trade is
+    // OBSERVABLE: some query's post list comes up short of 10 while
+    // pre fills it (otherwise the query demonstrates nothing)
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("v18_filtered_ann")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val allowed = graft.sources.Tables.embeddings(spark, d)
+      .filter(col("label") < 3).select("vec_id")
+      .as[Long].collect().toSet
+    for ((_, _, _, cand) <- rows)
+      assert(allowed(cand), s"candidate $cand violates the label filter")
+    val pre = rows.filter(_._1 == "pre").map(t => (t._2, t._4) -> t._3).toMap
+    val post = rows.filter(_._1 == "post")
+    assert(post.nonEmpty, "post-filter returned nothing anywhere")
+    for ((_, q, rn, cand) <- post) {
+      val pr = pre.get((q, cand))
+      assert(pr.isDefined, s"post hit ($q, $cand) missing from the pre-filtered ranking")
+      assert(pr.get <= rn, s"($q, $cand): pre rank ${pr.get} worse than post rank $rn")
+    }
+    // pre ranks are contiguous from 1 per query
+    for ((q, g) <- rows.filter(_._1 == "pre").groupBy(_._2))
+      assert(g.map(_._3).sorted.toSeq == (1 to g.size).toSeq, s"pre ranks not contiguous for $q")
+    val preN = rows.filter(_._1 == "pre").groupBy(_._2).map { case (q, g) => q -> g.size }
+    val postN = post.groupBy(_._2).map { case (q, g) => q -> g.size }
+    assert(preN.exists { case (q, n) => n == 10 && postN.getOrElse(q, 0) < 10 },
+      s"the filter never binds (pre fills 10 but post never short): pre=$preN post=$postN")
+  }
+
+  test("qa4 split leakage: planted cross-split dupes pin 1e6 ppm; organic partial leakage visible; split honored") {
+    // the audit semantics beyond the oracle hash: (a) every reported
+    // doc really is test-split under s8's hash (recomputed here in
+    // plain JVM arithmetic, no engine machinery); (b) every planted
+    // even-id test doc — whose full text re-appears as a train doc —
+    // leaks at EXACTLY 1e6 ppm and is flagged; (c) the organic
+    // gradient is observable: some docs leak partially (0 < ppm < 1e6,
+    // the near-dup-straddling-the-split case) and some not at all
+    val rows = SparkEntry.queries("qa4_split_leakage")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    def bkt(id: Long): Long = (((id % 2147483648L) * 2654435761L) % 4294967296L) % 100
+    for ((id, nw, nt, ppm, fl) <- rows) {
+      assert(bkt(id) >= 90, s"doc $id is not test-split under s8's hash")
+      assert(nt >= 0 && nt <= nw, s"doc $id: $nt of $nw windows")
+      assert(ppm == 1000000L * nt / nw, s"doc $id: ppm drifted from definition")
+      assert(fl == (2 * nt >= nw), s"doc $id: flag drifted from the 50% threshold")
+    }
+    val even = rows.filter(_._1 % 2 == 0)
+    assert(even.nonEmpty, "no planted-source test doc in the report")
+    for ((id, _, _, ppm, fl) <- even)
+      assert(ppm == 1000000L && fl, s"planted-dup test doc $id not fully leaked: $ppm")
+    assert(rows.exists(t => t._4 > 0 && t._4 < 1000000L),
+      "no partial organic leakage visible — the gradient the audit reports is absent")
+    assert(rows.exists(_._4 == 0L), "every test doc leaks — the report cannot separate")
+  }
+
+  test("v19 exact rerank: l2 recounted independently, recall never below ADC, reorder observable") {
+    // the refine contracts: (a) every returned l2 equals a plain-JVM
+    // recount of the quantized integer L2 (no engine arithmetic); (b)
+    // per query, refined recall@10 against the exact truth is >= the
+    // ADC stack's (v11's guarantee: a truth member kept in the wide
+    // stage-1 list always survives exact refinement); (c) refinement
+    // observably does something: some query's refined top-10 differs
+    // from v9's ADC top-10
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("v19_exact_rerank")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def quant(x: Float): Long = graft.functions.CosineSimilarityQ.quantize(x)
+    val vecs = graft.sources.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, a) => id -> a.map(quant).toArray }
+    val byId = vecs.toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val dl = x - y; dl * dl }.sum
+    for ((qid, _, cid, got) <- rows)
+      assert(got == l2(byId(qid), byId(cid)), s"($qid, $cid): l2 drifted from the recount")
+    // rank contiguity + exact-order consistency within each query
+    for ((q, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to g.size).toSeq, s"ranks not contiguous for $q")
+      assert(sorted.map(t => (t._4, t._3)).toSeq == sorted.map(t => (t._4, t._3)).sortBy(identity).toSeq,
+        s"query $q: rn order disagrees with (l2, cand_id)")
+    }
+    // recall vs the exact truth, compared to v11's ADC recall
+    val truth = vecs.filter(_._1 < 10).map { case (qid, qa) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (cid, ca) => (cid, l2(qa, ca)) }
+        .sortBy(t => (t._2, t._1)).take(10).map(_._1).toSet
+    }.toMap
+    val v11 = SparkEntry.queries("v11_ivfpq_recall")(spark, d)
+      .select("query_id", "n_hit").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refinedByQ = rows.groupBy(_._1).map { case (q, g) => q -> g.map(_._3).toSet }
+    for ((q, ids) <- refinedByQ) {
+      val hit = ids.intersect(truth(q)).size.toLong
+      assert(hit >= v11.getOrElse(q, 0L),
+        s"query $q: refined recall $hit fell below ADC's ${v11.getOrElse(q, 0L)}")
+    }
+    val v9ids = SparkEntry.queries("v9_ivf_pq")(spark, d)
+      .select("query_id", "rn", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, g) => q -> g.sortBy(_._2).map(_._3).toSeq }
+    val refinedOrder = rows.groupBy(_._1).map { case (q, g) => q -> g.sortBy(_._2).map(_._3).toSeq }
+    assert(refinedOrder.exists { case (q, ids) => v9ids.get(q).exists(_ != ids) },
+      "refinement never changed any query's top-10 — the stage demonstrates nothing")
+  }
+
   test("v7 pq: codes in range, identical vectors get identical codes and error") {
     val d = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")

@@ -993,6 +993,23 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected one corpus scan (bench side is checkpointed), got ${scans.length}")
   }
 
+  test("v18 filtered ANN: the metadata filter scan is column-pruned — no 64-float vector rides it") {
+    // both strategies rank the checkpointed scored frame, so the final
+    // plan's only embeddings read is the allowed-set projection: it
+    // must carry (vec_id, label) and NOT the embedding column — at
+    // 100 TB that projection is the vector store's metadata sidecar,
+    // and dragging the vectors through it would multiply its bytes ~64×
+    val df = SparkEntry.queries("v18_filtered_ann")(spark, sf)
+    df.collect()
+    val embScans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.requiredSchema.fieldNames.contains("label") => s
+    }
+    assert(embScans.nonEmpty, "no metadata scan found in the serving plan")
+    assert(embScans.forall(!_.requiredSchema.fieldNames.contains("embedding")),
+      embScans.map(_.requiredSchema.catalogString).mkString("; "))
+  }
+
   test("s6 curriculum: one corpus scan; the epoch window reads the bounded agg only") {
     val df = SparkEntry.queries("s6_curriculum_schedule")(spark, sf)
     df.collect()
