@@ -121,7 +121,11 @@ object ScaleBench {
     // v18 ranks one shared scored frame two ways with the metadata
     // semi-join; v19 chains v9's serving with the bounded exact-refine
     // stage (raw vectors touched only through the broadcast id slice)
-    "qa4_split_leakage", "v18_filtered_ann", "v19_exact_rerank")
+    "qa4_split_leakage", "v18_filtered_ann", "v19_exact_rerank",
+    // the composed chain: its scaling is its stages' (quality narrow,
+    // dedup one fp shuffle, span removal the d19 machinery over the
+    // gated survivor stream)
+    "e2e2_span_prep")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

@@ -99,6 +99,77 @@ object TextOps {
       .select(col("doc_id"), phash(col("block")).as("h"))
       .distinct()
 
+  /** Single-sourced substring-span-removal core (d19's algorithm over
+    * an arbitrary (doc_id, ws) corpus CTE): duplicate evidence = 8-word
+    * windows in ≥ 2 distinct docs; the lexicographically-first
+    * (doc_id, i) occurrence per window is canonical; all other
+    * occurrences' windows merge into maximal islands and are cut;
+    * surviving tokens reassemble in order. The SQL side emits the CTE
+    * chain win/dup/cutw/covp/tokp/surv/agg over `$src`; consumers
+    * SELECT from `$src LEFT JOIN agg` (docs with nothing cut have no
+    * agg row). Shared by d19_span_removal and e2e2_span_prep so the
+    * two can never drift.
+    */
+  private[operators] def spanCutSql(src: String): String =
+    s"""win AS (SELECT doc_id, i, ${phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
+       |        FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+       |              FROM $src WHERE len(ws) >= 8)),
+       |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM win)
+       |        GROUP BY h HAVING COUNT(*) >= 2),
+       |cutw AS (SELECT doc_id, i FROM (
+       |         SELECT doc_id, i, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+       |         FROM win JOIN dup USING (h)) WHERE rn > 1),
+       |covp AS (SELECT DISTINCT doc_id, p
+       |         FROM (SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM cutw)),
+       |tokp AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1)) AS p FROM $src),
+       |surv AS (SELECT t.doc_id, t.p, t.ws[t.p + 1] AS tok
+       |         FROM tokp t LEFT JOIN covp v ON t.doc_id = v.doc_id AND t.p = v.p
+       |         WHERE v.doc_id IS NULL),
+       |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text_clean,
+       |               CAST(COUNT(*) AS BIGINT) AS n_after
+       |        FROM surv GROUP BY doc_id)""".stripMargin
+
+  /** Engine twin of [[spanCutSql]]: input (doc_id, ws, ...), output the
+    * input plus a `kept` array column (surviving tokens in order). The
+    * window stream is checkpointed (it feeds the dup-evidence agg and
+    * the canonical ranking); the rewrite is a narrow per-doc array
+    * filter after one doc_id join against the sparse span lists.
+    */
+  private[operators] def spanCleaned(c: DataFrame): DataFrame = {
+    val win = c.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 8), " +
+          "i -> struct(i AS i, concat_ws(' ', slice(ws, i + 1, 8)) AS w))")).as("s"))
+      .select(col("doc_id"), col("s.i").cast("long").as("i"),
+        phash(col("s.w")).as("h"))
+      .localCheckpoint() // feeds the dup-evidence agg and the ranking
+    val dup = win.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val hspec = Window.partitionBy("h").orderBy("doc_id", "i")
+    val cutw = win.join(dup, Seq("h"))
+      .withColumn("rn", row_number().over(hspec))
+      .filter(col("rn") > 1)
+      .select("doc_id", "i")
+    val wspec = Window.partitionBy("doc_id").orderBy("i")
+    val spans = cutw
+      .withColumn("brk",
+        when(lag("i", 1).over(wspec).isNull ||
+          col("i") - lag("i", 1).over(wspec) > 8, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(wspec))
+      .groupBy("doc_id", "grp")
+      .agg(min("i").as("a"), (max("i") + 8).as("b"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("a"), col("b"))).as("spans"))
+    c.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        expr("CASE WHEN spans IS NULL THEN ws ELSE " +
+          "filter(transform(ws, (t, p) -> " +
+          "IF(exists(spans, sp -> p >= sp.a AND p < sp.b), CAST(NULL AS STRING), t)), " +
+          "t -> t IS NOT NULL) END"))
+      .drop("spans")
+  }
+
   /** Duplicate-injected corpus: every doc with doc_id % 10 = 0 appears
     * again under doc_id+1000000 (the raw table has no exact dupes, so
     * dedup needs planted ones to have observable behavior). Shared by
@@ -962,23 +1033,7 @@ object TextOps {
          |                   list_transform(generate_series(0, 7),
          |                     i -> 'x' || CAST(doc_id AS VARCHAR) || 'f' || CAST(i AS VARCHAR)) AS fill
          |            FROM sp0 WHERE doc_id % 5 = 0 AND len(ws) >= 48)),
-         |win AS (SELECT doc_id, i, ${phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
-         |        FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
-         |              FROM c WHERE len(ws) >= 8)),
-         |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM win)
-         |        GROUP BY h HAVING COUNT(*) >= 2),
-         |cutw AS (SELECT doc_id, i FROM (
-         |         SELECT doc_id, i, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
-         |         FROM win JOIN dup USING (h)) WHERE rn > 1),
-         |covp AS (SELECT DISTINCT doc_id, p
-         |         FROM (SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM cutw)),
-         |tokp AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1)) AS p FROM c),
-         |surv AS (SELECT t.doc_id, t.p, t.ws[t.p + 1] AS tok
-         |         FROM tokp t LEFT JOIN covp v ON t.doc_id = v.doc_id AND t.p = v.p
-         |         WHERE v.doc_id IS NULL),
-         |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text_clean,
-         |               CAST(COUNT(*) AS BIGINT) AS n_after
-         |        FROM surv GROUP BY doc_id)
+         |${spanCutSql("c")}
          |SELECT c.doc_id, CAST(len(c.ws) AS BIGINT) AS n_before,
          |       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
          |       coalesce(a.text_clean, '') AS text_clean
@@ -992,38 +1047,7 @@ object TextOps {
             "i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
         .select((col("doc_id") + 30000000L).as("doc_id"),
           expr("concat(slice(ws, 1, 12), fill, slice(ws, 31, 12))").as("ws"))
-      val c = sp0.unionByName(planted)
-      val win = c.filter(size(col("ws")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 8), " +
-            "i -> struct(i AS i, concat_ws(' ', slice(ws, i + 1, 8)) AS w))")).as("s"))
-        .select(col("doc_id"), col("s.i").cast("long").as("i"),
-          phash(col("s.w")).as("h"))
-        .localCheckpoint() // feeds the dup-evidence agg and the ranking
-      val dup = win.select("h", "doc_id").distinct()
-        .groupBy("h").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2).select("h")
-      val hspec = Window.partitionBy("h").orderBy("doc_id", "i")
-      val cutw = win.join(dup, Seq("h"))
-        .withColumn("rn", row_number().over(hspec))
-        .filter(col("rn") > 1)
-        .select("doc_id", "i")
-      val wspec = Window.partitionBy("doc_id").orderBy("i")
-      val spans = cutw
-        .withColumn("brk",
-          when(lag("i", 1).over(wspec).isNull ||
-            col("i") - lag("i", 1).over(wspec) > 8, 1).otherwise(0))
-        .withColumn("grp", sum("brk").over(wspec))
-        .groupBy("doc_id", "grp")
-        .agg(min("i").as("a"), (max("i") + 8).as("b"))
-        .groupBy("doc_id")
-        .agg(collect_list(struct(col("a"), col("b"))).as("spans"))
-      c.join(spans, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("ws"),
-          expr("CASE WHEN spans IS NULL THEN ws ELSE " +
-            "filter(transform(ws, (t, p) -> " +
-            "IF(exists(spans, sp -> p >= sp.a AND p < sp.b), CAST(NULL AS STRING), t)), " +
-            "t -> t IS NOT NULL) END").as("kept"))
+      spanCleaned(sp0.unionByName(planted))
         .select(col("doc_id"),
           size(col("ws")).cast("long").as("n_before"),
           size(col("kept")).cast("long").as("n_after"),
@@ -1134,6 +1158,89 @@ object TextOps {
       kept.join(reps, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("n_tokens"),
           round(col("quality"), 6).as("quality"), col("fp"))
+        .orderBy("doc_id")
+    },
+
+    // E2E2: the FULL Lee-et-al-era training-prep chain as ONE
+    // declarative plan — the pipeline a 2021+ corpus team actually
+    // ships, each stage with planted observable work and each stage an
+    // already-oracled operator's exact logic: (1) t3's quality gate on
+    // the raw text; (2) d1's exact dedup keeping the min-id
+    // representative — kills the planted byte-identical copies (+1e6)
+    // that survive a quality gate unchanged; (3) d19's substring-span
+    // removal over the SURVIVORS — catches the planted shifted partial
+    // copies (+3e7, d18's planting) that exact dedup by definition
+    // misses, stripping them to their unique fillers; (4) a post-clean
+    // length gate (≥ 9 surviving words) that drops those stripped
+    // shells — the stage order (cheap doc-level gates before the
+    // window machinery) is the cost order a real pipeline uses; (5)
+    // s8's deterministic split stamped on the survivors. Output: one
+    // row per surviving doc with its split, post-clean token count,
+    // and quality — the manifest the trainer consumes.
+    // 100 TB shape: every stage keeps its standalone plan shape —
+    // narrow scoring pass, one fp hash shuffle for dedup, d19's
+    // hash-keyed window machinery over the (already gated) survivor
+    // stream, id-arithmetic split — and the raw text never shuffles
+    // (dedup shuffles md5 fingerprints, span removal shuffles
+    // (doc_id, i, h) triples).
+    QueryDef.sql("e2e2_span_prep",
+      s"""WITH sp0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |corpus AS (SELECT doc_id, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |           UNION ALL
+         |           SELECT doc_id + 30000000 AS doc_id,
+         |                  array_to_string(ws[1:12] || fill || ws[31:42], ' ') AS text
+         |           FROM (SELECT doc_id, ws,
+         |                        list_transform(generate_series(0, 7),
+         |                          i -> 'x' || CAST(doc_id AS VARCHAR) || 'f' || CAST(i AS VARCHAR)) AS fill
+         |                 FROM sp0 WHERE doc_id % 5 = 0 AND len(ws) >= 48)),
+         |q AS (SELECT doc_id, text, $qualityFormulaSql AS quality
+         |      FROM (SELECT doc_id, text, $qualityFeaturesSql FROM corpus)),
+         |gated AS (SELECT doc_id, text, quality, md5(text) AS fp FROM q WHERE quality >= 0.5),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fp),
+         |ded AS (SELECT g.doc_id, g.text, g.quality FROM gated g JOIN reps r ON g.doc_id = r.doc_id),
+         |c AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ded),
+         |${spanCutSql("c")},
+         |clean AS (SELECT c.doc_id, d2.quality,
+         |                 CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_clean
+         |          FROM c JOIN ded d2 USING (doc_id)
+         |               LEFT JOIN agg a USING (doc_id)),
+         |final AS (SELECT doc_id, quality, n_clean,
+         |                 (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bkt
+         |          FROM clean WHERE n_clean >= 9)
+         |SELECT doc_id,
+         |       CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+         |       n_clean, round(quality, 6) AS quality
+         |FROM final ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sp0 = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val shifted = sp0.filter(col("doc_id") % 5 === 0 && size(col("ws")) >= 48)
+        .select(col("doc_id"), col("ws"),
+          expr("transform(sequence(0, 7), " +
+            "i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          expr("concat_ws(' ', concat(slice(ws, 1, 12), fill, slice(ws, 31, 12)))").as("text"))
+      val corpus = withDupes(docs).unionByName(shifted)
+      val gated = corpus
+        .select(Seq(col("doc_id"), col("text")) ++ qualityFeatureCols: _*)
+        .select(col("doc_id"), col("text"), qualityCol.as("quality"),
+          md5(col("text")).as("fp"))
+        .filter(col("quality") >= 0.5)
+        .localCheckpoint() // feeds the dedup agg and the survivor join
+      val reps = gated.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val ded = gated.join(reps, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), col("quality"))
+      val cleaned = spanCleaned(
+        ded.select(col("doc_id"), split(col("text"), " ").as("ws"), col("quality")))
+        .select(col("doc_id"), col("quality"),
+          size(col("kept")).cast("long").as("n_clean"))
+      cleaned.filter(col("n_clean") >= 9)
+        .select(col("doc_id"),
+          expr("CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 80 THEN 'train' " +
+            "WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90 THEN 'val' " +
+            "ELSE 'test' END").as("split"),
+          col("n_clean"), round(col("quality"), 6).as("quality"))
         .orderBy("doc_id")
     },
 

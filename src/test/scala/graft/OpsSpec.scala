@@ -1061,6 +1061,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("e2e2 span prep: each stage kills exactly its planted family; split and geometry recounted") {
+    // stage attribution the final hash can't show: the byte-identical
+    // copies (+1e6) die at the DEDUP stage (they pass the quality gate
+    // by construction — same text as their surviving originals), the
+    // shifted partial copies (+3e7) die at span-removal + length gate
+    // (exact dedup cannot see them), and the originals of both
+    // families SURVIVE — the chain removes duplication, not content.
+    // Split assignment and survivor geometry are recounted in plain
+    // JVM arithmetic.
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("e2e2_span_prep")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    assert(!ids.exists(id => id >= 1000000L && id < 30000000L),
+      "a byte-identical planted copy survived the dedup stage")
+    assert(!ids.exists(_ >= 30000000L),
+      "a shifted partial copy survived span removal + the length gate")
+    val orig = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // any planted copy whose ORIGINAL was gated out proves nothing;
+    // require at least one surviving original per family and that no
+    // surviving original lost its row to its own copy's removal
+    val dupOriginals = orig.keys.filter(_ % 10 == 0).filter(ids)
+    assert(dupOriginals.nonEmpty, "no exact-dup original survived — dedup teeth unobservable")
+    val shiftOriginals = orig.keys
+      .filter(id => id % 5 == 0 && orig(id).split(" ").length >= 48).filter(ids)
+    assert(shiftOriginals.nonEmpty, "no shifted-copy original survived — span teeth unobservable")
+    def bkt(id: Long): Long = (((id % 2147483648L) * 2654435761L) % 4294967296L) % 100
+    for ((id, split, nClean, q) <- out) {
+      val expected = if (bkt(id) < 80) "train" else if (bkt(id) < 90) "val" else "test"
+      assert(split == expected, s"doc $id split drifted from s8's hash")
+      assert(nClean >= 9, s"doc $id survived below the length gate")
+      assert(q >= 0.5, s"doc $id survived below the quality gate")
+      assert(nClean <= orig(id).split(" ").length, s"doc $id gained tokens in cleaning")
+    }
+  }
+
   test("t18 source overlap: shared-mass symmetric, ppm well-formed, planted synthetic reuse visible") {
     // the matrix semantics the oracle hash can't state: n_shared is
     // |A∩B| on distinct window hashes, so it must be SYMMETRIC in the
