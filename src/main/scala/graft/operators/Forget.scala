@@ -70,8 +70,17 @@ object Forget {
     * per leg, in execution order. Idempotent: a re-run (the recovery
     * path for a run that died mid-sequence) publishes fresh versions
     * whose row counts equal the previous ones.
+    *
+    * `immediatePrune = true` additionally collapses each store's
+    * retention to the just-published version
+    * ([[graft.sinks.VersionedStore.pruneToPointer]]) so the report can
+    * attest `retainedPriorVersions` empty — the erasure-SLA mode where
+    * the time-travel window is itself residual data. The default keeps
+    * the ordinary retention behavior (prior versions readable until
+    * later maintenance prunes them) and the report surfaces them.
     */
-  def forgetDocs(s: SparkSession, ids: Seq[Long], targets: Targets): Seq[StoreReport] = {
+  def forgetDocs(s: SparkSession, ids: Seq[Long], targets: Targets,
+      immediatePrune: Boolean = false): Seq[StoreReport] = {
     import s.implicits._
     val docIds = ids.toDF("doc_id")
     val vecIds = ids.toDF("vec_id")
@@ -96,8 +105,11 @@ object Forget {
         .getOrElse(0L)
       val after = del().count()
       val version = publishedVersion(s, base)
+      if (immediatePrune)
+        graft.sinks.VersionedStore.pruneToPointer(s, base)
       // complete versions still readable besides the served one — the
-      // retention window an erasure auditor must see (scaladoc above)
+      // retention window an erasure auditor must see (scaladoc above;
+      // empty when immediatePrune collapsed it)
       val retained = graft.sinks.VersionedStore.listVersions(s, base)
         .filterNot(_ == version)
       StoreReport(name, before, after, version, retained)

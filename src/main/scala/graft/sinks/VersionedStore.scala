@@ -625,6 +625,24 @@ object VersionedStore {
       read(spark, base)
     }
 
+  /** Erasure-grade retention collapse: delete every complete version
+    * at `base` except the one the pointer currently serves, under the
+    * same safety discipline as the publish-time prune (pointer re-read
+    * at delete time, live intent leases honored, pointer temps left
+    * alone — a racing writer is never broken). For right-to-be-
+    * forgotten flows the keepVersions time-travel window IS residual
+    * data: a store that just deleted the forgotten docs still serves
+    * them through readVersion/rollback of the retained prior versions
+    * until ordinary maintenance prunes them. This call destroys that
+    * window deliberately — [[graft.operators.Forget.forgetDocs]]'s
+    * immediatePrune leg runs it so the erasure report can attest zero
+    * retained versions. Time travel to prior states is gone by design.
+    */
+  def pruneToPointer(spark: SparkSession, base: String): Unit =
+    readPointer(spark, base).foreach { p =>
+      prune(spark, new Path(base), keep = Set(p.version))
+    }
+
   /** Read the live version (throws if nothing was ever published). */
   def read(spark: SparkSession, base: String): DataFrame =
     resolve(spark, base) match {

@@ -2157,9 +2157,29 @@ class OpsSpec extends SparkSpec {
     assert(served.intersect(gone.toSet).isEmpty,
       s"serving still returns forgotten docs: ${served.intersect(gone.toSet)}")
 
-    // idempotence: the crash-recovery re-run erases nothing further
-    for (r <- Forget.forgetDocs(spark, gone, targets))
+    // idempotence: the crash-recovery re-run erases nothing further —
+    // run it in erasure-SLA mode (immediatePrune) and require the
+    // report to attest ZERO retained prior versions, backed by the
+    // store listing itself: after the prune the just-served version is
+    // the only complete version on disk, so no readVersion/rollback
+    // can resurrect the forgotten docs
+    for (r <- Forget.forgetDocs(spark, gone, targets, immediatePrune = true)) {
       assert(r.rowsBefore == r.rowsAfter, s"re-run was not a no-op: $r")
+      assert(r.retainedPriorVersions.isEmpty,
+        s"leg ${r.store}: immediatePrune left readable prior versions: $r")
+    }
+    for (base <- Seq(pBase, posBase, cBase)) {
+      val served = graft.sinks.VersionedStore.readPointer(spark, base).get.version
+      assert(graft.sinks.VersionedStore.listVersions(spark, base) == Seq(served),
+        s"$base still lists prior versions after immediatePrune")
+    }
+    val served2 = Retrieval.serveBm25(
+        graft.sinks.VersionedStore.read(spark, pBase),
+        Retrieval.statsFromPostings(graft.sinks.VersionedStore.read(spark, pBase)),
+        qt, Retrieval.fixtureQueries.map(_._2).distinct, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served2.intersect(gone.toSet).isEmpty,
+      "serving regressed after the immediate-prune erasure pass")
   }
 
   test("stemmed bm25: pluralized planted docs are reachable only through the stemmer") {
