@@ -73,7 +73,13 @@ object Canary {
     "d19_span_removal",       // substring-span removal (corpus rewrite)
     "d7b_overlap_decontam",   // threshold-overlap decontamination
     "qa4_split_leakage",      // split-leakage audit (two window streams)
-    "v19_exact_rerank")       // ANN + exact-refine serving chain
+    "v19_exact_rerank",       // ANN + exact-refine serving chain
+    // round-12 third wave (net-lag rule): d20 is the wave's heaviest
+    // (rank window + prefix self-join + candidate verification over
+    // the graded corpus); r19 chains a full postings-artifact pass
+    // against the broadcast match set
+    "d20_ppjoin",             // exact prefix-filter similarity join
+    "r19_significant_terms")  // JLH match-set-vs-background facet
 
   /** Per-query normalized-gate half-width; default ±20%. sq1's
     * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,

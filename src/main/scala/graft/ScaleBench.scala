@@ -125,7 +125,15 @@ object ScaleBench {
     // the composed chain: its scaling is its stages' (quality narrow,
     // dedup one fp shuffle, span removal the d19 machinery over the
     // gated survivor stream)
-    "e2e2_span_prep")
+    "e2e2_span_prep",
+    // round 12 third wave: d20's exactness claim is only credible if
+    // the prefix join's fan-out stays rare-token-bounded as the corpus
+    // grows (the blowup's junked copies make every copy shingle
+    // df-1, so candidate pressure tracks the planting, not the copy
+    // mass); s10's two passes are a 4096-row rollup + a broadcast
+    // re-stream; r19's foreground pass rides the postings artifact
+    // against the broadcast match set
+    "d20_ppjoin", "s10_dsir_weights", "r19_significant_terms")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

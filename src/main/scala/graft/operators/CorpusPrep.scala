@@ -733,6 +733,84 @@ object CorpusPrep {
           expr("CAST(GREATEST((100000 * weight) div total_w - n_tokens, 0) AS BIGINT)")
             .as("repeat_tokens"))
         .orderBy("source")
+    },
+
+    // S10: DSIR-style importance weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every document by how TARGET-like its hashed-bigram distribution
+    // is — two hashed-bigram bag-of-words LMs (target = the curated
+    // sources, raw = the whole corpus, add-one smoothed over B = 4096
+    // buckets), per-doc importance = mean over its bigram occurrences
+    // of the target/raw probability ratio. The field's standard
+    // quality-selection step when a trusted seed corpus exists but a
+    // trained classifier doesn't. All INTEGER-quantized (ppm ratios,
+    // two fixed-order `div`s) so the score hashes identically in both
+    // engines — ln() would rank the same but is not bit-portable
+    // (t6's rational-weight discipline). The first div bounds its
+    // term by 1e6 (c_t <= c_r always, target ⊆ raw), so the product
+    // stays far inside INT64 at any corpus size where bigram totals
+    // fit a long; beyond that the ppm constant drops a digit.
+    // selected = mean lift >= 1e6, i.e. "more target-like than the
+    // corpus average" — the resampling acceptance rule.
+    // 100 TB shape: DSIR's natural two-pass — pass 1 is one
+    // map-side-combined rollup of the bigram stream to the B-row LM
+    // frame (never the corpus); pass 2 re-streams the bigrams against
+    // the BROADCAST 4096-row lift table and rolls up per doc. The
+    // corpus-sized bigram stream is never joined to anything bigger
+    // than a broadcast, never checkpointed, never shuffled except by
+    // the two bounded aggregations.
+    QueryDef.sql("s10_dsir_weights",
+      s"""WITH tk AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS tk
+         |            FROM documents),
+         |bg AS (SELECT doc_id, source,
+         |              ${TextOps.phashSql("tk[i] || ' ' || tk[i + 1]")} % 4096 AS bkt
+         |       FROM (SELECT doc_id, source, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+         |             FROM tk WHERE len(tk) >= 2)),
+         |lm AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c_r,
+         |              CAST(SUM(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+         |                            THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+         |       FROM bg GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS tot_r, CAST(SUM(c_t) AS BIGINT) AS tot_t
+         |        FROM lm),
+         |lift AS (SELECT bkt,
+         |                (((1000000 * (c_t + 1)) // (c_r + 1)) * (tot_r + 4096)) // (tot_t + 4096)
+         |                  AS lift_ppm
+         |         FROM lm CROSS JOIN tot),
+         |sc AS (SELECT b.doc_id, b.source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |              CAST(SUM(lift_ppm) AS BIGINT) AS sum_lift
+         |       FROM bg b JOIN lift USING (bkt) GROUP BY 1, 2)
+         |SELECT doc_id, source, n_bigrams,
+         |       CAST(sum_lift // n_bigrams AS BIGINT) AS mean_lift_ppm,
+         |       CAST(CASE WHEN sum_lift // n_bigrams >= 1000000 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS selected
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val target = Seq("src0", "src1", "src2", "src3")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("tk"))
+      val bg = docs.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))")).as("b"))
+        .select(col("doc_id"), col("source"),
+          (TextOps.phash(col("b")) % 4096).as("bkt"))
+      val lm = bg.groupBy("bkt").agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("source").isin(target: _*), 1L).otherwise(0L)).as("c_t"))
+      val tot = lm.agg(sum("c_r").as("tot_r"), sum("c_t").as("tot_t"))
+      val lift = lm.crossJoin(broadcast(tot))
+        .select(col("bkt"),
+          expr("(((1000000 * (c_t + 1)) div (c_r + 1)) * (tot_r + 4096)) div (tot_t + 4096)")
+            .as("lift_ppm"))
+      bg.join(broadcast(lift), Seq("bkt"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum("lift_ppm").cast("long").as("sum_lift"))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          expr("CAST(sum_lift div n_bigrams AS BIGINT)").as("mean_lift_ppm"),
+          expr("CAST(CASE WHEN sum_lift div n_bigrams >= 1000000 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("selected"))
+        .orderBy("doc_id")
     }
   )
 

@@ -205,6 +205,25 @@ object MinHash {
     * recall gate (d14) and its streaming-dedup twin in StreamingSpec —
     * the same instrument graded against each detector.
     */
+  /** SQL twin of documents ∪ [[gradedPlanting]]'s planted copies —
+    * the graded-severity near-dup corpus. Shared by d14's oracle and
+    * d20's (the two evals graded against the same planting).
+    */
+  val gradedCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 7000000 + sev * 1000000 AS doc_id,
+      |         array_to_string(
+      |           list_concat(ws[k + 1 : 100000],
+      |             list_transform(generate_series(1, k),
+      |               i -> 'zz' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR))),
+      |           ' ') AS text
+      |  FROM (SELECT doc_id, ws, sev,
+      |               CASE sev WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 48 END AS k
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                     unnest([0, 1, 2, 3]) AS sev
+      |              FROM documents WHERE doc_id % 20 = 0))""".stripMargin
+
   def gradedPlanting(docs: DataFrame): (DataFrame, DataFrame) = {
     val seeds = docs.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -288,20 +307,7 @@ object MinHash {
      * class must show misses, or the fixture isn't discriminating.
      */
     QueryDef.sql("d14_dedup_recall", {
-      val corpusSql =
-        """SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 7000000 + sev * 1000000 AS doc_id,
-          |         array_to_string(
-          |           list_concat(ws[k + 1 : 100000],
-          |             list_transform(generate_series(1, k),
-          |               i -> 'zz' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR))),
-          |           ' ') AS text
-          |  FROM (SELECT doc_id, ws, sev,
-          |               CASE sev WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 48 END AS k
-          |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
-          |                     unnest([0, 1, 2, 3]) AS sev
-          |              FROM documents WHERE doc_id % 20 = 0))""".stripMargin
+      val corpusSql = gradedCorpusSql
       s"""WITH corpus AS (
          |  $corpusSql),
          |${pairsCteSql("SELECT doc_id, text FROM corpus", 0.5)},

@@ -1957,6 +1957,80 @@ object Retrieval {
         .filter(col("rn") <= 10)
         .select("query_id", "rn", "doc_id", "source", "score_micro")
         .orderBy("query_id", "rn")
+    },
+
+    // R19: significant-terms aggregation — the "what is this result
+    // set ABOUT" facet (Elasticsearch's significant_text): for each
+    // query's match set, the terms most over-represented in matching
+    // docs vs the corpus background, scored by JLH =
+    // (fg% - bg%) * (fg% / bg%) — the product of absolute and relative
+    // lift, which suppresses both stopwords (huge bg%) and one-off
+    // noise (tiny fg absolute mass); fg >= 2 is the standard noise
+    // floor, and a query's own terms are excluded (they trivially
+    // top the list). The score is composed from BIGINT products with
+    // ONE terminal IEEE division (t6's discipline: every intermediate
+    // exact in both engines, so the double — and the rank order —
+    // is bit-identical; fg*bt and ft*ft*bg stay far inside 2^53 when
+    // the match set and corpus fit in a long's exact-double range).
+    // 100 TB shape: the match set comes from the bucket+IN-pruned
+    // postings read (never a corpus scan); foreground term stats are
+    // ONE pass over the postings artifact joined to the BROADCAST
+    // match set (a forward doc->terms index would make this pruned
+    // too — the posting store is the artifact we have, and one
+    // artifact pass is the honest cost); background df is already
+    // denormalized on the artifact (zero extra work); everything
+    // downstream is vocabulary-bounded.
+    QueryDef.sql("r19_significant_terms",
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $fixtureValuesSql)),
+         |e AS (SELECT DISTINCT doc_id, term FROM (
+         |        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+         |        FROM documents)),
+         |m AS (SELECT DISTINCT q.query_id, e.doc_id FROM e JOIN q USING (term)),
+         |ftq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS ft FROM m GROUP BY 1),
+         |fgt AS (SELECT m.query_id, e.term, CAST(COUNT(*) AS BIGINT) AS fg
+         |        FROM m JOIN e USING (doc_id) GROUP BY 1, 2),
+         |bgt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg FROM e GROUP BY 1),
+         |btq AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM documents),
+         |sc AS (SELECT f.query_id, f.term, f.fg, b.bg,
+         |              CAST((f.fg * bt - b.bg * ft) * f.fg AS DOUBLE) / (ft * ft * b.bg) AS jlh
+         |       FROM fgt f JOIN ftq t USING (query_id) JOIN bgt b USING (term)
+         |            CROSS JOIN btq
+         |       WHERE f.fg >= 2
+         |         AND NOT EXISTS (SELECT 1 FROM q
+         |                         WHERE q.query_id = f.query_id AND q.term = f.term)),
+         |ranked AS (SELECT query_id, term, fg, bg, jlh,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY jlh DESC, term) AS rn
+         |           FROM sc)
+         |SELECT query_id, rn, term, fg, bg, jlh FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val qt = fixtureQueries.toDF("query_id", "term")
+      val terms = fixtureQueries.map(_._2).distinct
+      val idx = indexArtifact(s, d)
+      val m = idx.filter(col("bkt").isin(terms.map(termBucket).distinct.map(Int.box): _*))
+        .filter(col("term").isin(terms: _*))
+        .join(broadcast(qt), Seq("term"))
+        .select("query_id", "doc_id").distinct()
+      val ft = m.groupBy("query_id").agg(count(lit(1)).cast("long").as("ft"))
+      // one posting per (term, doc), so count(*) == distinct matched
+      // docs containing the term
+      val fg = idx.join(broadcast(m), Seq("doc_id"))
+        .groupBy("query_id", "term").agg(count(lit(1)).cast("long").as("fg"))
+      val bg = idx.select(col("term"), col("df").as("bg")).distinct()
+      val bt = Tables.documents(s, d).agg(count(lit(1)).cast("long").as("bt"))
+      fg.join(qt, Seq("query_id", "term"), "left_anti")
+        .filter(col("fg") >= 2)
+        .join(broadcast(ft), Seq("query_id"))
+        .join(bg, Seq("term"))
+        .crossJoin(broadcast(bt))
+        .withColumn("jlh",
+          expr("CAST((fg * bt - bg * ft) * fg AS DOUBLE) / (ft * ft * bg)"))
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("jlh").desc, col("term").asc)))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "term", "fg", "bg", "jlh")
+        .orderBy("query_id", "rn")
     }
   )
 }

@@ -514,6 +514,79 @@ object TextOps {
         .orderBy("doc1", "doc2")
     },
 
+    // D20: EXACT Jaccard-threshold similarity join via prefix
+    // filtering (SSJoin/AllPairs/PPJoin — Chaudhuri et al. ICDE 2006,
+    // Bayardo et al. WWW 2007, Xiao et al. WWW 2008) — the
+    // exact-guarantee complement to d2's MinHash+LSH: LSH trades
+    // recall for speed (d14 measures what it misses), the prefix
+    // filter trades NOTHING — every pair with true Jaccard >= τ is
+    // found, yet there is still no n² pair join. The lemma: order
+    // every doc's shingles by ONE global order (df ascending, rarest
+    // first, shingle as tiebreak); if J(A,B) >= τ then the first
+    // |A| - ceil(τ·|A|) + 1 shingles of A and the first
+    // |B| - ceil(τ·|B|) + 1 of B share >= 1 shingle (the globally
+    // smallest common shingle has rank <= |X| - overlap + 1 in each
+    // doc, and J >= τ with the length filter forces overlap >=
+    // ceil(τ·|X|)). So candidates come from a self-join on PREFIX
+    // shingles only — and rarest-first ordering makes prefixes the
+    // LOW-df shingles, so the join's fan-out is bounded by rare-token
+    // co-occurrence, with boilerplate shingles (the d3 df-cap's
+    // worry) structurally excluded from every prefix long before
+    // they could fan out. Run over the graded near-dup planting
+    // (d14's), so the result exercises the threshold from both sides:
+    // sev 0/1 plants land well above τ = 0.5, sev 2 straddles it,
+    // sev 3 falls far below. Verification is exact: candidate pairs
+    // (bounded) re-join their full shingle sets for the true
+    // intersection; jaccard is d3's single-division double.
+    // 100 TB shape: per-doc rank window over the shingle frame
+    // (posting-sized), candidate join on rare-prefix shingles only,
+    // verify join bounded by |candidates| × doc shingle count —
+    // never corpus × corpus, never a df cap that silently drops
+    // recall.
+    QueryDef.sql("d20_ppjoin",
+      s"""WITH corpus AS (
+         |  ${MinHash.gradedCorpusSql}),
+         |${shinglePairsCteSql("corpus", dfCap = 1000000000)}
+         |SELECT doc1, doc2, inter, n1, n2,
+         |       CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+         |FROM pairstats
+         |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
+         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.union(MinHash.gradedPlanting(docs)._1.select("doc_id", "text"))
+      // sh feeds sizes, df, the rank window and BOTH verify sides —
+      // materialize once (localCheckpoint: blocks GC-released, and the
+      // lineage cut keeps the 5-consumer plan from re-deriving the
+      // planting each time)
+      val sh = shingles(corpus).localCheckpoint()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      // τ = 0.5: prefix length p = n - ceil(n/2) + 1; length filter
+      // 2·min >= max. Integer ceil: (n + 1) div 2.
+      val prefix = sh.join(sdf, "shingle")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("sdf").asc, col("shingle").asc)))
+        .join(sizes, "doc_id")
+        .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+        .select(col("doc_id"), col("shingle"), col("n"))
+      val cand = prefix.select(col("doc_id").as("doc1"), col("shingle"), col("n").as("n1"))
+        .join(prefix.select(col("doc_id").as("doc2"), col("shingle"), col("n").as("n2")),
+          Seq("shingle"))
+        .filter(col("doc1") < col("doc2"))
+        .filter(lit(2) * least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")))
+        .select("doc1", "doc2", "n1", "n2").distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc1"), col("shingle")), Seq("doc1"))
+        .join(sh.select(col("doc_id").as("doc2"), col("shingle")), Seq("doc2", "shingle"))
+        .groupBy("doc1", "doc2", "n1", "n2").agg(count(lit(1)).as("inter"))
+      inter
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
+        .orderBy("doc1", "doc2")
+    },
+
     // T6: per-doc top terms by tf·N/df — tf-idf-shaped keyword
     // extraction with a RATIONAL weight (integer tf·N over integer df,
     // one IEEE division) instead of ln(): natural-log is not guaranteed

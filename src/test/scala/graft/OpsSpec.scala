@@ -2707,4 +2707,134 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(norm - 1.0) < 0.05, s"expected ~unit-norm corpus, got $norm")
     }
   }
+
+  /** Portable 60-bit hash twin rebuilt from java.security MD5 — no
+    * Spark/DuckDB machinery (the same independence discipline as s7's
+    * key recount).
+    */
+  private def phashTwin(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("s10 DSIR weights: full integer recount from raw text, and target sources score higher") {
+    // the oracle hash proves Spark == DuckDB; this recount proves BOTH
+    // engines == the DSIR definition (hashed-bigram add-one LMs,
+    // fixed-order integer ppm lift), rebuilt from java MD5 and Scala
+    // collections with no SQL anywhere.
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s10_dsir_weights")(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val target = Set("src0", "src1", "src2", "src3")
+    val bigrams = docs.map { case (id, src, text) =>
+      val tk = "[a-z]+".r.findAllIn(text.toLowerCase).toVector
+      (id, src, tk.sliding(2).filter(_.size == 2).map(p => phashTwin(p.mkString(" ")) % 4096L).toVector)
+    }.filter(_._3.nonEmpty)
+    val cR = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cT = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((_, src, bs) <- bigrams; b <- bs) {
+      cR(b) += 1; if (target(src)) cT(b) += 1
+    }
+    val (totR, totT) = (cR.values.sum, cT.values.sum)
+    def lift(b: Long): Long =
+      (1000000L * (cT(b) + 1) / (cR(b) + 1)) * (totR + 4096) / (totT + 4096)
+    assert(out.size == bigrams.length, "one output row per doc with >= 2 word tokens")
+    for ((id, src, bs) <- bigrams) {
+      val (oSrc, oN, oMean, oSel) = out(id)
+      assert(oSrc == src && oN == bs.length.toLong, s"doc $id row mismatch")
+      val mean = bs.map(lift).sum / bs.length
+      assert(oMean == mean, s"doc $id mean lift: engine $oMean, recount $mean")
+      assert(oSel == (if (mean >= 1000000L) 1L else 0L), s"doc $id selection flag")
+    }
+    // teeth: the target LM must pull its own sources up — mean lift of
+    // target-source docs strictly above the rest (816k vs 725k at this
+    // SF; the gap grows with corpus size as smoothing thins)
+    val (tgtRows, rest) = out.values.partition(r => target(r._1))
+    def avg(rs: Iterable[(String, Long, Long, Long)]) = rs.map(_._3).sum.toDouble / rs.size
+    assert(avg(tgtRows) > avg(rest),
+      s"target sources do not outscore the rest: ${avg(tgtRows)} vs ${avg(rest)}")
+  }
+
+  test("r19 significant terms: exact JLH recount from raw text — rank, score and exclusions") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("r19_significant_terms")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val docTerms: Map[Long, Set[String]] = docs.map { case (id, t) =>
+      id -> "[a-z]+".r.findAllIn(t.toLowerCase).toSet
+    }.toMap
+    val bt = docs.length.toLong
+    val bg: Map[String, Long] =
+      docTerms.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val fixtures = graft.operators.Retrieval.fixtureQueries
+    val expected = fixtures.groupBy(_._1).toSeq.flatMap { case (qid, qs) =>
+      val own = qs.map(_._2).toSet
+      val matched = docTerms.collect { case (id, ts) if own.exists(ts) => id }.toVector
+      val ft = matched.length.toLong
+      val fg = matched.flatMap(docTerms).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val scored = fg.toSeq
+        .filter { case (t, f) => f >= 2 && !own(t) }
+        .map { case (t, f) => (t, f, bg(t), ((f * bt - bg(t) * ft) * f).toDouble / (ft * ft * bg(t))) }
+        .sortBy { case (t, _, _, j) => (-j, t) }
+        .take(10).zipWithIndex
+      scored.map { case ((t, f, b, j), i) => (qid, i + 1, t, f, b, j) }
+    }.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == expected,
+      s"JLH recount mismatch:\nengine  ${out.toSeq.take(5)}\nrecount ${expected.take(5)}")
+    // structural teeth on top of the equality: a query never reports
+    // its own term, and every rank list is dense from 1
+    val byQ = out.groupBy(_._1)
+    for ((qid, rows) <- byQ) {
+      val own = fixtures.filter(_._1 == qid).map(_._2).toSet
+      assert(!rows.exists(r => own(r._3)), s"query $qid reports its own term")
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length), s"query $qid ranks not dense")
+    }
+  }
+
+  test("d20 ppjoin: EXACT — engine pairs equal all-pairs brute force, no false negatives") {
+    // the PPJoin claim is exactness at threshold τ = 0.5: every pair
+    // with TRUE Jaccard >= τ is found (prefix filtering loses nothing),
+    // every reported intersection is the true one. Brute force recounts
+    // all pairs from Scala shingle sets over the same graded corpus.
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d20_ppjoin")(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    val base = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+    val planted = graft.operators.MinHash.gradedPlanting(base)._1.select("doc_id", "text")
+    val corpus = base.union(planted).collect().map(r => (r.getLong(0), r.getString(1)))
+    val sets: Map[Long, Set[String]] = corpus.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val ids = sets.keys.toVector.sorted
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j)) if a.nonEmpty && b.nonEmpty
+      inter = (a & b).size if inter > 0
+      jac = inter.toDouble / (a.size + b.size - inter) if jac >= 0.5
+    } yield (ids(i), ids(j)) -> (inter.toLong, a.size.toLong, b.size.toLong, jac)).toMap
+    // completeness: NO false negatives (the guarantee LSH can't make —
+    // d14 measures what d2 misses; d20 must miss nothing)
+    val missed = truth.keySet -- out.keySet
+    assert(missed.isEmpty, s"prefix filter dropped true pairs: ${missed.take(5)}")
+    // soundness: nothing below τ reported, and stats are the true ones
+    val extra = out.keySet -- truth.keySet
+    assert(extra.isEmpty, s"reported pairs below threshold: ${extra.take(5)}")
+    for ((k, v) <- truth) assert(out(k) == v, s"pair $k stats: engine ${out(k)}, truth $v")
+    assert(truth.nonEmpty, "fixture has no pairs at τ = 0.5 — planting broken")
+    // the graded planting must exercise the threshold from both sides:
+    // sev-0/1 plants in, sev-3 plants out (J ~ 0.05 << τ)
+    val sev0 = corpus.collect { case (id, _) if id >= 7000000L && id < 8000000L => id }
+    assert(sev0.forall(p => out.contains((p - 7000000L, p))), "a verbatim plant was missed")
+    val sev3 = corpus.collect { case (id, _) if id >= 10000000L => id }
+    assert(sev3.forall(p => !out.contains((p - 10000000L, p))), "a sev-3 plant (J~0.05) passed τ = 0.5")
+  }
 }

@@ -1019,4 +1019,47 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scans.length == 1,
       s"schedule must not rescan the corpus per epoch: ${scans.length} scans")
   }
+
+  test("s10 DSIR: corpus bigram stream only ever joins broadcasts — no shuffle joins") {
+    // the scale contract: the LM (4096 rows) and its lift table reach
+    // the corpus-sized bigram stream as broadcasts; the only exchanges
+    // are the two bounded aggregations. A SortMergeJoin here means the
+    // corpus shuffled against a 4096-row frame.
+    val df = SparkEntry.queries("s10_dsir_weights")(spark, sf)
+    val p = planString(df)
+    assert(!p.contains("SortMergeJoin"), s"bigram stream shuffled for a bounded join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), s"lift table fell off broadcast:\n${p.take(800)}")
+  }
+
+  test("r19 significant terms: serve-time plan never reads the text column") {
+    // fg/bg stats ride the postings artifact; the only documents read
+    // is the column-pruned corpus count. A text column in any file
+    // scan means the corpus is being re-tokenized at serve time.
+    val df = SparkEntry.queries("r19_significant_terms")(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    for (s <- scans)
+      assert(!s.requiredSchema.fieldNames.contains("text"),
+        s"serve-time scan reads text: ${s.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("d20 ppjoin: everything rides the checkpointed shingle frame; all joins keyed") {
+    // exactness without n²: candidates come from the keyed prefix
+    // self-join, verification from keyed joins bounded by the candidate
+    // set. No cartesian, no nested-loop, and zero file scans in the
+    // final plan (the 5-consumer shingle frame is checkpointed once).
+    val df = SparkEntry.queries("d20_ppjoin")(spark, sf)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in d20:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pair join in d20:\n${p.take(800)}")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty,
+      s"d20 rescans files past the shingle checkpoint: ${scans.length}")
+  }
 }
