@@ -162,6 +162,71 @@ object SnapshotDiff {
           // Spark length() is INT, DuckDB's BIGINT — align
           col("n_chars"), length(col("text")).cast("long").as("len"))
         .orderBy("doc_id")
+    },
+
+    // CDC3: SCD Type-2 dimension build — the third leg of the CDC
+    // family: cdc1 DERIVES a changeset, cdc2 APPLIES one, cdc3 builds
+    // the HISTORY table warehouses keep for as-of queries (Kimball's
+    // slowly-changing-dimension type 2): from each key's attribute
+    // change stream, one row per consecutive run of the same value
+    // with [valid_from, valid_to) validity, a dense version number,
+    // and the open current row (valid_to NULL, is_current = 1).
+    // Fixture: each user's event_type stream is the attribute history.
+    // Classic gaps-and-islands — change flags via lag, run ids via a
+    // running sum (ROWS frame pinned identically in both engines so
+    // the two window semantics can never diverge on a tie), one
+    // group-by to the run grain, one lead for interval chaining.
+    // 100 TB shape: ONE shuffle on the dimension key; every window
+    // and the run aggregation reuse that same partitioning (Spark
+    // plans a single Exchange — the whole history build is
+    // key-local), and the output is run-grain, smaller than the
+    // input. The as-of lookup this table exists for is j6's range
+    // join / aj1's as-of join downstream.
+    QueryDef.sql("cdc3_scd2",
+      """WITH flags AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, ts, event_type,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM flags),
+        |iv AS (
+        |  SELECT user_id, run, event_type AS segment,
+        |         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM runs GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(run AS BIGINT) AS version, segment, valid_from,
+        |       lead(valid_from) OVER v AS valid_to,
+        |       CAST(CASE WHEN lead(valid_from) OVER v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_current,
+        |       n_events
+        |FROM iv
+        |WINDOW v AS (PARTITION BY user_id ORDER BY run)
+        |ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val byRun = Window.partitionBy("user_id").orderBy(col("run"))
+      val flags = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(!(lag(col("event_type"), 1).over(byTime) <=> col("event_type")), 1L)
+            .otherwise(0L))
+      val runs = flags.withColumn("run",
+        sum(col("chg")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.groupBy(col("user_id"), col("run"), col("event_type").as("segment"))
+        .agg(min(col("ts")).as("valid_from"), count(lit(1)).cast("long").as("n_events"))
+        .select(col("user_id"), col("run").cast("long").as("version"), col("segment"),
+          col("valid_from"),
+          lead(col("valid_from"), 1).over(byRun).as("valid_to"),
+          col("n_events"))
+        .withColumn("is_current",
+          when(col("valid_to").isNull, 1L).otherwise(0L))
+        .select("user_id", "version", "segment", "valid_from", "valid_to",
+          "is_current", "n_events")
+        .orderBy("user_id", "version")
     }
   )
 }

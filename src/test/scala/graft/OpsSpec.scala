@@ -2799,6 +2799,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc3 SCD2: dense versions, gapless interval chains, one open row, run compression") {
+    // the oracle hash proves the values; these are the SCD2 CONTRACTS
+    // a warehouse consumer relies on, stated as invariants: per key
+    // the version sequence is dense from 1, intervals chain with no
+    // gap or overlap (valid_to(i) == valid_from(i+1)), exactly the
+    // last row is open/current, no two CONSECUTIVE rows share a
+    // segment (runs are maximally compressed — the property that
+    // makes type-2 history minimal), and event mass is conserved.
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("cdc3_scd2")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), if (r.isNullAt(4)) null else r.getTimestamp(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    val events = graft.sources.Tables.events(spark, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = out.groupBy(_._1)
+    assert(byUser.keySet == events.keySet, "a user with events is missing from the history")
+    for ((u, rows0) <- byUser) {
+      val rows = rows0.sortBy(_._2)
+      assert(rows.map(_._2).toSeq == (1L to rows.length), s"user $u versions not dense")
+      for (Array(a, b) <- rows.sliding(2).map(_.toArray).filter(_.length == 2)) {
+        assert(a._5 == b._4, s"user $u interval chain broken at version ${a._2}")
+        assert(a._3 != b._3, s"user $u consecutive runs share segment ${a._3} — not compressed")
+        assert(a._4.before(b._4), s"user $u valid_from not increasing")
+      }
+      assert(rows.init.forall(_._6 == 0L) && rows.last._6 == 1L,
+        s"user $u open-row flag wrong")
+      assert(rows.last._5 == null, s"user $u current row has a valid_to")
+      assert(rows.map(_._7).sum == events(u), s"user $u event mass not conserved")
+    }
+  }
+
   test("d20 ppjoin: EXACT — engine pairs equal all-pairs brute force, no false negatives") {
     // the PPJoin claim is exactness at threshold τ = 0.5: every pair
     // with TRUE Jaccard >= τ is found (prefix filtering loses nothing),

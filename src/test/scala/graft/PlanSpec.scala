@@ -1047,6 +1047,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"serve-time scan reads text: ${s.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("cdc3 SCD2: one key shuffle builds the whole history — windows and agg reuse it") {
+    // HashPartitioning(user_id) satisfies the (user_id, run[, segment])
+    // clustering of every downstream window and the run aggregation,
+    // so the entire history build is key-local after ONE hash
+    // exchange; the only other exchange is the presentation ORDER BY's
+    // range repartition. A third exchange means a window or agg broke
+    // off the dimension-key partitioning.
+    val df = SparkEntry.queries("cdc3_scd2")(spark, sf)
+    val p = planString(df)
+    val exchanges = "(?m)^.*Exchange (hash|range)partitioning".r
+      .findAllIn(p).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1,
+      s"expected exactly one hash exchange:\n${p.take(1200)}")
+    assert(exchanges.size <= 2, s"extra exchanges in the history build:\n${p.take(1200)}")
+  }
+
   test("d20 ppjoin: everything rides the checkpointed shingle frame; all joins keyed") {
     // exactness without n²: candidates come from the keyed prefix
     // self-join, verification from keyed joins bounded by the candidate
