@@ -862,6 +862,62 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming SCD2 twin: replayed event log matches cdc3's closed intervals row-for-row") {
+    // parity against the ORACLED batch operator: the real sf0.001
+    // events replayed in log order across 3 micro-batches through the
+    // stateful builder must emit exactly cdc3_scd2's is_current = 0
+    // rows (same versions, segments, [valid_from, valid_to) chain in
+    // ms, same event counts); the open runs stay in state — one per
+    // user, never emitted — so closed-count = batch rows - users.
+    import graft.streaming.StreamScd2
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val log = graft.sources.Tables.events(spark, d)
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[StreamScd2.Change].collect()
+      .sortBy(c => (c.ts.getTime, c.event_id))
+    val in = MemoryStream[StreamScd2.Change]
+    val q = StreamScd2.intervals(in.toDS())
+      .writeStream.format("memory").queryName("scd2_out").outputMode("append")
+      .start()
+    for (batch <- log.grouped((log.length + 2) / 3)) {
+      in.addData(batch.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("scd2_out").as[StreamScd2.Closed].collect()
+      .map(c => (c.user_id, c.version, c.segment, c.valid_from_ms, c.valid_to_ms,
+        c.n_events)).toSet
+    val batchRows = SparkEntry.queries("cdc3_scd2")(spark, d).collect()
+    val closedBatch = batchRows.filter(_.getLong(5) == 0L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime, r.getLong(6))).toSet
+    assert(streamed == closedBatch,
+      s"stream/batch SCD2 divergence: ${(streamed diff closedBatch).take(3)} vs ${(closedBatch diff streamed).take(3)}")
+    val nUsers = batchRows.map(_.getLong(0)).distinct.length
+    assert(streamed.size == batchRows.length - nUsers,
+      "open-run accounting: state must hold exactly one unemitted run per user")
+    // the loud-failure contract: a cross-batch regression (event older
+    // than the open run) must FAIL the query, not corrupt the history
+    val in2 = MemoryStream[StreamScd2.Change]
+    val q2 = StreamScd2.intervals(in2.toDS())
+      .writeStream.format("memory").queryName("scd2_bad").outputMode("append")
+      .start()
+    def ch(u: Long, ms: Long, id: Long, seg: String) =
+      StreamScd2.Change(u, new java.sql.Timestamp(ms), id, seg)
+    in2.addData(ch(1, 2000, 1, "a"))
+    q2.processAllAvailable()
+    in2.addData(ch(1, 1000, 2, "b")) // regression across batches
+    val failed =
+      try { q2.processAllAvailable(); false }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(_.getMessage != null) // reached a cause chain — query died
+      }
+    assert(failed, "out-of-order cross-batch event must fail the query loudly")
+    try q2.stop() catch { case _: Throwable => () }
+  }
+
   test("stream-stream interval join: cross-batch parity with its batch twin, runs stateful") {
     // joinWithStatus applied to BATCH frames is its own oracle
     // (withWatermark is a no-op outside streaming), so this pins the
