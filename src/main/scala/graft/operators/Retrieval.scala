@@ -2031,6 +2031,82 @@ object Retrieval {
         .filter(col("rn") <= 10)
         .select("query_id", "rn", "term", "fg", "bg", "jlh")
         .orderBy("query_id", "rn")
+    },
+
+    // E2E3: the full SERVING chain as one operator — what actually
+    // happens between a user's keystrokes and a result page:
+    // misspelled query → did-you-mean correction served from the
+    // materialized term dictionary (r11's path, zero postings reads)
+    // → BM25 over the corrected terms served from the bucket+IN-pruned
+    // postings artifact (r3's path) → per-source crowding cap on the
+    // final ranking (r18's two stacked windows). The stage contracts
+    // compose: an UNCORRECTABLE query (no dictionary term within
+    // distance 2) yields NO results — it exits the chain at stage 1
+    // rather than flowing garbage downstream (OpsSpec teeth). The
+    // corrected terms are collected driver-side (fixture-bounded, ≤ 6
+    // rows — the same bounded-literal discipline as every indexed
+    // read path: plan-time bucket pruning NEEDS literal terms).
+    // 100 TB shape: each stage's own (dictionary gram-bucket reads,
+    // pruned postings scan, match-set windows + column-pruned
+    // metadata join) — the chain adds composition, not new scans;
+    // PlanSpec pins the text column absent from every serve-time scan.
+    QueryDef.sql("e2e3_spell_serve",
+      s"""WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |vocab AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |          FROM (SELECT doc_id, unnest(toks) AS term FROM dd) GROUP BY 1),
+         |mq(query_id, mis) AS (SELECT * FROM (VALUES
+         |  (CAST(0 AS BIGINT), 'spak'), (CAST(1 AS BIGINT), 'joinn'),
+         |  (CAST(2 AS BIGINT), 'windw'), (CAST(3 AS BIGINT), 'custmer'),
+         |  (CAST(4 AS BIGINT), 'tble'), (CAST(5 AS BIGINT), 'zzzzzzzzzz'))),
+         |cand AS (SELECT mq.query_id, v.term,
+         |                CAST(levenshtein(mq.mis, v.term) AS BIGINT) AS dist, v.df
+         |         FROM mq CROSS JOIN vocab v
+         |         WHERE levenshtein(mq.mis, v.term) <= 2),
+         |q(query_id, term) AS (
+         |  SELECT query_id, term FROM (
+         |    SELECT query_id, term,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY dist, df DESC, term) AS crn
+         |    FROM cand) WHERE crn = 1),
+         |${bm25ChainSql(excludeSelf = false)},
+         |wsrc AS (SELECT a.query_id, a.doc_id, a.score_micro, s.source
+         |         FROM agg a JOIN (SELECT doc_id, source FROM documents) s
+         |           ON s.doc_id = a.doc_id),
+         |capped AS (SELECT query_id, doc_id, score_micro, source,
+         |                  row_number() OVER (PARTITION BY query_id, source
+         |                                     ORDER BY score_micro DESC, doc_id) AS srn
+         |           FROM wsrc),
+         |ranked AS (SELECT query_id, doc_id, score_micro, source,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score_micro DESC, doc_id) AS rn
+         |           FROM capped WHERE srn <= 2)
+         |SELECT query_id, rn, doc_id, source, score_micro FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val mis = Seq((0, "spak"), (1, "joinn"), (2, "windw"),
+        (3, "custmer"), (4, "tble"), (5, "zzzzzzzzzz"))
+      val corrected: Seq[(Long, String)] = spellCandidates(s, d, mis)
+        .withColumn("dist", levenshtein(col("mis"), col("term")).cast("long"))
+        .filter(col("dist") <= 2)
+        .withColumn("crn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("df").desc, col("term").asc)))
+        .filter(col("crn") === 1)
+        .select(col("qid").cast("long"), col("term"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      val qt = corrected.toDF("query_id", "term")
+      val terms = corrected.map(_._2).distinct
+      val scored = servedScores(indexArtifact(s, d), statsArtifact(s, d),
+        qt, terms, excludeSelf = false)
+      scored
+        .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("srn", row_number().over(Window.partitionBy("query_id", "source")
+          .orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .filter(col("srn") <= 2)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "doc_id", "source", "score_micro")
+        .orderBy("query_id", "rn")
     }
   )
 }

@@ -250,6 +250,20 @@ object TextOps {
     }
   }
 
+  /** The shingle index over d14's GRADED near-dup corpus — the same
+    * build-once artifact discipline as [[shingleIndex]], for the
+    * detectors graded against that planting (d20; d14 recomputes by
+    * design — its recall gate times the full pipeline). Oracles still
+    * recompute from raw text, keeping the artifact end-to-end
+    * verified.
+    */
+  def gradedShingleIndex(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "shingle_idx_graded") { out =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.union(MinHash.gradedPlanting(docs)._1.select("doc_id", "text"))
+      shingles(corpus).write.parquet(out)
+    }
+
   /** Shared candidate-pair mechanics of d3 (Jaccard) and d6
     * (containment): inverted-index self-join over df-capped shingles →
     * (doc1, doc2, inter, n1, n2). One definition per dialect so the two
@@ -552,29 +566,49 @@ object TextOps {
          |FROM pairstats
          |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val corpus = docs.union(MinHash.gradedPlanting(docs)._1.select("doc_id", "text"))
-      // sh feeds sizes, df, the rank window and BOTH verify sides —
-      // materialize once (localCheckpoint: blocks GC-released, and the
-      // lineage cut keeps the 5-consumer plan from re-deriving the
-      // planting each time)
-      val sh = shingles(corpus).localCheckpoint()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      // sh feeds the df agg, the rank window and BOTH verify sides —
+      // served from the build-once graded shingle artifact (the
+      // planting + shingle distinct amortize across every serve, the
+      // same economics as d2/d3's shared indexes), checkpointed once
+      // for the 4-consumer plan (blocks GC-released)
+      val sh = gradedShingleIndex(s, d).localCheckpoint()
       // τ = 0.5: prefix length p = n - ceil(n/2) + 1; length filter
-      // 2·min >= max. Integer ceil: (n + 1) div 2.
+      // 2·min >= max. Integer ceil: (n + 1) div 2. Both per-doc stats
+      // (set size n, rarest-first rank) ride ONE doc_id exchange —
+      // count/row_number windows share the partitioning — and the
+      // global shingle df is a window too: two exchanges over the
+      // shingle frame total, where the join formulation paid four.
+      val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
       val prefix = sh.join(sdf, "shingle")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("sdf").asc, col("shingle").asc)))
-        .join(sizes, "doc_id")
         .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
-        .select(col("doc_id"), col("shingle"), col("n"))
-      val cand = prefix.select(col("doc_id").as("doc1"), col("shingle"), col("n").as("n1"))
-        .join(prefix.select(col("doc_id").as("doc2"), col("shingle"), col("n").as("n2")),
-          Seq("shingle"))
+        .select(col("doc_id"), col("shingle"), col("n"), col("rk"))
+      // positional filter (the "PP" of PPJoin): ranks follow ONE
+      // global order, so within a doc they are monotone in it — the
+      // globally smallest SHARED prefix shingle therefore attains
+      // min(rk) on BOTH sides simultaneously, and every shared
+      // shingle ranks at or after it, so overlap <= min(n1 - i + 1,
+      // n2 - j + 1). Whenever the pair is a TRUE result (o >= α =
+      // ceil((n1+n2)/3) for τ = 0.5), that smallest shared shingle
+      // provably sits inside both prefixes (the prefix lemma), so the
+      // (i, j) this aggregation sees ARE its ranks and the prune is
+      // exact — candidates whose first agreement comes too late to
+      // ever reach α die here, before the verify join pays for them
+      // (the brute-force equality spec guards the lemma).
+      val cand = prefix
+        .select(col("doc_id").as("doc1"), col("shingle"),
+          col("n").as("n1"), col("rk").as("rk1"))
+        .join(prefix.select(col("doc_id").as("doc2"), col("shingle"),
+          col("n").as("n2"), col("rk").as("rk2")), Seq("shingle"))
         .filter(col("doc1") < col("doc2"))
         .filter(lit(2) * least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")))
-        .select("doc1", "doc2", "n1", "n2").distinct()
+        .groupBy("doc1", "doc2", "n1", "n2")
+        .agg(min("rk1").as("i"), min("rk2").as("j"))
+        .filter(least(col("n1") - col("i") + 1, col("n2") - col("j") + 1) >=
+          expr("(n1 + n2 + 2) div 3"))
+        .select("doc1", "doc2", "n1", "n2")
       val inter = cand
         .join(sh.select(col("doc_id").as("doc1"), col("shingle")), Seq("doc1"))
         .join(sh.select(col("doc_id").as("doc2"), col("shingle")), Seq("doc2", "shingle"))

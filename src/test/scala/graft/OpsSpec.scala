@@ -2833,6 +2833,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("e2e3 serving chain: corrections are the expected words, uncorrectable query exits, cap holds") {
+    val d = "/root/testdata/sf0.001"
+    // stage-1 contract, pinned through r11's oracled top-1 rows: the
+    // chain serves BM25 for exactly these corrected words
+    val sugg = SparkEntry.queries("r11_spell_correct")(spark, d).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getInt(0).toLong -> r.getString(3)).toMap
+    assert(sugg == Map(0L -> "spark", 1L -> "join", 2L -> "window",
+      3L -> "customer", 4L -> "table"), s"corrections drifted: $sugg")
+    val out = SparkEntry.queries("e2e3_spell_serve")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    // the uncorrectable query (qid 5, no dictionary term within 2)
+    // exits at stage 1 — zero rows, not garbage
+    assert(!out.exists(_._1 == 5L), "uncorrectable query leaked results")
+    assert(out.map(_._1).distinct.sorted.toSeq == (0L to 4L), "a corrected query is missing")
+    for ((q, rows) <- out.groupBy(_._1)) {
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length), s"query $q ranks not dense")
+      // stage-3 contract on the final page: never more than 2 per source
+      val bySrc = rows.groupBy(_._4).view.mapValues(_.size)
+      assert(bySrc.values.forall(_ <= 2), s"query $q crowding cap violated: ${bySrc.toMap}")
+    }
+  }
+
   test("d20 ppjoin: EXACT — engine pairs equal all-pairs brute force, no false negatives") {
     // the PPJoin claim is exactness at threshold τ = 0.5: every pair
     // with TRUE Jaccard >= τ is found (prefix filtering loses nothing),

@@ -1063,6 +1063,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exchanges.size <= 2, s"extra exchanges in the history build:\n${p.take(1200)}")
   }
 
+  test("e2e3 serving chain: no serve-time scan reads the text column") {
+    // the chain composes three SERVED stages (dictionary correction,
+    // pruned postings BM25, crowding over column-pruned metadata) —
+    // the corpus text must appear in none of the returned plan's scans
+    val df = SparkEntry.queries("e2e3_spell_serve")(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    for (s <- scans)
+      assert(!s.requiredSchema.fieldNames.contains("text"),
+        s"serve-time scan reads text: ${s.requiredSchema.fieldNames.mkString(",")}")
+  }
+
   test("d20 ppjoin: everything rides the checkpointed shingle frame; all joins keyed") {
     // exactness without n²: candidates come from the keyed prefix
     // self-join, verification from keyed joins bounded by the candidate
