@@ -79,7 +79,9 @@ object Canary {
     // the graded corpus); r19 chains a full postings-artifact pass
     // against the broadcast match set
     "d20_ppjoin",             // exact prefix-filter similarity join
-    "r19_significant_terms")  // JLH match-set-vs-background facet
+    "r19_significant_terms",  // JLH match-set-vs-background facet
+    "e2e3_spell_serve",       // composed serving chain (3 served stages)
+    "cdc3_scd2")              // SCD2 history build (single-exchange window chain)
 
   /** Per-query normalized-gate half-width; default ±20%. sq1's
     * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,

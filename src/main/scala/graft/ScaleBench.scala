@@ -133,7 +133,12 @@ object ScaleBench {
     // mass); s10's two passes are a 4096-row rollup + a broadcast
     // re-stream; r19's foreground pass rides the postings artifact
     // against the broadcast match set
-    "d20_ppjoin", "s10_dsir_weights", "r19_significant_terms")
+    "d20_ppjoin", "s10_dsir_weights", "r19_significant_terms",
+    // e2e3 composes three served stages (dictionary correction,
+    // pruned postings BM25, crowding) — its corpus terms are the
+    // artifact builds on the warm-up; v20's hamming pass is map-only
+    // over the 8-byte code artifact with a bounded rerank
+    "e2e3_spell_serve", "v20_binary_quant")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

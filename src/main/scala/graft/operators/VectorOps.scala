@@ -903,6 +903,97 @@ object VectorOps {
         .orderBy("query_id", "rn")
     },
 
+    // V20: binary quantization serving — the 1-bit compression point
+    // of the quantization family (PQ 8×, SQ8 4×, BQ 32×): each 64-dim
+    // vector's SIGN PATTERN packs into exactly ONE BIGINT (bit k =
+    // embedding[k] > 0 — the Lucene/Elasticsearch BBQ-lineage trick
+    // for unit-norm-ish embeddings where angular similarity survives
+    // sign-only quantization), candidate generation is Hamming
+    // distance = bit_count(xor) on single words — the cheapest
+    // distance any index family can compute, one XOR+POPCNT per
+    // candidate, fully codegen'd — and the wide top-50 reranks with
+    // the EXACT quantized cosine (v19's propose-then-refine
+    // discipline, so final ordering quality is exact-rerank's, the
+    // 1-bit code only chooses who gets reranked). The sign bit of
+    // the packed word is just bit 63 — xor/bit_count read bit
+    // patterns, and the term sum stays in INT64 at every prefix
+    // (63 positive terms < 2^63, the bit-63 term is the most
+    // negative long), so both engines agree bit-for-bit.
+    // 100 TB shape: the code table is a build-once 8-bytes-per-vector
+    // stored artifact (the whole index for a billion vectors is 8 GB
+    // — RAM-resident where PQ needs cells); serving is one map-only
+    // pass over it (10 XOR+POPCNT per row, no join, no explode), one
+    // bounded top-k window, then v19's broadcast-id-slice exact
+    // rerank touching only candidates' raw vectors.
+    QueryDef.sql("v20_binary_quant", {
+      s"""WITH codes AS (SELECT vec_id, $bqCodeSqlDuck AS code FROM embeddings),
+         |qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 10),
+         |ham AS (SELECT qc.query_id, c.vec_id AS cand_id,
+         |               CAST(bit_count(xor(qc.qcode, c.code)) AS BIGINT) AS hamming
+         |        FROM qc JOIN codes c ON c.vec_id <> qc.query_id),
+         |refine AS (SELECT query_id, cand_id, hamming FROM (
+         |             SELECT query_id, cand_id, hamming,
+         |                    row_number() OVER (PARTITION BY query_id
+         |                                       ORDER BY hamming, cand_id) AS hrn
+         |             FROM ham) WHERE hrn <= 50),
+         |el AS ($elementsSql),
+         |norms AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM el GROUP BY vec_id),
+         |dots AS (SELECT r.query_id, r.cand_id, CAST(SUM(q.xi * c.xi) AS BIGINT) AS dot
+         |         FROM refine r JOIN el q ON q.vec_id = r.query_id
+         |                       JOIN el c ON c.vec_id = r.cand_id AND c.pos = q.pos
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT d.query_id, d.cand_id, r.hamming,
+         |              CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos
+         |       FROM dots d JOIN refine r ON r.query_id = d.query_id AND r.cand_id = d.cand_id
+         |                   JOIN norms nq ON d.query_id = nq.vec_id
+         |                   JOIN norms nc ON d.cand_id = nc.vec_id)
+         |SELECT query_id, rn, cand_id, hamming, cos FROM (
+         |  SELECT query_id, cand_id, hamming, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, cand_id) AS rn
+         |  FROM sc) WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin
+    }) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val codes = bqCodesArtifact(s, d)
+      val qcodes = codes.filter(col("vec_id") < 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // stage 1: map-only Hamming over the stored code table — the 10
+      // query words are literals, so each row costs 10 XOR+POPCNTs
+      val hCols = qcodes.map { case (qid, qc) =>
+        struct(lit(qid).as("query_id"),
+          bit_count(col("code").bitwiseXOR(lit(qc))).cast("long").as("hamming"))
+      }
+      val refinePairs = codes
+        .select(col("vec_id").as("cand_id"), explode(array(hCols.toIndexedSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.hamming"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .withColumn("hrn", row_number().over(
+          Window.partitionBy("query_id").orderBy(asc("hamming"), asc("cand_id"))))
+        .filter(col("hrn") <= 50)
+        .select("query_id", "cand_id", "hamming")
+        .localCheckpoint() // bounded (queries × 50); feeds id slice + pair join
+      val refineIds = refinePairs.select("cand_id").distinct()
+      // stage 2: exact quantized cosine on ONLY the candidates' raw
+      // vectors (v19's broadcast id slice), final order = exact score
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val qfloats = vecs.filter(col("vec_id") < 10).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val qCols = qfloats.map { case (qid, arr) =>
+        struct(lit(qid).as("query_id"),
+          call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("cos"))
+      }
+      vecs.join(broadcast(refineIds), vecs("vec_id") === refineIds("cand_id"), "left_semi")
+        .select(col("vec_id").as("cand_id"), explode(array(qCols.toIndexedSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.cos"))
+        .join(broadcast(refinePairs), Seq("query_id", "cand_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "cand_id", "hamming", "cos")
+        .orderBy("query_id", "rn")
+    },
+
     // V17: nprobe sweep — the recall-vs-cost CURVE behind v11's single
     // point, the dial a FAISS operator actually tunes before fixing a
     // serving config: IVF-PQ recall@10 AND candidate volume at nprobe
@@ -1594,6 +1685,43 @@ object VectorOps {
     require(math.abs(v) < 8000000L, s"centroid element $v outside exact float envelope")
     (v.toDouble / 1e6).toFloat
   }.toSeq
+
+  // ---- binary quantization (v20) -------------------------------------
+
+  /** 64 dims → 64 bits → one BIGINT sign word; generated per dialect
+    * from the same template (simhashBits' discipline) so the codes can
+    * never drift. Bit 63 lands in the sign position — fine: xor and
+    * bit_count read bit patterns, and every prefix of the term sum
+    * stays inside INT64 (the 63 low terms sum below 2^63; the bit-63
+    * term is the most negative long).
+    */
+  // bit 63 can't be built by shifting (DuckDB rejects 1 << 63 as a
+  // BIGINT overflow) — emit the most-negative long directly.
+  // def, not val: the defs Seq interpolates this during object init,
+  // and a val declared below it would still be null at that point.
+  private def Bit63 = "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+  private def bqCodeSqlDuck: String =
+    (0 until 63).map { k =>
+      s"(CAST(CASE WHEN embedding[${k + 1}] > 0 THEN 1 ELSE 0 END AS BIGINT) << $k)"
+    }.mkString(" + ") +
+      s" + (CASE WHEN embedding[64] > 0 THEN $Bit63 ELSE CAST(0 AS BIGINT) END)"
+  private def bqCodeSqlSpark: String =
+    (0 until 63).map { k =>
+      s"shiftleft(CAST(CASE WHEN embedding[$k] > 0 THEN 1 ELSE 0 END AS BIGINT), $k)"
+    }.mkString(" + ") +
+      s" + (CASE WHEN embedding[63] > 0 THEN $Bit63 ELSE CAST(0 AS BIGINT) END)"
+
+  /** The BQ index as a build-once stored artifact: 8 bytes per vector
+    * (vec_id, code) — the one-word-per-vector table the Hamming pass
+    * scans. Oracles recompute codes from raw embeddings, keeping the
+    * artifact end-to-end verified.
+    */
+  def bqCodesArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "bq_codes_w64") { out =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(bqCodeSqlSpark).as("code"))
+        .write.parquet(out)
+    }
 
   private def pqSubCol(m: Int): Column = slice(col("embedding"), m * PqP + 1, PqP)
 

@@ -2799,6 +2799,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("v20 binary quant: hamming recounted from java sign-packing; recall floor vs exact truth") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("v20_binary_quant")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // independent bit-level recount: sign-pack every vector with plain
+    // java longs (no Spark/DuckDB expression machinery) and recompute
+    // each reported pair's hamming with Long.bitCount — pins the
+    // 64-term SQL template (incl. the bit-63 most-negative-long term)
+    // to the definition
+    val vecs = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def pack(v: Seq[Float]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (acc, (x, k)) =>
+        if (x > 0f) acc | (1L << k) else acc
+      }
+    val codes = vecs.map { case (id, v) => id -> pack(v) }
+    for ((q, _, c, h, _) <- out)
+      assert(h == java.lang.Long.bitCount(codes(q) ^ codes(c)).toLong,
+        s"hamming($q, $c) drifted from the sign-pack definition")
+    // structure: 10 dense rows per query, hamming within the word
+    for ((q, rows) <- out.groupBy(_._1)) {
+      assert(rows.map(_._2).sorted.toSeq == (1 to 10), s"query $q ranks not dense")
+      assert(rows.forall(r => r._4 >= 0 && r._4 <= 64))
+    }
+    // recall floor vs the exact ranking: 1-bit codes on RANDOM vectors
+    // are the hard regime (~0.61 mean measured here; real embedding
+    // geometry does better) — the propose+rerank chain must stay well
+    // above chance (10/500 ≈ 0.02)
+    val exact = SparkEntry.queries("v1_knn_brute")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val recalls = out.groupBy(_._1).map { case (q, rows) =>
+      val truth = exact.collect { case (`q`, c) => c }.toSet
+      rows.count(r => truth(r._3)) / 10.0
+    }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"mean recall@10 collapsed: ${recalls.sum / recalls.size}")
+    assert(recalls.forall(_ >= 0.2), s"a query fell to near-chance recall: $recalls")
+  }
+
   test("cdc3 SCD2: dense versions, gapless interval chains, one open row, run compression") {
     // the oracle hash proves the values; these are the SCD2 CONTRACTS
     // a warehouse consumer relies on, stated as invariants: per key

@@ -1063,6 +1063,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exchanges.size <= 2, s"extra exchanges in the history build:\n${p.take(1200)}")
   }
 
+  test("v20 binary quant: map-only hamming over the code word table; rerank joins broadcast") {
+    // stage 1 is one pass over the 8-byte-per-vector code artifact
+    // with the 10 query words inlined as literals (no join, no
+    // explode-join); stage 2's raw-vector touches ride the broadcast
+    // id slice — nothing shuffles the corpus for a bounded side
+    val df = SparkEntry.queries("v20_binary_quant")(spark, sf)
+    val p = planString(df)
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a bounded join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), s"refine slice fell off broadcast:\n${p.take(800)}")
+  }
+
   test("e2e3 serving chain: no serve-time scan reads the text column") {
     // the chain composes three SERVED stages (dictionary correction,
     // pruned postings BM25, crowding over column-pruned metadata) —
