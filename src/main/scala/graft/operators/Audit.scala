@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -322,6 +323,90 @@ object Audit {
           expr("CAST((1000000 * n_in_train) div n_windows AS BIGINT)").as("leak_ppm"),
           (col("n_in_train") * 2 >= col("n_windows")).as("flagged"))
         .orderBy("doc_id")
+    },
+
+    // QA5: ingest freshness + completeness audit — the per-source SLA
+    // gate an ops pipeline runs before anything downstream trusts a
+    // partition: per event_type over the full calendar spine, active
+    // vs missing days, the LONGEST outage run (gaps-and-islands over
+    // the zero days — one 4-day hole is a different incident than
+    // four scattered blips), and the freshness lag (days since the
+    // type last produced anything, against the corpus high-water
+    // mark). An audit whose rows are all green proves nothing, so
+    // outages are PLANTED: 'error' loses days 5-7 and 12 (missing 4,
+    // max gap 3, lag 0 — it recovered), 'purchase' loses everything
+    // from day 27 (missing 3, max gap 3, lag 3 — still dark); the
+    // other three types must audit clean, and OpsSpec gates all
+    // fifteen cells exactly. Spine bounds come from the RAW corpus,
+    // so the plants cannot shift the calendar they're measured on.
+    // 100 TB shape: one narrow (type, day) projection → map-side-
+    // combined daily rollup; everything after runs on the
+    // types × days grid (bounded), and the spine/bounds frames are
+    // broadcasts.
+    QueryDef.sql("qa5_freshness_audit",
+      """WITH raw AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM raw),
+        |nd AS (SELECT datediff('day', d0, d1) AS maxidx FROM bounds),
+        |b AS (SELECT r.event_type, datediff('day', bounds.d0, r.day) AS idx
+        |      FROM raw r CROSS JOIN bounds
+        |      WHERE NOT (r.event_type = 'error'
+        |                 AND datediff('day', bounds.d0, r.day) IN (5, 6, 7, 12))
+        |        AND NOT (r.event_type = 'purchase'
+        |                 AND datediff('day', bounds.d0, r.day) >= 27)),
+        |types AS (SELECT DISTINCT event_type FROM raw),
+        |daily AS (SELECT event_type, idx, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type, s.idx, COALESCE(d.n, 0) AS n
+        |         FROM types t
+        |         CROSS JOIN (SELECT unnest(generate_series(0, (SELECT maxidx FROM nd))) AS idx) s
+        |         LEFT JOIN daily d ON d.event_type = t.event_type AND d.idx = s.idx),
+        |zeros AS (SELECT event_type, idx,
+        |                 idx - row_number() OVER (PARTITION BY event_type ORDER BY idx) AS grp
+        |          FROM grid WHERE n = 0),
+        |gaps AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS gap
+        |         FROM zeros GROUP BY event_type, grp),
+        |mg AS (SELECT event_type, MAX(gap) AS max_gap FROM gaps GROUP BY 1),
+        |agg AS (SELECT event_type,
+        |               CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS active_days,
+        |               CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS missing_days,
+        |               MAX(CASE WHEN n > 0 THEN idx END) AS last_idx
+        |        FROM grid GROUP BY 1)
+        |SELECT a.event_type, a.active_days, a.missing_days,
+        |       CAST(COALESCE(mg.max_gap, 0) AS BIGINT) AS max_gap_days,
+        |       CAST(nd.maxidx - a.last_idx AS BIGINT) AS freshness_lag_days,
+        |       CAST(CASE WHEN a.missing_days > 0 OR nd.maxidx - a.last_idx > 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM agg a LEFT JOIN mg USING (event_type) CROSS JOIN nd
+        |ORDER BY a.event_type""".stripMargin) { (s, d) =>
+      val raw = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val bounds = raw.agg(min("day").as("d0"), max("day").as("d1"))
+      val nd = bounds.select(datediff(col("d1"), col("d0")).as("maxidx"))
+      val b = raw.crossJoin(broadcast(bounds))
+        .withColumn("idx", datediff(col("day"), col("d0")))
+        .filter(!(col("event_type") === "error" && col("idx").isin(5, 6, 7, 12)))
+        .filter(!(col("event_type") === "purchase" && col("idx") >= 27))
+      val types = raw.select("event_type").distinct()
+      val daily = b.groupBy("event_type", "idx").agg(count(lit(1)).as("n"))
+      val spine = nd.select(explode(expr("sequence(0, maxidx)")).as("idx"))
+      val grid = types.crossJoin(broadcast(spine))
+        .join(daily, Seq("event_type", "idx"), "left")
+        .select(col("event_type"), col("idx"), coalesce(col("n"), lit(0L)).as("n"))
+      val zeros = grid.filter(col("n") === 0)
+        .withColumn("grp", col("idx") - row_number().over(
+          Window.partitionBy("event_type").orderBy("idx")))
+      val mg = zeros.groupBy("event_type", "grp").agg(count(lit(1)).cast("long").as("gap"))
+        .groupBy("event_type").agg(max("gap").as("max_gap"))
+      val agg = grid.groupBy("event_type").agg(
+        sum(when(col("n") > 0, 1).otherwise(0)).cast("long").as("active_days"),
+        sum(when(col("n") === 0, 1).otherwise(0)).cast("long").as("missing_days"),
+        max(when(col("n") > 0, col("idx"))).as("last_idx"))
+      agg.join(mg, Seq("event_type"), "left").crossJoin(broadcast(nd))
+        .select(col("event_type"), col("active_days"), col("missing_days"),
+          coalesce(col("max_gap"), lit(0L)).cast("long").as("max_gap_days"),
+          (col("maxidx") - col("last_idx")).cast("long").as("freshness_lag_days"),
+          expr("CAST(CASE WHEN missing_days > 0 OR maxidx - last_idx > 0 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("flagged"))
+        .orderBy("event_type")
     }
   )
 }

@@ -2799,6 +2799,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("qa5 freshness audit: every planted outage cell exact, every healthy type clean") {
+    // the audit's whole value is exactness on the planted incident
+    // shapes: a RECOVERED 4-day-total outage with a 3-day longest run
+    // (error), a STILL-DARK tail outage (purchase, lag 3), and three
+    // types that must audit green — gated cell by cell, all 5 rows
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("qa5_freshness_audit")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set("click", "error", "purchase", "signup", "view"))
+    assert(out("error") == ((26L, 4L, 3L, 0L, 1L)), s"error row: ${out("error")}")
+    assert(out("purchase") == ((27L, 3L, 3L, 3L, 1L)), s"purchase row: ${out("purchase")}")
+    for (t <- Seq("click", "signup", "view"))
+      assert(out(t) == ((30L, 0L, 0L, 0L, 0L)), s"$t should audit clean: ${out(t)}")
+  }
+
   test("v20 binary quant: hamming recounted from java sign-packing; recall floor vs exact truth") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("v20_binary_quant")(spark, d).collect()
