@@ -152,7 +152,12 @@ object ScaleBench {
     */
   private val SpotQueries = Seq(
     "d15_incremental_neardup", "v11_ivfpq_recall", "r1_bm25",
-    "t18_source_overlap")
+    "t18_source_overlap",
+    // d20's 10× ratio rose to ~4× once the positional filter removed
+    // the constant term that had been masking candidate growth — the
+    // worst-ratio-without-a-third-point rule (t18's precedent) says
+    // pin it: under linearity t30/t10 ≈ 3
+    "d20_ppjoin")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space
