@@ -138,7 +138,10 @@ object ScaleBench {
     // pruned postings BM25, crowding) — its corpus terms are the
     // artifact builds on the warm-up; v20's hamming pass is map-only
     // over the 8-byte code artifact with a bounded rerank
-    "e2e3_spell_serve", "v20_binary_quant")
+    "e2e3_spell_serve", "v20_binary_quant",
+    // r20 re-scores the corpus token stream with the BM25F combine —
+    // r14's scale shape with one extra (doc, term) rollup
+    "r20_bm25f")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

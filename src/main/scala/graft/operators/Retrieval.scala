@@ -2033,6 +2033,98 @@ object Retrieval {
         .orderBy("query_id", "rn")
     },
 
+    // R20: BM25F — the PRINCIPLED multi-field ranking (Robertson &
+    // Zaragoza 2009, "simple BM25F"), beside r14's naive per-field
+    // combination: r14 saturates each field separately and then adds
+    // boosted per-field BM25 scores, which lets a term hit in N fields
+    // contribute ~N saturated units; BM25F combines the
+    // field-weighted, field-length-normalized term frequencies FIRST
+    // (tfb = Σ_f w_f · tf_f / B_f, B_f the per-field length norm) and
+    // saturates ONCE against a DOC-LEVEL idf — so cross-field
+    // repetition saturates like within-field repetition, the property
+    // that makes title stuffing ineffective. Same μ-quantization
+    // discipline as contribSql (one ROUND to integer micro-units per
+    // (doc, term); the two-field double sum is order-safe — IEEE
+    // addition is commutative and a doc has exactly two fields).
+    // OpsSpec recounts every score in plain Scala and pins the
+    // policy DIFFERENCE from r14 (the rankings must diverge — two
+    // identical policies would make the side-by-side pointless).
+    // 100 TB shape: r14's — the one corpus token stream feeds the
+    // field stats, the field tf frame and the doc-level df; the
+    // combine and score run on the matched-token frame.
+    QueryDef.sql("r20_bm25f",
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $fixtureValuesSql)),
+         |dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |flds AS (SELECT doc_id, 't' AS fld, toks[1:3] AS ftoks FROM dd
+         |         UNION ALL
+         |         SELECT doc_id, 'b' AS fld, toks[4:] AS ftoks FROM dd),
+         |fst AS (SELECT fld, COUNT(*) AS n_docs_f,
+         |               CAST(SUM(len(ftoks)) AS BIGINT) AS sum_dl_f
+         |        FROM flds GROUP BY 1),
+         |ex AS (SELECT doc_id, fld, len(ftoks) AS dl, unnest(ftoks) AS term FROM flds),
+         |ftf AS (SELECT doc_id, fld, term, COUNT(*) AS tf, MAX(dl) AS dl FROM ex
+         |        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+         |ddf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (
+         |          SELECT DISTINCT doc_id, term
+         |          FROM (SELECT doc_id, unnest(toks) AS term FROM dd)
+         |          WHERE term IN (SELECT DISTINCT term FROM q)) GROUP BY 1),
+         |ndq AS (SELECT COUNT(*) AS n_docs FROM dd),
+         |tfb AS (SELECT f.doc_id, f.term,
+         |               SUM((CASE WHEN f.fld = 't' THEN 3.0 ELSE 1.0 END) * f.tf /
+         |                   (0.25 + 0.75 * f.dl / (CAST(s.sum_dl_f AS DOUBLE) / s.n_docs_f)))
+         |                 AS tfb
+         |        FROM ftf f JOIN fst s ON s.fld = f.fld GROUP BY 1, 2),
+         |bsc AS (SELECT q.query_id, t.doc_id,
+         |               CAST(ROUND(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |                    ((t.tfb * 2.2) / (t.tfb + 1.2)) * 1000000, 0) AS BIGINT) AS cm
+         |        FROM tfb t JOIN q ON q.term = t.term
+         |                   JOIN ddf ON ddf.term = t.term CROSS JOIN ndq),
+         |agg AS (SELECT query_id, doc_id, CAST(SUM(cm) AS BIGINT) AS score_micro
+         |        FROM bsc GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, score_micro,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY score_micro DESC, doc_id) AS rn
+         |           FROM agg)
+         |SELECT query_id, rn, doc_id, score_micro FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val qterms = fixtureQueries.toDF("query_id", "term")
+      val flds = tokenized(s, d).select(col("doc_id"),
+          explode(array(
+            struct(lit("t").as("fld"), expr("slice(toks, 1, 3)").as("ftoks")),
+            struct(lit("b").as("fld"),
+              expr("slice(toks, 4, greatest(size(toks) - 3, 0))").as("ftoks")))).as("f"))
+        .select(col("doc_id"), col("f.fld").as("fld"), col("f.ftoks").as("ftoks"))
+      val fst = flds.groupBy("fld").agg(count(lit(1)).as("n_docs_f"),
+        sum(size(col("ftoks"))).cast("long").as("sum_dl_f"))
+      val ftf = flds.select(col("doc_id"), col("fld"),
+          size(col("ftoks")).as("dl"), explode(col("ftoks")).as("term"))
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .groupBy("doc_id", "fld", "term")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val ddf = tokenized(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .distinct()
+        .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      val ndq = tokenized(s, d).agg(count(lit(1)).as("n_docs"))
+      val tfb = ftf.join(broadcast(fst), Seq("fld"))
+        .groupBy("doc_id", "term")
+        .agg(sum(expr("(CASE WHEN fld = 't' THEN 3.0 ELSE 1.0 END) * tf / " +
+          "(0.25 + 0.75 * dl / (CAST(sum_dl_f AS DOUBLE) / n_docs_f))")).as("tfb"))
+      val scored = tfb.join(broadcast(qterms), Seq("term"))
+        .join(ddf, Seq("term"))
+        .crossJoin(broadcast(ndq))
+        .withColumn("cm", expr(
+          "CAST(ROUND(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+            "((tfb * 2.2) / (tfb + 1.2)) * 1000000, 0) AS BIGINT)"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("cm").cast("long").as("score_micro"))
+      topK(scored, 10)
+        .select("query_id", "rn", "doc_id", "score_micro")
+        .orderBy("query_id", "rn")
+    },
+
     // E2E3: the full SERVING chain as one operator — what actually
     // happens between a user's keystrokes and a result page:
     // misspelled query → did-you-mean correction served from the

@@ -2888,6 +2888,55 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("r20 BM25F: full Scala recount, and the policy provably diverges from r14's naive combine") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("r20_bm25f")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // independent recount from raw text: field split, field-weighted
+    // length-normalized tf combined BEFORE one saturation against the
+    // DOC-level idf, μ-quantized — plain Scala doubles + math.log
+    val docs = graft.sources.Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toVector))
+    val fixtures = graft.operators.Retrieval.fixtureQueries
+    val qterms = fixtures.map(_._2).distinct.toSet
+    val fields = docs.flatMap { case (id, toks) =>
+      Seq((id, "t", toks.take(3)), (id, "b", toks.drop(3)))
+    }
+    val fstats = fields.groupBy(_._2).map { case (f, xs) =>
+      f -> (xs.size.toLong, xs.map(_._3.size.toLong).sum)
+    }
+    val nDocs = docs.length.toLong
+    val ddf = qterms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val tfb = scala.collection.mutable.Map.empty[(Long, String), Double].withDefaultValue(0.0)
+    for ((id, f, ftoks) <- fields; t <- qterms) {
+      val tf = ftoks.count(_ == t)
+      if (tf > 0) {
+        val (nf, sumdl) = fstats(f)
+        val w = if (f == "t") 3.0 else 1.0
+        tfb((id, t)) += w * tf / (0.25 + 0.75 * ftoks.size / (sumdl.toDouble / nf))
+      }
+    }
+    val expected = fixtures.groupBy(_._1).toSeq.flatMap { case (qid, qs) =>
+      val scores = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((_, t) <- qs; ((id, tt), v) <- tfb if tt == t) {
+        val idf = math.log(1 + (nDocs - ddf(t) + 0.5) / (ddf(t) + 0.5))
+        scores(id) += math.round(idf * ((v * 2.2) / (v + 1.2)) * 1000000)
+      }
+      scores.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10).zipWithIndex
+        .map { case ((id, sc), i) => (qid, i + 1, id, sc) }
+    }.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == expected,
+      s"BM25F recount mismatch:\nengine  ${out.take(5).toSeq}\nrecount ${expected.take(5)}")
+    // the policy teeth: BM25F and r14's per-field-saturate-then-add
+    // must RANK differently somewhere, or the side-by-side is vacuous
+    val naive = SparkEntry.queries("r14_fielded_search")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val f20 = out.map(r => (r._1, r._2, r._3)).toSet
+    assert(naive.exists(r => !f20.contains(r)),
+      "BM25F produced exactly r14's ranking — the combine policies are not distinguishable")
+  }
+
   test("e2e3 serving chain: corrections are the expected words, uncorrectable query exits, cap holds") {
     val d = "/root/testdata/sf0.001"
     // stage-1 contract, pinned through r11's oracled top-1 rows: the
