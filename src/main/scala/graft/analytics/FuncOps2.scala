@@ -420,6 +420,37 @@ object FuncOps2 {
         .offset(100).limit(50)
     },
 
+    // O6: KEYSET pagination (the seek method) — the page o5 serves by
+    // OFFSET, served the way a 100 TB API actually must: the client
+    // carries the previous page's last key as a CURSOR, and the next
+    // page is a PUSHED-DOWN range filter + top-50 — cost proportional
+    // to the page, where OFFSET n scans-and-discards n rows (page
+    // 10 000 of an offset API costs 500 000 rows; keyset cost never
+    // grows with page number, which is why every production API
+    // paginates by cursor). The engine side takes the cursor as the
+    // driver literal a real page handler receives from the client;
+    // the oracle derives the same boundary with a scalar subquery —
+    // OpsSpec pins byte-equality with the OFFSET formulation at the
+    // same boundary, PlanSpec pins the GreaterThan filter reaching
+    // the parquet scan.
+    QueryDef.sql("o6_keyset_pagination",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey > (SELECT o_orderkey FROM orders
+        |                    ORDER BY o_orderkey LIMIT 1 OFFSET 99)
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin) { (s, d) =>
+      // the cursor fetch is the PREVIOUS page's last row — one
+      // column-pruned top-100 read, driver-bounded (a live API gets
+      // this literal from the client and pays nothing)
+      val cursor = Tables.orders(s, d).select("o_orderkey")
+        .orderBy("o_orderkey").offset(99).limit(1)
+        .collect()(0).getLong(0)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") > cursor)
+        .orderBy("o_orderkey").limit(50)
+    },
+
     // SET2: bag-semantics set ops (ALL variants — set1 covers the
     // distinct forms): duplicates preserved/subtracted by multiplicity.
     QueryDef.sql("set2_bag_ops",

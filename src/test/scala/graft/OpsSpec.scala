@@ -2888,6 +2888,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("o6 keyset pagination: byte-equal to the OFFSET page at the same boundary") {
+    // the seek method must serve EXACTLY the page the offset method
+    // serves (pages 101-150 of the o_orderkey order) — equality is the
+    // whole correctness claim; the difference is purely plan cost
+    val d = "/root/testdata/sf0.001"
+    val keyset = SparkEntry.queries("o6_keyset_pagination")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val offset = graft.sources.Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey").offset(100).limit(50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(keyset.toSeq == offset.toSeq, "keyset page diverged from the offset page")
+    assert(keyset.length == 50)
+  }
+
   test("r20 BM25F: full Scala recount, and the policy provably diverges from r14's naive combine") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("r20_bm25f")(spark, d).collect()

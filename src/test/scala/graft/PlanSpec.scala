@@ -1063,6 +1063,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exchanges.size <= 2, s"extra exchanges in the history build:\n${p.take(1200)}")
   }
 
+  test("o6 keyset pagination: the cursor filter reaches the parquet scan") {
+    // the scale difference from o5: the page's cost is the pushed
+    // range + top-50, never offset's scan-and-discard — visible as a
+    // GreaterThan(o_orderkey, <cursor>) in PushedFilters
+    val df = SparkEntry.queries("o6_keyset_pagination")(spark, sf)
+    val p = planString(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey"),
+      s"cursor filter not pushed to the scan:\n${p.take(800)}")
+  }
+
   test("v20 binary quant: map-only hamming over the code word table; rerank joins broadcast") {
     // stage 1 is one pass over the 8-byte-per-vector code artifact
     // with the 10 query words inlined as literals (no join, no
