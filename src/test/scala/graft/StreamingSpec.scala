@@ -862,6 +862,48 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming freshness: planted dark batches flagged with exact runs, lag, and idempotent replay") {
+    import graft.streaming.StreamFreshness
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-sfresh-store") + "/store"
+    val cp = tmpDir("graft-sfresh-cp")
+    val in = MemoryStream[(Long, String)]
+    def df = in.toDF().toDF("ms", "event_type")
+      .select(timestamp_millis(col("ms")).as("ts"), col("event_type"))
+
+    val q = StreamFreshness.start(df, store, cp)
+    // batch 0: both sources alive
+    in.addData((1000L, "a"), (2000L, "b"))
+    q.processAllAvailable()
+    // batches 1-2: source b goes DARK for two consecutive batches
+    in.addData((3000L, "a"))
+    q.processAllAvailable()
+    in.addData((4000L, "a"))
+    q.processAllAvailable()
+    // batch 3: b recovers but stays BEHIND the high-water mark
+    in.addData((6000L, "a"), (5000L, "b"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rep = StreamFreshness.report(spark, store).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(rep("a") == ((4L, 0L, 0L, 0L, false)), s"a should audit clean: ${rep("a")}")
+    assert(rep("b") == ((2L, 2L, 2L, 1000L, true)),
+      s"b: present 2, missing 2, run 2, lag 1000 ms, flagged: ${rep("b")}")
+
+    // idempotent on restart/replay: re-running the stream over the
+    // same checkpoint appends nothing and rewrites nothing
+    val before = StreamFreshness.history(spark, store).count()
+    val q2 = StreamFreshness.start(df, store, cp)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(StreamFreshness.history(spark, store).count() == before)
+    val rep2 = StreamFreshness.report(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep2("b") == 2L)
+  }
+
   test("streaming SCD2 twin: replayed event log matches cdc3's closed intervals row-for-row") {
     // parity against the ORACLED batch operator: the real sf0.001
     // events replayed in log order across 3 micro-batches through the
