@@ -20,7 +20,7 @@ object SparkEntry {
       operators.Audit.defs ++
       operators.VectorOps.defs ++
       operators.Multimodal.defs ++ operators.AsOfJoin.defs ++
-      operators.SkewJoin.defs ++
+      operators.SkewJoin.defs ++ operators.Rollup.defs ++
       analytics.ScaleOps.defs ++ analytics.BatchSessionOps.defs ++
       analytics.FuncOps.defs ++ analytics.FuncOps2.defs ++
       analytics.ProductAnalytics.defs

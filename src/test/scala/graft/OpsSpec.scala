@@ -3013,4 +3013,24 @@ class OpsSpec extends SparkSpec {
     val sev3 = corpus.collect { case (id, _) if id >= 10000000L => id }
     assert(sev3.forall(p => !out.contains((p - 10000000L, p))), "a sev-3 plant (J~0.05) passed τ = 0.5")
   }
+
+  test("mv1 rollup: state merge is split-independent (Chan partial algebra)") {
+    import graft.operators.Rollup
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    def served(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] =
+      Rollup.merge(df).orderBy("event_type").collect().toSeq
+    val direct = served(Rollup.states(ev))
+    // cut the events into 3 arbitrary slices that do NOT respect day
+    // boundaries — the partials of each slice, merged, must reproduce
+    // the direct rollup bit-for-bit (this is what makes the refresh
+    // legal: the store never cares how history was batched)
+    val sliced = (0 to 2).map(k => Rollup.states(ev.filter(col("event_id") % 3 === k)))
+      .reduce(_ unionByName _)
+    assert(served(sliced) == direct, "merged slice partials diverge from direct rollup")
+    // and the registered query's own cut (seed artifact ∪ new day)
+    val inc = served(Rollup.seedStates(spark, d).unionByName(Rollup.newDayStates(spark, d)))
+    assert(inc == direct, "incremental refresh diverges from full recompute")
+  }
 }

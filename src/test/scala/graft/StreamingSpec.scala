@@ -1309,4 +1309,54 @@ class StreamingSpec extends SparkSpec {
       Some(StreamIndex.codes(spark, store))).collect().toSeq
     assert(afterCrash == oneShot)
   }
+
+  test("streaming rollup twin: at-ingest state maintenance serves the batch chain's result") {
+    import graft.operators.Rollup
+    import graft.streaming.StreamRollup
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-sroll-store") + "/store"
+    val cp = tmpDir("graft-sroll-cp")
+    val in = MemoryStream[(Int, String, Double)]
+    // (secondsIntoJan1, event_type, value) → an events-shaped frame
+    def df = in.toDF().toDF("s", "event_type", "value")
+      .select(expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,s)").as("ts"),
+        col("event_type"), col("value"))
+
+    val day = 86400
+    val b1 = Seq((10, "click", 1.25), (20, "click", 2.75), (30, "view", 10.00))
+    // batch 2 SPLITS day 1 across micro-batches (more clicks on day 1)
+    // and opens day 2 — the partial-cut independence the algebra claims
+    val b2 = Seq((40, "click", 4.00), (day + 5, "click", 8.50), (day + 6, "view", 0.50))
+    val q1 = StreamRollup.start(df, store, cp)
+    in.addData(b1: _*)
+    q1.processAllAvailable()
+    in.addData(b2: _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("event_type").collect().toSeq
+    val batchTwin = { // the same events through the mv1 batch chain
+      val all = (b1 ++ b2).toDF("s", "event_type", "value")
+        .select(expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,s)").as("ts"),
+          col("event_type"), col("value"))
+      rows(Rollup.merge(Rollup.states(all)))
+    }
+    assert(rows(StreamRollup.serve(spark, store)) == batchTwin,
+      "streamed state store diverges from the batch rollup")
+    // the day split across two micro-batches must still count as ONE day
+    val clickRow = StreamRollup.serve(spark, store)
+      .filter(col("event_type") === "click").collect().head
+    assert(clickRow.getLong(2) == 2L, s"n_days: ${clickRow.getLong(2)}")
+
+    // restart on the same checkpoint: no reprocessing; a new batch extends
+    val q2 = StreamRollup.start(df, store, cp)
+    in.addData((day + 100, "click", 100.00))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = StreamRollup.serve(spark, store)
+      .filter(col("event_type") === "click").collect().head
+    assert(after.getLong(1) == 5L, s"click n after restart: ${after.getLong(1)}")
+    assert(after.getDouble(5) == 100.0, s"click max after restart: ${after.getDouble(5)}")
+  }
 }
