@@ -90,6 +90,66 @@ object Rollup {
   def newDayStates(s: SparkSession, d: String): DataFrame =
     states(Tables.events(s, d).filter(col("ts") >= lit(CutDay).cast("timestamp")))
 
+  // ------------------------------------------------------------------
+  // mv2: late-data restatement — the OTHER half of view maintenance.
+  // mv1 folds APPENDS by pure state algebra; a late correction batch
+  // (upserts + deletes against already-closed days) cannot fold in,
+  // because min/max are not group-invertible (you can subtract a sum,
+  // never "un-take" a max). The industrial answer (Delta/Iceberg
+  // replaceWhere; Lambda-architecture batch repair) is TARGETED
+  // PARTITION RESTATEMENT: recompute states for exactly the impacted
+  // days, keep every other day's state untouched from the artifact.
+  // ------------------------------------------------------------------
+
+  /** Days the late-correction fixture restates (mid-range, present at
+    * every SF).
+    */
+  val RestateDays: Seq[String] = Seq("2024-01-10", "2024-01-17")
+
+  private def restateDayPred =
+    RestateDays.map(dd => to_date(col("ts")) === lit(dd).cast("date"))
+      .reduce(_ || _)
+
+  /** The late-arriving correction batch, derived deterministically from
+    * the fixture: on each restated day, every event_id % 10 == 0 row is
+    * corrected — % 20 == 0 rows are DELETED, the rest are upserted with
+    * value + 7.50. In production this frame ARRIVES from ingest;
+    * deriving it from events keeps the oracle closed over the testbed
+    * tables. It is ingest-batch-sized (a few days × 10% of their rows),
+    * so everything keyed off it — the impacted-day set, the upsert
+    * screen — broadcasts.
+    */
+  def lateDelta(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(restateDayPred && col("event_id") % 10 === 0)
+      .select(col("event_id"), to_date(col("ts")).as("day"),
+        when(col("event_id") % 20 === 0, "D").otherwise("U").as("op"),
+        (col("value") + 7.50).as("value_new"))
+
+  /** All-history per-day seed states (the closed book every day has
+    * already been folded into), materialized once per source
+    * fingerprint.
+    */
+  def seedAllStates(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "rollup_states", "events",
+      logicKey = "v1:all") { out =>
+      states(Tables.events(s, d)).write.parquet(out)
+    }
+
+  /** Per-day presentation of one state row per (day, group): divide +
+    * round LAST, std guarded for n == 1 groups (both dialects guard, so
+    * a 1-row day cannot diverge on division-by-zero semantics).
+    */
+  private[graft] def presentDaily(st: DataFrame): DataFrame =
+    st.select(col("day"), col("event_type"), col("n"),
+      expr("round(cast(s as double) / 100.0 / n, 6)").as("avg_value"),
+      expr("round(cast(mn as double) / 100.0, 2)").as("min_value"),
+      expr("round(cast(mx as double) / 100.0, 2)").as("max_value"),
+      expr("CASE WHEN n > 1 THEN round(sqrt((cast(sq as double)" +
+        " - cast(s as double) * cast(s as double) / n)" +
+        " / (n - 1)) / 100.0, 6) END").as("std_value"),
+      col("restated"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // MV1: incremental rollup refresh + serve — seed store ∪ the new
@@ -112,6 +172,65 @@ object Rollup {
         |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       merge(seedStates(s, d).unionByName(newDayStates(s, d)))
         .orderBy("event_type")
+    },
+
+    // MV2: late-data restatement. A correction batch (upserts +
+    // deletes) lands on two closed days; the impacted-day set is
+    // collected to driver literals (bounded by construction — an
+    // ingest batch spans a handful of days; exactly Delta's
+    // replaceWhere discipline) so the day bound is STATICALLY pushed
+    // into both events scans (PlanSpec pins pushed ts ranges on every
+    // scan — history is structurally unreadable here, no DPP
+    // dependence); the upsert screen broadcasts; untouched days are
+    // served from the seed artifact by a literal day filter, no join.
+    // The oracle applies the same corrections to ALL events and
+    // recomputes directly: the hash-match proves restate-equals-
+    // recompute AND that untouched days were genuinely untouched.
+    QueryDef.sql("mv2_late_restatement",
+      """WITH delta AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         value + 7.50 AS value_new
+        |  FROM events
+        |  WHERE (CAST(ts AS DATE) = DATE '2024-01-10'
+        |         OR CAST(ts AS DATE) = DATE '2024-01-17')
+        |    AND event_id % 10 = 0),
+        |corrected AS (
+        |  SELECT e.ts, e.event_type,
+        |         CASE WHEN d.op = 'U' THEN d.value_new ELSE e.value END AS value
+        |  FROM events e LEFT JOIN delta d USING (event_id)
+        |  WHERE d.op IS NULL OR d.op = 'U'),
+        |q AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS qv
+        |  FROM corrected)
+        |SELECT day, event_type, COUNT(*) AS n,
+        |       round(CAST(SUM(qv) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_value,
+        |       round(CAST(MIN(qv) AS DOUBLE) / 100.0, 2) AS min_value,
+        |       round(CAST(MAX(qv) AS DOUBLE) / 100.0, 2) AS max_value,
+        |       CASE WHEN COUNT(*) > 1 THEN
+        |         round(sqrt((CAST(SUM(qv * qv) AS DOUBLE)
+        |                     - CAST(SUM(qv) AS DOUBLE) * CAST(SUM(qv) AS DOUBLE) / COUNT(*))
+        |                    / (COUNT(*) - 1)) / 100.0, 6) END AS std_value,
+        |       (day = DATE '2024-01-10' OR day = DATE '2024-01-17') AS restated
+        |FROM q GROUP BY day, event_type ORDER BY day, event_type""".stripMargin) { (s, d) =>
+      val delta = lateDelta(s, d)
+      val impactedDays = delta.select("day").distinct()
+        .collect().map(_.getDate(0)).sortBy(_.toString).toSeq
+      val basePred = impactedDays
+        .map(dd => to_date(col("ts")) === lit(dd)).reduce(_ || _)
+      val corrected = Tables.events(s, d).filter(basePred)
+        .join(broadcast(delta.select("event_id", "op", "value_new")),
+          Seq("event_id"), "left")
+        .filter(col("op").isNull || col("op") === "U")
+        .withColumn("value",
+          when(col("op") === "U", col("value_new")).otherwise(col("value")))
+      val restated = states(corrected).withColumn("restated", lit(true))
+      val untouched = seedAllStates(s, d)
+        .filter(!col("day").isInCollection(impactedDays))
+        .withColumn("restated", lit(false))
+      presentDaily(untouched.unionByName(restated))
+        .orderBy("day", "event_type")
     }
   )
 }

@@ -3033,4 +3033,44 @@ class OpsSpec extends SparkSpec {
     val inc = served(Rollup.seedStates(spark, d).unionByName(Rollup.newDayStates(spark, d)))
     assert(inc == direct, "incremental refresh diverges from full recompute")
   }
+
+  test("mv2 restatement: untouched days byte-identical, delete/upsert mass observable") {
+    import graft.operators.Rollup
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("mv2_late_restatement")(spark, d).collect().toSeq
+    // the direct rollup over UNCORRECTED events — what every day looked
+    // like before the late batch landed
+    val naive = Rollup.presentDaily(
+      Rollup.states(Tables.events(spark, d)).withColumn("restated", lit(false)))
+      .orderBy("day", "event_type").collect().toSeq
+    val restDays = Rollup.RestateDays.map(java.sql.Date.valueOf).toSet
+    val (touched, untouched) = out.partition(r => restDays.contains(r.getDate(0)))
+    // the restated flag marks exactly the fixture days
+    assert(touched.nonEmpty && touched.forall(_.getBoolean(7)))
+    assert(untouched.forall(!_.getBoolean(7)))
+    // every untouched day is served bit-identical from the seed artifact
+    assert(untouched == naive.filter(r => !restDays.contains(r.getDate(0))),
+      "an untouched day's served state diverges from the direct rollup")
+    // deletes: each restated day lost exactly its % 20 == 0 rows
+    val dayCol = to_date(col("ts"))
+    for (dd <- Rollup.RestateDays) {
+      val day = java.sql.Date.valueOf(dd)
+      val dels = Tables.events(spark, d)
+        .filter(dayCol === lit(dd).cast("date") && col("event_id") % 20 === 0).count()
+      assert(dels > 0, s"fixture must delete rows on $dd")
+      val got = touched.filter(_.getDate(0) == day).map(_.getLong(2)).sum
+      val before = naive.filter(_.getDate(0) == day).map(_.getLong(2)).sum
+      assert(got == before - dels, s"$dd: n $got vs $before - $dels deletes")
+    }
+    // upserts: some group's mean moved on each restated day (value + 7.50
+    // is observable through the state algebra, not absorbed by it)
+    val naiveAvg = naive.map(r => (r.getDate(0), r.getString(1)) -> r.getDouble(3)).toMap
+    for (dd <- Rollup.RestateDays) {
+      val day = java.sql.Date.valueOf(dd)
+      assert(touched.exists(r => r.getDate(0) == day &&
+        naiveAvg((day, r.getString(1))) != r.getDouble(3)),
+        s"$dd: no group's mean moved — the upsert leg is unobservable")
+    }
+  }
 }

@@ -1115,4 +1115,46 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scans.isEmpty,
       s"d20 rescans files past the shingle checkpoint: ${scans.length}")
   }
+
+  test("mv1 refresh: the new-day ts filter is pushed into the events scan") {
+    import graft.operators.Rollup
+    val df = Rollup.newDayStates(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"expected one events scan, got ${scans.length}")
+    val meta = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(meta.contains("GreaterThanOrEqual(ts"),
+      s"new-day refresh rescans history — no pushed ts bound in: $meta\n" +
+        scans.head.toString)
+  }
+
+  test("mv2 restatement: delta/day joins broadcast; seed days come from the artifact, not events") {
+    val df = SparkEntry.queries("mv2_late_restatement")(spark, sf)
+    val p = planString(df)
+    // the impacted-day semi/anti joins and the upsert screen all ride
+    // broadcasts — nothing about a correction batch justifies shuffling
+    // the events table or the state artifact
+    assert(!p.contains("SortMergeJoin"),
+      s"a restatement join fell back to sort-merge:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val eventScans = scans.filter(_.toString.contains("events.parquet"))
+    val seedScans = scans.filter(_.toString.contains("rollup_states"))
+    // exactly two event scans: the fixture's delta derivation (arrives
+    // from ingest in production) + the impacted-day recompute; every
+    // other day is served from the seed-state artifact
+    assert(eventScans.length == 2,
+      s"expected 2 events scans (delta + impacted days), got ${eventScans.length}")
+    // BOTH carry statically-pushed day bounds — at any scale the
+    // restatement can only read the impacted days, never history
+    for (es <- eventScans)
+      assert(es.metadata.getOrElse("PushedFilters", "")
+        .contains("GreaterThanOrEqual(ts"),
+        s"an mv2 events scan reads history: ${es.metadata.getOrElse("PushedFilters", "")}")
+    assert(seedScans.nonEmpty, "untouched days are not served from the artifact")
+  }
 }
