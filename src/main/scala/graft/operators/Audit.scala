@@ -407,6 +407,67 @@ object Audit {
           expr("CAST(CASE WHEN missing_days > 0 OR maxidx - last_idx > 0 THEN 1 ELSE 0 END AS BIGINT)")
             .as("flagged"))
         .orderBy("event_type")
+    },
+
+    // QA6: k-anonymity audit + local-recoding anonymization — the
+    // governance leg beside t7's PII scrub and Forget's erasure: before
+    // a person-keyed table leaves the pipeline, every row must sit in a
+    // quasi-identifier equivalence class of size >= k (Sweeney 2002).
+    // The QI here is (nation, account-balance band); the generalization
+    // ladder is Samarati's lattice walked per row (local recoding):
+    //   level 0: (nation, 1000-band)  level 1: (nation, 5000-band)
+    //   level 2: (nation)             level 3: '*' (full suppression)
+    // and each row is assigned the FIRST level whose class reaches
+    // k = 5 — at_risk_raw is the audit half (the row's raw class leaks
+    // at k < 5), (level, k_size) is the action half. OpsSpec recounts
+    // the ladder in plain Scala and pins the guarantee (k_size >= 5 or
+    // level 3) and minimality (level L > 0 ⇒ the L-1 class was < k).
+    // 100 TB shape: the person table is aggregated ONCE (the level-0
+    // class table, bounded by the QI attribute space nations × bands,
+    // localCheckpointed); every coarser level rolls up from it by the
+    // nested-floor identity floor(x/5000) = floor(floor(x/1000)/5) —
+    // floor-division, not `div`, so negative balances band correctly.
+    // All three class joins BROADCAST and the person table itself
+    // never shuffles: two scans total (row side + the one aggregate),
+    // PlanSpec-pinned, the same plan at any row count.
+    QueryDef.sql("qa6_k_anonymity",
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey AS nk,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS b0,
+        |         CAST(floor(c_acctbal / 5000) AS BIGINT) AS b1
+        |  FROM customer),
+        |l0 AS (SELECT nk, b0, COUNT(*) AS n0 FROM c GROUP BY 1, 2),
+        |l1 AS (SELECT nk, b1, COUNT(*) AS n1 FROM c GROUP BY 1, 2),
+        |l2 AS (SELECT nk, COUNT(*) AS n2 FROM c GROUP BY 1),
+        |l3 AS (SELECT COUNT(*) AS n3 FROM c)
+        |SELECT c.c_custkey, c.nk, c.b0, n0 < 5 AS at_risk_raw,
+        |       CAST(CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+        |            WHEN n2 >= 5 THEN 2 ELSE 3 END AS BIGINT) AS level,
+        |       CASE WHEN n0 >= 5 THEN n0 WHEN n1 >= 5 THEN n1
+        |            WHEN n2 >= 5 THEN n2 ELSE n3 END AS k_size
+        |FROM c JOIN l0 USING (nk, b0) JOIN l1 USING (nk, b1)
+        |       JOIN l2 USING (nk) CROSS JOIN l3
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey").as("nk"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("b0"),
+        expr("CAST(floor(c_acctbal / 5000) AS BIGINT)").as("b1"))
+      val l0 = c.groupBy("nk", "b0").agg(count(lit(1)).as("n0")).localCheckpoint()
+      val l1 = l0.withColumn("b1", expr("CAST(floor(b0 / 5.0) AS BIGINT)"))
+        .groupBy("nk", "b1").agg(sum("n0").as("n1"))
+      val l2 = l0.groupBy("nk").agg(sum("n0").as("n2"))
+      val l3 = l0.agg(sum("n0").as("n3"))
+      c.join(broadcast(l0), Seq("nk", "b0"))
+        .join(broadcast(l1), Seq("nk", "b1"))
+        .join(broadcast(l2), Seq("nk"))
+        .crossJoin(broadcast(l3))
+        .select(col("c_custkey"), col("nk"), col("b0"),
+          (col("n0") < 5).as("at_risk_raw"),
+          expr("CAST(CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1" +
+            " WHEN n2 >= 5 THEN 2 ELSE 3 END AS BIGINT)").as("level"),
+          expr("CASE WHEN n0 >= 5 THEN n0 WHEN n1 >= 5 THEN n1" +
+            " WHEN n2 >= 5 THEN n2 ELSE n3 END").as("k_size"))
+        .orderBy("c_custkey")
     }
   )
 }

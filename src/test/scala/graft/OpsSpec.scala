@@ -3073,4 +3073,40 @@ class OpsSpec extends SparkSpec {
         s"$dd: no group's mean moved — the upsert leg is unobservable")
     }
   }
+
+  test("qa6 k-anonymity: guarantee and minimality recounted independently") {
+    import graft.sources.Tables
+    // recount the whole ladder in plain Scala and hold every output row
+    // to (a) the k-guarantee, (b) minimal generalization, (c) an honest
+    // raw-risk audit bit; returns the level histogram for teeth checks
+    def check(d: String): Map[Long, Long] = {
+      val out = SparkEntry.queries("qa6_k_anonymity")(spark, d).collect()
+      val rows = Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_nationkey").cast("long"),
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"),
+          expr("CAST(floor(c_acctbal / 5000) AS BIGINT)")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val n0 = rows.groupBy(r => (r._2, r._3)).map { case (k, v) => k -> v.length }
+      val n1 = rows.groupBy(r => (r._2, r._4)).map { case (k, v) => k -> v.length }
+      val n2 = rows.groupBy(_._2).map { case (k, v) => k -> v.length }
+      val byKey = rows.map(r => r._1 -> r).toMap
+      assert(out.length == rows.length)
+      for (o <- out) {
+        val (ck, lvl, k) = (o.getLong(0), o.getLong(4), o.getLong(5))
+        val r = byKey(ck)
+        val sizes = Seq(n0((r._2, r._3)), n1((r._2, r._4)), n2(r._2), rows.length)
+        assert(lvl == 3 || k >= 5, s"$ck: level $lvl k_size $k breaks the guarantee")
+        assert(k == sizes(lvl.toInt), s"$ck: k_size $k != recount ${sizes(lvl.toInt)}")
+        assert((0 until lvl.toInt).forall(sizes(_) < 5), s"$ck: level $lvl not minimal")
+        assert(o.getBoolean(3) == (sizes.head < 5), s"$ck: at_risk_raw wrong")
+      }
+      out.groupBy(_.getLong(4)).map { case (l, v) => l -> v.length.toLong }
+    }
+    // teeth: sf0.001's 150 customers force full suppression for some
+    // rows; sf0.01's organic skew mixes levels 0/1/2
+    val l001 = check("/root/testdata/sf0.001")
+    assert(l001.contains(3L), s"sf0.001 must exercise full suppression: $l001")
+    val l01 = check("/root/testdata/sf0.01")
+    assert(Seq(0L, 1L, 2L).forall(l01.contains), s"sf0.01 must mix levels: $l01")
+  }
 }

@@ -1157,4 +1157,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"an mv2 events scan reads history: ${es.metadata.getOrElse("PushedFilters", "")}")
     assert(seedScans.nonEmpty, "untouched days are not served from the artifact")
   }
+
+  test("qa6 k-anonymity: one aggregate pass; class joins broadcast; person table never shuffles") {
+    val df = SparkEntry.queries("qa6_k_anonymity")(spark, sf)
+    val p = planString(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"a class-size join fell back to sort-merge:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // the served plan scans people exactly once (the row side); the
+    // single level-0 aggregate pass ran at l0's eager checkpoint, and
+    // every coarser level rolls up from that bounded table
+    val custScans = scans.filter(_.toString.contains("customer.parquet"))
+    assert(custScans.length == 1,
+      s"expected 1 customer scan in the served plan, got ${custScans.length}")
+  }
 }
