@@ -994,6 +994,68 @@ object VectorOps {
         .orderBy("query_id", "rn")
     },
 
+    // V21: hard-negative mining for contrastive training — per anchor,
+    // the nearest candidates that are NOT near-duplicates. The naive
+    // "hardest = nearest" rule poisons training with false negatives
+    // (RocketQA, Qu et al. 2021, denoises exactly this), so the miner
+    // screens candidates at v3's near-dup threshold (cos >= 0.95) and
+    // ranks the survivors. The fixture makes the screen observable:
+    // every anchor's EXACT COPY is planted (vec_id + 1000000) — the
+    // unscreened top-1 for every anchor, excluded by the screen at
+    // cos ≈ 1.0 (1 ulp under: sqrt(n2)·sqrt(n2) ≠ n2 in IEEE — both
+    // engines compute the identical expression, so no boundary risk).
+    // 100 TB shape: v1's serving plan verbatim — anchors inlined as
+    // literals, scoring map-only codegen'd cosine_sim_q over the
+    // corpus, the only shuffle the bounded top-k window; the screen is
+    // a per-row predicate that composes unchanged when the candidate
+    // generator is swapped for v9's IVF-PQ index at real corpus size.
+    QueryDef.sql("v21_hard_negatives", {
+      val corpus = """SELECT vec_id, embedding FROM embeddings
+                     | UNION ALL
+                     | SELECT vec_id + 1000000 AS vec_id, embedding
+                     | FROM embeddings WHERE vec_id < 10""".stripMargin
+      s"""WITH el AS (${elementsSqlFor(corpus)}),
+         |norms AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM el GROUP BY vec_id),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         CAST(SUM(q.xi * c.xi) AS BIGINT) AS dot
+         |  FROM el q JOIN el c ON q.pos = c.pos AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY query_id, cand_id),
+         |cosd AS (
+         |  SELECT query_id, cand_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos
+         |  FROM dots JOIN norms nq ON query_id = nq.vec_id
+         |            JOIN norms nc ON cand_id = nc.vec_id),
+         |hard AS (
+         |  SELECT query_id, cand_id, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, cand_id) AS rn
+         |  FROM cosd WHERE cos < 0.95)
+         |SELECT query_id, rn, cand_id, cos FROM hard WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin
+    }) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = emb.union(emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      val anchors = emb.filter(col("vec_id") < 10)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      val qCos = anchors.map { case (qid, arr) =>
+        struct(lit(qid).as("query_id"),
+          call_function("cosine_sim_q", col("embedding"), typedLit(arr)).as("cos"))
+      }
+      corpus.select(col("vec_id").as("cand_id"),
+          explode(array(qCos.toIndexedSeq: _*)).as("q"))
+        .select(col("q.query_id"), col("cand_id"), col("q.cos"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .filter(col("cos") < 0.95) // the false-negative screen
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "cand_id", "cos")
+        .orderBy("query_id", "rn")
+    },
+
     // V17: nprobe sweep — the recall-vs-cost CURVE behind v11's single
     // point, the dial a FAISS operator actually tunes before fixing a
     // serving config: IVF-PQ recall@10 AND candidate volume at nprobe

@@ -3109,4 +3109,43 @@ class OpsSpec extends SparkSpec {
     val l01 = check("/root/testdata/sf0.01")
     assert(Seq(0L, 1L, 2L).forall(l01.contains), s"sf0.01 must mix levels: $l01")
   }
+
+  test("v21 hard negatives: the false-negative screen visibly denoises the mined set") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("v21_hard_negatives")(spark, d).collect()
+    val anchors = out.map(_.getLong(0)).distinct.sorted
+    assert(anchors.length == 10)
+    // exactly 10 screened negatives per anchor, all below the dup line
+    for (q <- anchors) {
+      val mine = out.filter(_.getLong(0) == q)
+      assert(mine.length == 10, s"anchor $q mined ${mine.length} negatives")
+      assert(mine.forall(_.getDouble(3) < 0.95),
+        s"anchor $q mined a near-duplicate as a negative")
+      // the planted exact copy never leaks through
+      assert(!mine.exists(_.getLong(2) == q + 1000000L),
+        s"anchor $q mined its own planted copy")
+    }
+    // and the screen CHANGED the answer: unscreened, every anchor's
+    // top-1 would be its planted copy at cos = 1.0 — recompute the
+    // naive rank-1 on the same planted corpus and require divergence
+    import graft.sources.Tables
+    graft.functions.NativeFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val corpus = emb.union(emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val qs = emb.filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    for ((qid, arr) <- qs) {
+      val naiveTop = corpus.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"),
+          call_function("cosine_sim_q", col("embedding"),
+            typedLit(arr)).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id")).limit(1).collect().head
+      assert(naiveTop.getLong(0) == qid + 1000000L && naiveTop.getDouble(1) >= 0.95,
+        s"fixture defect: anchor $qid's naive top-1 is not its planted copy")
+      val screenedTop = out.filter(r => r.getLong(0) == qid && r.getInt(1) == 1).head
+      assert(screenedTop.getLong(2) != naiveTop.getLong(0),
+        s"anchor $qid: screen did not change the mined top negative")
+    }
+  }
 }
