@@ -21,6 +21,7 @@ object SparkEntry {
       operators.VectorOps.defs ++
       operators.Multimodal.defs ++ operators.AsOfJoin.defs ++
       operators.SkewJoin.defs ++ operators.Rollup.defs ++
+      operators.CompactionPlan.defs ++
       analytics.ScaleOps.defs ++ analytics.BatchSessionOps.defs ++
       analytics.FuncOps.defs ++ analytics.FuncOps2.defs ++
       analytics.ProductAnalytics.defs

@@ -26,6 +26,9 @@ import org.apache.spark.sql.SparkSession
   * them are in place (a crash mid-migration leaves the pointer absent
   * and the remaining files still at the root — rerunning resumes).
   */
+// (This rewrites the WHOLE store; for the incremental variant — decide
+// which files a maintenance pass should touch and which to leave — see
+// the planner, graft.operators.CompactionPlan / cmp1.)
 object Compaction {
 
   /** Compact the store at `dir` into files of roughly

@@ -3148,4 +3148,32 @@ class OpsSpec extends SparkSpec {
         s"anchor $qid: screen did not change the mined top negative")
     }
   }
+
+  test("cmp1 compaction plan: conservation, thresholds, bounded bin overshoot") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val T = graft.operators.CompactionPlan.Target
+    val out = SparkEntry.queries("cmp1_compaction_plan")(spark, d).collect()
+    // conservation: every manifest file planned exactly once, byte mass intact
+    val totalChars = Tables.documents(spark, d)
+      .agg(sum("n_chars")).collect().head.getLong(0)
+    assert(out.map(_.getLong(2)).sum == totalChars, "plan loses or double-counts bytes")
+    assert(out.map(r => (r.getString(0), r.getLong(1))).distinct.length == out.length)
+    val (compact, keep) = out.partition(_.getString(3) == "compact")
+    assert(compact.nonEmpty && keep.nonEmpty, "fixture must exercise both actions")
+    assert(keep.forall(_.getLong(2) >= T), "a large file was scheduled for rewrite")
+    assert(compact.forall(_.getLong(2) < T), "a target-sized file was rewritten")
+    assert(compact.exists(_.getLong(5) >= 2L), "no multi-file group planned")
+    // offset-binning's bounded-overshoot guarantee: every non-final bin
+    // per source lands within (T - maxSmall, T + maxSmall)
+    for ((src, rows) <- compact.groupBy(_.getString(0))) {
+      val maxSmall = rows.map(_.getLong(2)).max
+      val lastBin = rows.map(_.getLong(4)).max
+      for ((bin, rs) <- rows.groupBy(_.getLong(4)) if bin != lastBin) {
+        val bytes = rs.head.getLong(6)
+        assert(bytes > T - maxSmall && bytes < T + maxSmall,
+          s"$src bin $bin mass $bytes outside (${T - maxSmall}, ${T + maxSmall})")
+      }
+    }
+  }
 }

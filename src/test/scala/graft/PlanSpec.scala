@@ -1174,4 +1174,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(custScans.length == 1,
       s"expected 1 customer scan in the served plan, got ${custScans.length}")
   }
+
+  test("cmp1 compaction plan: pure manifest arithmetic — no joins, no corpus rescans") {
+    val df = SparkEntry.queries("cmp1_compaction_plan")(spark, sf)
+    val p = planString(df)
+    // bin totals are windows over the manifest, never a join; the one
+    // corpus scan happened at the manifest checkpoint
+    assert(!p.contains("Join"), s"compaction planning should not join:\n${p.take(800)}")
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty,
+      s"plan rescans files past the manifest checkpoint: ${scans.length}")
+  }
 }
