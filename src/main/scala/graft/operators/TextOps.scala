@@ -325,6 +325,65 @@ object TextOps {
        |  FROM spairs JOIN sizes s1 ON doc1 = s1.doc_id
        |              JOIN sizes s2 ON doc2 = s2.doc_id)""".stripMargin
 
+  // ---- d7b core, single-sourced for the batch query and its
+  // streaming twin (streaming/StreamDecontam) -------------------------
+
+  /** The d7b bench-item fixture over a tokenized doc frame
+    * (`doc_id`, `ws`): the 5 organic items (doc_id < 5) plus their
+    * paraphrase plants (8 unique fillers + a 24-word verbatim slice,
+    * bench_id + 100) — the items verbatim d7 misses and d7b catches.
+    */
+  private[graft] def d7bBenchFixture(sp: DataFrame): DataFrame = {
+    val benchDocs = sp.filter(col("doc_id") < 5)
+    benchDocs
+      .select(col("doc_id").as("bench_id"), col("ws").as("bws"))
+      .unionByName(benchDocs
+        .select(col("doc_id"), col("ws"),
+          expr("transform(sequence(0, 7), " +
+            "i -> concat('z', CAST(doc_id AS STRING), 'p', CAST(i AS STRING)))").as("fill"))
+        .select((col("doc_id") + 100L).as("bench_id"),
+          expr("concat(fill, slice(ws, 1, 24))").as("bws")))
+  }
+
+  /** Distinct 8-gram window hashes of a bench-item frame
+    * (`bench_id`, `bws` token array) — the broadcast side of the
+    * decontamination screen. Fixture-sized; callers checkpoint/cache.
+    */
+  private[graft] def d7bBenchWindows(bench: DataFrame): DataFrame =
+    bench.filter(size(col("bws")) >= 8)
+      .select(col("bench_id"), explode(expr(
+        "transform(sequence(0, size(bws) - 8), " +
+          "i -> concat_ws(' ', slice(bws, i + 1, 8)))")).as("w"))
+      .select(col("bench_id"), phash(col("w")).as("h"))
+      .distinct()
+
+  /** The threshold-overlap verdicts for a doc frame (`doc_id`, `ws`
+    * token array) against a bench-window frame: per (doc, item), the
+    * fraction of the item's distinct windows present in the doc,
+    * flagged at ≥ 50% in integer ppm. One narrow window-hash
+    * projection over the docs; the bench side broadcasts at both the
+    * probe and totals joins. Per-doc output depends only on that doc
+    * and the bench fixture — batch-cut independent, which is what
+    * makes the streaming twin's replay convergence trivial.
+    */
+  private[graft] def d7bVerdicts(sp: DataFrame, bw: DataFrame): DataFrame = {
+    val bt = bw.groupBy("bench_id")
+      .agg(count(lit(1)).cast("long").as("n_item_windows"))
+    val dw = sp.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 8), " +
+          "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+      .select(col("doc_id"), phash(col("w")).as("h"))
+    val hit = dw.join(broadcast(bw), Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(countDistinct("h").cast("long").as("n_present"))
+    hit.join(broadcast(bt), Seq("bench_id"))
+      .filter(col("n_present") * 2 >= col("n_item_windows"))
+      .select(col("doc_id"), col("bench_id"), col("n_item_windows"),
+        col("n_present"),
+        expr("CAST((1000000 * n_present) div n_item_windows AS BIGINT)").as("overlap_ppm"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // T1: token counting — whitespace tokens, regex word tokens,
@@ -953,38 +1012,9 @@ object TextOps {
          |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
       val sp = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val benchDocs = sp.filter(col("doc_id") < 5)
-      val bench = benchDocs
-        .select(col("doc_id").as("bench_id"), col("ws").as("bws"))
-        .unionByName(benchDocs
-          .select(col("doc_id"), col("ws"),
-            expr("transform(sequence(0, 7), " +
-              "i -> concat('z', CAST(doc_id AS STRING), 'p', CAST(i AS STRING)))").as("fill"))
-          .select((col("doc_id") + 100L).as("bench_id"),
-            expr("concat(fill, slice(ws, 1, 24))").as("bws")))
-      val bw = bench.filter(size(col("bws")) >= 8)
-        .select(col("bench_id"), explode(expr(
-          "transform(sequence(0, size(bws) - 8), " +
-            "i -> concat_ws(' ', slice(bws, i + 1, 8)))")).as("w"))
-        .select(col("bench_id"), phash(col("w")).as("h"))
-        .distinct()
+      val bw = d7bBenchWindows(d7bBenchFixture(sp))
         .localCheckpoint() // fixture-sized; feeds probe join + totals
-      val bt = bw.groupBy("bench_id")
-        .agg(count(lit(1)).cast("long").as("n_item_windows"))
-      val dw = sp.filter(size(col("ws")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 8), " +
-            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
-        .select(col("doc_id"), phash(col("w")).as("h"))
-      val hit = dw.join(broadcast(bw), Seq("h"))
-        .groupBy("doc_id", "bench_id")
-        .agg(countDistinct("h").cast("long").as("n_present"))
-      hit.join(broadcast(bt), Seq("bench_id"))
-        .filter(col("n_present") * 2 >= col("n_item_windows"))
-        .select(col("doc_id"), col("bench_id"), col("n_item_windows"),
-          col("n_present"),
-          expr("CAST((1000000 * n_present) div n_item_windows AS BIGINT)").as("overlap_ppm"))
-        .orderBy("doc_id", "bench_id")
+      d7bVerdicts(sp, bw).orderBy("doc_id", "bench_id")
     },
 
     // D8: passage-level exact dedup — the copy-paste-passage detector

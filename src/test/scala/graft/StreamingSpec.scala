@@ -1359,4 +1359,53 @@ class StreamingSpec extends SparkSpec {
     assert(after.getLong(1) == 5L, s"click n after restart: ${after.getLong(1)}")
     assert(after.getDouble(5) == 100.0, s"click max after restart: ${after.getDouble(5)}")
   }
+
+  test("streaming decontamination twin: at-ingest screen equals the batch d7b verdicts") {
+    import graft.operators.TextOps
+    import graft.streaming.StreamDecontam
+    import graft.sources.Tables
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val store = tmpDir("graft-sdecon-store") + "/store"
+    val cp = tmpDir("graft-sdecon-cp")
+    // the same bench fixture the oracled batch query screens against,
+    // materialized once before ingest starts
+    val sp = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val bw = TextOps.d7bBenchWindows(TextOps.d7bBenchFixture(sp)).localCheckpoint()
+
+    // replay the corpus as 3 ingest batches of whole documents
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val q = StreamDecontam.start(df, bw, store, cp)
+    for (chunk <- docs.grouped(60)) {
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.select("doc_id", "bench_id", "n_item_windows", "n_present", "overlap_ppm")
+        .orderBy("doc_id", "bench_id").collect().toSeq
+    val batch = rows(SparkEntry.queries("d7b_overlap_decontam")(spark, d))
+    assert(batch.nonEmpty)
+    assert(rows(StreamDecontam.serve(spark, store)) == batch,
+      "at-ingest verdicts diverge from the batch decontamination sweep")
+
+    // restart on the same checkpoint: a late contaminated doc (a
+    // verbatim copy of bench item 0 — contains 100% of its windows)
+    // is flagged in its own ingest batch, nothing is reprocessed
+    val q2 = StreamDecontam.start(df, bw, store, cp)
+    in.addData((777777L, docs.head._2))
+    q2.processAllAvailable()
+    q2.stop()
+    val served = rows(StreamDecontam.serve(spark, store))
+    val late = served.filter(_.getLong(0) == 777777L)
+    assert(late.exists(r => r.getLong(1) == 0L && r.getLong(4) == 1000000L),
+      s"late contaminated doc not flagged at full overlap: $late")
+    assert(served.filterNot(_.getLong(0) == 777777L) == batch,
+      "restart reprocessed or disturbed prior verdicts")
+  }
 }
