@@ -141,7 +141,16 @@ object ScaleBench {
     "e2e3_spell_serve", "v20_binary_quant",
     // r20 re-scores the corpus token stream with the BM25F combine —
     // r14's scale shape with one extra (doc, term) rollup
-    "r20_bm25f")
+    "r20_bm25f",
+    // round 12 fourth wave (events/customer join the blowup): mv1's
+    // refresh term is the pushed new-day scan (1/30 of events) + a
+    // states-table merge; mv2 recomputes ONLY the two restated days
+    // (statically pushed bounds) with a broadcast upsert screen — both
+    // serve history from the seed artifact built on the warm-up; qa6
+    // is one person-table aggregate + a map-side class join; v21 is
+    // v1's map-only literal-scoring plan over the blown-up vectors
+    "mv1_incremental_rollup", "mv2_late_restatement",
+    "qa6_k_anonymity", "v21_hard_negatives")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×
@@ -169,7 +178,7 @@ object ScaleBench {
   private final val CopyOffset = 100000000L
 
   def generate(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_GENERATED_x$factor")
+    val marker = new java.io.File(s"$outDir/_GENERATED_v2_x$factor")
     if (marker.exists()) return
     new java.io.File(outDir).mkdirs()
 
@@ -197,6 +206,22 @@ object ScaleBench {
     embCopies.foldLeft(emb)(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    // events/customer (round-12 fourth wave): copies re-id rows far
+    // above the organic key space and keep every other column — the
+    // mv family's day calendar and qa6's QI values must stay intact so
+    // the blowup scales ROW MASS (rows per day, rows per QI class),
+    // which is the axis those operators' 100 TB claims are about.
+    // CopyOffset % 20 == 0, so the mv2 fixture's event_id % 10 / % 20
+    // correction pattern is copy-invariant.
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    (1 until factor).map(c => ev.withColumn("event_id", col("event_id") + lit(c * CopyOffset)))
+      .foldLeft(ev)(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+    (1 until factor).map(c => cust.withColumn("c_custkey", col("c_custkey") + lit(c * CopyOffset)))
+      .foldLeft(cust)(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
     marker.createNewFile()
     ()
   }
@@ -215,9 +240,10 @@ object ScaleBench {
     val spark = Sessions.local(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), appName = "graft-scale")
 
-    // the FACTOR× corpus dir mimics an sf dir (documents/embeddings
-    // only — the scale queries read nothing else); basename is part of
-    // the artifact-store key, so it must differ from the source's
+    // the FACTOR× corpus dir mimics an sf dir (documents/embeddings/
+    // events/customer — all the tables the scale net reads); basename
+    // is part of the artifact-store key, so it must differ from the
+    // source's
     val bigDir = s"$workDir/x$factor"
     generate(spark, sfDir, bigDir, factor)
 
