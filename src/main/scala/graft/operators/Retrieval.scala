@@ -1414,6 +1414,85 @@ object Retrieval {
         .orderBy("qid", "rn")
     },
 
+    // R21: wildcard term search — the Lucene WildcardQuery surface the
+    // dictionary family still lacked (r12 serves prefixes, r11 serves
+    // edit distance; neither can answer 't%e' or '%ow'). Three serving
+    // paths, split per pattern, all over the MATERIALIZED dictionary
+    // artifacts — the postings store and the corpus are never touched:
+    //  - literal-prefix patterns ('t%e'): the first letter becomes a
+    //    `pb` PARTITION filter on term_dictionary (file-level pruning
+    //    before any row is read), then LIKE verifies;
+    //  - leading-wildcard patterns with a ≥ 2-char literal segment
+    //    ('%ow', '%ar%'): any matching term must CONTAIN every literal
+    //    segment, hence every segment's character bigrams — the
+    //    gram-bucketed index prunes to those grams' buckets, a
+    //    candidate must carry ALL the pattern's grams (necessary ⇒ the
+    //    prune is sound), then LIKE verifies;
+    //  - patterns whose every segment is a single char ('%a%') yield
+    //    no grams, so the prune would wrongly exclude true matches —
+    //    they take the documented fallback, a LIKE over the full
+    //    dictionary (vocab-bounded, the price Lucene pays too).
+    // Top-5 per pattern by (df desc, term asc); a pattern matching
+    // nothing yields no rows. OpsSpec recounts every path in plain
+    // Scala; PlanSpec pins dictionary-artifact-only scans with the pb
+    // partition filter present.
+    QueryDef.sql("r21_wildcard",
+      """WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+        |vocab AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |          FROM (SELECT doc_id, unnest(toks) AS term FROM dd) GROUP BY 1),
+        |q(qid, pat) AS (SELECT * FROM (VALUES
+        |  (0, 't%e'), (1, 's%w'), (2, '%ow'), (3, '%ar%'),
+        |  (4, 'zz%zz'), (5, 'b%h'), (6, '%a%'))),
+        |cand AS (SELECT q.qid, q.pat, v.term, v.df
+        |         FROM q CROSS JOIN vocab v WHERE v.term LIKE q.pat),
+        |ranked AS (SELECT qid, pat, term, df,
+        |                  row_number() OVER (PARTITION BY qid
+        |                                     ORDER BY df DESC, term) AS rn
+        |           FROM cand)
+        |SELECT qid, rn, pat AS pattern, term AS hit, df
+        |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val pats = Seq((0, "t%e"), (1, "s%w"), (2, "%ow"), (3, "%ar%"),
+        (4, "zz%zz"), (5, "b%h"), (6, "%a%"))
+      def segs(p: String): Seq[String] = p.split("%").filter(_.nonEmpty).toSeq
+      val (pref, lead) = pats.partition(!_._2.startsWith("%"))
+      val (gram, gless) = lead.partition(p => segs(p._2).exists(_.length >= 2))
+      val dict = termDictArtifact(s, d)
+      val empty = Seq.empty[(Int, String, String, Long)]
+        .toDF("qid", "pat", "term", "df")
+      val prefCand = if (pref.isEmpty) empty else
+        dict.filter(col("pb").isin(pref.map(_._2.take(1)).distinct: _*))
+          .crossJoin(broadcast(pref.toDF("qid", "pat")))
+          .select("qid", "pat", "term", "df")
+      val gramCand = if (gram.isEmpty) empty else {
+        val qgrams = gram.flatMap { case (qid, p) =>
+          segs(p).flatMap(bigramsOf).distinct.map(g => (qid, p, g)) }
+        val need = gram.map { case (qid, p) =>
+          (qid, segs(p).flatMap(bigramsOf).distinct.size.toLong) }
+        termGramArtifact(s, d)
+          .filter(col("gb").isin(
+            qgrams.map(t => termBucket(t._3)).distinct.map(Int.box): _*))
+          .filter(col("gram").isin(qgrams.map(_._3).distinct: _*))
+          .join(broadcast(qgrams.toDF("qid", "pat", "gram")), Seq("gram"))
+          .groupBy("qid", "pat", "term", "df")
+          .agg(count_distinct(col("gram")).as("ng"))
+          .join(broadcast(need.toDF("qid", "need")), Seq("qid"))
+          .filter(col("ng") === col("need")) // must carry ALL the pattern's grams
+          .select("qid", "pat", "term", "df")
+      }
+      val glessCand = if (gless.isEmpty) empty else
+        dict.crossJoin(broadcast(gless.toDF("qid", "pat")))
+          .select("qid", "pat", "term", "df")
+      prefCand.unionByName(gramCand).unionByName(glessCand)
+        .filter(expr("term like pat")) // exact verification on every path
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("df").desc, col("term").asc)))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("pat").as("pattern"),
+          col("term").as("hit"), col("df"))
+        .orderBy("qid", "rn")
+    },
+
     // R14: multi-field boosted search — the Lucene fielded-query shape
     // (MultiFieldQueryParser / BM25F's per-field-statistics insight,
     // Robertson-Zaragoza 2009): documents carry a TITLE (first 3

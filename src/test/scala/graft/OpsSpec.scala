@@ -3149,6 +3149,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("r21 wildcard: all three serving paths recounted against a plain-Scala dictionary") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("r21_wildcard")(spark, d).collect()
+    // independent dictionary: term -> doc frequency from the raw corpus
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+    val dfOf = docs.flatMap(r => "[a-z]+".r.findAllIn(r.getString(1).toLowerCase)
+        .toSet.map((t: String) => (t, r.getLong(0))))
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).distinct.length.toLong }
+    val pats = Seq((0, "t%e"), (1, "s%w"), (2, "%ow"), (3, "%ar%"),
+      (4, "zz%zz"), (5, "b%h"), (6, "%a%"))
+    def matches(p: String, t: String): Boolean = {
+      val rx = "^" + p.split("%", -1).map(java.util.regex.Pattern.quote).mkString(".*") + "$"
+      t.matches(rx)
+    }
+    var nonEmpty = Set.empty[Int]
+    for ((qid, p) <- pats) {
+      val expect = dfOf.keys.toSeq.filter(matches(p, _))
+        .map(t => (t, dfOf(t))).sortBy { case (t, c) => (-c, t) }.take(5)
+      val got = out.filter(_.getInt(0) == qid).sortBy(_.getInt(1))
+        .map(r => (r.getString(3), r.getLong(4))).toSeq
+      assert(got == expect, s"pattern $p: served $got vs recounted $expect")
+      if (got.nonEmpty) nonEmpty += qid
+    }
+    // every serving path exercised: prefix (0, 5), gram (2, 3),
+    // gramless fallback (6); the no-match pattern (4) yields nothing
+    assert(Set(0, 2, 5, 6).subsetOf(nonEmpty) && !nonEmpty(4), s"paths: $nonEmpty")
+  }
+
   test("cmp1 compaction plan: conservation, thresholds, bounded bin overshoot") {
     import graft.sources.Tables
     val d = "/root/testdata/sf0.001"

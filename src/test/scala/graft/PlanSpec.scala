@@ -1175,6 +1175,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected 1 customer scan in the served plan, got ${custScans.length}")
   }
 
+  test("r21 wildcard: dictionary-artifact-only serving; prefix path partition-pruned") {
+    val df = SparkEntry.queries("r21_wildcard")(spark, sf)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // wildcard lookup is a dictionary operation: neither the corpus nor
+    // the postings store appears in the serving plan
+    for (s0 <- scans)
+      assert(s0.toString.contains("term_dict"),
+        s"non-dictionary scan in wildcard serving: ${s0.toString.take(200)}")
+    // the literal-prefix and gram paths prune at the partition level
+    // (pb / gb) before any row is read
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "no partition-pruned dictionary scan in the wildcard plan")
+  }
+
   test("cmp1 compaction plan: pure manifest arithmetic — no joins, no corpus rescans") {
     val df = SparkEntry.queries("cmp1_compaction_plan")(spark, sf)
     val p = planString(df)
