@@ -129,6 +129,64 @@ object Chunking {
           col("padded_examples"),
           ((col("padded_examples") * L - col("total_tokens")).cast("double") /
             (col("padded_examples") * L).cast("double")).as("padded_waste_frac"))
+    },
+
+    /* P15: length-bucketed batching — the OTHER padding cure beside
+     * p11's packing (fairseq/T5 bucket-by-sequence-length): group
+     * docs into 8 length buckets and pad each example to its BUCKET
+     * max instead of the global max. Bucketing is by PRECOMPUTED
+     * quantile boundaries (the a8/t15 exact-percentile pair; at real
+     * scale flip to approx_percentile, same plan shape), NOT a global
+     * ntile window — the 7 cuts are a 1-row broadcast and bucket
+     * assignment is a map-only comparison sum, so nothing ever
+     * funnels through a single partition (the p11 lesson). Strict >
+     * at each cut keeps ties deterministic in both engines. Report
+     * per bucket: size, length range, slot cost at global vs bucket
+     * max, and the integer-ppm saving — bucket 8 (holding the global
+     * max) saves 0 by construction, the small buckets save the most.
+     */
+    QueryDef.sql("p15_length_buckets",
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT quantile_cont(n, 0.125) AS c1, quantile_cont(n, 0.250) AS c2,
+        |             quantile_cont(n, 0.375) AS c3, quantile_cont(n, 0.500) AS c4,
+        |             quantile_cont(n, 0.625) AS c5, quantile_cont(n, 0.750) AS c6,
+        |             quantile_cont(n, 0.875) AS c7, CAST(MAX(n) AS BIGINT) AS gmax
+        |      FROM t),
+        |b AS (SELECT n, gmax,
+        |             1 + (CASE WHEN n > c1 THEN 1 ELSE 0 END) + (CASE WHEN n > c2 THEN 1 ELSE 0 END)
+        |               + (CASE WHEN n > c3 THEN 1 ELSE 0 END) + (CASE WHEN n > c4 THEN 1 ELSE 0 END)
+        |               + (CASE WHEN n > c5 THEN 1 ELSE 0 END) + (CASE WHEN n > c6 THEN 1 ELSE 0 END)
+        |               + (CASE WHEN n > c7 THEN 1 ELSE 0 END) AS bucket
+        |      FROM t CROSS JOIN c),
+        |agg AS (SELECT bucket, COUNT(*) AS n_docs,
+        |               CAST(MIN(n) AS BIGINT) AS min_len, CAST(MAX(n) AS BIGINT) AS max_len,
+        |               MAX(gmax) AS gmax
+        |        FROM b GROUP BY 1)
+        |SELECT bucket, n_docs, min_len, max_len,
+        |       CAST(n_docs * gmax AS BIGINT) AS slots_global,
+        |       CAST(n_docs * max_len AS BIGINT) AS slots_bucketed,
+        |       CAST((1000000 * (n_docs * (gmax - max_len))) // (n_docs * gmax) AS BIGINT) AS saved_ppm
+        |FROM agg ORDER BY bucket""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+      val cutCols = (1 to 7)
+        .map(i => percentile(col("n"), lit(i / 8.0)).as(s"c$i")) :+
+        max("n").as("gmax")
+      val cuts = t.agg(cutCols.head, cutCols.tail: _*)
+      val bucket = (1 to 7)
+        .map(i => when(col("n") > col(s"c$i"), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+      t.crossJoin(broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), min("n").as("min_len"),
+          max("n").as("max_len"), max("gmax").as("gmax"))
+        .select(col("bucket"), col("n_docs"), col("min_len"), col("max_len"),
+          (col("n_docs") * col("gmax")).as("slots_global"),
+          (col("n_docs") * col("max_len")).as("slots_bucketed"),
+          expr("(1000000 * (n_docs * (gmax - max_len))) div (n_docs * gmax)")
+            .as("saved_ppm"))
+        .orderBy("bucket")
     }
   )
 }

@@ -3178,6 +3178,32 @@ class OpsSpec extends SparkSpec {
     assert(Set(0, 2, 5, 6).subsetOf(nonEmpty) && !nonEmpty(4), s"paths: $nonEmpty")
   }
 
+  test("p15 length buckets: partition honesty and monotone padding savings") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("p15_length_buckets")(spark, d).collect()
+      .sortBy(_.getInt(0))
+    assert(out.map(_.getInt(0)).toSeq == (1 to 8), "buckets must be 1..8")
+    val nDocs = Tables.documents(spark, d).count()
+    assert(out.map(_.getLong(1)).sum == nDocs, "buckets must partition the corpus")
+    // ranges ordered and non-overlapping; slot arithmetic honest
+    val gmax = out.last.getLong(3)
+    for (Seq(a, b) <- out.toSeq.sliding(2))
+      assert(a.getLong(3) <= b.getLong(2),
+        s"bucket ${a.getInt(0)} max ${a.getLong(3)} overlaps ${b.getLong(2)}")
+    for (r <- out) {
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(4) == r.getLong(1) * gmax, "slots_global arithmetic")
+      assert(r.getLong(5) == r.getLong(1) * r.getLong(3), "slots_bucketed arithmetic")
+    }
+    // savings fall as buckets lengthen; the max-holding bucket saves 0;
+    // overall the bucketing genuinely saves slots
+    val saved = out.map(_.getLong(6)).toSeq
+    assert(saved == saved.sortBy(-_), s"saved_ppm not monotone: $saved")
+    assert(saved.last == 0L && saved.head > 0L)
+    assert(out.map(_.getLong(5)).sum < out.map(_.getLong(4)).sum)
+  }
+
   test("cmp1 compaction plan: conservation, thresholds, bounded bin overshoot") {
     import graft.sources.Tables
     val d = "/root/testdata/sf0.001"
