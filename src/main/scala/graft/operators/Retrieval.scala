@@ -1114,6 +1114,69 @@ object Retrieval {
         .orderBy("query_id", "rn")
     },
 
+    // R22: proximity search (NEAR/5) — the Lucene SpanNearQuery
+    // (slop, unordered) surface between r1's bag-of-words and r8's
+    // exact phrase: two terms match a document where they occur
+    // within 5 positions of each other IN ANY ORDER. Served from the
+    // SAME stored positional index as r8 (bucket partition filter +
+    // term IN filter — Lucene's .pos file read), postings merged on
+    // doc_id, and the proximity count is a nested higher-order
+    // filter/exists over the two sorted position arrays (codegen'd,
+    // no position explode). Score = anchor positions of t1 with a t2
+    // neighbor in the window — counting anchors, not pairs, keeps a
+    // dense local cluster from quadratic-inflating the score.
+    // Fixtures: each query doc's 1st and 4th tokens (distance 3 in
+    // its own doc — a guaranteed NEAR hit that exact phrase adjacency
+    // provably MISSES, which OpsSpec pins) + a zero-match pair.
+    QueryDef.sql("r22_proximity",
+      s"""WITH dd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |pp AS (SELECT term, doc_id, list_sort(list(p)) AS ps
+         |       FROM (SELECT doc_id, unnest(toks) AS term,
+         |                    generate_subscripts(toks, 1) - 1 AS p FROM dd)
+         |       GROUP BY 1, 2),
+         |q AS (SELECT doc_id AS query_id, toks[1] AS t1, toks[4] AS t2
+         |      FROM dd WHERE doc_id < 10 AND len(toks) >= 4
+         |      UNION ALL SELECT 10, 'zzqq', 'zzrr'),
+         |m AS (SELECT q.query_id, a.doc_id,
+         |             CAST(len(list_filter(a.ps,
+         |                    p -> len(list_filter(b.ps,
+         |                           q2 -> abs(q2 - p) <= 5 AND q2 <> p)) > 0))
+         |                  AS BIGINT) AS n_matches
+         |      FROM q
+         |      JOIN pp a ON a.term = q.t1
+         |      JOIN pp b ON b.doc_id = a.doc_id AND b.term = q.t2),
+         |ranked AS (SELECT query_id, doc_id, n_matches,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY n_matches DESC, doc_id) AS rn
+         |           FROM m WHERE n_matches > 0)
+         |SELECT query_id, rn, doc_id, n_matches FROM ranked WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = tokenized(s, d)
+      val qRows = docs.filter(col("doc_id") < 10 && size(col("toks")) >= 4)
+        .select(col("doc_id"), expr("element_at(toks, 1)").as("t1"),
+          expr("element_at(toks, 4)").as("t2"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSeq :+ ((10L, "zzqq", "zzrr"))
+      val q = qRows.toDF("query_id", "t1", "t2")
+      val terms = qRows.flatMap(r => Seq(r._2, r._3)).distinct
+      val idx = posIndexArtifact(s, d)
+        .filter(col("bkt").isin(terms.map(termBucket).distinct.map(Int.box): _*))
+        .filter(col("term").isin(terms: _*))
+      val a = idx.select(col("term").as("t1"), col("doc_id"), col("ps").as("ps1"))
+      val b = idx.select(col("term").as("bt"), col("doc_id").as("d2"), col("ps").as("ps2"))
+      broadcast(q).join(a, Seq("t1"))
+        .join(b, col("doc_id") === col("d2") && col("t2") === col("bt"))
+        .withColumn("n_matches", expr(
+          "CAST(size(filter(ps1, p -> exists(ps2, q2 -> abs(q2 - p) <= 5 AND q2 != p))) AS BIGINT)"))
+        .filter(col("n_matches") > 0)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("n_matches").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "doc_id", "n_matches")
+        .orderBy("query_id", "rn")
+    },
+
     // R7: pseudo-relevance-feedback query expansion (Rocchio 1971 /
     // the RM3 shape): pass 1 ranks each query and takes its top-5 as
     // feedback docs; the 3 most frequent terms across them (raw tf,

@@ -3178,6 +3178,43 @@ class OpsSpec extends SparkSpec {
     assert(Set(0, 2, 5, 6).subsetOf(nonEmpty) && !nonEmpty(4), s"paths: $nonEmpty")
   }
 
+  test("r22 proximity: full plain-Scala recount; slop matters vs exact phrase") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("r22_proximity")(spark, d).collect()
+    // independent recount: tokenize, build position lists, count NEAR/5
+    // anchors per (query, doc) in plain Scala
+    val toks = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toArray)
+      .toMap
+    val queries = toks.toSeq.filter { case (id, t) => id < 10 && t.length >= 4 }
+      .map { case (id, t) => (id, t(0), t(3)) }.sortBy(_._1)
+    def near(doc: Array[String], t1: String, t2: String): Long = {
+      val p1 = doc.zipWithIndex.collect { case (w, i) if w == t1 => i }
+      val p2 = doc.zipWithIndex.collect { case (w, i) if w == t2 => i }
+      p1.count(p => p2.exists(q => q != p && math.abs(q - p) <= 5)).toLong
+    }
+    var slopBeatsPhrase = false
+    for ((qid, t1, t2) <- queries) {
+      val expect = toks.toSeq
+        .map { case (id, t) => (id, near(t, t1, t2)) }.filter(_._2 > 0)
+        .sortBy { case (id, n) => (-n, id) }.take(10)
+      val got = out.filter(_.getLong(0) == qid).sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expect, s"query $qid: served $got vs recounted $expect")
+      // the query's own doc must MATCH (its terms sit at distance 3) —
+      // it need not make the top-10 on this small-vocab corpus
+      assert(near(toks(qid), t1, t2) > 0, s"query $qid's own doc does not match")
+      // and exact phrase adjacency would NOT find the own-doc anchor
+      val ownDoc = toks(qid)
+      val adjacent = ownDoc.sliding(2).exists(p => p(0) == t1 && p(1) == t2)
+      if (!adjacent) slopBeatsPhrase = true
+    }
+    assert(slopBeatsPhrase,
+      "fixture defect: every query's terms are adjacent — NEAR is indistinguishable from phrase")
+    assert(!out.exists(_.getLong(0) == 10L), "the zero-match pair returned rows")
+  }
+
   test("p15 length buckets: partition honesty and monotone padding savings") {
     import graft.sources.Tables
     val d = "/root/testdata/sf0.001"
