@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * 1.2-2.4× depending on what executed before them, wide enough to
   * hide a real single-query regression (the round-9 verdict measured a
   * near-uniform 1.27× swing on byte-identical plans). This main times
-  * a PINNED query subset (32 queries since late round 12; see [[queries]])
+  * a PINNED query subset (33 queries since late round 12; see [[queries]])
   * in its own JVM — same starting state every
   * round — with one untimed warm-up and the MEDIAN OF FIVE timed runs
   * per query (the full bench's median-of-3, widened because the canary
@@ -89,7 +89,11 @@ object Canary {
     // prefix-sum/window chain over its checkpointed build
     "mv2_late_restatement",   // late-data partition restatement
     "v21_hard_negatives",     // screened hard-negative mining
-    "cmp1_compaction_plan")   // small-file compaction planner
+    "cmp1_compaction_plan",   // small-file compaction planner
+    // round-12 fifth wave (net-lag rule): r22 is the wave's richest
+    // serving path — positional-index reads + doc_id postings merge +
+    // nested higher-order proximity counting
+    "r22_proximity")          // NEAR/5 span search (positional merge)
 
   /** Per-query normalized-gate half-width; default ±20%. sq1's
     * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,

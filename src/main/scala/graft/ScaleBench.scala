@@ -150,7 +150,15 @@ object ScaleBench {
     // is one person-table aggregate + a map-side class join; v21 is
     // v1's map-only literal-scoring plan over the blown-up vectors
     "mv1_incremental_rollup", "mv2_late_restatement",
-    "qa6_k_anonymity", "v21_hard_negatives")
+    "qa6_k_anonymity", "v21_hard_negatives",
+    // round 12 fifth wave: r21 serves wildcard lookups from the
+    // dictionary artifacts (vocab grows ~25× under the junked copies —
+    // the dictionary-size stress case); r22 merges positional postings
+    // under bucket+IN pruning (matched-posting-bounded joins); p15 is
+    // two narrow corpus passes (quantile cuts then bucket assignment);
+    // cmp1's corpus term is the one manifest-building scan
+    "r21_wildcard", "r22_proximity", "p15_length_buckets",
+    "cmp1_compaction_plan")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×
