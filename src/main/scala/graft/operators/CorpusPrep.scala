@@ -599,6 +599,48 @@ object CorpusPrep {
         .orderBy("source", "split")
     },
 
+    // S12: leakage-safe split — the FIX for what qa4_split_leakage
+    // audits: s8 hashes each doc's OWN id, so two copies of the same
+    // content hash independently and ~28% of duplicate pairs straddle
+    // train/test (the planted leakage qa4 flags). Here the split key
+    // is the duplicate GROUP's representative (min doc_id per content
+    // hash), so every member of a group lands in the same split BY
+    // CONSTRUCTION — the Lee et al. 2022 recommendation that dedup
+    // and splitting must agree. Singletons have rep = self, so their
+    // assignment is bit-identical to s8's (the fix never churns
+    // non-duplicated docs). Plants: every doc_id % 20 == 3 doc
+    // re-appears verbatim at +1000000 — under s8's per-id hash some
+    // pairs provably straddle (OpsSpec recounts it), here none can.
+    // 100 TB shape: text reduces to its md5 IN the projection, so the
+    // one group shuffle carries (doc_id, h) — never document bodies
+    // (PlanSpec pins text absent from every exchange) — and the split
+    // is s8's map-only integer hash applied to the representative.
+    QueryDef.sql("s12_leakage_safe_split",
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 3),
+        |keyed AS (SELECT doc_id, md5(text) AS h FROM aug),
+        |g AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM keyed),
+        |s AS (SELECT doc_id, rep_id,
+        |             (((rep_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bkt
+        |      FROM g)
+        |SELECT doc_id, rep_id,
+        |       CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val aug = docs.union(docs.filter(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      aug.select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("rep_id", min("doc_id").over(Window.partitionBy("h")))
+        .select(col("doc_id"), col("rep_id"),
+          expr("(((rep_id % 2147483648) * 2654435761) % 4294967296) % 100").as("bkt"))
+        .select(col("doc_id"), col("rep_id"),
+          expr("CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END")
+            .as("split"))
+        .orderBy("doc_id")
+    },
+
     // TOK9: decode round-trip audit — the other half of the tokenizer
     // API (every encode ships with a decode, and the contract is
     // decode(encode(x)) == analyzer(x) byte-for-byte): tok6's id

@@ -3178,6 +3178,41 @@ class OpsSpec extends SparkSpec {
     assert(Set(0, 2, 5, 6).subsetOf(nonEmpty) && !nonEmpty(4), s"paths: $nonEmpty")
   }
 
+  test("s12 leakage-safe split: groups cohere, s8's per-id hash provably leaks, singletons stable") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s12_leakage_safe_split")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def knuthSplit(id: Long): String = {
+      val bkt = (((id % 2147483648L) * 2654435761L) % 4294967296L) % 100
+      if (bkt < 80) "train" else if (bkt < 90) "val" else "test"
+    }
+    // rebuild the content groups independently
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val aug = docs ++ docs.filter(_._1 % 20 == 3).map { case (id, t) => (id + 1000000L, t) }
+    val groups = aug.groupBy(_._2).values.map(_.map(_._1).sorted).toSeq
+    val splitOf = out.map(r => r._1 -> r._3).toMap
+    // (a) every duplicate group lands in ONE split; the served rep is the min id
+    val repOf = out.map(r => r._1 -> r._2).toMap
+    for (g <- groups) {
+      assert(g.map(splitOf).distinct.length == 1, s"group $g straddles splits")
+      assert(g.forall(repOf(_) == g.min), s"group $g: wrong representative")
+    }
+    // (b) s8's own-id hash WOULD leak on this corpus: some planted pair
+    // disagrees under knuthSplit(own id) — the defect s12 exists to fix
+    val plantPairs = groups.filter(_.length > 1)
+    assert(plantPairs.nonEmpty)
+    assert(plantPairs.exists(g => g.map(knuthSplit).distinct.length > 1),
+      "fixture defect: the per-id hash happens to agree on every dup pair")
+    // (c) singletons keep exactly s8's assignment (no churn from the fix)
+    for (g <- groups.filter(_.length == 1); id = g.head)
+      assert(splitOf(id) == knuthSplit(id), s"singleton $id churned")
+    // (d) dup members inherit the representative's s8 split
+    for (g <- plantPairs; id <- g)
+      assert(splitOf(id) == knuthSplit(g.min))
+  }
+
   test("r22 proximity: full plain-Scala recount; slop matters vs exact phrase") {
     import graft.sources.Tables
     val d = "/root/testdata/sf0.001"

@@ -1193,6 +1193,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "no partition-pruned dictionary scan in the wildcard plan")
   }
 
+  test("s12 leakage-safe split: no document body rides a shuffle") {
+    val df = SparkEntry.queries("s12_leakage_safe_split")(spark, sf)
+    df.collect()
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    // text reduces to its md5 in the projection: the group shuffle and
+    // the output sort carry (doc_id, h/rep), never document bodies
+    for (e <- exchanges)
+      assert(!e.output.exists(_.name == "text"),
+        s"a shuffle carries text: ${e.output.map(_.name).mkString(",")}")
+  }
+
   test("cmp1 compaction plan: pure manifest arithmetic — no joins, no corpus rescans") {
     val df = SparkEntry.queries("cmp1_compaction_plan")(spark, sf)
     val p = planString(df)
