@@ -158,7 +158,10 @@ object ScaleBench {
     // two narrow corpus passes (quantile cuts then bucket assignment);
     // cmp1's corpus term is the one manifest-building scan
     "r21_wildcard", "r22_proximity", "p15_length_buckets",
-    "cmp1_compaction_plan")
+    "cmp1_compaction_plan",
+    // s12's corpus term is one md5 projection + one (doc_id, h) group
+    // shuffle — the d1 shape with a window instead of an aggregate
+    "s12_leakage_safe_split")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×
