@@ -6,32 +6,89 @@ import graft.sources.Tables
 
 /** Scale-path variants of exact operators: the approximate sketches a
   * 100 TB deployment reaches for when exact answers stop being worth a
-  * full shuffle. Estimates are engine-specific, so these are rows-only
-  * checked (the exact twins a2/a8 are the oracled anchors); the tests
-  * bound their error against the exact values.
+  * full shuffle. Estimates are engine-specific, so the DRIVER-visible
+  * contract is a bound VERDICT row: each query reports the exact value
+  * (oracled — a2/a8's SQL) plus a boolean asserting the sketch landed
+  * inside its published error bound, computed Spark-side and oracled as
+  * the constant TRUE. A sketch that drifts out of bound flips the
+  * boolean and fails the hash compare — the ledger sees sketch quality,
+  * not just "rows came back". OpsSpec additionally bounds the raw
+  * estimates against the exact twins.
   */
 object ScaleOps {
   val defs: Seq[QueryDef] = Seq(
 
     // HLL++ distinct: one pass, no shuffle of distinct values, mergeable
-    // partials — the 100 TB form of a2_count_distinct.
-    QueryDef.rowsOnly("scale_approx_distinct") { (s, d) =>
+    // partials — the 100 TB form of a2_count_distinct. Bound: HLL++'s
+    // published relative standard deviation (rsd) is the configured
+    // 0.02 / default 0.05; the verdict gates at 3·rsd (a >3σ estimate
+    // is a broken sketch, not noise). Exact and estimate ride ONE agg
+    // pass — at 100 TB the exact side is the optional cost, but the
+    // verdict row's job is to certify the sketch against it.
+    QueryDef.sql("scale_approx_distinct",
+      """SELECT COUNT(DISTINCT event_type) AS n_types,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       TRUE AS types_within_bound,
+        |       TRUE AS users_within_bound
+        |FROM events""".stripMargin) { (s, d) =>
       Tables.events(s, d).agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        approx_count_distinct(col("event_type")).as("approx_types"))
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("event_type"), 0.05).as("est_types"),
+          approx_count_distinct(col("user_id"), 0.02).as("est_users"))
+        .select(col("n_types"), col("n_users"),
+          (abs(col("est_types") - col("n_types")).cast("double")
+            / col("n_types") <= 0.15).as("types_within_bound"),
+          (abs(col("est_users") - col("n_users")).cast("double")
+            / col("n_users") <= 0.06).as("users_within_bound"))
     },
 
-    // t-digest quantiles: mergeable sketch vs a8's exact per-group sort.
-    // Projected to scalar columns (not array<double>) so the driver's
-    // rows-only comparator can sort/load the output.
-    QueryDef.rowsOnly("scale_approx_quantiles") { (s, d) =>
-      Tables.events(s, d).groupBy("event_type")
-        .agg(percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)),
-          lit(10000)).as("quartiles"))
-        .select(col("event_type"),
-          element_at(col("quartiles"), 1).as("q1"),
-          element_at(col("quartiles"), 2).as("median"),
-          element_at(col("quartiles"), 3).as("q3"))
+    // GK-sketch quantiles (percentile_approx, accuracy 10000) vs a8's
+    // exact per-group quantiles. The verdict checks the sketch's ACTUAL
+    // guarantee — rank error ≤ n/accuracy — directly: count how many
+    // values fall strictly below / at-or-below each estimate and gate
+    // |rank − p·n| ≤ n·ε + 2 (the +2 absorbs the discrete-rank edge at
+    // small groups, so the verdict is valid at every SF). Values ride
+    // as xi = ROUND(value·1000) BIGINT so the exact quantiles
+    // interpolate identically in both engines (a8's int-input trick).
+    // 100 TB shape: sketch pass is mergeable partials (no sort); the
+    // verdict's rank counts join the 5-row estimate table back
+    // BROADCAST — the corpus never shuffles for the check.
+    QueryDef.sql("scale_approx_quantiles",
+      """WITH x AS (SELECT event_type,
+        |                  CAST(ROUND(value * 1000, 0) AS BIGINT) AS xi
+        |           FROM events)
+        |SELECT event_type,
+        |       quantile_cont(xi, 0.25) AS q1,
+        |       quantile_cont(xi, 0.50) AS median,
+        |       quantile_cont(xi, 0.75) AS q3,
+        |       TRUE AS within_bound
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").as("xi"))
+      val est = ev.groupBy("event_type")
+        .agg(percentile_approx(col("xi"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("e"))
+        .select(col("event_type"), element_at(col("e"), 1).as("e1"),
+          element_at(col("e"), 2).as("e2"), element_at(col("e"), 3).as("e3"))
+      def lt(e: String) = sum((col("xi") < col(e)).cast("long"))
+      def le(e: String) = sum((col("xi") <= col(e)).cast("long"))
+      val v = ev.join(broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          percentile(col("xi"), lit(0.25)).as("q1"),
+          percentile(col("xi"), lit(0.50)).as("median"),
+          percentile(col("xi"), lit(0.75)).as("q3"),
+          lt("e1").as("lt1"), le("e1").as("le1"),
+          lt("e2").as("lt2"), le("e2").as("le2"),
+          lt("e3").as("lt3"), le("e3").as("le3"))
+      val eps = col("n").cast("double") / 10000.0 + 2.0
+      def ok(ltC: String, leC: String, p: Double) =
+        (col(ltC).cast("double") <= lit(p) * col("n") + eps) &&
+          (col(leC).cast("double") >= lit(p) * col("n") - eps)
+      v.select(col("event_type"), col("q1"), col("median"), col("q3"),
+          (ok("lt1", "le1", 0.25) && ok("lt2", "le2", 0.50) &&
+            ok("lt3", "le3", 0.75)).as("within_bound"))
         .orderBy("event_type")
     },
 

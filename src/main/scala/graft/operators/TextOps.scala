@@ -19,6 +19,46 @@ import graft.sources.Tables
   */
 object TextOps {
 
+  /** Per-partition Misra-Gries heavy-hitter candidates over a stream of
+    * terms: each partition keeps at most `k` counters (decrement-all on
+    * overflow — the space-saving step), then the ≤ partitions·k
+    * surviving (term, lower-bound count) rows MERGE by summing. The
+    * returned single `term` column is the candidate SET: guaranteed to
+    * contain every term with global count > n/(k+1) — the MG bound,
+    * pinned in OpsSpec on a planted skew corpus. Memory is O(k) per
+    * task regardless of vocabulary size; the token stream never
+    * shuffles. mapPartitions is deliberate: MG's stateful
+    * decrement-all has no Column/agg form (a groupBy would BE the
+    * exact shuffle the sketch exists to avoid).
+    */
+  def heavyHitterCandidates(s: SparkSession, terms: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    terms.select(col("term").cast("string")).as[String]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long](k * 2)
+        it.foreach { w =>
+          // absent unboxes to 0L; stored counts are never 0 (removed at
+          // 1 → 0), so 0 ⇔ absent
+          val cur = m.get(w)
+          if (cur != 0L) m.put(w, cur + 1L)
+          else if (m.size < k) m.put(w, 1L)
+          else {
+            val e = m.entrySet().iterator()
+            while (e.hasNext) {
+              val en = e.next()
+              if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1L)
+            }
+          }
+        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          m.entrySet().iterator()).asScala.map(en => (en.getKey, en.getValue))
+      }
+      .toDF("term", "c_lower")
+      .groupBy("term").agg(sum("c_lower").as("c_lower"))
+      .select("term")
+  }
+
   /** Portable 60-bit content hash (identical in Spark and DuckDB). */
   def phash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -678,6 +718,45 @@ object TextOps {
         .filter(col("jaccard") >= 0.5)
         .select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
         .orderBy("doc1", "doc2")
+    },
+
+    // T19: corpus-wide heavy hitters — t6's SCALE twin and the third
+    // exact→approx dial (a2 distinct, a8 quantiles, now frequency).
+    // The exact corpus-wide top-N is a full (term → count) shuffle; at
+    // 100 TB the term dictionary itself can be shuffle-dominant. The
+    // sketch path is the classic two-pass heavy hitters:
+    //   pass 1 — per-partition Misra-Gries with k counters (mergeable,
+    //     O(k) memory, NO shuffle of the token stream; the one
+    //     justified mapPartitions hop outside Multimodal — MG's
+    //     decrement step has no Column form). Any term with global
+    //     count > n/(k+1) must exceed n_p/(k+1) locally somewhere
+    //     (pigeonhole), so the union of partition sketches (≤ P·k tiny
+    //     rows) is a SUPERSET of every such term.
+    //   pass 2 — exact counts for the candidates only: one narrow
+    //     re-scan with the candidate set broadcast, then top-N.
+    // Result is provably the EXACT top-N whenever the Nth count
+    // > n/(k+1) (k=4096 ⇒ 0.025% of the stream — any term that could
+    // be dropped is far below any real top-10), which is what makes
+    // this oracle-able where a raw sketch estimate would not be.
+    // OpsSpec pins the MG bound itself on a planted skewed corpus.
+    QueryDef.sql("t19_heavy_hitters",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY term),
+        |r AS (SELECT term, cnt,
+        |             row_number() OVER (ORDER BY cnt DESC, term) AS rn
+        |      FROM c)
+        |SELECT rn, term, cnt FROM r WHERE rn <= 10 ORDER BY rn""".stripMargin) {
+      (s, d) =>
+      val terms = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+      val cand = heavyHitterCandidates(s, terms, k = 4096)
+      terms.join(broadcast(cand), "term")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("cnt"), asc("term"))))
+        .filter(col("rn") <= 10)
+        .select("rn", "term", "cnt")
+        .orderBy("rn")
     },
 
     // T6: per-doc top terms by tf·N/df — tf-idf-shaped keyword

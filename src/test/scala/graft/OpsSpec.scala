@@ -331,6 +331,38 @@ class OpsSpec extends SparkSpec {
       s"approx median $approxMed outside exact [$lo, $hi] around $exact")
   }
 
+  test("Misra-Gries heavy-hitter candidates honor the n/(k+1) recall bound under skew") {
+    import graft.operators.TextOps
+    // planted skew: 20 heavy terms (5000 each) drowned in a 50k-term
+    // singleton tail — n = 150k, k = 64 ⇒ bound n/(k+1) ≈ 2308, so the
+    // decrement path runs constantly and every heavy term must still
+    // surface in the candidate set (MG's recall guarantee).
+    val heavy = (0 until 20).flatMap(i => Seq.fill(5000)(s"heavy_$i"))
+    val tail = (0 until 50000).map(i => s"tail_$i")
+    val terms = spark.createDataset(
+      scala.util.Random.shuffle(heavy ++ tail))(
+      org.apache.spark.sql.Encoders.STRING)
+      .repartition(8).toDF("term")
+    val k = 64
+    val cand = TextOps.heavyHitterCandidates(spark, terms, k)
+      .collect().map(_.getString(0)).toSet
+    (0 until 20).foreach { i =>
+      assert(cand.contains(s"heavy_$i"), s"heavy_$i missing from candidates")
+    }
+    // sketch stays sketch-sized: at most partitions·k candidates
+    assert(cand.size <= 8 * k, s"candidate set ${cand.size} exceeds P*k")
+    // and the two-pass top-N over candidates equals the exact top-N
+    val exactTop = terms.groupBy("term").count()
+      .orderBy(desc("count"), asc("term")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaSketch = terms.join(broadcast(
+        TextOps.heavyHitterCandidates(spark, terms, k)), "term")
+      .groupBy("term").count()
+      .orderBy(desc("count"), asc("term")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSketch == exactTop)
+  }
+
   test("semantic dedup: planted copies share their original's cell and are the drop set") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("d9_semantic_dedup")(spark, d)
