@@ -1602,7 +1602,7 @@ object VectorOps {
     * [[pqChainSql]] during object init, BEFORE later plain vals would
     * have been assigned.
     */
-  final val PqM = 4 // public: StreamIndex sizes the code schema from it
+  final val PqM = 4 // public: StreamVec sizes the code schema from it
   private final val PqP = 16
   private final val PqK = 8
 
@@ -1888,13 +1888,38 @@ object VectorOps {
   /** The map-only PQ encoder against a frozen codebook, as a public
     * per-batch primitive: (vec_id, c0..c{M-1}). A pure deterministic
     * function of (vector, codebook) — the property both incremental
-    * ingest paths ([[appendCodes]], streaming `StreamIndex`) rely on
+    * ingest paths ([[appendCodes]], streaming `StreamVec`) rely on
     * for replay idempotence. Caller must have registered the native
     * functions (`dot_q`).
     */
   def encodeCodes(emb: DataFrame, books: Array[Array[Array[Long]]]): DataFrame =
     pqAssign(emb.select("vec_id", "embedding"), books)
       .select(col("vec_id") +: (0 until PqM).map(m => col(s"c$m")): _*)
+
+  /** [[encodeCodes]] plus the per-vector integer squared residual
+    * (`sq_err` — v16's drift measure): the streaming ingest encodes
+    * once and reads BOTH the code row and the drift signal from the
+    * same map-only pass.
+    */
+  def encodeCodesWithErr(emb: DataFrame,
+      books: Array[Array[Array[Long]]]): DataFrame =
+    pqAssign(emb.select("vec_id", "embedding"), books)
+      .select(col("vec_id") +:
+        (0 until PqM).map(m => col(s"c$m")) :+
+        (0 until PqM).map(m => col(s"err$m")).reduce(_ + _).as("sq_err"): _*)
+
+  /** Mean integer squared PQ residual of a corpus under a codebook —
+    * v16's 'original'-cohort baseline as a reusable scalar, the pin a
+    * streaming ingest gates each batch's drift against. One map-only
+    * encode pass + a 1-row agg.
+    */
+  def meanSqErr(s: SparkSession, emb: DataFrame,
+      books: Array[Array[Array[Long]]]): Long = {
+    graft.functions.NativeFunctions.register(s)
+    val r = encodeCodesWithErr(emb, books)
+      .agg(sum("sq_err").cast("long").as("s"), count(lit(1)).as("n")).first()
+    if (r.getLong(1) == 0L) 0L else r.getLong(0) / r.getLong(1)
+  }
 
   /** Incremental index maintenance — FAISS `add()` re-expressed for the
     * stored code table: encode ONLY the new vectors against the FROZEN

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
 import graft.operators.Retrieval
 
 /** Streaming BM25 index ingest — the streaming twin of
-  * `Retrieval.appendPostings`, built on StreamIndex's discipline: each
+  * `Retrieval.appendPostings`, built on StreamVec's discipline: each
   * micro-batch of `(doc_id, text)` rows tokenizes ALONE into raw
   * postings (term, doc_id, tf, dl — per-document state, a pure
   * function of the document) and lands as a batchId-keyed `delta_b<id>`

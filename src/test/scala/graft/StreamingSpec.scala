@@ -1254,49 +1254,64 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming ANN index ingest: delta store serves exactly the one-shot encode, folds compact") {
     import graft.operators.VectorOps
-    import graft.streaming.{StreamDedup, StreamIndex}
+    import graft.streaming.{StreamDedup, StreamVec}
     implicit val sc = spark.sqlContext
     val d = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
     val books = VectorOps.pqTrainCached(spark, d)
-    val store = tmpDir("graft-sindex") + "/store"
-    val cp = tmpDir("graft-sindex-cp")
+    val baseline = VectorOps.meanSqErr(spark, emb, books)
+    val store = tmpDir("graft-svec") + "/store"
+    val cp = tmpDir("graft-svec-cp")
     val rows = emb.as[(Long, Seq[Float])].collect().toSeq
-    val in = MemoryStream[(Long, Seq[Float])]
-    val q = StreamIndex.start(in.toDF().toDF("vec_id", "embedding"), books, store, cp)
+    val in = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+      store, cp, baseline)
     // three micro-batches of roughly a third each
     rows.grouped((rows.size + 2) / 3).foreach { g =>
-      in.addData(g: _*); q.processAllAvailable()
+      in.addData(g.map { case (id, v) => (id, Some(v)) }: _*)
+      q.processAllAvailable()
     }
     q.stop()
-    val served = StreamIndex.codes(spark, store)
+    val served = StreamVec.codes(spark, store)
     assert(served.count() == rows.size)
     // serving from the streamed-in store == serving from a one-shot
-    // encode of the same corpus (encode is a pure per-vector function)
-    val qs = emb.filter(col("vec_id") < 10)
-    val viaStore = VectorOps.adcSearch(spark, emb, qs, 10, Some(books), Some(served))
+    // encode of the same corpus (encode is a pure per-vector function):
+    // v10's broadcast-LUT batch path AND v9's IVF-PQ composite
+    val qs10 = emb.filter(col("vec_id") < 32)
+    val oneShotAdc = VectorOps.adcSearch(spark, emb, qs10, 5, Some(books), None)
       .collect().toSeq
-    val oneShot = VectorOps.adcSearch(spark, emb, qs, 10, Some(books), None)
+    assert(VectorOps.adcSearch(spark, emb, qs10, 5, Some(books), Some(served))
+      .collect().toSeq == oneShotAdc)
+    val qs9 = emb.filter(col("vec_id") < 10)
+    val oneShotIvf = VectorOps.ivfServe(spark, emb, qs9, 10, Some(books), None)
       .collect().toSeq
-    assert(viaStore == oneShot)
+    assert(VectorOps.ivfServe(spark, emb, qs9, 10, Some(books), Some(served))
+      .collect().toSeq == oneShotIvf)
     // replay idempotence is structural: re-encoding a batch is
     // deterministic, so a rewritten delta holds identical content
     val b0 = spark.read.parquet(s"$store/delta_b0")
     val again = VectorOps.encodeCodes(
-      b0.select("vec_id").join(emb, "vec_id"), books)
+        b0.select("vec_id").join(emb, "vec_id"), books)
+      .withColumn("b", lit(0L)).withColumn("del", lit(false))
     assert(b0.orderBy("vec_id").collect().toSeq ==
       again.orderBy("vec_id").collect().toSeq)
+    // no drift planted: every batch's gate verdict is retrain = false
+    val dl = StreamVec.driftLog(spark, store).collect()
+    assert(dl.length == 3 && dl.forall(!_.getBoolean(4)),
+      s"unexpected drift verdicts: ${dl.toSeq}")
     // the dedup store's fold machinery compacts this store too — and
-    // serving is unchanged after compaction
+    // BOTH serving paths are unchanged after compaction
     val preFold = new org.apache.hadoop.fs.Path(s"$store/delta_b0")
     val fsys = preFold.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stash = new org.apache.hadoop.fs.Path(tmpDir("graft-sindex-stash"), "delta_b0")
+    val stash = new org.apache.hadoop.fs.Path(tmpDir("graft-svec-stash"), "delta_b0")
     org.apache.hadoop.fs.FileUtil.copy(fsys, preFold, fsys, stash, false,
       spark.sparkContext.hadoopConfiguration)
     assert(StreamDedup.foldDeltas(spark, store) > 0)
-    val afterFold = VectorOps.adcSearch(spark, emb, qs, 10, Some(books),
-      Some(StreamIndex.codes(spark, store))).collect().toSeq
-    assert(afterFold == oneShot)
+    val folded = StreamVec.codes(spark, store)
+    assert(VectorOps.adcSearch(spark, emb, qs10, 5, Some(books), Some(folded))
+      .collect().toSeq == oneShotAdc)
+    assert(VectorOps.ivfServe(spark, emb, qs9, 10, Some(books), Some(folded))
+      .collect().toSeq == oneShotIvf)
     // crash contract: a fold that wrote but didn't finish deleting its
     // inputs leaves the same rows in two dirs ("overlap, never loss").
     // Restore a folded delta next to the fold — the reader must still
@@ -1304,11 +1319,102 @@ class StreamingSpec extends SparkSpec {
     // top-k slots)
     org.apache.hadoop.fs.FileUtil.copy(fsys, stash, fsys, preFold, false,
       spark.sparkContext.hadoopConfiguration)
-    assert(StreamIndex.codes(spark, store).count() == rows.size)
-    val afterCrash = VectorOps.adcSearch(spark, emb, qs, 10, Some(books),
-      Some(StreamIndex.codes(spark, store))).collect().toSeq
-    assert(afterCrash == oneShot)
+    assert(StreamVec.codes(spark, store).count() == rows.size)
+    assert(VectorOps.adcSearch(spark, emb, qs10, 5, Some(books),
+      Some(StreamVec.codes(spark, store))).collect().toSeq == oneShotAdc)
   }
+
+  test("streaming ANN ingest: reissue serves newest codes, tombstone deletes, restart continues") {
+    import graft.operators.VectorOps
+    import graft.streaming.StreamVec
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val baseline = VectorOps.meanSqErr(spark, emb, books)
+    val store = tmpDir("graft-svec2") + "/store"
+    val cp = tmpDir("graft-svec2-cp")
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+      store, cp, baseline)
+    in.addData(rows.take(20).map { case (id, v) => (id, Some(v)) }: _*)
+    q.processAllAvailable()
+    // REISSUE vec 0 with vec 7's embedding: serving must rank it from
+    // the NEW codes (max-b last-writer), not keep the old row alongside
+    in.addData((rows(0)._1, Some(rows(7)._2)))
+    q.processAllAvailable()
+    val afterReissue = StreamVec.codes(spark, store)
+    assert(afterReissue.count() == 20, "reissue duplicated a vec_id")
+    val reissued = afterReissue.filter(col("vec_id") === rows(0)._1)
+      .collect().head
+    val expect = VectorOps.encodeCodes(
+      emb.filter(col("vec_id") === rows(7)._1), books).collect().head
+    assert((1 to VectorOps.PqM).forall(m =>
+        reissued.getLong(m) == expect.getLong(m)),
+      s"reissued vec serves stale codes: $reissued vs $expect")
+    // TOMBSTONE vec 3: gone from serving, store count drops by one
+    in.addData((rows(3)._1, None))
+    q.processAllAvailable()
+    q.stop()
+    val afterDel = StreamVec.codes(spark, store)
+    assert(afterDel.count() == 19)
+    assert(afterDel.filter(col("vec_id") === rows(3)._1).isEmpty)
+    // RESTART from the same checkpoint (same source — offsets
+    // continue): ownership holds (same query id), batch ids continue,
+    // prior content intact
+    val q2 = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+      store, cp, baseline)
+    in.addData(rows.slice(20, 25).map { case (id, v) => (id, Some(v)) }: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val afterRestart = StreamVec.codes(spark, store)
+    assert(afterRestart.count() == 24, "restart lost or duplicated rows")
+    // and the restarted store still serves exactly the one-shot encode
+    // of its live set
+    val liveIds = afterRestart.select("vec_id").collect().map(_.getLong(0)).toSet
+    val oneShot = VectorOps.encodeCodes(
+        emb.filter(col("vec_id").isin(liveIds.toSeq: _*)), books)
+      .collect().map(_.toSeq).toSet
+    // reissued vec 0 carries vec 7's codes, not its own one-shot encode
+    val oneShotAdjusted = oneShot.filterNot(_.head == rows(0)._1) +
+      (rows(0)._1 +: expect.toSeq.tail)
+    assert(afterRestart.collect().map(_.toSeq).toSet == oneShotAdjusted)
+  }
+
+  test("streaming ANN ingest: drift gate fires loudly on a rotated batch") {
+    import graft.operators.VectorOps
+    import graft.streaming.StreamVec
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val baseline = VectorOps.meanSqErr(spark, emb, books)
+    val store = tmpDir("graft-svec3") + "/store"
+    val cp = tmpDir("graft-svec3-cp")
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+      store, cp, baseline)
+    // batch 0: in-distribution — gate quiet
+    in.addData(rows.take(50).map { case (id, v) => (id, Some(v)) }: _*)
+    q.processAllAvailable()
+    // batch 1: v16's planted production accident — a new encoder ships
+    // un-normalized embeddings (×4, float-exact) — gate must FIRE
+    in.addData(rows.slice(50, 100).map { case (id, v) =>
+      (id + 5000000L, Some(v.map(_ * 4.0f)))
+    }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val dl = StreamVec.driftLog(spark, store).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(!dl(0L)._2, s"gate false-fired on in-distribution batch: ${dl(0L)}")
+    assert(dl(1L)._2,
+      s"gate silent on a 4x-rotated batch (ppm ${dl(1L)._1} vs threshold ${StreamVec.RetrainPpm})")
+    // the flag is a flag, not a drop: the drifted rows still landed
+    assert(StreamVec.codes(spark, store).count() == 100)
+  }
+
 
   test("streaming rollup twin: at-ingest state maintenance serves the batch chain's result") {
     import graft.operators.Rollup
