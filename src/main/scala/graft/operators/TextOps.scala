@@ -124,6 +124,15 @@ object TextOps {
       lit(0.3) * col("alpha_ratio") +
       lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0))
 
+  /** t3's quality score as a reusable (doc_id, text, quality)
+    * projection — the ONE formula instance the batch gate (e2e2) and
+    * the streaming gate (StreamPrep) both apply, so "gated at ingest"
+    * and "gated in the batch sweep" can never disagree.
+    */
+  def qualityScored(docs: DataFrame): DataFrame =
+    docs.select(Seq(col("doc_id"), col("text")) ++ qualityFeatureCols: _*)
+      .select(col("doc_id"), col("text"), qualityCol.as("quality"))
+
   /** (doc_id, h) distinct 8-word-block hashes per doc — the d8 passage
     * fingerprint stage, exposed for the partial-overlap unit test.
     * Blocks come from a pure array transform (narrow, deterministic

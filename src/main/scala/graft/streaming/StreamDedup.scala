@@ -206,25 +206,36 @@ object StreamDedup {
           verifyStoreOwnership(spark, storeDir, s"$checkpointDir/dedup", batchId)
           ownershipVerified = true
         }
-        val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
-        // in-batch winner: min doc_id per hash — replay-deterministic
-        val first = hashed
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy("h").orderBy(col("doc_id").asc)))
-          .filter(col("__rn") === 1).drop("__rn")
-        // the screen READ races a concurrent fold's post-commit input
-        // delete (the fold is committed before its inputs go, so a
-        // fresh listing always sees a superset) — retry with a fresh
-        // snapshot instead of letting the FileNotFound kill the stream
-        withStoreRetry {
-          val seen = storeBefore(spark, storeDir, boundExclusive = batchId)
-          first.join(seen.select("h").distinct(), Seq("h"), "left_anti")
-            .select("h", "doc_id")
-            .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
-        }
+        ingestBatch(spark, batch, batchId, storeDir)
         ()
       }
       .start()
+  }
+
+  /** One micro-batch of the exact screen — the foreachBatch body as a
+    * reusable primitive (StreamPrep composes it into the chained
+    * pipeline), returning the batch's ADMITTED doc_ids (read back from
+    * the just-committed delta, so caller and store can never disagree).
+    */
+  private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, storeDir: String): DataFrame = {
+    val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
+    // in-batch winner: min doc_id per hash — replay-deterministic
+    val first = hashed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("h").orderBy(col("doc_id").asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    // the screen READ races a concurrent fold's post-commit input
+    // delete (the fold is committed before its inputs go, so a
+    // fresh listing always sees a superset) — retry with a fresh
+    // snapshot instead of letting the FileNotFound kill the stream
+    withStoreRetry {
+      val seen = storeBefore(spark, storeDir, boundExclusive = batchId)
+      first.join(seen.select("h").distinct(), Seq("h"), "left_anti")
+        .select("h", "doc_id")
+        .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
+    }
+    spark.read.parquet(s"$storeDir/delta_b$batchId").select("doc_id")
   }
 
   /** Fold deltas (and the previous fold) into one `fold_0_<hi>` range

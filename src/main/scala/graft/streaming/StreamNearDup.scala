@@ -125,33 +125,44 @@ object StreamNearDup {
             s"$checkpointDir/neardup", batchId)
           ownershipVerified = true
         }
-        val sig = MinHash.signatures(batch.select("doc_id", "text")).localCheckpoint()
-        // stage 1: within-batch — drop any doc that near-dups a
-        // smaller-id batch-mate (deterministic on replay)
-        val inPairs = MinHash.nearDupPairsFromSignatures(sig, threshold)
-          .localCheckpoint()
-        val batchMatches = inPairs.select(col("doc2").as("doc_id"),
-          col("doc1").as("matched_id"), col("est_jaccard"), lit("batch").as("stage"))
-        val survivors = sig.join(
-          inPairs.select(col("doc2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-        // stage 2: band-screen survivors against the admitted store
-        // (strictly earlier batches — replay-safe). Like StreamDedup's
-        // screen, this READ races a concurrent fold's post-commit
-        // input delete — retry with a fresh listing (sound: the fold
-        // commits the same signature set before deleting its inputs,
-        // and every write below is mode(overwrite)-idempotent)
-        StreamDedup.withStoreRetry {
-          val seen = sigStore(spark, storeDir, boundExclusive = batchId)
-          val storeMatches = MinHash.crossMatches(seen, survivors, threshold)
-            .withColumn("stage", lit("store"))
-            .localCheckpoint()
-          batchMatches.unionByName(storeMatches)
-            .write.mode("overwrite").parquet(s"$storeDir/matches_b$batchId")
-          survivors.join(storeMatches.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
-        }
+        ingestBatch(spark, batch, batchId, storeDir, threshold)
         ()
       }
       .start()
+  }
+
+  /** One micro-batch of the near-dup screen — the foreachBatch body as
+    * a reusable primitive (StreamPrep composes it into the chained
+    * pipeline), returning the batch's ADMITTED doc_ids (read back from
+    * the just-committed delta).
+    */
+  private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, storeDir: String, threshold: Double): DataFrame = {
+    val sig = MinHash.signatures(batch.select("doc_id", "text")).localCheckpoint()
+    // stage 1: within-batch — drop any doc that near-dups a
+    // smaller-id batch-mate (deterministic on replay)
+    val inPairs = MinHash.nearDupPairsFromSignatures(sig, threshold)
+      .localCheckpoint()
+    val batchMatches = inPairs.select(col("doc2").as("doc_id"),
+      col("doc1").as("matched_id"), col("est_jaccard"), lit("batch").as("stage"))
+    val survivors = sig.join(
+      inPairs.select(col("doc2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    // stage 2: band-screen survivors against the admitted store
+    // (strictly earlier batches — replay-safe). Like StreamDedup's
+    // screen, this READ races a concurrent fold's post-commit
+    // input delete — retry with a fresh listing (sound: the fold
+    // commits the same signature set before deleting its inputs,
+    // and every write below is mode(overwrite)-idempotent)
+    StreamDedup.withStoreRetry {
+      val seen = sigStore(spark, storeDir, boundExclusive = batchId)
+      val storeMatches = MinHash.crossMatches(seen, survivors, threshold)
+        .withColumn("stage", lit("store"))
+        .localCheckpoint()
+      batchMatches.unionByName(storeMatches)
+        .write.mode("overwrite").parquet(s"$storeDir/matches_b$batchId")
+      survivors.join(storeMatches.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
+    }
+    spark.read.parquet(s"$storeDir/delta_b$batchId").select("doc_id")
   }
 }

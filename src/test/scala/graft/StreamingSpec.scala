@@ -1416,6 +1416,102 @@ class StreamingSpec extends SparkSpec {
   }
 
 
+  test("e2e4 stream prep: composed quality->exact->neardup->decontam chain matches the batch chain, restart continues") {
+    import graft.operators.{MinHash, TextOps}
+    import graft.streaming.StreamPrep
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-sprep") + "/store"
+    val cp = tmpDir("graft-sprep-cp")
+    // stopword-rich 30-token texts that clear the quality gate
+    def good(p: String) = (1 to 10).map(i => s"the ${p}$i of").mkString(" ")
+    val benchTokens = good("bench").split(" ").toSeq
+    // contaminated doc: the bench item's first 20 tokens (13 of its 23
+    // 8-gram windows shared -> 2*13 >= 23 flags) plus a unique tail
+    val contamText = (benchTokens.take(20) ++
+      (1 to 10).map(i => s"the tail$i of").flatMap(_.split(" "))).mkString(" ")
+    // ids increase with arrival order, and every in-batch near-dup
+    // pair's smaller doc is admitted — so the stream's greedy screen
+    // equals the global batch chain (min-id exact reps + greedy-by-id
+    // near-dup) on the same corpus
+    val batch1 = Seq(1L -> good("alpha"), 2L -> "zzz qqq 12345 !!!",
+      3L -> good("beta"))
+    val batch2 = Seq(4L -> good("alpha"), // exact dup of 1
+      5L -> (good("alpha") + " extra"), // near-dup of stored 1
+      6L -> good("gamma"),
+      7L -> good("delta"), 8L -> (good("delta") + " tail"), // in-batch pair
+      9L -> contamText)
+    val batch3 = Seq(10L -> good("gamma"), // exact dup of stored 6
+      11L -> good("epsilon"),
+      12L -> (good("gamma") + " extra"), // near-dup of stored 6
+      13L -> "999 888 777") // zero word tokens -> NULL quality
+    val allBatches = Seq(batch1, batch2, batch3)
+    val bw = TextOps.d7bBenchWindows(
+      Seq((1L, benchTokens)).toDF("bench_id", "bws")).localCheckpoint()
+
+    val in = MemoryStream[(Long, String)]
+    def src = in.toDF().toDF("doc_id", "text")
+    val q1 = StreamPrep.start(src, bw, store, cp)
+    in.addData(batch1: _*); q1.processAllAvailable()
+    in.addData(batch2: _*); q1.processAllAvailable()
+    q1.stop()
+    // RESTART from the same checkpoint: the chain continues against the
+    // component stores, no reprocessing
+    val q2 = StreamPrep.start(src, bw, store, cp)
+    in.addData(batch3: _*); q2.processAllAvailable()
+    q2.stop()
+
+    val got = StreamPrep.manifest(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // ---- the batch chain on the same corpus (the parity twin) ------
+    val all = allBatches.flatten.toDF("doc_id", "text")
+    val scoredB = TextOps.qualityScored(all).localCheckpoint()
+    val passedB = scoredB.filter(col("quality") >= 0.5)
+    // d1: min-id representative per md5
+    val exactKept = passedB.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val exactSurv = passedB.filter(col("doc_id").isin(exactKept.toSeq: _*))
+    // greedy-by-id near-dup over the banded pair graph (d15's semantics)
+    val pairs = MinHash.nearDupPairsFromSignatures(
+        MinHash.signatures(exactSurv.select("doc_id", "text")), 0.5)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    exactSurv.select("doc_id").as[Long].collect().sorted.foreach { id =>
+      if (!admitted.exists(a => pairs.contains((a, id)) || pairs.contains((id, a))))
+        admitted += id
+    }
+    val nearSurv = exactSurv.filter(col("doc_id").isin(admitted.toSeq: _*))
+    val contaminatedB = TextOps.d7bVerdicts(
+        nearSurv.select(col("doc_id"), split(col("text"), " ").as("ws")), bw)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val passedIds = passedB.select("doc_id").as[Long].collect().toSet
+    val expected = allBatches.flatten.map(_._1).map { id =>
+      id -> (if (!passedIds.contains(id)) "quality"
+      else if (!exactKept.contains(id)) "exact"
+      else if (!admitted.contains(id)) "neardup"
+      else if (contaminatedB.contains(id)) "contaminated"
+      else "kept")
+    }.toMap
+    assert(got == expected,
+      s"stream manifest diverged from the batch chain:\n  got $got\n  exp $expected")
+
+    // the planted rows actually exercised every stage
+    assert(got(2L) == "quality" && got(13L) == "quality")
+    assert(got(4L) == "exact" && got(10L) == "exact")
+    assert(got(5L) == "neardup" && got(8L) == "neardup" && got(12L) == "neardup")
+    assert(got(9L) == "contaminated")
+    assert(Set(1L, 3L, 6L, 7L, 11L).forall(got(_) == "kept"))
+    // provenance lives in the component stores
+    assert(StreamPrep.verdicts(spark, store).count() == 1)
+    assert(graft.streaming.StreamNearDup.matches(spark, s"$store/sigs")
+      .filter(col("stage") === "batch").count() == 1)
+    // exactly one manifest row per incoming doc across the restart
+    assert(StreamPrep.manifest(spark, store).count() == 13)
+    assert(StreamPrep.keptIds(spark, store).as[Long].collect().toSet ==
+      Set(1L, 3L, 6L, 7L, 11L))
+  }
+
   test("streaming rollup twin: at-ingest state maintenance serves the batch chain's result") {
     import graft.operators.Rollup
     import graft.streaming.StreamRollup
