@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * 1.2-2.4× depending on what executed before them, wide enough to
   * hide a real single-query regression (the round-9 verdict measured a
   * near-uniform 1.27× swing on byte-identical plans). This main times
-  * a PINNED query subset (33 queries since late round 12; see [[queries]])
+  * a PINNED query subset (36 queries since round 13; see [[queries]])
   * in its own JVM — same starting state every
   * round — with one untimed warm-up and the MEDIAN OF FIVE timed runs
   * per query (the full bench's median-of-3, widened because the canary
@@ -93,7 +93,15 @@ object Canary {
     // round-12 fifth wave (net-lag rule): r22 is the wave's richest
     // serving path — positional-index reads + doc_id postings merge +
     // nested higher-order proximity counting
-    "r22_proximity")          // NEAR/5 span search (positional merge)
+    "r22_proximity",          // NEAR/5 span search (positional merge)
+    // round 13 (verdict-12 ask #3): the two heaviest bench queries had
+    // been riding only the noise-dominated full-bench total — a
+    // regression in either was invisible between rounds; t19 joins per
+    // the net-lag rule (new operator, and the suite's only
+    // mapPartitions sketch pass)
+    "e2e2_span_prep",         // heaviest query: 5-stage training-prep chain
+    "s10_dsir_weights",       // two-pass broadcast-LM importance weights
+    "t19_heavy_hitters")      // Misra-Gries sketch + exact candidate pass
 
   /** Per-query normalized-gate half-width; default ±20%. sq1's
     * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,

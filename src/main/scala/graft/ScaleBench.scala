@@ -161,7 +161,17 @@ object ScaleBench {
     "cmp1_compaction_plan",
     // s12's corpus term is one md5 projection + one (doc_id, h) group
     // shuffle — the d1 shape with a window instead of an aggregate
-    "s12_leakage_safe_split")
+    "s12_leakage_safe_split",
+    // round 13 (net-lag rule): t19's sketch pass is one narrow
+    // mapPartitions scan (O(k) per task) + a P·k-row merge, then a
+    // broadcast-candidate exact pass — two linear corpus scans, no
+    // term-keyed full shuffle; m3/m4 close the multimodal family's
+    // measurement gap (verdict-12 ask #7): both ride m2's batched
+    // decode hop, m3 adding the explode(sequence) frame fan-out
+    // (bounded ×30/5) and m4 the second batched resize hop — the
+    // mapPartitions hops are exactly where a super-linear surprise
+    // would hide, so they get measured, not argued
+    "t19_heavy_hitters", "m3_frame_sample", "m4_resize")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

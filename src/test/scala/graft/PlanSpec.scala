@@ -1207,6 +1207,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"a shuffle carries text: ${e.output.map(_.name).mkString(",")}")
   }
 
+  test("t19 heavy hitters: candidate set broadcasts into the exact pass; no term-keyed sort-merge") {
+    val df = SparkEntry.queries("t19_heavy_hitters")(spark, sf)
+    val p = planString(df)
+    // pass 2's exact counting must join the P·k-row candidate set
+    // BROADCAST into the re-scanned token stream — a SortMergeJoin on
+    // term would mean the full term stream shuffled, exactly what the
+    // sketch exists to avoid
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate join not broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream shuffled for the candidate join:\n${p.take(800)}")
+  }
+
   test("cmp1 compaction plan: pure manifest arithmetic — no joins, no corpus rescans") {
     val df = SparkEntry.queries("cmp1_compaction_plan")(spark, sf)
     val p = planString(df)
