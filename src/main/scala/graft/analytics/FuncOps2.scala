@@ -133,7 +133,7 @@ object FuncOps2 {
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |  AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
         |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
-      // per-dir view names, registered ONCE per session (idempotent):
+      // per-source view names, registered ONCE per session (idempotent):
       // re-registering on every call put catalog/planning churn inside
       // the timed query — sq1's 0.37-0.58 s cross-run spread
       // (BENCH_NOTES) was re-registration variance, not the query. The
@@ -141,17 +141,21 @@ object FuncOps2 {
       // alphanumerics pass through, everything else becomes _hex_
       // (terminated, so no two dirs can encode alike; a lossy
       // strip-to-underscore would collide sf0.1 with sf0_1) — so a
-      // different sfDir can never serve a stale registration; note the
-      // registered view freezes its file listing for the session —
-      // regenerating the parquet at the same path mid-session is out
-      // of contract here, as it is for every fingerprint-keyed
-      // artifact.
+      // different sfDir can never serve a stale registration. Since
+      // round 13 the SOURCE FINGERPRINT rides the name too (the
+      // VersionedStore artifact discipline): a regenerated parquet at
+      // the SAME path mid-session gets fresh view names instead of
+      // silently serving the old registration's frozen file listing —
+      // what was a documented out-of-contract divergence is now
+      // structural. LIST-only cost, once per call, dwarfed by planning.
       val tag = d.flatMap { c =>
         if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
           (c >= '0' && c <= '9')) c.toString
         else f"_${c.toInt}%x_"
       }
-      val (cv, ov) = (s"sq1_customer_$tag", s"sq1_orders_$tag")
+      val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/customer.parquet") +
+        graft.sinks.VersionedStore.fingerprintOf(s, s"$d/orders.parquet")
+      val (cv, ov) = (s"sq1_customer_${tag}_$fp", s"sq1_orders_${tag}_$fp")
       def ensure(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
         if (!s.catalog.tableExists(name))
           try df.createTempView(name)
