@@ -62,11 +62,18 @@ main_rows = len(re.findall(r"(?m)^\| \S+ \| [\d.]+ \| [\d.]+ \| [\d.]+× \|", sc
 spot_rows = len(
     re.findall(r"(?m)^\| \S+ \| [\d.]+ \| [\d.]+ \| [\d.]+ \| [\d.]+× \|", scaling)
 )
+non_oracled = (
+    "zero non-oracled rows — since round 13 even the approx sketches are "
+    "oracled bound-verdict queries"
+    if registered == oracled
+    else f"the {registered - oracled} non-oracled rows are the by-design "
+    "approx sketches, error-bounded against their exact oracled twins in "
+    "OpsSpec"
+)
 counts_line = (
     f"Status: {oracled} of {registered} registered queries carry a full DuckDB "
-    f"oracle and hash-match at sf0.01 AND sf0.1 (the {registered - oracled} "
-    f"non-oracled rows are the by-design approx sketches, error-bounded "
-    f"against their exact oracled twins in OpsSpec); the fresh-JVM canary "
+    f"oracle and hash-match at sf0.01 AND sf0.1 ({non_oracled}); "
+    f"the fresh-JVM canary "
     f"gate pins {n_canary} queries (CANARY.json); SCALING.md measures "
     f"{main_rows} queries at 1× vs 10× plus {spot_rows} at a 30× third point"
 )
