@@ -1207,6 +1207,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"a shuffle carries text: ${e.output.map(_.name).mkString(",")}")
   }
 
+  test("scale_approx_quantiles verdict: estimate table broadcasts; the corpus never shuffles for the check") {
+    val df = SparkEntry.queries("scale_approx_quantiles")(spark, sf)
+    val p = planString(df)
+    // the 5-row per-group estimate joins BACK into the events scan
+    // broadcast — a SortMergeJoin here would shuffle the corpus to
+    // verify its own sketch
+    assert(p.contains("BroadcastHashJoin"),
+      s"estimate join not broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the bound check:\n${p.take(800)}")
+  }
+
   test("t19 heavy hitters: candidate set broadcasts into the exact pass; no term-keyed sort-merge") {
     val df = SparkEntry.queries("t19_heavy_hitters")(spark, sf)
     val p = planString(df)

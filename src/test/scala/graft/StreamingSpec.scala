@@ -1510,6 +1510,26 @@ class StreamingSpec extends SparkSpec {
     assert(StreamPrep.manifest(spark, store).count() == 13)
     assert(StreamPrep.keptIds(spark, store).as[Long].collect().toSet ==
       Set(1L, 3L, 6L, 7L, 11L))
+
+    // fold BOTH screen stores mid-chain (the composed pipeline's new
+    // store interaction — standalone fold semantics are pinned
+    // elsewhere): manifest and kept set unchanged, and a post-fold
+    // batch still screens against the folded state on both stores
+    assert(graft.streaming.StreamDedup.foldDeltas(spark, s"$store/exact") >= 2)
+    assert(graft.streaming.StreamNearDup.foldDeltas(spark, s"$store/sigs") >= 2)
+    assert(StreamPrep.manifest(spark, store).count() == 13)
+    assert(StreamPrep.keptIds(spark, store).as[Long].collect().toSet ==
+      Set(1L, 3L, 6L, 7L, 11L))
+    val q3 = StreamPrep.start(src, bw, store, cp)
+    in.addData(14L -> good("alpha"), // exact dup of folded 1
+      15L -> (good("epsilon") + " more"), // near-dup of folded 11
+      16L -> good("zeta")) // fresh -> kept
+    q3.processAllAvailable()
+    q3.stop()
+    val got2 = StreamPrep.manifest(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(14L) == "exact" && got2(15L) == "neardup" && got2(16L) == "kept",
+      s"post-fold batch mis-screened: $got2")
   }
 
   test("streaming rollup twin: at-ingest state maintenance serves the batch chain's result") {
