@@ -24,6 +24,26 @@ private[streaming] object DeltaPostingsStore {
 
   private val DeltaRe = "delta_b(\\d+)".r
 
+  /** Last-writer shrink for the posting stores' content-aware fold
+    * (`StreamDedup.foldDeltasWith`): keep only each doc's max-b rows
+    * among the fold's inputs — physically dropping superseded reissue
+    * postings and, for a tombstoned doc, its old payload rows (the
+    * erasure path: reissue the doc with empty-tokenizing text, then
+    * compact). The marker row survives when it is the doc's newest
+    * input row — required by the crash contract (a leftover input dir
+    * can resurrect old postings; the committed fold's marker must
+    * still beat them at read). Sound because the one excluded dir
+    * (the newest delta) always carries a strictly higher b than every
+    * input row.
+    */
+  def lastWriterShrink(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    df.withColumn("__bmax", max("b").over(Window.partitionBy("doc_id")))
+      .filter(col("b") === col("__bmax"))
+      .drop("__bmax")
+  }
+
   def read(spark: SparkSession, storeDir: String, schema: StructType): DataFrame = {
     val base = new Path(storeDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)

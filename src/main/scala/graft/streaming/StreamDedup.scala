@@ -277,7 +277,33 @@ object StreamDedup {
       foldDeltasExclusive(spark, storeDir)
     }
 
-  private def foldDeltasExclusive(spark: SparkSession, storeDir: String): Int = {
+  /** [[foldDeltas]] with a per-fold SHRINK step applied to the folded
+    * rows — the content-aware compaction the last-writer stores
+    * (StreamVec, the postings stores) use to physically drop rows the
+    * max-b read filter already hides (superseded reissues; a
+    * tombstoned id's payload rows). Correctness envelope, reasoned
+    * once here for every caller:
+    *  - the shrink sees ONLY the fold's inputs, and the one excluded
+    *    dir (the newest delta) has a strictly HIGHER batch id than
+    *    every input row's `b` — so a max-b filter within the inputs
+    *    can never drop a row the global max-b read would serve;
+    *  - tombstone/marker rows must SURVIVE the shrink (drop only the
+    *    payload rows they supersede): the crash contract is "overlap,
+    *    never loss", and a crashed input delete can resurrect an old
+    *    payload row from a leftover input dir — the committed fold's
+    *    tombstone still beats it at read time, but only if it is
+    *    still there;
+    *  - replay safety is the fold's own (the newest delta is never an
+    *    input, so a replayed batch never rewrites a folded dir).
+    */
+  private[streaming] def foldDeltasWith(spark: SparkSession, storeDir: String)(
+      shrink: DataFrame => DataFrame): Int =
+    graft.sinks.VersionedStore.withMaintenanceLease(spark, storeDir) {
+      foldDeltasExclusive(spark, storeDir, shrink)
+    }
+
+  private def foldDeltasExclusive(spark: SparkSession, storeDir: String,
+      shrink: DataFrame => DataFrame = identity): Int = {
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (folds, deltas) = listParts(spark, storeDir).partition(p =>
       FoldRe.pattern.matcher(p._1.getName).matches())
@@ -299,8 +325,7 @@ object StreamDedup {
     // inputs are still in place — at worst overlap, never loss. Deletes
     // run only after the fold (incl. _SUCCESS) is fully committed.
     val dst = new Path(storeDir, s"fold_0_${foldable.map(_._2).max}")
-    spark.read.parquet(inputs.map(_._1.toString): _*)
-      .distinct()
+    shrink(spark.read.parquet(inputs.map(_._1.toString): _*).distinct())
       .coalesce(1) // hash rows are tiny; one file per fold
       .write.mode("overwrite").parquet(dst.toString)
     inputs.foreach { case (p, _) => fs.delete(p, true) }

@@ -54,6 +54,14 @@ object StreamPosPostings {
   def served(spark: SparkSession, storeDir: String): DataFrame =
     postings(spark, storeDir).drop("b")
 
+  /** Last-writer-aware compaction — StreamPostings.foldPostings'
+    * twin over the positional payload (see
+    * [[DeltaPostingsStore.lastWriterShrink]]).
+    */
+  def foldPostings(spark: SparkSession, storeDir: String): Int =
+    StreamDedup.foldDeltasWith(spark, storeDir)(
+      DeltaPostingsStore.lastWriterShrink)
+
   /** Start the ingest over a `(doc_id, text)` source. The STORE is the
     * output — readers serve phrase queries via [[served]]. `analyzer`
     * mirrors StreamPostings.start's parameter (one analyzer per store

@@ -67,6 +67,17 @@ object StreamPostings {
   def served(spark: SparkSession, storeDir: String): DataFrame =
     Retrieval.withDf(postings(spark, storeDir).drop("b"))
 
+  /** Last-writer-aware compaction (see
+    * [[DeltaPostingsStore.lastWriterShrink]]): physically drops
+    * superseded reissue postings and tombstoned docs' payload rows —
+    * the space-reclaim/erasure fold; served results are identical to
+    * plain `StreamDedup.foldDeltas` (the read filter already hid those
+    * rows), the disk just stops carrying them.
+    */
+  def foldPostings(spark: SparkSession, storeDir: String): Int =
+    StreamDedup.foldDeltasWith(spark, storeDir)(
+      DeltaPostingsStore.lastWriterShrink)
+
   /** The default analyzer: lowercase → [a-z]+ tokens — r1's chain,
     * the SAME definition the batch maintenance ops use.
     */

@@ -110,6 +110,30 @@ object StreamVec {
     }
   }
 
+  /** Last-writer-aware compaction: StreamDedup's fold machinery with a
+    * SHRINK step that keeps only each vec_id's max-b row among the
+    * fold's inputs — physically dropping superseded reissue rows and,
+    * for tombstoned ids, the CODE rows themselves (the erasure path:
+    * send a NULL-embedding tombstone through the stream — the id stops
+    * serving at that trigger — then compact; the encoded data is
+    * physically gone once the tombstone's delta becomes foldable, i.e.
+    * after one more batch commits). The tombstone row itself SURVIVES
+    * compaction deliberately: the crash contract is "overlap, never
+    * loss" — a fold whose input delete crashed can leave an old code
+    * row in a leftover dir, and the committed fold's tombstone must
+    * still beat it at read time (the Kafka-compaction key-tombstone
+    * model; only the payload is erased, the key lingers). Plain
+    * `StreamDedup.foldDeltas` remains valid for this store — it just
+    * reclaims no superseded rows.
+    */
+  def foldCodes(spark: SparkSession, storeDir: String): Int =
+    StreamDedup.foldDeltasWith(spark, storeDir) { df =>
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("__bmax", max("b").over(Window.partitionBy("vec_id")))
+        .filter(col("b") === col("__bmax"))
+        .drop("__bmax")
+    }
+
   /** The drift gate's audit trail: one row per micro-batch
     * (b, n_vecs, mean_err, drift_ppm, retrain). The operational signal
     * a frozen-codebook deployment watches — v16's audit, continuous.

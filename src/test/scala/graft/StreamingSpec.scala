@@ -1382,6 +1382,101 @@ class StreamingSpec extends SparkSpec {
     assert(afterRestart.collect().map(_.toSeq).toSet == oneShotAdjusted)
   }
 
+  test("last-writer compaction physically erases superseded and tombstoned payloads; crash contract intact") {
+    import graft.operators.VectorOps
+    import graft.streaming.{StreamPostings, StreamVec}
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val baseline = VectorOps.meanSqErr(spark, emb, books)
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val store = tmpDir("graft-svec-purge") + "/store"
+    val cp = tmpDir("graft-svec-purge-cp")
+    val in = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+      store, cp, baseline)
+    val (vx, vy) = (rows(0)._1, rows(1)._1)
+    // b0: ten vectors; b1: reissue X with vec 5's embedding; b2:
+    // tombstone Y; b3: a fresh vector so b0-b2 are all foldable
+    in.addData(rows.take(10).map { case (id, v) => (id, Some(v)) }: _*)
+    q.processAllAvailable()
+    in.addData((vx, Some(rows(5)._2))); q.processAllAvailable()
+    in.addData((vy, None)); q.processAllAvailable()
+    in.addData((rows(10)._1, Some(rows(10)._2))); q.processAllAvailable()
+    q.stop()
+    // read every live part dir directly (the reader's union, unfiltered)
+    def rawStore() = {
+      val base = new org.apache.hadoop.fs.Path(store)
+      val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs = fsys.listStatus(base).toSeq.map(_.getPath).filter { p =>
+        (p.getName.startsWith("delta_b") || p.getName.startsWith("fold_0_")) &&
+          fsys.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }.map(_.toString)
+      spark.read.parquet(dirs: _*)
+    }
+    // pre-fold: X has two code rows on disk, Y has code row + tombstone
+    assert(rawStore().filter(col("vec_id") === vx).count() == 2)
+    assert(rawStore().filter(col("vec_id") === vy).count() == 2)
+    // stash b0 to stage the fold-crash overlap afterwards
+    val b0p = new org.apache.hadoop.fs.Path(s"$store/delta_b0")
+    val fsys = b0p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stash = new org.apache.hadoop.fs.Path(tmpDir("graft-svec-purge-stash"), "delta_b0")
+    org.apache.hadoop.fs.FileUtil.copy(fsys, b0p, fsys, stash, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(StreamVec.foldCodes(spark, store) > 0)
+    // physically erased: X's superseded row gone (one row left, the
+    // reissue), Y's CODE row gone (only the key tombstone remains)
+    assert(rawStore().filter(col("vec_id") === vx).count() == 1)
+    val yRows = rawStore().filter(col("vec_id") === vy).collect()
+    assert(yRows.length == 1 && yRows.head.getAs[Boolean]("del"),
+      s"tombstoned payload not erased: ${yRows.toSeq}")
+    // serving: Y gone, X serves the reissued codes, everyone else intact
+    val served = StreamVec.codes(spark, store)
+    assert(served.count() == 10) // 10 live: 11 ingested - Y
+    val xCodes = served.filter(col("vec_id") === vx).collect().head
+    val expect = VectorOps.encodeCodes(
+      emb.filter(col("vec_id") === rows(5)._1), books).collect().head
+    assert((1 to VectorOps.PqM).forall(m => xCodes.getLong(m) == expect.getLong(m)))
+    // crash contract: restore the deleted input delta (fold committed,
+    // input delete "crashed") — Y must STAY dead (the fold kept its
+    // tombstone) and X must still serve the reissue (max-b beats the
+    // resurrected b0 row)
+    org.apache.hadoop.fs.FileUtil.copy(fsys, stash, fsys, b0p, false,
+      spark.sparkContext.hadoopConfiguration)
+    val served2 = StreamVec.codes(spark, store)
+    assert(served2.count() == 10)
+    assert(served2.filter(col("vec_id") === vy).isEmpty)
+    val xCodes2 = served2.filter(col("vec_id") === vx).collect().head
+    assert((1 to VectorOps.PqM).forall(m => xCodes2.getLong(m) == expect.getLong(m)))
+
+    // the postings-store twin: tombstoned doc's payload physically gone
+    val store2 = tmpDir("graft-spost-purge") + "/store"
+    val cp2 = tmpDir("graft-spost-purge-cp")
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamPostings.start(in2.toDF().toDF("doc_id", "text"), store2, cp2)
+    in2.addData((1L, "alpha beta"), (2L, "gamma")); q2.processAllAvailable()
+    in2.addData((1L, "123 456")); q2.processAllAvailable() // tombstone reissue
+    in2.addData((3L, "delta")); q2.processAllAvailable()
+    q2.stop()
+    assert(StreamPostings.foldPostings(spark, store2) > 0)
+    val raw2 = {
+      val base = new org.apache.hadoop.fs.Path(store2)
+      val f2 = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs = f2.listStatus(base).toSeq.map(_.getPath).filter { p =>
+        (p.getName.startsWith("delta_b") || p.getName.startsWith("fold_0_")) &&
+          f2.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }.map(_.toString)
+      spark.read.parquet(dirs: _*)
+    }
+    val doc1 = raw2.filter(col("doc_id") === 1L).collect()
+    assert(doc1.forall(_.getString(0) == ""),
+      s"doc 1's postings survived erasure compaction: ${doc1.toSeq}")
+    val srv = StreamPostings.served(spark, store2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(srv == Set(("gamma", 2L), ("delta", 3L)))
+  }
+
   test("streaming ANN ingest: drift gate fires loudly on a rotated batch") {
     import graft.operators.VectorOps
     import graft.streaming.StreamVec
