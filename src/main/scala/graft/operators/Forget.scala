@@ -39,6 +39,18 @@ import org.apache.spark.sql.functions._
   *    for time-travel until maintenance prunes them (an erasure SLA
   *    therefore also bounds the retention window — noted here because
   *    auditors ask exactly that question).
+  *  - STREAMING stores are deliberately NOT legs here: their delta
+  *    dirs are owned by the ingest checkpoint (writing one out-of-band
+  *    would break the batchId epoch guard), so erasure routes through
+  *    the owning stream — a tombstone row (NULL embedding for
+  *    `StreamVec`; an empty-tokenizing reissue for the postings
+  *    ingests) stops the key serving at that trigger, and the
+  *    last-writer-aware compaction (`StreamVec.foldCodes`,
+  *    `StreamPostings.foldPostings`, `StreamPosPostings.foldPostings`)
+  *    physically removes the payload rows once the tombstone's delta
+  *    is foldable (one committed batch later). Same
+  *    eventual-with-deadline contract as the retention note above;
+  *    StreamingSpec pins the physical removal and its crash safety.
   */
 object Forget {
 
