@@ -171,7 +171,11 @@ object ScaleBench {
     // (bounded ×30/5) and m4 the second batched resize hop — the
     // mapPartitions hops are exactly where a super-linear surprise
     // would hide, so they get measured, not argued
-    "t19_heavy_hitters", "m3_frame_sample", "m4_resize")
+    "t19_heavy_hitters", "m3_frame_sample", "m4_resize",
+    // scale_approx_vocab pits the HLL distinct-terms sketch against
+    // the exact COUNT(DISTINCT) under the blowup's ~25× vocabulary
+    // growth — the dial's own stress case
+    "scale_approx_vocab")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

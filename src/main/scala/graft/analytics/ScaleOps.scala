@@ -92,6 +92,28 @@ object ScaleOps {
         .orderBy("event_type")
     },
 
+    // Corpus vocabulary size — the distinct-terms HLL dial a tokenizer
+    // budget actually consumes (vocab-size estimation at 100 TB is an
+    // HLL merge, never a COUNT(DISTINCT) shuffle of the term
+    // dictionary; under ScaleBench's junked-copy blowup the vocabulary
+    // is the known ~25× stress case). Fourth bound-verdict row: exact
+    // n_terms (oracled) + the sketch gated at 3·rsd.
+    QueryDef.sql("scale_approx_vocab",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT COUNT(DISTINCT term) AS n_terms,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       TRUE AS within_bound
+        |FROM w""".stripMargin) { (s, d) =>
+      graft.sources.Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .agg(countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("n_tokens"),
+          approx_count_distinct(col("term"), 0.02).as("est"))
+        .select(col("n_terms"), col("n_tokens"),
+          (abs(col("est") - col("n_terms")).cast("double")
+            / col("n_terms") <= 0.06).as("within_bound"))
+    },
+
     // Partition pruning: day-partitioned layout + day filter => the
     // scan reads exactly one partition (asserted in OpsSpec). The
     // result equals a filtered scan of the unpartitioned table, which
