@@ -50,6 +50,41 @@ class OpsPropSpec extends SparkSpec {
     run("cross-matches-vs-batch", prop, 5)
   }
 
+  test("Misra-Gries candidates contain every term above n/(k+1) on random skewed streams") {
+    // t19's recall guarantee as a property, not a single planting: for
+    // ANY stream and ANY partitioning, the merged per-partition MG
+    // candidate set is a superset of the true heavy hitters. Streams
+    // mix a few hot terms (geometric weights) with a unique-token tail
+    // so the decrement path actually runs; k is small (16) to stress it.
+    import graft.operators.TextOps
+    val streamGen = for {
+      nHot <- Gen.chooseNum(1, 5)
+      hotMass <- Gen.chooseNum(50, 400)
+      tail <- Gen.chooseNum(100, 2000)
+      parts <- Gen.chooseNum(1, 8)
+      seed <- Gen.chooseNum(0, 1000000)
+    } yield (nHot, hotMass, tail, parts, seed)
+    val prop = Prop.forAll(streamGen) { case (nHot, hotMass, tail, parts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val hot = (0 until nHot).flatMap(i =>
+        Seq.fill(hotMass / (i + 1))(s"hot_$i"))
+      val stream = rnd.shuffle(hot ++ (0 until tail).map(i => s"tail_$i"))
+      val k = 16
+      val terms = spark.createDataset(stream)(
+        org.apache.spark.sql.Encoders.STRING).repartition(parts).toDF("term")
+      val cand = TextOps.heavyHitterCandidates(spark, terms, k)
+        .as[String].collect().toSet
+      val n = stream.size
+      val bound = n.toDouble / (k + 1)
+      val trueHeavy = stream.groupBy(identity).view.mapValues(_.size)
+        .filter(_._2 > bound).keys.toSet
+      val missed = trueHeavy -- cand
+      Prop(missed.isEmpty) :| s"missed heavy terms $missed (n=$n bound=$bound)" &&
+        (Prop(cand.size <= parts * k) :| s"candidates ${cand.size} > P*k")
+    }
+    run("mg-recall", prop, 30)
+  }
+
   test("connectedComponents matches driver-side union-find on random graphs") {
     val graphGen = for {
       n <- Gen.chooseNum(2, 10)
