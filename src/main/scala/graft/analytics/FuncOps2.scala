@@ -153,8 +153,11 @@ object FuncOps2 {
           (c >= '0' && c <= '9')) c.toString
         else f"_${c.toInt}%x_"
       }
+      // underscore-joined so the (customer, orders) pair encoding is
+      // itself injective — the hex fingerprints are variable-length,
+      // so bare concatenation would let 'a'+'bc' alias 'ab'+'c'
       val fp = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/customer.parquet") +
-        graft.sinks.VersionedStore.fingerprintOf(s, s"$d/orders.parquet")
+        "_" + graft.sinks.VersionedStore.fingerprintOf(s, s"$d/orders.parquet")
       val (cv, ov) = (s"sq1_customer_${tag}_$fp", s"sq1_orders_${tag}_$fp")
       def ensure(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
         if (!s.catalog.tableExists(name))

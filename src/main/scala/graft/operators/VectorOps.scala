@@ -1604,7 +1604,7 @@ object VectorOps {
     */
   final val PqM = 4 // public: StreamVec sizes the code schema from it
   private final val PqP = 16
-  private final val PqK = 8
+  final val PqK = 8 // public: StreamVec.rotate sizes its training sample floor
 
   /** Largest query batch served by the inlined-literal ADC path. Each
     * literal query adds M element_at lookups (v8) or M when-branches

@@ -651,14 +651,53 @@ object VersionedStore {
         s"no published version at $base")
     }
 
+  /** Per-process ledger of BUILD-path hits through [[readOrBuild]]:
+    * (artifact base name, build seconds), in completion order. Exists
+    * because `readOrBuild` serves-or-rebuilds SILENTLY, so a bench run
+    * that happened to be artifact-cold was indistinguishable, from the
+    * bench artifact alone, from a 10× plan regression (the round-13
+    * driver-bench anomaly: 163 s vs 79 s on an identical tree, all of
+    * it concentrated in the postings-artifact readers). [[graft.Bench]]
+    * snapshots this ledger around every query execution and reports
+    * per-query `builds_sec` plus a run-level `total_ex_builds`, making
+    * a cold-artifact window attributable from BENCH_LOCAL.json alone.
+    * Bounded driver state: one entry per artifact build in the process
+    * (a full cold bench builds a few dozen artifacts, each logged once
+    * — subsequent reads take the serve path and log nothing).
+    */
+  private val buildLedger =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+
+  /** Snapshot of the build ledger (see [[buildLedger]]); index into it
+    * with [[buildCount]] deltas to attribute builds to a window.
+    */
+  def buildEvents(): Seq[(String, Double)] = {
+    val it = buildLedger.iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    while (it.hasNext) out += it.next()
+    out.toSeq
+  }
+
+  /** Number of BUILD-path hits so far this process — cheap monotonic
+    * marker for windowed attribution (`buildEvents().drop(before)`).
+    */
+  def buildCount(): Int = buildLedger.size()
+
   /** Serve the artifact at `base` if its pointer matches `fingerprint`,
     * else (re)build it via `write` and serve the fresh version — the
     * read-through-cache shape every materialized artifact here uses.
+    * Build-path hits are timed and logged to the per-process
+    * [[buildEvents]] ledger so callers (Bench) can attribute
+    * build-once cost separately from steady-state serving cost.
     */
   def readOrBuild(spark: SparkSession, base: String, fingerprint: String)(
       write: String => Unit): DataFrame = {
-    val dir = resolve(spark, base, Some(fingerprint))
-      .getOrElse(publish(spark, base, fingerprint)(write))
+    val dir = resolve(spark, base, Some(fingerprint)).getOrElse {
+      val t0 = System.nanoTime()
+      val built = publish(spark, base, fingerprint)(write)
+      buildLedger.add((new Path(base).getName, (System.nanoTime() - t0) / 1e9))
+      built
+    }
     spark.read.parquet(dir.toString)
   }
 

@@ -42,13 +42,44 @@ object StreamDecontam {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.select(col("doc_id"), split(col("text"), " ").as("ws"))
         TextOps.d7bVerdicts(sp, benchWindows)
+          // b rides every verdict row so a fold's distinct collapses
+          // ONLY replay/crash overlap (same batch, byte-identical),
+          // never a genuine re-send verdict from a later batch
+          .withColumn("b", lit(batchId))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$storeDir/verdicts_b$batchId")
         ()
       }
       .start()
 
-  /** The stored verdicts across all ingested batches. */
-  def serve(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/verdicts_b*")
+  /** Compact per-batch verdict dirs into one `verdicts_fold_0_<hi>`
+    * range dir (the dirs otherwise accumulate one per micro-batch
+    * forever — ~2,900/day at a 30 s trigger). StreamDedup's fold
+    * machinery under the store's maintenance lease; crash leaves
+    * overlap that [[serve]]'s distinct absorbs.
+    */
+  def fold(spark: SparkSession, storeDir: String): Int =
+    StreamDedup.foldSidecars(spark, storeDir, "verdicts")
+
+  /** The stored verdicts across all ingested batches (per-batch dirs
+    * plus [[fold]] compactions; overlap collapsed by distinct on the
+    * internal batch-id column, which is dropped from the served rows).
+    */
+  def serve(spark: SparkSession, storeDir: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vRe = "verdicts_b(\\d+)".r
+    val fRe = "verdicts_fold_0_(\\d+)".r
+    val dirs =
+      if (!fs.exists(base)) Seq.empty[String]
+      else fs.listStatus(base).toSeq.collect {
+        case st if st.isDirectory &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) &&
+          (vRe.pattern.matcher(st.getPath.getName).matches() ||
+            fRe.pattern.matcher(st.getPath.getName).matches()) =>
+          st.getPath.toString
+      }
+    require(dirs.nonEmpty, s"no committed verdicts under $storeDir")
+    spark.read.parquet(dirs: _*).distinct().drop("b")
+  }
 }

@@ -167,7 +167,30 @@ object StreamDedup {
     throw last
   }
 
-  private def listParts(spark: SparkSession, storeDir: String): Seq[(Path, Long)] = {
+  /** A store's directory-naming scheme: which names are batch deltas,
+    * which are folds, and what a new fold is called. The main delta
+    * store uses `delta_b<id>` / `fold_0_<hi>`; batchId-keyed SIDECAR
+    * families (StreamPrep's `manifest_b*`/`verdicts_b*`, StreamVec's
+    * `drift_b*`, StreamNearDup's `matches_b*`) fold under their own
+    * prefix (`<prefix>_fold_0_<hi>`) so the families never collide in
+    * a shared store dir — `drift_fold_0_3` full-matches neither
+    * `delta_b(\d+)` nor `fold_0_(\d+)`, so the code readers and the
+    * delta fold are blind to it, and vice versa.
+    */
+  private[streaming] final case class NameScheme(
+      deltaRe: scala.util.matching.Regex,
+      foldRe: scala.util.matching.Regex,
+      foldName: Long => String)
+
+  private val DeltaScheme =
+    NameScheme(DeltaRe, FoldRe, hi => s"fold_0_$hi")
+
+  private[streaming] def sidecarScheme(prefix: String): NameScheme = NameScheme(
+    s"${prefix}_b(\\d+)".r, s"${prefix}_fold_0_(\\d+)".r,
+    hi => s"${prefix}_fold_0_$hi")
+
+  private def listParts(spark: SparkSession, storeDir: String,
+      scheme: NameScheme = DeltaScheme): Seq[(Path, Long)] = {
     val base = new Path(storeDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
@@ -176,12 +199,13 @@ object StreamDedup {
     // as real would let the resume step delete deltas whose rows the
     // partial fold lacks (loss, not overlap). Incomplete dirs are
     // invisible to readers and reclaimed by the next foldDeltas.
+    val (dRe, fRe) = (scheme.deltaRe, scheme.foldRe)
     fs.listStatus(base).toSeq.flatMap { st =>
       val complete = st.isDirectory &&
         fs.exists(new Path(st.getPath, "_SUCCESS"))
       st.getPath.getName match {
-        case DeltaRe(id) if complete => Some((st.getPath, id.toLong))
-        case FoldRe(hi) if complete => Some((st.getPath, hi.toLong))
+        case dRe(id) if complete => Some((st.getPath, id.toLong))
+        case fRe(hi) if complete => Some((st.getPath, hi.toLong))
         case _ => None
       }
     }
@@ -302,11 +326,41 @@ object StreamDedup {
       foldDeltasExclusive(spark, storeDir, shrink)
     }
 
+  /** Fold a batchId-keyed SIDECAR family — pure per-batch outputs
+    * (StreamPrep's `manifest_b<id>`/`verdicts_b<id>`, StreamVec's
+    * `drift_b<id>`, StreamNearDup's `matches_b<id>`) whose rows are
+    * deterministic functions of (batch content, fixed config, store
+    * state strictly before the batch), never read back by any screen.
+    * They accumulate one dir + one small parquet file per micro-batch
+    * forever (~2,900 dirs/day at a 30 s trigger) — the small-file
+    * problem the batch side plans for with cmp1, reintroduced at
+    * ingest. Same machinery, same contract as [[foldDeltas]]:
+    *  - `<prefix>_b*` dirs (minus the NEWEST — the only batch that can
+    *    still be replayed) union+distinct into `<prefix>_fold_0_<hi>`,
+    *    written before any input delete → a crash leaves overlap,
+    *    never loss, and readers distinct() it away (sidecar rows are
+    *    replay-deterministic, so overlap is always byte-identical);
+    *  - a replayed COVERED batch rewrites a `<prefix>_b<id>` dir the
+    *    newest fold already supersedes — the resume path deletes those
+    *    on the next fold (`id <= hi`), and the interim double-serve is
+    *    collapsed by the readers' distinct();
+    *  - runs under the store's maintenance lease: two unserialized
+    *    folds could interleave write/delete and lose rows.
+    * Excluding the newest dir matters for REPLAY SAFETY here, not
+    * screen bounds: a fold is never an overwrite target, so mode
+    * (overwrite) on `<prefix>_b<id>` can never clobber folded history.
+    */
+  def foldSidecars(spark: SparkSession, storeDir: String, prefix: String): Int =
+    graft.sinks.VersionedStore.withMaintenanceLease(spark, storeDir) {
+      foldDeltasExclusive(spark, storeDir, scheme = sidecarScheme(prefix))
+    }
+
   private def foldDeltasExclusive(spark: SparkSession, storeDir: String,
-      shrink: DataFrame => DataFrame = identity): Int = {
+      shrink: DataFrame => DataFrame = identity,
+      scheme: NameScheme = DeltaScheme): Int = {
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (folds, deltas) = listParts(spark, storeDir).partition(p =>
-      FoldRe.pattern.matcher(p._1.getName).matches())
+    val (folds, deltas) = listParts(spark, storeDir, scheme).partition(p =>
+      scheme.foldRe.pattern.matcher(p._1.getName).matches())
     // resume a crashed delete first: anything the newest fold already
     // covers (older folds, deltas with id <= its hi) is pure overlap
     val newest = folds.sortBy(_._2).lastOption
@@ -324,7 +378,7 @@ object StreamDedup {
     // an incomplete dir without _SUCCESS that listParts ignores, and the
     // inputs are still in place — at worst overlap, never loss. Deletes
     // run only after the fold (incl. _SUCCESS) is fully committed.
-    val dst = new Path(storeDir, s"fold_0_${foldable.map(_._2).max}")
+    val dst = new Path(storeDir, scheme.foldName(foldable.map(_._2).max))
     shrink(spark.read.parquet(inputs.map(_._1.toString): _*).distinct())
       .coalesce(1) // hash rows are tiny; one file per fold
       .write.mode("overwrite").parquet(dst.toString)

@@ -48,6 +48,7 @@ object StreamNearDup {
   private val DeltaRe = "delta_b(\\d+)".r
   private val FoldRe = "fold_0_(\\d+)".r
   private val MatchesRe = "matches_b(\\d+)".r
+  private val MatchesFoldRe = "matches_fold_0_(\\d+)".r
 
   private def sigSchema: StructType = StructType(
     StructField("doc_id", LongType) +:
@@ -55,7 +56,8 @@ object StreamNearDup {
 
   private def matchesSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("matched_id", LongType),
-    StructField("est_jaccard", DoubleType), StructField("stage", StringType)))
+    StructField("est_jaccard", DoubleType), StructField("stage", StringType),
+    StructField("b", LongType)))
 
   /** COMPLETE (_SUCCESS) parts matching any of `res`, id < boundExclusive. */
   private def partsBefore(spark: SparkSession, storeDir: String,
@@ -92,19 +94,32 @@ object StreamNearDup {
     sigStore(spark, storeDir).select("doc_id").distinct()
 
   /** The full dedup provenance: one row per (rejected doc, matching
-    * doc) with the estimate and the stage that rejected it.
+    * doc) with the estimate and the stage that rejected it. Reads the
+    * per-batch `matches_b*` dirs plus `matches_fold_0_*` compactions
+    * ([[foldMatches]]); distinct on the internal batch-id column `b`
+    * (dropped from the served rows) collapses exactly fold/crash
+    * overlap while keeping a re-sent doc's later-batch rejection rows.
     */
   def matches(spark: SparkSession, storeDir: String): DataFrame =
     readParts(spark,
-      partsBefore(spark, storeDir, Seq(MatchesRe), Long.MaxValue), matchesSchema)
+      partsBefore(spark, storeDir, Seq(MatchesRe, MatchesFoldRe), Long.MaxValue),
+      matchesSchema).distinct().drop("b")
 
   /** Fold sig deltas into one `fold_0_<hi>` range dir — StreamDedup's
     * compaction verbatim (same dir naming, same write-then-delete crash
     * discipline, newest delta never folded); the `matches_b` provenance
-    * dirs are history, not screen state, and are left untouched.
+    * dirs are history, not screen state — [[foldMatches]] compacts them
+    * separately.
     */
   def foldDeltas(spark: SparkSession, storeDir: String): Int =
     StreamDedup.foldDeltas(spark, storeDir)
+
+  /** Compact the `matches_b*` provenance dirs (one per micro-batch
+    * forever otherwise — the small-file problem at ingest) into
+    * `matches_fold_0_<hi>` under the store's maintenance lease.
+    */
+  def foldMatches(spark: SparkSession, storeDir: String): Int =
+    StreamDedup.foldSidecars(spark, storeDir, "matches")
 
   /** Start the near-dup screen over a `(doc_id, text)` source. The
     * STORE is the output: [[keptIds]] is the deduped id set,
@@ -159,6 +174,7 @@ object StreamNearDup {
         .withColumn("stage", lit("store"))
         .localCheckpoint()
       batchMatches.unionByName(storeMatches)
+        .withColumn("b", lit(batchId)) // fold-overlap vs re-send marker
         .write.mode("overwrite").parquet(s"$storeDir/matches_b$batchId")
       survivors.join(storeMatches.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")

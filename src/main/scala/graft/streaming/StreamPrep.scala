@@ -51,16 +51,24 @@ import graft.operators.TextOps
 object StreamPrep {
 
   private val ManifestRe = "manifest_b(\\d+)".r
+  private val ManifestFoldRe = "manifest_fold_0_(\\d+)".r
 
   private def manifestSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("stage", StringType),
-    StructField("quality", DoubleType)))
+    StructField("quality", DoubleType), StructField("b", LongType)))
 
   /** The per-doc manifest across all ingested batches: exactly one row
     * per incoming doc_id (re-sends of an already-screened doc_id get
     * their own verdict in their own batch — screens are content-keyed,
     * so a byte-identical re-send lands as 'exact'). Empty-but-typed
-    * before the first commit.
+    * before the first commit. Reads per-batch `manifest_b*` dirs AND
+    * `manifest_fold_0_*` compactions ([[fold]]); the distinct() is
+    * load-bearing — a crashed fold's write-then-delete leaves the same
+    * rows in fold and delta ("overlap, never loss"), and manifest rows
+    * ride an internal batch-id column `b` (dropped here) precisely so
+    * that overlap is byte-identical while a genuine cross-batch
+    * re-send verdict (same doc, same stage, different batch) keeps its
+    * multiplicity through the fold's own distinct.
     */
   def manifest(spark: SparkSession, storeDir: String): DataFrame = {
     val base = new Path(storeDir)
@@ -70,14 +78,32 @@ object StreamPrep {
       else fs.listStatus(base).toSeq.collect {
         case st if st.isDirectory &&
           fs.exists(new Path(st.getPath, "_SUCCESS")) &&
-          ManifestRe.pattern.matcher(st.getPath.getName).matches() =>
+          (ManifestRe.pattern.matcher(st.getPath.getName).matches() ||
+            ManifestFoldRe.pattern.matcher(st.getPath.getName).matches()) =>
           st.getPath.toString
       }
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
-    else spark.read.parquet(dirs: _*)
+        .drop("b")
+    else spark.read.parquet(dirs: _*).distinct().drop("b")
   }
+
+  /** Compact the chain's per-batch output dirs — the maintenance pass a
+    * 30 s-trigger deployment schedules (one dir per family per batch is
+    * ~2,900 dirs/day/family otherwise). Folds all four accumulating
+    * families under their stores' maintenance leases: the two screens'
+    * signature/hash deltas (the newest-delta screen-bound discipline,
+    * as standalone), the near-dup `matches_b*` provenance, the decontam
+    * `verdicts_b*` sidecars, and the `manifest_b*` rows. Returns the
+    * number of dirs folded away.
+    */
+  def fold(spark: SparkSession, storeDir: String): Int =
+    StreamDedup.foldDeltas(spark, s"$storeDir/exact") +
+      StreamNearDup.foldDeltas(spark, s"$storeDir/sigs") +
+      StreamNearDup.foldMatches(spark, s"$storeDir/sigs") +
+      StreamDedup.foldSidecars(spark, s"$storeDir/decontam", "verdicts") +
+      StreamDedup.foldSidecars(spark, storeDir, "manifest")
 
   /** The training-set ids the chain has admitted so far. */
   def keptIds(spark: SparkSession, storeDir: String): DataFrame =
@@ -129,8 +155,17 @@ object StreamPrep {
         val verd = TextOps.d7bVerdicts(
           nearSurvivors.select(col("doc_id"), split(col("text"), " ").as("ws")),
           benchWindows)
+          // b rides every sidecar row (fold-overlap vs re-send
+          // disambiguation — see manifest()'s scaladoc)
+          .withColumn("b", lit(batchId))
         verd.coalesce(1)
           .write.mode("overwrite").parquet(s"$storeDir/decontam/verdicts_b$batchId")
+        // deliberate read-back-after-write: the contaminated set (and
+        // through it the manifest) derives from the COMMITTED verdicts
+        // dir, not the in-flight plan — so the two artifacts can never
+        // disagree if the verdict computation were nondeterministic or
+        // the job retried mid-write. Do not "optimize" this into a
+        // reuse of `verd`.
         val contaminated = spark.read
           .parquet(s"$storeDir/decontam/verdicts_b$batchId")
           .select("doc_id").distinct()
@@ -138,10 +173,10 @@ object StreamPrep {
         def staged(ids: DataFrame, stage: String): DataFrame =
           scored.join(ids, Seq("doc_id"), "left_semi")
             .select(col("doc_id"), lit(stage).as("stage"),
-              round(col("quality"), 6).as("quality"))
+              round(col("quality"), 6).as("quality"), lit(batchId).as("b"))
         val mQuality = scored.filter(col("quality") < 0.5 || col("quality").isNull)
           .select(col("doc_id"), lit("quality").as("stage"),
-            round(col("quality"), 6).as("quality"))
+            round(col("quality"), 6).as("quality"), lit(batchId).as("b"))
         val mExact = staged(
           passed.select("doc_id").join(exactAdmitted, Seq("doc_id"), "left_anti"),
           "exact")

@@ -132,14 +132,146 @@ object StreamVec {
       df.withColumn("__bmax", max("b").over(Window.partitionBy("vec_id")))
         .filter(col("b") === col("__bmax"))
         .drop("__bmax")
+    } +
+      // the drift sidecars are the store's other per-batch family —
+      // compact them in the same maintenance pass (one dir per batch
+      // forever otherwise); rows carry b, so the fold's distinct can
+      // only collapse replay/crash overlap
+      StreamDedup.foldSidecars(spark, storeDir, "drift")
+
+  // ---------------------------------------------------------------
+  // Codebook rotation — closing the drift loop. The gate above FLAGS;
+  // [[rotate]] acts: train a fresh codebook on a sample of the store's
+  // live vectors, re-encode the survivors, and publish the rotated
+  // (codebook, code table) snapshot as the NEXT version of a
+  // VersionedStore serving base — one atomic pointer flip cuts query
+  // serving over, the prior version stays readable for time-travel,
+  // and `VersionedStore.rollback` undoes the cutover. The streaming
+  // store dir itself is untouched (ingest under the OLD codebook can
+  // drain/stop on the operator's schedule); after rotation a NEW
+  // stream+store is started against the new codebook.
+  //
+  // The codebook rides IN the published version dir as an
+  // underscore-prefixed sidecar (`_books` — Spark's file index skips
+  // `_`/`.`-prefixed paths, so the code-table read never sees it).
+  // That makes the (codebook, codes) pair ATOMIC under the single
+  // pointer flip: two separate stores would need two flips, and a
+  // reader between them would score codes against the wrong codebook —
+  // top-k garbage with no error raised.
+  // ---------------------------------------------------------------
+
+  /** Codebook → (m, k, p, v) rows; [[decodeBooks]] inverts. */
+  private def booksDf(spark: SparkSession,
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cents, m) =>
+      cents.zipWithIndex.flatMap { case (cent, k) =>
+        cent.zipWithIndex.map { case (v, p) => (m, k, p, v) }
+      }
+    }.toSeq.toDF("m", "k", "p", "v")
+  }
+
+  private def decodeBooks(rows: Array[org.apache.spark.sql.Row]): Array[Array[Array[Long]]] = {
+    val byKey = rows.map(r =>
+      ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    val ms = byKey.keys.map(_._1).max + 1
+    val ks = byKey.keys.map(_._2).max + 1
+    val ps = byKey.keys.map(_._3).max + 1
+    Array.tabulate(ms, ks) { (m, k) => (0 until ps).map(p => byKey((m, k, p))).toArray }
+  }
+
+  /** Publish one (codebook, code table) snapshot as the next version
+    * at `serveBase` — the serving cutover primitive. Deployments call
+    * this once at store creation (so the PRE-rotation state is a
+    * rollback target) and [[rotate]] calls it for the rotated state.
+    * `keepVersions = 2` retains the superseded snapshot for
+    * `VersionedStore.readVersion`/`rollback`.
+    */
+  def publishServing(spark: SparkSession, serveBase: String,
+      books: Array[Array[Array[Long]]], codeTable: DataFrame,
+      tag: String): String = {
+    val dir = graft.sinks.VersionedStore.publish(
+      spark, serveBase, fingerprint = tag, keepVersions = 2) { out =>
+      codeTable.write.parquet(out)
+      booksDf(spark, books).coalesce(1).write.parquet(s"$out/_books")
     }
+    dir.getName
+  }
+
+  /** The code table the serving base currently points at. */
+  def servedCodes(spark: SparkSession, serveBase: String): DataFrame =
+    graft.sinks.VersionedStore.read(spark, serveBase)
+
+  /** The codebook paired with [[servedCodes]] — same version dir, so
+    * the pair is consistent under any interleaving with a cutover.
+    */
+  def servedBooks(spark: SparkSession, serveBase: String): Array[Array[Array[Long]]] = {
+    val dir = graft.sinks.VersionedStore.resolve(spark, serveBase).getOrElse(
+      throw new java.io.FileNotFoundException(s"no published version at $serveBase"))
+    decodeBooks(spark.read.parquet(s"$dir/_books").collect())
+  }
+
+  /** Rotate the codebook of a drifted store: train fresh PQ codebooks
+    * (v7's per-subspace Lloyd, `VectorOps.pqTrain`) on a deterministic
+    * sample of the store's LIVE vectors, re-encode every surviving
+    * embedding map-only, and publish the rotated (codebook, codes)
+    * snapshot at `serveBase` (see [[publishServing]]). Returns the new
+    * codebooks (the frozen input for the post-rotation ingest stream).
+    *
+    * Refuses to run unless the store's drift log actually says retrain
+    * (`force` overrides — e.g. a scheduled rotation policy): rotation
+    * invalidates every stored code, so an accidental invocation on a
+    * healthy store is expensive and should be loud.
+    *
+    * `emb` is the system of record for vectors `(vec_id, embedding)` —
+    * the store holds codes, not embeddings, so re-encoding needs the
+    * source (same contract as a FAISS rebuild). Scale shape: the
+    * sample is hash-ordered top-`sampleCap` (TakeOrderedAndProject —
+    * per-partition top-k, no full sort shuffle) re-keyed to dense
+    * train ids (a ≤`sampleCap`-row single-partition window — bounded
+    * by construction); training state is the usual 512 driver longs;
+    * the re-encode is one map-only pass over live embeddings.
+    */
+  def rotate(spark: SparkSession, storeDir: String, emb: DataFrame,
+      serveBase: String, sampleCap: Int = 4096,
+      force: Boolean = false): Array[Array[Array[Long]]] = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = driftLog(spark, storeDir)
+      .filter(col("retrain")).agg(max("b")).first()
+    require(force || !flagged.isNullAt(0),
+      s"drift log at $storeDir has no retrain verdict — rotation would " +
+        "discard a healthy codebook (pass force = true for a scheduled " +
+        "rotation policy)")
+    val live = codes(spark, storeDir).select("vec_id")
+    val liveEmb = emb.join(live, Seq("vec_id"), "left_semi")
+      .select("vec_id", "embedding")
+    val sample = liveEmb
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy("__h").limit(sampleCap)
+      .withColumn("__tid",
+        row_number().over(Window.orderBy(col("__h"), col("vec_id"))) - 1)
+      .select(col("__tid").cast("long").as("vec_id"), col("embedding"))
+      .localCheckpoint() // freeze: pqTrain makes several passes
+    require(sample.count() >= VectorOps.PqK,
+      s"fewer than ${VectorOps.PqK} live vectors — nothing to train on")
+    val books = VectorOps.pqTrain(spark, sample)
+    graft.functions.NativeFunctions.register(spark)
+    val rotated = VectorOps.encodeCodes(liveEmb, books)
+    val hi = if (flagged.isNullAt(0)) -1L else flagged.getLong(0)
+    publishServing(spark, serveBase, books, rotated, tag = s"rotated_b$hi")
+    books
+  }
 
   /** The drift gate's audit trail: one row per micro-batch
     * (b, n_vecs, mean_err, drift_ppm, retrain). The operational signal
     * a frozen-codebook deployment watches — v16's audit, continuous.
     */
   def driftLog(spark: SparkSession, storeDir: String): DataFrame = {
-    val dirs = completeDirs(spark, storeDir, _.startsWith("drift_b"))
+    val DriftRe = "drift_b(\\d+)".r
+    val DriftFoldRe = "drift_fold_0_(\\d+)".r
+    val dirs = completeDirs(spark, storeDir, n =>
+      DriftRe.pattern.matcher(n).matches() ||
+        DriftFoldRe.pattern.matcher(n).matches())
     val schema = StructType(Seq(
       StructField("b", LongType), StructField("n_vecs", LongType),
       StructField("mean_err", LongType), StructField("drift_ppm", LongType),
@@ -183,7 +315,24 @@ object StreamVec {
             .select(col("vec_id") +:
               (0 until VectorOps.PqM).map(m => lit(0L).as(s"c$m")): _*)
             .withColumn("b", lit(batchId)).withColumn("del", lit(true))
+          // IN-BATCH winner: a vec_id arriving twice in one micro-batch
+          // (re-embedded twice between triggers, or a write racing its
+          // own delete) shares one b, so the read-time max-b filter
+          // alone would serve BOTH rows — a duplicated id in two top-k
+          // slots. Resolve here, deterministically on replay: a
+          // tombstone beats any live row (delete-wins, matching the
+          // cross-batch rule where the tombstone is always the later
+          // intent), and live duplicates order by their code columns
+          // (codes are a pure function of the embedding, so the
+          // ordering is replay-stable; distinct code rows tie only if
+          // the rows are byte-identical, where the pick is immaterial).
+          import org.apache.spark.sql.expressions.Window
+          val inBatchOrder = col("del").desc +:
+            (0 until VectorOps.PqM).map(m => col(s"c$m").desc)
           live.unionByName(tombs)
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy("vec_id").orderBy(inBatchOrder: _*)))
+            .filter(col("__rn") === 1).drop("__rn")
             .write.mode("overwrite").parquet(s"$storeDir/delta_b$batchId")
 
           // v16's gate, per batch: deterministic (integer sums, one
