@@ -175,7 +175,14 @@ object ScaleBench {
     // scale_approx_vocab pits the HLL distinct-terms sketch against
     // the exact COUNT(DISTINCT) under the blowup's ~25× vocabulary
     // growth — the dial's own stress case
-    "scale_approx_vocab")
+    "scale_approx_vocab",
+    // round 14 (net-lag rule): e2e4's stages are each linear (quality
+    // narrow, md5 shuffle, d2's signature pipeline over survivors,
+    // broadcast decontam); the one new term is the greedy-admission
+    // fixpoint, whose joins run on the near-dup pair GRAPH only — the
+    // blowup's junked copies pair with nothing, so graph size tracks
+    // the organic near-dup density, not the corpus
+    "e2e4_prep_manifest")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×
@@ -194,7 +201,13 @@ object ScaleBench {
     // the constant term that had been masking candidate growth — the
     // worst-ratio-without-a-third-point rule (t18's precedent) says
     // pin it: under linearity t30/t10 ≈ 3
-    "d20_ppjoin")
+    "d20_ppjoin",
+    // m3/m4 carried the net's two highest 10× ratios in round 13
+    // (4.22×/4.66×) with no third point — same rule. Expected story:
+    // constant-dominated (per-row JDK ImageIO decode inside the
+    // batched mapPartitions hop amortizes as rows grow), so the
+    // implied exponent should FALL at 30×, not hold
+    "m3_frame_sample", "m4_resize")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space

@@ -209,6 +209,74 @@ object DedupCluster {
     (labels, rounds)
   }
 
+  /** Greedy-by-id admission over a near-dup pair graph — the
+    * lexicographically-first maximal independent set, which is exactly
+    * the set an INCREMENTAL screen admits when ids arrive in increasing
+    * order (StreamPrep/StreamNearDup's semantics, d10/d15's batch-order
+    * semantics): a doc is admitted iff none of its smaller near-dup
+    * neighbors was admitted. NOT the same as d5's component-min keep —
+    * in a chain a<b<c, greedy admits {a, c} while component-min keeps
+    * {a} — so the streaming twin's batch equivalent needs this, not
+    * clustersArtifact.
+    *
+    * Returns (doc_id, admitted) for every doc IN the graph; docs with
+    * no near-dup pair at all are trivially admitted and not returned
+    * (callers left-join and coalesce to true).
+    *
+    * Shape: a round-based fixpoint like [[connectedComponentsAuto]],
+    * all joins on the PAIR GRAPH only (orders of magnitude smaller
+    * than the corpus — only docs with ≥1 near-dup edge appear). Each
+    * round decides every node whose smaller neighbors are all decided;
+    * the smallest undecided node always qualifies (its smaller
+    * neighbors, being smaller, were decidable strictly earlier), so
+    * every round makes progress and rounds ≤ the longest increasing
+    * path in the graph ≤ the largest component's diameter. Greedy MIS
+    * is P-complete — inherently sequential in the worst case — but
+    * near-dup components in real corpora are shallow clusters (pairs
+    * and small stars: a planted copy chains to its source, rarely
+    * further), so the loop converges in single-digit rounds; the
+    * driver holds two scalars per round (undecided count), never data.
+    */
+  private[graft] def greedyAdmit(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(least(col("doc1"), col("doc2")).as("lo"),
+        greatest(col("doc1"), col("doc2")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint()
+    val nodes = edges.select(col("lo").as("doc_id"))
+      .union(edges.select(col("hi").as("doc_id"))).distinct()
+    // roots (no smaller neighbor) are admitted at round 0
+    var dec = nodes
+      .join(edges.select(col("hi").as("doc_id")).distinct()
+        .withColumn("__dep", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__dep").isNull, lit("A")).otherwise(lit("U")).as("st"))
+      .localCheckpoint()
+    var undecided = dec.filter(col("st") === "U").count()
+    while (undecided > 0) {
+      val loSt = edges.join(
+        dec.select(col("doc_id").as("lo"), col("st").as("lo_st")), Seq("lo"))
+      val agg = loSt.groupBy(col("hi").as("doc_id")).agg(
+        max(when(col("lo_st") === "A", 1).otherwise(0)).as("anyA"),
+        min(when(col("lo_st") === "R", 1).otherwise(0)).as("allR"))
+      val next = dec.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("st") =!= "U", col("st"))
+            .when(col("anyA") === 1, lit("R"))
+            .when(col("allR") === 1, lit("A"))
+            .otherwise(lit("U")).as("st"))
+        .localCheckpoint()
+      val left = next.filter(col("st") === "U").count()
+      require(left < undecided,
+        s"greedy admission made no progress at $left undecided nodes")
+      freeCheckpoint(dec)
+      dec = next
+      undecided = left
+    }
+    freeCheckpoint(edges)
+    dec.select(col("doc_id"), (col("st") === "A").as("admitted"))
+  }
+
   /** d5's cluster labels as a fingerprint-keyed stored artifact
     * (doc_id, cluster_id): connected components run ONCE per corpus
     * version; every downstream selection policy (d16's keep-best, a

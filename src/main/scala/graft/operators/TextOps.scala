@@ -1469,6 +1469,146 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    /* E2E4: the STREAMING training-prep chain's batch equivalent — one
+     * manifest row per incoming doc with the stage where it exited the
+     * quality → exact-dedup → near-dup → decontamination pipeline
+     * (StreamPrep's foreachBatch chain, which StreamingSpec pins
+     * row-for-row against this exact semantics on a replayed fixture;
+     * this registered row makes the composed chain driver-visible in
+     * CORRECTNESS like e2e2/e2e_corpus_prep are).
+     *
+     * Fixture gives every stage observable work: the usual +1e6
+     * byte-identical copies (exact stage), +2e6 copies with two
+     * doc-unique junk words APPENDED (near-dup but not exact — the
+     * shingle set keeps ~95% overlap), and the d7b bench fixture
+     * (docs < 5 + their paraphrase plants) for the contamination
+     * stage.
+     *
+     * The near-dup stage is GREEDY-BY-ID (lexicographically-first
+     * maximal independent set — what an incremental screen admits when
+     * ids arrive in order), NOT d5's component-min: in a chain a<b<c,
+     * greedy admits {a, c}. Spark side: DedupCluster.greedyAdmit's
+     * round-fixpoint over the pair graph; oracle side: a recursive CTE
+     * computing the same fixpoint round-by-round (each round decides
+     * every node whose smaller neighbors are all decided; the smallest
+     * undecided node always qualifies, so the recursion terminates in
+     * ≤ longest-increasing-path rounds).
+     *
+     * 100 TB shape: chain order is cost order (doc-level gate first,
+     * md5 screen before signatures, window-hash decontam only over
+     * final survivors); each stage keeps its standalone plan shape;
+     * the greedy fixpoint runs on the pair GRAPH only (docs with ≥1
+     * edge), never the corpus; raw text never shuffles (md5, minhash
+     * signatures, and window hashes do).
+     */
+    QueryDef.sql("e2e4_prep_manifest", {
+      s"""WITH RECURSIVE corpus4 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |         text || ' qq' || CAST(doc_id AS VARCHAR) || 'x0 qq' || CAST(doc_id AS VARCHAR) || 'x1' AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |q4 AS (SELECT doc_id, text, $qualityFormulaSql AS quality
+         |       FROM (SELECT doc_id, text, $qualityFeaturesSql FROM corpus4)),
+         |pass4 AS (SELECT doc_id, text, quality, md5(text) AS fp FROM q4 WHERE quality >= 0.5),
+         |reps4 AS (SELECT MIN(doc_id) AS doc_id FROM pass4 GROUP BY fp),
+         |exsurv AS (SELECT p.doc_id, p.text FROM pass4 p JOIN reps4 r ON p.doc_id = r.doc_id),
+         |${MinHash.pairsCteSql("SELECT doc_id, text FROM exsurv", 0.5)},
+         |nd4 AS (SELECT DISTINCT LEAST(doc1, doc2) AS lo, GREATEST(doc1, doc2) AS hi FROM pairs),
+         |vx4 AS (SELECT DISTINCT v FROM (SELECT lo AS v FROM nd4 UNION ALL SELECT hi AS v FROM nd4)),
+         |dec4(r, v, st) AS (
+         |  SELECT 0, v,
+         |         CASE WHEN NOT EXISTS (SELECT 1 FROM nd4 WHERE nd4.hi = vx4.v)
+         |              THEN 'A' ELSE 'U' END
+         |  FROM vx4
+         |  UNION ALL
+         |  SELECT d.r + 1, d.v,
+         |         CASE WHEN d.st <> 'U' THEN d.st
+         |              WHEN EXISTS (SELECT 1 FROM nd4 e JOIN dec4 a ON a.v = e.lo
+         |                           WHERE e.hi = d.v AND a.st = 'A' AND a.r = d.r) THEN 'R'
+         |              WHEN NOT EXISTS (SELECT 1 FROM nd4 e JOIN dec4 a ON a.v = e.lo
+         |                               WHERE e.hi = d.v AND a.st <> 'R' AND a.r = d.r) THEN 'A'
+         |              ELSE 'U' END
+         |  FROM dec4 d
+         |  WHERE EXISTS (SELECT 1 FROM dec4 u WHERE u.st = 'U' AND u.r = d.r)),
+         |rej4 AS (SELECT v AS doc_id FROM dec4
+         |         WHERE r = (SELECT MAX(r) FROM dec4) AND st = 'R'),
+         |ndsurv AS (SELECT e.doc_id, e.text FROM exsurv e
+         |           WHERE e.doc_id NOT IN (SELECT doc_id FROM rej4)),
+         |sp4 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bench4 AS (
+         |  SELECT doc_id AS bench_id, ws AS bws FROM sp4 WHERE doc_id < 5
+         |  UNION ALL
+         |  SELECT doc_id + 100 AS bench_id, fill || ws[1:24] AS bws
+         |  FROM (SELECT doc_id, ws,
+         |               list_transform(generate_series(0, 7),
+         |                 i -> 'z' || CAST(doc_id AS VARCHAR) || 'p' || CAST(i AS VARCHAR)) AS fill
+         |        FROM sp4 WHERE doc_id < 5)),
+         |bw4 AS (SELECT DISTINCT bench_id, ${phashSql("array_to_string(bws[i + 1 : i + 8], ' ')")} AS h
+         |        FROM (SELECT bench_id, bws, unnest(generate_series(0, len(bws) - 8)) AS i
+         |              FROM bench4 WHERE len(bws) >= 8)),
+         |bt4 AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_item_windows FROM bw4 GROUP BY 1),
+         |dw4 AS (SELECT doc_id, ${phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+         |              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ndsurv)
+         |              WHERE len(ws) >= 8)),
+         |contam4 AS (SELECT DISTINCT hh.doc_id
+         |            FROM (SELECT d.doc_id, b.bench_id,
+         |                         CAST(COUNT(DISTINCT d.h) AS BIGINT) AS n_present
+         |                  FROM dw4 d JOIN bw4 b ON d.h = b.h GROUP BY 1, 2) hh
+         |            JOIN bt4 t USING (bench_id)
+         |            WHERE 2 * hh.n_present >= t.n_item_windows)
+         |SELECT q.doc_id,
+         |       CASE WHEN q.quality IS NULL OR q.quality < 0.5 THEN 'quality'
+         |            WHEN q.doc_id NOT IN (SELECT doc_id FROM exsurv) THEN 'exact'
+         |            WHEN q.doc_id IN (SELECT doc_id FROM rej4) THEN 'neardup'
+         |            WHEN q.doc_id IN (SELECT doc_id FROM contam4) THEN 'contaminated'
+         |            ELSE 'kept' END AS stage,
+         |       round(q.quality, 6) AS quality
+         |FROM q4 q ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val plants = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" qq"), col("doc_id").cast("string"),
+            lit("x0 qq"), col("doc_id").cast("string"), lit("x1")).as("text"))
+      val corpus = withDupes(docs).unionByName(plants)
+      // one quality evaluation feeds every stage (StreamPrep's shape)
+      val scored = qualityScored(corpus).localCheckpoint()
+      val passed = scored.filter(col("quality") >= 0.5)
+        .withColumn("fp", md5(col("text")))
+      val reps = passed.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val exSurv = passed.join(reps, Seq("doc_id"), "left_semi")
+        .select("doc_id", "text")
+      val pairs = MinHash.nearDupPairs(exSurv, 0.5)
+      val rejected = DedupCluster.greedyAdmit(pairs.select("doc1", "doc2"))
+        .filter(!col("admitted")).select("doc_id")
+      val ndSurv = exSurv.join(rejected, Seq("doc_id"), "left_anti")
+      val bw = d7bBenchWindows(d7bBenchFixture(
+        docs.select(col("doc_id"), split(col("text"), " ").as("ws"))))
+        .localCheckpoint() // fixture-sized; broadcast side of the screen
+      val contam = d7bVerdicts(
+        ndSurv.select(col("doc_id"), split(col("text"), " ").as("ws")), bw)
+        .select("doc_id").distinct()
+      def staged(ids: DataFrame, stage: String): DataFrame =
+        scored.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), lit(stage).as("stage"),
+            round(col("quality"), 6).as("quality"))
+      val mQuality = scored.filter(col("quality") < 0.5 || col("quality").isNull)
+        .select(col("doc_id"), lit("quality").as("stage"),
+          round(col("quality"), 6).as("quality"))
+      val mExact = staged(
+        passed.select("doc_id").join(exSurv, Seq("doc_id"), "left_anti"), "exact")
+      val mNear = staged(rejected, "neardup")
+      val mCont = staged(contam, "contaminated")
+      val mKept = staged(ndSurv.join(contam, Seq("doc_id"), "left_anti"), "kept")
+      mQuality.unionByName(mExact).unionByName(mNear)
+        .unionByName(mCont).unionByName(mKept)
+        .orderBy("doc_id")
+    },
+
     /* T11: vocabulary-id vectorization — the CountVectorizer step that
      * turns text into bounded integer sequences a trainer consumes: a
      * corpus vocabulary of the top-V terms (rank by frequency desc,

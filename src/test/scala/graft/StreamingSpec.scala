@@ -1725,4 +1725,236 @@ class StreamingSpec extends SparkSpec {
     assert(served.filterNot(_.getLong(0) == 777777L) == batch,
       "restart reprocessed or disturbed prior verdicts")
   }
+
+  test("sidecar folds: manifest/verdict/matches/drift dirs compact, readers unchanged, crash overlap absorbed") {
+    import graft.operators.TextOps
+    import graft.streaming.{StreamDedup, StreamPrep}
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-sfold") + "/store"
+    val cp = tmpDir("graft-sfold-cp")
+    def good(p: String) = (1 to 10).map(i => s"the ${p}$i of").mkString(" ")
+    val benchTokens = good("bench").split(" ").toSeq
+    val contamText = (benchTokens.take(20) ++
+      (1 to 10).map(i => s"the tail$i of").flatMap(_.split(" "))).mkString(" ")
+    val bw = TextOps.d7bBenchWindows(
+      Seq((1L, benchTokens)).toDF("bench_id", "bws")).localCheckpoint()
+    val in = MemoryStream[(Long, String)]
+    def src = in.toDF().toDF("doc_id", "text")
+    val q = StreamPrep.start(src, bw, store, cp)
+    // four batches so every family has >= 2 foldable dirs (the newest
+    // is never folded); batch 3 re-sends doc 1's text under a new id
+    // so the manifest carries a genuine CROSS-BATCH duplicate verdict
+    // (same stage, same quality) that the fold's distinct must keep
+    Seq(
+      Seq(1L -> good("alpha"), 2L -> good("beta")),
+      Seq(3L -> good("alpha"), 4L -> contamText), // exact dup + contaminated
+      Seq(5L -> (good("beta") + " extra"), 6L -> good("gamma")), // neardup
+      Seq(7L -> good("alpha")) // exact dup AGAIN: same-stage re-send
+    ).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    def manifestRows() = StreamPrep.manifest(spark, store)
+      .orderBy("doc_id", "stage").collect().toSeq
+    def verdictRows() = StreamPrep.verdicts(spark, store)
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    def matchRows() = graft.streaming.StreamNearDup.matches(spark, s"$store/sigs")
+      .orderBy("doc_id", "matched_id").collect().toSeq
+    val m0 = manifestRows(); val v0 = verdictRows(); val mt0 = matchRows()
+    assert(m0.size == 7 && v0.size == 1 && mt0.size == 1)
+
+    def dirNames(p: String) = {
+      val base = new org.apache.hadoop.fs.Path(p)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(base)) Seq.empty[String]
+      else fs.listStatus(base).toSeq.map(_.getPath.getName)
+    }
+    // stash a fold-covered manifest dir for the crash-contract replay
+    val fsys = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stash = new org.apache.hadoop.fs.Path(tmpDir("graft-sfold-stash"), "manifest_b0")
+    org.apache.hadoop.fs.FileUtil.copy(fsys,
+      new org.apache.hadoop.fs.Path(s"$store/manifest_b0"), fsys, stash, false,
+      spark.sparkContext.hadoopConfiguration)
+
+    assert(StreamPrep.fold(spark, store) > 0)
+    // per-batch dirs folded away: only the newest of each family remains
+    assert(dirNames(store).count(_.matches("manifest_b\\d+")) == 1)
+    assert(dirNames(store).count(_.matches("manifest_fold_0_\\d+")) == 1)
+    assert(dirNames(s"$store/decontam").count(_.matches("verdicts_b\\d+")) == 1)
+    assert(dirNames(s"$store/sigs").count(_.matches("matches_b\\d+")) == 1)
+    // readers serve the identical rows from the compacted layout
+    assert(manifestRows() == m0, "manifest changed across fold")
+    assert(verdictRows() == v0, "verdicts changed across fold")
+    assert(matchRows() == mt0, "matches changed across fold")
+    // the cross-batch duplicate verdict survived the fold's distinct
+    assert(manifestRows().count(r => r.getString(1) == "exact") == 2,
+      "fold collapsed two distinct-batch re-send verdicts into one")
+
+    // crash contract: restore a folded input next to the fold (a fold
+    // whose input delete crashed) — overlap, never loss: same rows
+    org.apache.hadoop.fs.FileUtil.copy(fsys, stash, fsys,
+      new org.apache.hadoop.fs.Path(s"$store/manifest_b0"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(manifestRows() == m0, "crash overlap leaked duplicate manifest rows")
+    // the next fold's resume path reclaims the superseded replay dir
+    assert(StreamDedup.foldSidecars(spark, store, "manifest") == 0)
+    assert(dirNames(store).count(_.matches("manifest_b\\d+")) == 1)
+    assert(manifestRows() == m0)
+
+    // post-fold ingest continues and the folded screens still screen
+    val q2 = StreamPrep.start(src, bw, store, cp)
+    in.addData(8L -> good("alpha"), 9L -> good("delta"))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = StreamPrep.manifest(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(8L) == "exact" && got(9L) == "kept", s"post-fold batch: $got")
+
+    // drift sidecars: run a small StreamVec ingest over 3 batches, then
+    // foldCodes — which now compacts drift_b* too — and hold driftLog
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val baseline = VectorOps.meanSqErr(spark, emb, books)
+    val vstore = tmpDir("graft-sfold-vec") + "/store"
+    val vcp = tmpDir("graft-sfold-vec-cp")
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val vin = MemoryStream[(Long, Option[Seq[Float]])]
+    val vq = graft.streaming.StreamVec.start(
+      vin.toDF().toDF("vec_id", "embedding"), books, vstore, vcp, baseline)
+    rows.grouped((rows.size + 2) / 3).foreach { g =>
+      vin.addData(g.map { case (id, v) => (id, Some(v)) }: _*)
+      vq.processAllAvailable()
+    }
+    vq.stop()
+    def driftRows() = graft.streaming.StreamVec.driftLog(spark, vstore)
+      .orderBy("b").collect().toSeq
+    val dl0 = driftRows()
+    assert(dl0.size == 3)
+    val servedPre = graft.streaming.StreamVec.codes(spark, vstore)
+      .orderBy("vec_id").collect().toSeq
+    assert(graft.streaming.StreamVec.foldCodes(spark, vstore) > 0)
+    assert(dirNames(vstore).count(_.matches("drift_b\\d+")) == 1)
+    assert(dirNames(vstore).count(_.matches("drift_fold_0_\\d+")) == 1)
+    assert(driftRows() == dl0, "driftLog changed across fold")
+    assert(graft.streaming.StreamVec.codes(spark, vstore)
+      .orderBy("vec_id").collect().toSeq == servedPre)
+  }
+
+  test("codebook rotation: drift fires, rotate publishes an atomic cutover, recall recovers, rollback works") {
+    import graft.operators.VectorOps
+    import graft.streaming.StreamVec
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val baseline = VectorOps.meanSqErr(spark, emb, books)
+    val store = tmpDir("graft-rot") + "/store"
+    val cp = tmpDir("graft-rot-cp")
+    val serveBase = tmpDir("graft-rot-serve") + "/serve"
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+      store, cp, baseline)
+    // batch 0: in-distribution; batch 1: the planted accident — a NEW
+    // encoder version re-embeds the SAME ids into an OFFSET range (a
+    // un-centered activation, the classic embedding-v2 bug). The
+    // reissue path's last-writer-wins makes the drifted version the
+    // live one, so the whole live set is drifted. The offset is what
+    // actually degrades RANKING (not just residual): the shifted cloud
+    // sits in a corner of the old centroids' space, so argmin crams
+    // every vector onto the same few centroids — ADC distances tie and
+    // top-k decays toward tie-break order. (A pure scale-up would fire
+    // the gate too but leave ranking intact: assignment still
+    // discriminates by direction.)
+    in.addData(rows.take(50).map { case (id, v) => (id, Some(v)) }: _*)
+    q.processAllAvailable()
+    val drifted = rows.take(50).map { case (id, v) =>
+      (id, v.map(_ + 1.5f))
+    }
+    in.addData(drifted.map { case (id, v) => (id, Some(v)) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(StreamVec.driftLog(spark, store).filter(col("retrain")).count() == 1,
+      "planted drift did not fire the gate")
+
+    // the vectors' system of record after the re-embed
+    val embAll = drifted.toDF("vec_id", "embedding").localCheckpoint()
+    // pre-rotation serving snapshot = version 1 (the rollback target)
+    StreamVec.publishServing(spark, serveBase, books,
+      StreamVec.codes(spark, store), tag = "initial")
+    val v1 = graft.sinks.VersionedStore.readPointer(spark, serveBase).get.version
+
+    val newBooks = StreamVec.rotate(spark, store, embAll, serveBase)
+    // the cutover serves the (new codebook, re-encoded codes) pair
+    val sBooks = StreamVec.servedBooks(spark, serveBase)
+    assert(sBooks.length == newBooks.length && sBooks.indices.forall(m =>
+      sBooks(m).indices.forall(k => sBooks(m)(k).sameElements(newBooks(m)(k)))),
+      "served codebook != rotation's codebook")
+    graft.functions.NativeFunctions.register(spark)
+    val served = StreamVec.servedCodes(spark, serveBase)
+    assert(served.orderBy("vec_id").collect().toSeq ==
+      VectorOps.encodeCodes(embAll, newBooks).orderBy("vec_id").collect().toSeq,
+      "served codes != from-scratch encode under the new codebook")
+    // post-rotation v10 (ADC) and v9 (IVF-PQ) serving == a from-scratch
+    // build on the new codebook
+    val qs = embAll.filter(col("vec_id") < 10)
+    assert(VectorOps.adcSearch(spark, embAll, qs, 5, Some(newBooks), Some(served))
+      .collect().toSeq ==
+      VectorOps.adcSearch(spark, embAll, qs, 5, Some(newBooks), None)
+        .collect().toSeq)
+    assert(VectorOps.ivfServe(spark, embAll, qs, 10, Some(newBooks), Some(served))
+      .collect().toSeq ==
+      VectorOps.ivfServe(spark, embAll, qs, 10, Some(newBooks), None)
+        .collect().toSeq)
+
+    // recall RECOVERS for the drifted cohort: exact L2 top-5 (the
+    // engine's own recall convention — v11's eval) vs the ADC top-5
+    // under (old books, drifted store) and (new books, rotated store).
+    // The OLD codebook was trained on unit-scale vectors, so it crams
+    // the whole 4x cohort onto its outermost centroids — ADC can
+    // barely tell drifted vectors apart.
+    val vecs = embAll.as[(Long, Seq[Float])].collect().toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val qIds = qs.select("vec_id").as[Long].collect().toSeq
+    val exactTop = qIds.map { qid =>
+      qid -> vecs.filter(_._1 != qid).toSeq
+        .map { case (id, v) => (l2(vecs(qid), v), id) }
+        .sortBy { case (s, id) => (s, id) }.take(5).map(_._2).toSet
+    }.toMap
+    def recallOf(b: Array[Array[Array[Long]]], c: org.apache.spark.sql.DataFrame) = {
+      val got = VectorOps.adcSearch(spark, embAll, qs, 5, Some(b), Some(c))
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      qIds.map(q => exactTop(q).intersect(got.getOrElse(q, Set.empty)).size).sum
+        .toDouble / (qIds.size * 5)
+    }
+    val recallOld = recallOf(books, StreamVec.codes(spark, store))
+    val recallNew = recallOf(newBooks, served)
+    assert(recallNew > recallOld,
+      s"rotation did not recover recall: old $recallOld, new $recallNew")
+
+    // rollback: one pointer flip back to the pre-rotation snapshot
+    graft.sinks.VersionedStore.rollback(spark, serveBase, v1)
+    val rbBooks = StreamVec.servedBooks(spark, serveBase)
+    assert(rbBooks.indices.forall(m => rbBooks(m).indices.forall(k =>
+      rbBooks(m)(k).sameElements(books(m)(k)))),
+      "rollback did not restore the pre-rotation codebook")
+
+    // a healthy store refuses rotation (force overrides)
+    val healthy = tmpDir("graft-rot-healthy") + "/store"
+    val hcp = tmpDir("graft-rot-healthy-cp")
+    val hin = MemoryStream[(Long, Option[Seq[Float]])]
+    val hq = StreamVec.start(hin.toDF().toDF("vec_id", "embedding"), books,
+      healthy, hcp, baseline)
+    hin.addData(rows.take(20).map { case (id, v) => (id, Some(v)) }: _*)
+    hq.processAllAvailable()
+    hq.stop()
+    val ex = intercept[IllegalArgumentException] {
+      StreamVec.rotate(spark, healthy, embAll, serveBase)
+    }
+    assert(ex.getMessage.contains("no retrain verdict"))
+  }
 }
