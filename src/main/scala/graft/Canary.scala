@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * 1.2-2.4× depending on what executed before them, wide enough to
   * hide a real single-query regression (the round-9 verdict measured a
   * near-uniform 1.27× swing on byte-identical plans). This main times
-  * a PINNED query subset (36 queries since round 13; see [[queries]])
+  * a PINNED query subset (39 queries since round 14; see [[queries]])
   * in its own JVM — same starting state every
   * round — with one untimed warm-up and the MEDIAN OF FIVE timed runs
   * per query (the full bench's median-of-3, widened because the canary
@@ -101,7 +101,19 @@ object Canary {
     // mapPartitions sketch pass)
     "e2e2_span_prep",         // heaviest query: 5-stage training-prep chain
     "s10_dsir_weights",       // two-pass broadcast-LM importance weights
-    "t19_heavy_hitters")      // Misra-Gries sketch + exact candidate pass
+    "t19_heavy_hitters",      // Misra-Gries sketch + exact candidate pass
+    // round 14 (verdict-13 ask #5): the two heaviest steady-state
+    // serving paths not yet gate-pinned — exactly the queries the
+    // round-13 driver-bench anomaly made look regressed (20.4 s/16.8 s
+    // in BENCH_r13.json vs 2.7 s/1.2 s judge-measured) with no gated
+    // evidence either way; r20 re-scores the corpus token stream with
+    // the BM25F field combine, r3 is the plain indexed-BM25 read path
+    "r20_bm25f",              // BM25F field-weighted serving
+    "r3_bm25_indexed",        // partitioned-postings BM25 serving
+    // round 14 (net-lag rule): the composed prep chain's oracled batch
+    // row — quality gate, md5 screen, signature pipeline, greedy
+    // fixpoint, broadcast decontam in one plan
+    "e2e4_prep_manifest")     // streaming prep chain's batch equivalent
 
   /** Per-query normalized-gate half-width; default ±20%. sq1's
     * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,
@@ -124,6 +136,27 @@ object Canary {
   private val gateHalfWidth: Map[String, Double] =
     Map("sq1_subqueries" -> 0.45, "d20_ppjoin" -> 0.30)
   private val DefaultHalfWidth = 0.2
+
+  /** Absolute-floor term (verdict-13 ask #6): a row also passes when
+    * its shift-adjusted absolute move |median − baseline·run_shift| is
+    * under this floor, regardless of the ratio gate. The sub-0.3 s
+    * rows kept producing boundary-grade flags that the protocol re-run
+    * then cleared — t10 twice in round 12, scale_partition_pruning at
+    * 1.201 in round 13 — because at 0.15-0.25 s a single 40-60 ms
+    * scheduling hiccup IS a 20-30% ratio. Measured same-code evidence
+    * (round-14 rebaseline pair plus the start-of-round run, identical
+    * bits on every row): w3_running_sum 0.139-0.175 s (a 0.795 raw
+    * ratio on one run — 36 ms of move reading as 20%+),
+    * scale_partition_pruning 0.158-0.178 s, s3_source_mix
+    * 0.215-0.243 s — absolute spreads of 20-40 ms on every sub-0.3 s
+    * row while the 1 s+ rows held to ±6%. 60 ms absorbs exactly that
+    * OS-jitter class: it is 3× the largest observed same-code move on
+    * these rows, while a genuine small-query regression (a lost
+    * pushdown turning a pruned scan into a full scan, a new exchange)
+    * costs hundreds of ms at sf0.1 and still flags. For rows ≥ 1 s the
+    * floor is far inside the ±20% band and changes nothing.
+    */
+  private val AbsoluteFloorSec = 0.060
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -190,10 +223,14 @@ object Canary {
       if (ratios.isEmpty) "null"
       else {
         val shift = ratios.map(_._2).sorted.apply(ratios.length / 2)
+        val current = results.toMap
         val gate = ratios.map { case (k, r) =>
           val norm = r / shift
           val w = gateHalfWidth.getOrElse(k, DefaultHalfWidth)
-          (k, r, norm, norm >= 1.0 - w && norm <= 1.0 + w)
+          val inBand = norm >= 1.0 - w && norm <= 1.0 + w
+          // shift-adjusted absolute move — see [[AbsoluteFloorSec]]
+          val absMove = math.abs(current(k) - baseline(k) * shift)
+          (k, r, norm, inBand || absMove <= AbsoluteFloorSec)
         }
         val per = gate.map { case (k, r, n, ok) =>
           s""""$k":{"ratio":${num(r, 3)},"normalized":${num(n, 3)},"pass":$ok}""" }
