@@ -49,6 +49,23 @@ object Multimodal {
 
   val BatchSize = 64
 
+  /** ImageIO's default stream cache is DISK-backed: wrapping a plain
+    * Input/OutputStream spins up a temp FILE in java.io.tmpdir
+    * (FileCacheImage{Input,Output}Stream) — two file create/deletes
+    * PER ROW in the encode/decode hops. The round-14 30× spot check
+    * measured exactly that going SUPER-LINEAR (m4 t30/t10 = 4.14,
+    * implied exponent 1.29): per-image CPU is constant-bounded
+    * (dims ≤ 16×13), so the growing term was tmp-dir churn contention
+    * across 32 concurrent tasks, which scales with file-op count, not
+    * pixel count. Memory caching is strictly better for KB-scale
+    * payloads; the produced/decoded BYTES are identical, so m1-m4's
+    * oracle rows are untouched. Called at the top of each ImageIO
+    * batch hop (a static JVM-wide setter — cheap, idempotent, and
+    * executor-local so it needs no driver-side init ordering).
+    */
+  private def disableImageIoDiskCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic PNG fixture formulas, shared (in lockstep) with the
     * oracle SQL: from the doc's portable 60-bit hash `h`,
     * width = 4 + h % 13, height = 3 + (h / 13) % 11, and the pixel at
@@ -63,6 +80,7 @@ object Multimodal {
     * stream per batch, real `ImageIO` PNG writing per row.
     */
   def encodePngBatch(batch: Seq[(Long, Long)]): Seq[PngRow] = {
+    disableImageIoDiskCache()
     val baos = new java.io.ByteArrayOutputStream(4096)
     batch.map { case (docId, h) =>
       val (w, ht) = pngDims(h)
@@ -90,7 +108,8 @@ object Multimodal {
     * to decode fails the batch loudly; a real pipeline would divert
     * such rows to a quarantine sink instead.
     */
-  def decodeBatch(batch: Seq[PngRow]): Seq[MediaFeatures] =
+  def decodeBatch(batch: Seq[PngRow]): Seq[MediaFeatures] = {
+    disableImageIoDiskCache()
     batch.map { r =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
       require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
@@ -106,6 +125,7 @@ object Multimodal {
       MediaFeatures(r.doc_id, w.toLong * ht, w, ht, r.n_frames,
         sum.toDouble / (w.toLong * ht * 255.0))
     }
+  }
 
   /** Fit-to-box resize dimension computation in pure integer math (so
     * the oracle reproduces it with `//`) over the REAL decoded dims; a

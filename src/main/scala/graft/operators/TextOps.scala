@@ -1574,24 +1574,51 @@ object TextOps {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" qq"), col("doc_id").cast("string"),
             lit("x0 qq"), col("doc_id").cast("string"), lit("x1")).as("text"))
-      val corpus = withDupes(docs).unionByName(plants)
-      // one quality evaluation feeds every stage (StreamPrep's shape)
-      val scored = qualityScored(corpus).localCheckpoint()
+      def corpus = withDupes(docs).unionByName(plants)
+      // TEXT NEVER RIDES A SHUFFLE (PlanSpec-pinned): every stage that
+      // needs document bodies consumes them in a NARROW projection off
+      // its own corpus scan (quality formula, md5, shingle explode,
+      // window explode — quality is a scalar of text, so the "passed"
+      // restriction RECOMPUTES it in the scan instead of joining text
+      // back through an exchange); every join/shuffle in the chain
+      // carries ids, fingerprints, signatures, or window hashes. Three
+      // corpus scans instead of one text-carrying shuffle is the right
+      // trade at 100 TB — scans parallelize for free, a body-carrying
+      // exchange is the cluster-wide bottleneck.
+      val scored = corpus
+        .select(Seq(col("doc_id"), col("text")) ++ qualityFeatureCols: _*)
+        .select(col("doc_id"), qualityCol.as("quality"),
+          md5(col("text")).as("fp"))
+        .localCheckpoint() // one evaluation feeds every manifest leg
       val passed = scored.filter(col("quality") >= 0.5)
-        .withColumn("fp", md5(col("text")))
-      val reps = passed.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
-      val exSurv = passed.join(reps, Seq("doc_id"), "left_semi")
-        .select("doc_id", "text")
-      val pairs = MinHash.nearDupPairs(exSurv, 0.5)
+      // min-id rep per fingerprint; reps ⊆ passed, so reps IS the
+      // exact-survivor id set
+      val exSurvIds = passed.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select("doc_id").localCheckpoint()
+      // signatures over the quality survivors (narrow re-filter in the
+      // scan), pairs restricted to exact survivors AFTERWARD: band
+      // collision and estimate depend only on the two endpoint docs'
+      // content, so banding the not-yet-deduped set and then filtering
+      // endpoints yields exactly the survivor-subset pairs
+      def passedDocs = corpus
+        .select(Seq(col("doc_id"), col("text")) ++ qualityFeatureCols: _*)
+        .filter(qualityCol >= 0.5).select("doc_id", "text")
+      val pairs = MinHash.nearDupPairs(passedDocs, 0.5)
+        .join(exSurvIds.withColumnRenamed("doc_id", "doc1"), Seq("doc1"), "left_semi")
+        .join(exSurvIds.withColumnRenamed("doc_id", "doc2"), Seq("doc2"), "left_semi")
       val rejected = DedupCluster.greedyAdmit(pairs.select("doc1", "doc2"))
         .filter(!col("admitted")).select("doc_id")
-      val ndSurv = exSurv.join(rejected, Seq("doc_id"), "left_anti")
+      val ndSurvIds = exSurvIds.join(rejected, Seq("doc_id"), "left_anti")
       val bw = d7bBenchWindows(d7bBenchFixture(
         docs.select(col("doc_id"), split(col("text"), " ").as("ws"))))
         .localCheckpoint() // fixture-sized; broadcast side of the screen
+      // verdicts over the quality survivors (a doc's verdict depends
+      // only on its content + the fixture), restricted to the chain's
+      // survivors on the NARROW flagged-id frame
       val contam = d7bVerdicts(
-        ndSurv.select(col("doc_id"), split(col("text"), " ").as("ws")), bw)
+        passedDocs.select(col("doc_id"), split(col("text"), " ").as("ws")), bw)
         .select("doc_id").distinct()
+        .join(ndSurvIds, Seq("doc_id"), "left_semi")
       def staged(ids: DataFrame, stage: String): DataFrame =
         scored.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), lit(stage).as("stage"),
@@ -1600,10 +1627,10 @@ object TextOps {
         .select(col("doc_id"), lit("quality").as("stage"),
           round(col("quality"), 6).as("quality"))
       val mExact = staged(
-        passed.select("doc_id").join(exSurv, Seq("doc_id"), "left_anti"), "exact")
+        passed.select("doc_id").join(exSurvIds, Seq("doc_id"), "left_anti"), "exact")
       val mNear = staged(rejected, "neardup")
       val mCont = staged(contam, "contaminated")
-      val mKept = staged(ndSurv.join(contam, Seq("doc_id"), "left_anti"), "kept")
+      val mKept = staged(ndSurvIds.join(contam, Seq("doc_id"), "left_anti"), "kept")
       mQuality.unionByName(mExact).unionByName(mNear)
         .unionByName(mCont).unionByName(mKept)
         .orderBy("doc_id")

@@ -1244,4 +1244,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scans.isEmpty,
       s"plan rescans files past the manifest checkpoint: ${scans.length}")
   }
+
+  test("e2e4 prep manifest: no cartesian product; raw text never rides a shuffle") {
+    val df = SparkEntry.queries("e2e4_prep_manifest")(spark, sf)
+    df.collect()
+    val p = stripAQEPlan(df.queryExecution.executedPlan).toString
+    // the chain's pair-generating stages are banded/keyed; decontam's
+    // bench side is fixture-sized — nothing may go quadratic
+    assert(!p.contains("CartesianProduct"),
+      s"composed chain went quadratic:\n${p.take(800)}")
+    // every shuffle carries fingerprints/signatures/hashes/ids only —
+    // the chain's 100 TB claim is precisely that document bodies
+    // reduce to hashes before any exchange
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    for (e <- exchanges)
+      assert(!e.output.exists(_.name == "text"),
+        s"a shuffle carries text: ${e.output.map(_.name).mkString(",")}")
+  }
 }
