@@ -133,30 +133,41 @@ object Canary {
     * regression (its PlanSpec pins zero file scans / no pair join)
     * would blow past 30%.
     */
+  /** v21 (±30%, measured round 14): four same-code fresh-JVM runs in
+    * one round landed 0.485 / 0.579 / 0.766 / 0.683 s — a ±25%
+    * PROPORTIONAL spread (sq1's class, not the absolute-jitter class
+    * the floor below absorbs): the full-corpus literal-scoring pass is
+    * sensitive to which drift window its five samples draw. Its run-A
+    * flag (1.266 normalized) cleared on the protocol re-run with no
+    * code change, the same signature sq1 showed before its width.
+    */
   private val gateHalfWidth: Map[String, Double] =
-    Map("sq1_subqueries" -> 0.45, "d20_ppjoin" -> 0.30)
+    Map("sq1_subqueries" -> 0.45, "d20_ppjoin" -> 0.30,
+      "v21_hard_negatives" -> 0.30)
   private val DefaultHalfWidth = 0.2
 
   /** Absolute-floor term (verdict-13 ask #6): a row also passes when
     * its shift-adjusted absolute move |median − baseline·run_shift| is
-    * under this floor, regardless of the ratio gate. The sub-0.3 s
+    * under this floor, regardless of the ratio gate. The sub-0.5 s
     * rows kept producing boundary-grade flags that the protocol re-run
     * then cleared — t10 twice in round 12, scale_partition_pruning at
-    * 1.201 in round 13 — because at 0.15-0.25 s a single 40-60 ms
-    * scheduling hiccup IS a 20-30% ratio. Measured same-code evidence
-    * (round-14 rebaseline pair plus the start-of-round run, identical
-    * bits on every row): w3_running_sum 0.139-0.175 s (a 0.795 raw
-    * ratio on one run — 36 ms of move reading as 20%+),
-    * scale_partition_pruning 0.158-0.178 s, s3_source_mix
-    * 0.215-0.243 s — absolute spreads of 20-40 ms on every sub-0.3 s
-    * row while the 1 s+ rows held to ±6%. 60 ms absorbs exactly that
-    * OS-jitter class: it is 3× the largest observed same-code move on
-    * these rows, while a genuine small-query regression (a lost
-    * pushdown turning a pruned scan into a full scan, a new exchange)
-    * costs hundreds of ms at sf0.1 and still flags. For rows ≥ 1 s the
-    * floor is far inside the ±20% band and changes nothing.
+    * 1.201 in round 13, t11 at 1.312 in round 14 — because at
+    * 0.15-0.35 s a double-digit-millisecond scheduling hiccup IS a
+    * 20-30% ratio. Measured same-code evidence (four fresh-JVM runs in
+    * round 14 — the r13 baseline, the round-start run, and the
+    * rebaseline pair; identical bits on these rows): raw medians
+    * w3_running_sum 0.139-0.175 s, scale_partition_pruning
+    * 0.178-0.264 s, s3_source_mix 0.243-0.290 s, t10 0.390-0.485 s,
+    * t11 0.268-0.409 s; the largest run_shift-NORMALIZED same-code
+    * move was t11's 93 ms (which duly flagged at 1.312 and cleared on
+    * re-run), then spp's 68 ms. 100 ms covers the worst observed
+    * normalized jitter with margin, while a genuine small-query
+    * regression (a lost pushdown turning a pruned scan into a full
+    * sf0.1 scan, a new exchange) costs several hundred ms and still
+    * flags. For the ≥ 1 s rows the floor is well inside the ±20% band
+    * and changes nothing.
     */
-  private val AbsoluteFloorSec = 0.060
+  private val AbsoluteFloorSec = 0.100
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1603,7 +1603,17 @@ object TextOps {
       def passedDocs = corpus
         .select(Seq(col("doc_id"), col("text")) ++ qualityFeatureCols: _*)
         .filter(qualityCol >= 0.5).select("doc_id", "text")
-      val pairs = MinHash.nearDupPairs(passedDocs, 0.5)
+      // signatures are the chain's dominant cost and a pure function of
+      // documents.parquet (corpus construction + quality gate are
+      // deterministic) — build-once, fingerprint-keyed, exactly the
+      // d2/d5 signaturesArtifact discipline; the logic key folds the
+      // corpus recipe into the artifact name so a fixture change
+      // rebuilds instead of serving stale signatures
+      val sigs = graft.sinks.VersionedStore.corpusArtifact(s, d, "e2e4_sigs",
+        logicKey = "dupes+plants%7-qq2 quality>=0.5 minhash-k32") { out =>
+        MinHash.signatures(passedDocs).write.parquet(out)
+      }
+      val pairs = MinHash.nearDupPairsFromSignatures(sigs, 0.5)
         .join(exSurvIds.withColumnRenamed("doc_id", "doc1"), Seq("doc1"), "left_semi")
         .join(exSurvIds.withColumnRenamed("doc_id", "doc2"), Seq("doc2"), "left_semi")
       val rejected = DedupCluster.greedyAdmit(pairs.select("doc1", "doc2"))
