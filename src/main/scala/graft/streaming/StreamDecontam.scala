@@ -35,7 +35,7 @@ object StreamDecontam {
     * once (cache/localCheckpoint) before starting the query.
     */
   def start(source: DataFrame, benchWindows: DataFrame, storeDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, foldEvery: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0))
@@ -48,7 +48,10 @@ object StreamDecontam {
           .withColumn("b", lit(batchId))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$storeDir/verdicts_b$batchId")
-        ()
+        // in-trigger cadence maintenance (StreamDedup.foldDue)
+        if (StreamDedup.foldDue(foldEvery, batchId)) {
+          fold(batch.sparkSession, storeDir); ()
+        }
       }
       .start()
 

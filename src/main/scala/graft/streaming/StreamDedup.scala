@@ -211,12 +211,33 @@ object StreamDedup {
     }
   }
 
+  /** True on the batches where a `foldEvery`-cadence maintenance pass
+    * should run — shared by every store's in-trigger fold hook. Fires
+    * on batchId ≡ foldEvery−1 (mod foldEvery) so the FIRST fold waits
+    * until foldEvery deltas exist; 0 disables. Running the fold inside
+    * foreachBatch (after the batch's own writes) is safe by
+    * construction: the fold excludes the newest delta, the next batch
+    * only starts after this trigger returns (no same-query race), and
+    * a concurrent OTHER maintainer is serialized by the lease. A
+    * replayed batch re-runs the fold too — idempotent (nothing new to
+    * fold; the resume path reclaims covered dirs).
+    */
+  private[streaming] def foldDue(foldEvery: Int, batchId: Long): Boolean =
+    foldEvery > 0 && batchId % foldEvery == foldEvery - 1
+
   /** Start the dedup stream over a `(doc_id, text)` source. Emits
     * nothing downstream itself — the STORE is the output: `keptIds`
     * (or a join back to the corpus) is the deduped dataset.
+    *
+    * `foldEvery` (0 = off): compact the store IN the trigger after
+    * every Nth batch commits — the production answer to the
+    * one-dir-per-trigger small-file leak without a separate
+    * maintenance scheduler. At a 30 s trigger, foldEvery = 120 holds
+    * the store near one fold dir + ~2 hours of deltas forever.
     */
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      foldEvery: Int = 0): StreamingQuery = {
     // one ownership check per run (driver-side closure state; a driver
     // restart just re-verifies once on its first batch)
     var ownershipVerified = false
@@ -231,7 +252,7 @@ object StreamDedup {
           ownershipVerified = true
         }
         ingestBatch(spark, batch, batchId, storeDir)
-        ()
+        if (foldDue(foldEvery, batchId)) { foldDeltas(spark, storeDir); () }
       }
       .start()
   }

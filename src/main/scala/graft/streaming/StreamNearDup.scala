@@ -127,7 +127,8 @@ object StreamNearDup {
     */
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
       threshold: Double = 0.5,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      foldEvery: Int = 0): StreamingQuery = {
     var ownershipVerified = false
     docs.writeStream
       .outputMode("append")
@@ -141,7 +142,11 @@ object StreamNearDup {
           ownershipVerified = true
         }
         ingestBatch(spark, batch, batchId, storeDir, threshold)
-        ()
+        // in-trigger cadence maintenance (see StreamDedup.foldDue):
+        // both the signature deltas and the matches provenance compact
+        if (StreamDedup.foldDue(foldEvery, batchId)) {
+          foldDeltas(spark, storeDir); foldMatches(spark, storeDir); ()
+        }
       }
       .start()
   }

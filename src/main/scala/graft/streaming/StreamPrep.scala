@@ -120,7 +120,8 @@ object StreamPrep {
     */
   def start(docs: DataFrame, benchWindows: DataFrame, storeDir: String,
       checkpointDir: String, threshold: Double = 0.5,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      foldEvery: Int = 0): StreamingQuery = {
     var ownershipVerified = false
     docs.writeStream
       .outputMode("append")
@@ -191,7 +192,9 @@ object StreamPrep {
           .unionByName(mCont).unionByName(mKept)
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$storeDir/manifest_b$batchId")
-        ()
+        // in-trigger cadence maintenance (StreamDedup.foldDue): all
+        // four accumulating families compact after the batch commits
+        if (StreamDedup.foldDue(foldEvery, batchId)) { fold(spark, storeDir); () }
       }
       .start()
   }

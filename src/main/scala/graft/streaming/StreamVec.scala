@@ -290,7 +290,8 @@ object StreamVec {
     */
   def start(vecs: DataFrame, books: Array[Array[Array[Long]]],
       storeDir: String, checkpointDir: String, baselineMeanErr: Long,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      foldEvery: Int = 0): StreamingQuery = {
     var ownershipVerified = false
     vecs.writeStream
       .outputMode("append")
@@ -356,6 +357,9 @@ object StreamVec {
               s"$meanErr is ${ppm}ppm of baseline $baselineMeanErr " +
               s"(threshold $RetrainPpm) — stored codes for this cohort " +
               "carry degraded recall; schedule a codebook retrain/rebuild")
+          // in-trigger cadence maintenance (StreamDedup.foldDue):
+          // last-writer-aware code compaction + the drift sidecars
+          if (StreamDedup.foldDue(foldEvery, batchId)) { foldCodes(spark, storeDir); () }
         } finally { ups.unpersist(); () }
       }
       .start()

@@ -1842,6 +1842,39 @@ class StreamingSpec extends SparkSpec {
       .orderBy("vec_id").collect().toSeq == servedPre)
   }
 
+  test("in-trigger fold cadence: foldEvery compacts the store as it ingests; serving unchanged") {
+    import graft.streaming.StreamDedup
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-cadence") + "/store"
+    val cp = tmpDir("graft-cadence-cp")
+    val in = MemoryStream[(Long, String)]
+    // foldEvery = 2: folds fire in the triggers of batches 1, 3, 5 —
+    // no manual maintenance call anywhere in this test
+    val q = StreamDedup.start(in.toDF().toDF("doc_id", "text"),
+      store, cp, foldEvery = 2)
+    val batches = Seq(
+      Seq(1L -> "alpha text", 2L -> "beta text"),
+      Seq(3L -> "alpha text", 4L -> "gamma text"), // 3 = dup of 1
+      Seq(5L -> "delta text"),
+      Seq(6L -> "gamma text", 7L -> "epsilon text"), // 6 = dup of 4
+      Seq(8L -> "zeta text"),
+      Seq(9L -> "delta text", 10L -> "eta text")) // 9 = dup of 5
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val base = new org.apache.hadoop.fs.Path(store)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(base).map(_.getPath.getName).toSeq
+    // batch-5's in-trigger fold covered everything but the newest
+    // delta: one fold dir + exactly one live delta remain
+    assert(names.count(_.matches("fold_0_\\d+")) == 1, s"dirs: $names")
+    assert(names.count(_.matches("delta_b\\d+")) == 1, s"dirs: $names")
+    assert(names.contains("fold_0_4"), s"dirs: $names")
+    // the screen kept working across the in-trigger folds: dups of
+    // folded state were rejected, everything else admitted once
+    assert(StreamDedup.keptIds(spark, store).as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 5L, 7L, 8L, 10L))
+  }
+
   test("codebook rotation: drift fires, rotate publishes an atomic cutover, recall recovers, rollback works") {
     import graft.operators.VectorOps
     import graft.streaming.StreamVec
