@@ -60,11 +60,20 @@ object Bench {
         : (Double, Double, Option[String]) = {
       val b0 = graft.sinks.VersionedStore.buildCount()
       val t0 = System.nanoTime()
+      // Minimal JSON-string sanitizer: backslashes FIRST (doubling them
+      // before any escape we might add), quotes become apostrophes (no
+      // escape sequence to get wrong), and every control char < 0x20
+      // (\n, \r, \t, ...) collapses to a space. The message lands inside
+      // a hand-built JSON line, and an unescaped '\' or '\t' in an
+      // exception text would corrupt exactly the failure artifact this
+      // field exists to report.
+      def jsonSafe(s: String): String = s.replace("\\", "\\\\")
+        .replace('"', '\'').map(c => if (c < ' ') ' ' else c)
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case t: Throwable =>
-          Some((t.getClass.getSimpleName + ": " + Option(t.getMessage).getOrElse(""))
-            .replace('"', '\'').replace('\n', ' ').take(200)) }
+          Some(jsonSafe((t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("")).take(200))) }
       val elapsed = (System.nanoTime() - t0) / 1e9
       val builds = graft.sinks.VersionedStore.buildEvents().drop(b0).map(_._2).sum
       (elapsed, builds, err)

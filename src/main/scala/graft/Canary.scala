@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * 1.2-2.4× depending on what executed before them, wide enough to
   * hide a real single-query regression (the round-9 verdict measured a
   * near-uniform 1.27× swing on byte-identical plans). This main times
-  * a PINNED query subset (39 queries since round 14; see [[queries]])
+  * a PINNED query subset (41 queries since round 15; see [[queries]])
   * in its own JVM — same starting state every
   * round — with one untimed warm-up and the MEDIAN OF FIVE timed runs
   * per query (the full bench's median-of-3, widened because the canary
@@ -113,7 +113,15 @@ object Canary {
     // round 14 (net-lag rule): the composed prep chain's oracled batch
     // row — quality gate, md5 screen, signature pipeline, greedy
     // fixpoint, broadcast decontam in one plan
-    "e2e4_prep_manifest")     // streaming prep chain's batch equivalent
+    "e2e4_prep_manifest",     // streaming prep chain's batch equivalent
+    // round 15 (verdict-14 ask #5): the two heaviest steady-state rows
+    // still outside the gate (2.06 s / 1.46 s in BENCH_r14) — the
+    // round-14 v-family bench drift made exactly these rows
+    // unadjudicable from gated evidence; both are scale-measured (v17
+    // 1.77× at 10×, t18 exponent 0.41 at 30×) so the gate's job is
+    // plan-regression detection, not scale proof
+    "v17_nprobe_curve",       // probed-cell recall/latency curve (4 probes)
+    "t18_source_overlap")     // cross-source fingerprint overlap matrix
 
   /** Per-query normalized-gate half-width; default ±20%. sq1's
     * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,
@@ -166,6 +174,13 @@ object Canary {
     * sf0.1 scan, a new exchange) costs several hundred ms and still
     * flags. For the ≥ 1 s rows the floor is well inside the ±20% band
     * and changes nothing.
+    *
+    * The floor is CAPPED per query at half the shift-adjusted baseline
+    * (advice r14): uncapped, a sub-0.2 s row could regress 50-70% — its
+    * entire budget — and still pass on the absolute term. With the cap,
+    * a 0.14 s row's floor is ~70 ms (still above its observed same-code
+    * jitter), while no row can ever pass a move larger than 50% of its
+    * own baseline on the floor alone.
     */
   private val AbsoluteFloorSec = 0.100
 
@@ -241,7 +256,8 @@ object Canary {
           val inBand = norm >= 1.0 - w && norm <= 1.0 + w
           // shift-adjusted absolute move — see [[AbsoluteFloorSec]]
           val absMove = math.abs(current(k) - baseline(k) * shift)
-          (k, r, norm, inBand || absMove <= AbsoluteFloorSec)
+          val floor = math.min(AbsoluteFloorSec, 0.5 * baseline(k) * shift)
+          (k, r, norm, inBand || absMove <= floor)
         }
         val per = gate.map { case (k, r, n, ok) =>
           s""""$k":{"ratio":${num(r, 3)},"normalized":${num(n, 3)},"pass":$ok}""" }

@@ -215,7 +215,13 @@ object ScaleBench {
     // (2.95× — the composed chain re-scans the corpus three times by
     // design); the worst-ratio-without-a-third-point rule applies on
     // arrival
-    "e2e4_prep_manifest")
+    "e2e4_prep_manifest",
+    // d18 (round 15, verdict-14 ask #6): the worst remaining 10× ratio
+    // without a third point (2.43× — its stride-1 window stream is the
+    // dedup family's largest deliberate linear blowup); the m4
+    // precedent says a third point either certifies the linearity or
+    // finds the fixable term hiding behind it
+    "d18_substring_spans")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space

@@ -1606,11 +1606,17 @@ object TextOps {
       // signatures are the chain's dominant cost and a pure function of
       // documents.parquet (corpus construction + quality gate are
       // deterministic) — build-once, fingerprint-keyed, exactly the
-      // d2/d5 signaturesArtifact discipline; the logic key folds the
-      // corpus recipe into the artifact name so a fixture change
-      // rebuilds instead of serving stale signatures
+      // d2/d5 signaturesArtifact discipline. The logic key is DERIVED
+      // from the values it must track — the quality formula's SQL, the
+      // plant recipe literal, the gate threshold, the MinHash geometry —
+      // so a change to ANY of them changes the key and forces a rebuild;
+      // a hand-maintained constant would silently serve stale signatures
+      // (the artifact fingerprint covers only documents.parquet)
+      val sigLogicKey = "dupes+plants%7-qq2" +
+        s" gate>=0.5 qfn=${graft.sinks.VersionedStore.logicTag(qualityCol.toString)}" +
+        s" minhash-k${MinHash.K}b${MinHash.Bands}"
       val sigs = graft.sinks.VersionedStore.corpusArtifact(s, d, "e2e4_sigs",
-        logicKey = "dupes+plants%7-qq2 quality>=0.5 minhash-k32") { out =>
+        logicKey = sigLogicKey) { out =>
         MinHash.signatures(passedDocs).write.parquet(out)
       }
       val pairs = MinHash.nearDupPairsFromSignatures(sigs, 0.5)

@@ -99,11 +99,24 @@ object StreamNearDup {
     * ([[foldMatches]]); distinct on the internal batch-id column `b`
     * (dropped from the served rows) collapses exactly fold/crash
     * overlap while keeping a re-sent doc's later-batch rejection rows.
+    *
+    * Upgrade seam: dirs written before `b` existed read as b = NULL
+    * under the explicit schema. Those rows get exactly the PRE-upgrade
+    * collapse (distinct on the payload alone — the old code could not
+    * distinguish cross-batch re-sends either, so this is no regression)
+    * instead of joining the b-aware distinct, where a single NULL
+    * b-value would collapse genuine re-send rows from DIFFERENT
+    * pre-upgrade batches into one. Folds are content-agnostic, so a
+    * pre-upgrade row keeps its NULL b through any later compaction and
+    * fold-vs-leftover-delta overlap still cancels within its cohort.
     */
-  def matches(spark: SparkSession, storeDir: String): DataFrame =
-    readParts(spark,
+  def matches(spark: SparkSession, storeDir: String): DataFrame = {
+    val raw = readParts(spark,
       partsBefore(spark, storeDir, Seq(MatchesRe, MatchesFoldRe), Long.MaxValue),
-      matchesSchema).distinct().drop("b")
+      matchesSchema)
+    raw.filter(col("b").isNotNull).distinct().drop("b")
+      .unionByName(raw.filter(col("b").isNull).drop("b").distinct())
+  }
 
   /** Fold sig deltas into one `fold_0_<hi>` range dir — StreamDedup's
     * compaction verbatim (same dir naming, same write-then-delete crash

@@ -63,6 +63,18 @@ object StreamVec {
 
   private val DeltaRe = "delta_b(\\d+)".r
 
+  /** storeDir → the ingest query [[start]] launched against it — the
+    * in-process half of the rotation/ingest exclusion. [[rotate]]
+    * refuses while the registered query is active (a live trigger
+    * would keep appending OLD-codebook codes to a store whose serving
+    * snapshot just cut over); across JVMs the drain-first contract is
+    * documented on [[rotate]] and the maintenance lease still excludes
+    * rotate from any concurrent FOLD. Entries are tiny (one per store
+    * this JVM ever ingested into) and a stopped query's entry is inert.
+    */
+  private val activeIngests =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+
   /** v16's retrain threshold: batch mean residual ≥ 1.5× baseline. */
   val RetrainPpm = 1500000L
 
@@ -236,30 +248,51 @@ object StreamVec {
       serveBase: String, sampleCap: Int = 4096,
       force: Boolean = false): Array[Array[Array[Long]]] = {
     import org.apache.spark.sql.expressions.Window
+    // ROTATION/INGEST EXCLUSION, loud (verdict-14 ask #2): a trigger
+    // racing the rotation would keep encoding with the OLD codebook
+    // into a store whose serving snapshot is about to cut over — data
+    // that the post-rotation stream (new store, new codebook) never
+    // sees. In-process the registry refuses outright; cross-JVM the
+    // drain-first contract is the documented operator step, and the
+    // maintenance lease below still serializes rotate against folds.
+    val running = Option(activeIngests.get(storeDir)).filter(_.isActive)
+    require(running.isEmpty,
+      s"store $storeDir has a RUNNING ingest query ${running.map(_.id).orNull} — " +
+        "stop/drain the stream before rotating (rotation freezes the live " +
+        "set and re-encodes it; a concurrent trigger would append " +
+        "old-codebook codes invisible to the rotated serving snapshot)")
     val flagged = driftLog(spark, storeDir)
       .filter(col("retrain")).agg(max("b")).first()
     require(force || !flagged.isNullAt(0),
       s"drift log at $storeDir has no retrain verdict — rotation would " +
         "discard a healthy codebook (pass force = true for a scheduled " +
         "rotation policy)")
-    val live = codes(spark, storeDir).select("vec_id")
-    val liveEmb = emb.join(live, Seq("vec_id"), "left_semi")
-      .select("vec_id", "embedding")
-    val sample = liveEmb
-      .withColumn("__h", xxhash64(col("vec_id")))
-      .orderBy("__h").limit(sampleCap)
-      .withColumn("__tid",
-        row_number().over(Window.orderBy(col("__h"), col("vec_id"))) - 1)
-      .select(col("__tid").cast("long").as("vec_id"), col("embedding"))
-      .localCheckpoint() // freeze: pqTrain makes several passes
-    require(sample.count() >= VectorOps.PqK,
-      s"fewer than ${VectorOps.PqK} live vectors — nothing to train on")
-    val books = VectorOps.pqTrain(spark, sample)
-    graft.functions.NativeFunctions.register(spark)
-    val rotated = VectorOps.encodeCodes(liveEmb, books)
-    val hi = if (flagged.isNullAt(0)) -1L else flagged.getLong(0)
-    publishServing(spark, serveBase, books, rotated, tag = s"rotated_b$hi")
-    books
+    // under the store's maintenance lease: a concurrent fold's
+    // post-commit input delete could otherwise race the live-set read
+    // (withStoreRetry absorbs that for READS, but rotate's read feeds a
+    // multi-pass train — re-listing mid-train would train on a torn
+    // view); the lease's heartbeat keeps it alive for the train's
+    // duration, and fold callers queue behind it
+    graft.sinks.VersionedStore.withMaintenanceLease(spark, storeDir) {
+      val live = codes(spark, storeDir).select("vec_id")
+      val liveEmb = emb.join(live, Seq("vec_id"), "left_semi")
+        .select("vec_id", "embedding")
+      val sample = liveEmb
+        .withColumn("__h", xxhash64(col("vec_id")))
+        .orderBy("__h").limit(sampleCap)
+        .withColumn("__tid",
+          row_number().over(Window.orderBy(col("__h"), col("vec_id"))) - 1)
+        .select(col("__tid").cast("long").as("vec_id"), col("embedding"))
+        .localCheckpoint() // freeze: pqTrain makes several passes
+      require(sample.count() >= VectorOps.PqK,
+        s"fewer than ${VectorOps.PqK} live vectors — nothing to train on")
+      val books = VectorOps.pqTrain(spark, sample)
+      graft.functions.NativeFunctions.register(spark)
+      val rotated = VectorOps.encodeCodes(liveEmb, books)
+      val hi = if (flagged.isNullAt(0)) -1L else flagged.getLong(0)
+      publishServing(spark, serveBase, books, rotated, tag = s"rotated_b$hi")
+      books
+    }
   }
 
   /** The drift gate's audit trail: one row per micro-batch
@@ -287,13 +320,26 @@ object StreamVec {
     * residual (`VectorOps.meanSqErr` over the codebook's training
     * corpus) the per-batch drift gate compares against. The STORE is
     * the output — readers serve via [[codes]].
+    *
+    * INTRA-BATCH ORDERING CONTRACT: rows inside one micro-batch are a
+    * SET — the source's arrival order does not survive the shuffle into
+    * foreachBatch, so a tombstone and a live re-insert of the same
+    * vec_id landing in ONE trigger have no defined "later" event. The
+    * in-batch winner rule below resolves the tie delete-wins (the only
+    * replay-stable choice that also matches the cross-batch rule, where
+    * a tombstone is always the later intent): a delete+reinsert pair in
+    * one trigger serves as DELETED until the vector is re-sent in a
+    * later batch. Sources that need delete-then-reinsert semantics must
+    * emit the two events in separate triggers (the Kafka-compaction
+    * model, where the re-insert is a later offset and lands in a later
+    * batch); emitting both in one trigger is out of contract.
     */
   def start(vecs: DataFrame, books: Array[Array[Array[Long]]],
       storeDir: String, checkpointDir: String, baselineMeanErr: Long,
       trigger: Trigger = Trigger.ProcessingTime(0),
       foldEvery: Int = 0): StreamingQuery = {
     var ownershipVerified = false
-    vecs.writeStream
+    val q = vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointDir/index")
       .trigger(trigger)
@@ -363,5 +409,11 @@ object StreamVec {
         } finally { ups.unpersist(); () }
       }
       .start()
+    // registry last: it must only ever hold queries that actually
+    // launched (see [[activeIngests]]; latest-wins on restart — the
+    // stopped predecessor's entry is replaced, so [[rotate]]'s probe
+    // always sees the CURRENT ingest's liveness)
+    activeIngests.put(storeDir, q)
+    q
   }
 }

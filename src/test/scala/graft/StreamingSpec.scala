@@ -1990,4 +1990,128 @@ class StreamingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("no retrain verdict"))
   }
+
+  test("streaming ANN ingest: in-batch duplicates resolve to one deterministic winner, tombstone beats a same-trigger live row") {
+    import graft.operators.VectorOps
+    import graft.streaming.StreamVec
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val baseline = VectorOps.meanSqErr(spark, emb, books)
+    val store = tmpDir("graft-svec-inb") + "/store"
+    val cp = tmpDir("graft-svec-inb-cp")
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+      store, cp, baseline)
+    val (xId, yId, zId) = (rows(0)._1, rows(1)._1, rows(2)._1)
+    // ONE batch carrying every in-batch collision class: X re-embedded
+    // TWICE (two different embeddings share one batch id — the
+    // read-time max-b filter alone would serve both), Y sent alongside
+    // its own tombstone (write racing its delete), Z a plain row
+    in.addData(
+      (xId, Some(rows(3)._2)), (xId, Some(rows(4)._2)),
+      (yId, Some(rows(5)._2)), (yId, None),
+      (zId, Some(rows(6)._2)))
+    q.processAllAvailable()
+    q.stop()
+    val served = StreamVec.codes(spark, store)
+    assert(served.filter(col("vec_id") === xId).count() == 1,
+      "in-batch duplicate occupied two serving rows")
+    // the surviving row is the DOCUMENTED deterministic pick — live
+    // duplicates order by their code columns descending (codes are a
+    // pure function of the embedding, so the pick is replay-stable)
+    graft.functions.NativeFunctions.register(spark)
+    val cands = VectorOps.encodeCodes(
+        Seq((xId, rows(3)._2), (xId, rows(4)._2)).toDF("vec_id", "embedding"),
+        books)
+      .collect().map(r => (1 to VectorOps.PqM).map(r.getLong).toSeq).toSeq
+    val expected = cands.sortWith { (a, b) =>
+      val i = a.indices.find(ix => a(ix) != b(ix))
+      i.exists(ix => a(ix) > b(ix))
+    }.head
+    val got = served.filter(col("vec_id") === xId).collect().head
+    assert((1 to VectorOps.PqM).map(got.getLong) == expected,
+      "in-batch winner is not the documented code-descending pick")
+    // tombstone priority: Y's delete beats the live row sharing its
+    // trigger — the id serves as DELETED until re-sent in a LATER batch
+    assert(served.filter(col("vec_id") === yId).isEmpty,
+      "tombstone lost to a same-batch live row")
+    assert(served.filter(col("vec_id") === zId).count() == 1)
+    assert(served.count() == 2)
+    // the documented revive path: a later-trigger re-send serves again
+    val q2 = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+      store, cp, baseline)
+    in.addData((yId, Some(rows(5)._2)))
+    q2.processAllAvailable()
+    q2.stop()
+    val revived = StreamVec.codes(spark, store)
+    assert(revived.filter(col("vec_id") === yId).count() == 1,
+      "later-batch re-send did not revive the tombstoned id")
+    assert(revived.count() == 3)
+  }
+
+  test("rotation/ingest exclusion: rotate refuses while the ingest runs; stopped, rotated, the new-codebook world resumes ingesting") {
+    import graft.operators.VectorOps
+    import graft.streaming.StreamVec
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val baseline = VectorOps.meanSqErr(spark, emb, books)
+    val store = tmpDir("graft-handoff") + "/store"
+    val cp = tmpDir("graft-handoff-cp")
+    val serveBase = tmpDir("graft-handoff-serve") + "/serve"
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+      store, cp, baseline)
+    in.addData(rows.take(50).map { case (id, v) => (id, Some(v)) }: _*)
+    q.processAllAvailable()
+    // the planted embedding-v2 accident (the rotation test's fixture):
+    // the re-embedded live set drifts and the gate fires
+    val drifted = rows.take(50).map { case (id, v) => (id, v.map(_ + 1.5f)) }
+    in.addData(drifted.map { case (id, v) => (id, Some(v)) }: _*)
+    q.processAllAvailable()
+    assert(StreamVec.driftLog(spark, store).filter(col("retrain")).count() == 1,
+      "planted drift did not fire the gate")
+    val embAll = drifted.toDF("vec_id", "embedding").localCheckpoint()
+    // EXCLUSION: the ingest query is still ACTIVE — rotate must refuse
+    // loudly (a live trigger would keep appending old-codebook codes
+    // invisible to the rotated serving snapshot)
+    val ex = intercept[IllegalArgumentException] {
+      StreamVec.rotate(spark, store, embAll, serveBase)
+    }
+    assert(ex.getMessage.contains("RUNNING ingest"))
+    // drain/stop — the SAME call now succeeds
+    q.stop()
+    val newBooks = StreamVec.rotate(spark, store, embAll, serveBase)
+    // HANDOFF: post-rotation ingest is a NEW store+checkpoint against
+    // the NEW codebook with its OWN pinned baseline (the scaladoc's
+    // drain→rotate→restart runbook, end to end)
+    val store2 = tmpDir("graft-handoff2") + "/store"
+    val cp2 = tmpDir("graft-handoff2-cp")
+    val baseline2 = VectorOps.meanSqErr(spark, embAll, newBooks)
+    val in2 = MemoryStream[(Long, Option[Seq[Float]])]
+    val q2 = StreamVec.start(in2.toDF().toDF("vec_id", "embedding"), newBooks,
+      store2, cp2, baseline2)
+    // fresh vectors from the post-rotation (shifted) distribution
+    val fresh = rows.slice(50, 70).map { case (id, v) => (id, v.map(_ + 1.5f)) }
+    in2.addData(fresh.map { case (id, v) => (id, Some(v)) }: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    // in-distribution for the new codebook: the gate stays quiet
+    assert(StreamVec.driftLog(spark, store2).filter(col("retrain")).isEmpty,
+      "post-rotation ingest re-fired the drift gate on its own distribution")
+    // combined serving (rotated snapshot + post-rotation deltas) equals
+    // a from-scratch build over the full system of record
+    graft.functions.NativeFunctions.register(spark)
+    val combined = StreamVec.servedCodes(spark, serveBase)
+      .unionByName(StreamVec.codes(spark, store2))
+    val full = embAll.unionByName(fresh.toDF("vec_id", "embedding"))
+    assert(combined.orderBy("vec_id").collect().toSeq ==
+      VectorOps.encodeCodes(full, newBooks).orderBy("vec_id").collect().toSeq,
+      "rotated-world serving != from-scratch build under the new codebook")
+  }
 }
