@@ -182,7 +182,13 @@ object ScaleBench {
     // fixpoint, whose joins run on the near-dup pair GRAPH only — the
     // blowup's junked copies pair with nothing, so graph size tracks
     // the organic near-dup density, not the corpus
-    "e2e4_prep_manifest")
+    "e2e4_prep_manifest",
+    // round 15 (net-lag rule): d21 is d18's window-hash stream + one
+    // h-partition window + one doc rollup (two linear exchanges, no
+    // pair join); s13 is one signature pass + one band-partition
+    // window — the blowup's junked copies land in singleton buckets,
+    // so its cost tracks signature row count
+    "d21_ngram_novelty", "s13_lsh_diversity_sample")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

@@ -641,6 +641,40 @@ object CorpusPrep {
         .orderBy("doc_id")
     },
 
+    // S13: LSH-bucket diversity cap — near-dup-AWARE downsampling, the
+    // sampling-side complement of d2/d5 (which REPORT near-dups; this
+    // bounds their training-mix mass without ever forming a pair): docs
+    // sharing an LSH bucket (band 0 of the d2 signature — 4 agreeing
+    // minhashes ⇒ high estimated Jaccard among bucket-mates) are capped
+    // at 2 representatives, smallest doc_ids kept (deterministic, and
+    // the same min-id-wins convention as d1/d5). The SemDeDup-style
+    // recipe at corpus scale: redundancy is removed per-bucket by a
+    // rank, so a million-copy template costs a million signature rows —
+    // never a million² pair join, and never a clustering fixpoint.
+    // Plants: withDupes' verbatim copies at +1e6 share their original's
+    // signature exactly, giving every planted bucket observable mass.
+    // 100 TB shape: one signature pass (the shared fingerprint-keyed
+    // artifact — built once, read by d2/d5/s13 alike), then ONE window
+    // over the band-value partition; no joins, no iteration. The cap
+    // generalizes per-source/per-cluster: swap the partition key.
+    QueryDef.sql("s13_lsh_diversity_sample",
+      s"""WITH ${MinHash.sigSql(TextOps.withDupesSql)}
+         |SELECT doc_id,
+         |       CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' || CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR) AS bucket
+         |FROM (SELECT doc_id, m0, m1, m2, m3,
+         |             row_number() OVER (PARTITION BY m0, m1, m2, m3 ORDER BY doc_id) AS rn
+         |      FROM sig)
+         |WHERE rn <= 2
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      MinHash.signaturesArtifact(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("m0", "m1", "m2", "m3").orderBy("doc_id")))
+        .filter(col("rn") <= 2)
+        .select(col("doc_id"),
+          concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")).as("bucket"))
+        .orderBy("doc_id")
+    },
+
     // TOK9: decode round-trip audit — the other half of the tokenizer
     // API (every encode ships with a decode, and the contract is
     // decode(encode(x)) == analyzer(x) byte-for-byte): tok6's id

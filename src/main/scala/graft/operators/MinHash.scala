@@ -144,7 +144,7 @@ object MinHash {
 
   private val withDupesSql = TextOps.withDupesSql
 
-  private def sigSql(corpus: String): String = {
+  private[operators] def sigSql(corpus: String): String = {
     val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * hp + $b) % $P) AS m$i"
     }.mkString(",\n         ")

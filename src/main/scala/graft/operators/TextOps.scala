@@ -1280,6 +1280,81 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // D21: arrival-order n-gram NOVELTY — per document, the share of
+    // its distinct 8-word windows whose FIRST corpus occurrence (min
+    // doc_id, the arrival proxy) is the document itself. The dial a
+    // growing training corpus watches per ingest cohort: novelty ~1e6
+    // ppm = genuinely new text, ~0 = the corpus already has it (the
+    // "how much does this crawl snapshot actually add" question, and
+    // the doc-level complement of d17's corpus-level inflation). The
+    // fixture plants BOTH extremes: exact copies at +1e6 (novelty 0 —
+    // every window was first seen in the original) and d18's shifted
+    // partial copies at +3e7 (middle ppm — copied spans old, the
+    // doc-unique fill windows and fill-boundary windows new).
+    // 100 TB shape: d18's narrow window-hash projection (text never
+    // rides a shuffle — windows hash IN the scan's projection), then
+    // exactly TWO exchanges: min(doc_id) OVER the h-partition (the same
+    // hash shuffle d18's dup-evidence agg pays — first-occurrence is a
+    // per-hash aggregate, never a pair join) and the per-doc rollup.
+    // Duplication mass costs its row count, never its square.
+    QueryDef.sql("d21_ngram_novelty",
+      s"""WITH sp0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id, ws FROM sp0
+         |      UNION ALL
+         |      SELECT doc_id + 1000000 AS doc_id, ws FROM sp0 WHERE doc_id % 10 = 0
+         |      UNION ALL
+         |      SELECT doc_id + 30000000 AS doc_id, ws[1:12] || fill || ws[31:42] AS ws
+         |      FROM (SELECT doc_id, ws,
+         |                   list_transform(generate_series(0, 7),
+         |                     i -> 'x' || CAST(doc_id AS VARCHAR) || 'f' || CAST(i AS VARCHAR)) AS fill
+         |            FROM sp0 WHERE doc_id % 5 = 0 AND len(ws) >= 48)),
+         |win AS (SELECT DISTINCT doc_id, ${phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+         |              FROM c WHERE len(ws) >= 8)),
+         |fst AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS first_doc FROM win)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST((1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM fst GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sp0 = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val exact = sp0.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("ws"))
+      val shifted = sp0.filter(col("doc_id") % 5 === 0 && size(col("ws")) >= 48)
+        .select(col("doc_id"), col("ws"),
+          expr("transform(sequence(0, 7), " +
+            "i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          expr("concat(slice(ws, 1, 12), fill, slice(ws, 31, 12))").as("ws"))
+      val win = sp0.unionByName(exact).unionByName(shifted)
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 8), " +
+            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+        .select(col("doc_id"), phash(col("w")).as("h"))
+      // ONE exchange for both the per-(doc, h) dedup and the per-h
+      // first-occurrence: hash(h) satisfies the (h, doc_id) clustering,
+      // so the rn window rides the min window's exchange with only an
+      // extra in-partition sort — a .distinct() here would pay a second
+      // full-stream shuffle on (doc_id, h) for the same result. min
+      // over ALL rows equals min over distinct rows, so first_doc can
+      // be computed before the dedup filter.
+      win
+        .withColumn("first_doc",
+          min("doc_id").over(Window.partitionBy("h")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("h", "doc_id").orderBy("doc_id")))
+        .filter(col("__rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_windows"),
+          sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+            .cast("long").as("n_novel"))
+        .select(col("doc_id"), col("n_windows"), col("n_novel"),
+          expr("CAST((1000000 * n_novel) div n_windows AS BIGINT)").as("novelty_ppm"))
+        .orderBy("doc_id")
+    },
+
     // T18: cross-source overlap matrix — the mixture-decontamination
     // question ("how much of source A is verbatim inside source B?")
     // asked BEFORE freezing a training mix: for every ordered source

@@ -3335,4 +3335,70 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("d21 novelty: exact copies score zero, partial copies land mid-range, novel mass reconciles") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d21_ngram_novelty")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // verbatim copies at +1e6: every window was first seen in the
+    // original (smaller id), so the copy contributes NOTHING
+    val copies = out.filter(r => r._1 >= 1000000L && r._1 < 30000000L)
+    assert(copies.nonEmpty)
+    assert(copies.forall(r => r._3 == 0 && r._4 == 0),
+      s"an exact copy scored novel: ${copies.filter(_._3 != 0).toSeq}")
+    // shifted partial copies at +3e7: the doc-unique fill windows are
+    // new, the copied spans are not — strictly between the extremes
+    val partials = out.filter(_._1 >= 30000000L)
+    assert(partials.nonEmpty)
+    assert(partials.forall(r => r._4 > 0 && r._4 < 1000000),
+      s"a partial copy left mid-range: ${partials.filterNot(r => r._4 > 0 && r._4 < 1000000).toSeq}")
+    // conservation: each distinct window hash is novel at EXACTLY its
+    // first doc, so Σ n_novel over docs == |distinct hashes| — an
+    // independent recount through the same portable hash
+    import graft.operators.TextOps
+    val sp0 = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val corpus = sp0
+      .unionByName(sp0.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("ws")))
+      .unionByName(sp0.filter(col("doc_id") % 5 === 0 && size(col("ws")) >= 48)
+        .select(col("doc_id"), col("ws"),
+          expr("transform(sequence(0, 7), i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          expr("concat(slice(ws, 1, 12), fill, slice(ws, 31, 12))").as("ws")))
+    val nHashes = corpus.filter(size(col("ws")) >= 8)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 8), i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+      .select(TextOps.phash(col("w")).as("h")).distinct().count()
+    assert(out.map(_._3).sum == nHashes,
+      s"novel mass ${out.map(_._3).sum} != distinct windows $nHashes")
+  }
+
+  test("s13 diversity cap: per-bucket cap respected, min-id winners, planted pairs co-bucketed") {
+    val d = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("s13_lsh_diversity_sample")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // cap: never more than 2 survivors per bucket
+    val byBucket = kept.groupBy(_._2)
+    assert(byBucket.forall(_._2.length <= 2),
+      s"bucket over cap: ${byBucket.filter(_._2.length > 2).keys.take(3)}")
+    // winners are the bucket's SMALLEST ids — recount from the shared
+    // signature artifact the query serves from
+    val sig = graft.operators.MinHash.signaturesArtifact(spark, d)
+      .select(col("doc_id"),
+        concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = sig.groupBy(_._2).toSeq.flatMap { case (b, rows) =>
+      rows.map(_._1).sorted.take(2).map((_, b)).toSeq
+    }.toSet
+    assert(kept.toSet == expect, "kept set != 2 smallest ids per bucket")
+    // withDupes' verbatim copies share their original's signature, so
+    // each planted (orig, orig + 1e6) pair lands in ONE bucket
+    val bucketOf = sig.toMap
+    val plantedOrigs = sig.map(_._1).filter(id => id < 1000000 && id % 10 == 0)
+      .filter(id => bucketOf.contains(id + 1000000L))
+    assert(plantedOrigs.nonEmpty)
+    assert(plantedOrigs.forall(id => bucketOf(id) == bucketOf(id + 1000000L)),
+      "a verbatim copy left its original's bucket")
+  }
 }

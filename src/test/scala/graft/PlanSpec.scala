@@ -1264,4 +1264,41 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(!e.output.exists(_.name == "text"),
         s"a shuffle carries text: ${e.output.map(_.name).mkString(",")}")
   }
+
+  test("d21 novelty: windows hash in the scan; one full-stream exchange feeds both windows") {
+    val df = SparkEntry.queries("d21_ngram_novelty")(spark, sf)
+    df.collect()
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // text/ws/w must reduce to the window hash IN the projection —
+    // an exchange carrying 8-word strings is the 100 TB failure mode
+    for (e <- exchanges)
+      assert(!e.output.exists(a => Set("text", "ws", "w").contains(a.name)),
+        s"a shuffle carries window text: ${e.output.map(_.name).mkString(",")}")
+    // the (h, doc_id) dedup window rides the h window's exchange
+    // (hash(h) satisfies the (h, doc_id) clustering): a fourth
+    // exchange means the dedup regressed to its own full-stream
+    // shuffle — h window + doc rollup + output sort is the contract
+    assert(exchanges.length <= 3,
+      s"${exchanges.length} exchanges — the dedup window stopped riding the h exchange")
+    assert(!planString(df).contains("Join"),
+      "novelty is window+rollup arithmetic; no join may form")
+  }
+
+  test("s13 diversity cap: artifact-served signatures; window-only — no join, no corpus rescan") {
+    val df = SparkEntry.queries("s13_lsh_diversity_sample")(spark, sf)
+    df.collect()
+    val p = stripAQEPlan(df.queryExecution.executedPlan).toString
+    assert(!p.contains("Join"),
+      s"diversity cap must not join:\n${p.take(800)}")
+    // the one file scan is the signature artifact — re-deriving
+    // signatures from documents here would double the corpus cost
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1 &&
+      scans.head.metadata("Location").contains("minhash_sig_dupes"),
+      s"expected exactly the signature-artifact scan: ${scans.map(_.metadata("Location"))}")
+  }
 }
