@@ -187,8 +187,10 @@ object ScaleBench {
     // h-partition window + one doc rollup (two linear exchanges, no
     // pair join); s13 is one signature pass + one band-partition
     // window — the blowup's junked copies land in singleton buckets,
-    // so its cost tracks signature row count
-    "d21_ngram_novelty", "s13_lsh_diversity_sample")
+    // so its cost tracks signature row count; s14 is a counts-only
+    // source aggregate + arithmetic on the |sources|-bounded frame
+    "d21_ngram_novelty", "s13_lsh_diversity_sample",
+    "s14_temperature_mix")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

@@ -675,6 +675,57 @@ object CorpusPrep {
         .orderBy("doc_id")
     },
 
+    // S14: temperature-reweighted mixture — the knob that actually sets
+    // a multi-source training mix: sampling weights ∝ share^α with
+    // α = 0.7 (the mT5/XLM-R convention — α < 1 upweights low-resource
+    // sources, α = 1 is proportional, α → 0 is uniform), renormalized,
+    // in integer ppm, plus each source's per-epoch doc quota under a
+    // 10k budget and its boost over proportional sampling (boost =
+    // share^(α-1), strictly decreasing in share — the smallest source
+    // always gets the largest boost; OpsSpec pins the monotonicity and
+    // the ppm mass balance). s3 REPORTS the mixture; s14 RESETS it —
+    // pipe its weight into s1's hash-threshold sampler per source to
+    // materialize the epoch. pow's cross-engine determinism is the
+    // parity_enrich precedent (wind chill's pow(w, 0.16) hash-matches
+    // at both SFs); weights round at ppm on top of that.
+    // 100 TB shape: one map-side-combinable counts-only aggregate over
+    // the source column (never text), then arithmetic on the
+    // |sources|-bounded frame against two broadcast scalars. Nothing
+    // here scales with anything but the registry.
+    QueryDef.sql("s14_temperature_mix",
+      """WITH srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |              FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(n_docs) AS n FROM srcs),
+        |w AS (SELECT source, n_docs,
+        |             CAST(n_docs AS DOUBLE) / t.n AS share,
+        |             pow(CAST(n_docs AS DOUBLE) / t.n, 0.7) AS pw
+        |      FROM srcs, tot t),
+        |z AS (SELECT SUM(pw) AS zsum FROM w)
+        |SELECT source, n_docs,
+        |       CAST(round(1000000 * share, 0) AS BIGINT) AS share_ppm,
+        |       CAST(round(1000000 * pw / z.zsum, 0) AS BIGINT) AS weight_ppm,
+        |       CAST(round(10000 * pw / z.zsum, 0) AS BIGINT) AS quota_docs,
+        |       CAST(round(1000000 * (pw / z.zsum) / share, 0) AS BIGINT) AS boost_ppm
+        |FROM w, z ORDER BY source""".stripMargin) { (s, d) =>
+      val srcs = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+        .localCheckpoint() // tiny; feeds tot, z, and the output
+      val tot = srcs.agg(sum("n_docs").as("n"))
+      val w = srcs.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs").cast("double") / col("n")).as("share"),
+          pow(col("n_docs").cast("double") / col("n"), 0.7).as("pw"))
+      val z = w.agg(sum("pw").as("zsum"))
+      w.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"),
+          round(lit(1000000) * col("share"), 0).cast("long").as("share_ppm"),
+          round(lit(1000000) * col("pw") / col("zsum"), 0).cast("long").as("weight_ppm"),
+          round(lit(10000) * col("pw") / col("zsum"), 0).cast("long").as("quota_docs"),
+          round(lit(1000000) * (col("pw") / col("zsum")) / col("share"), 0)
+            .cast("long").as("boost_ppm"))
+        .orderBy("source")
+    },
+
     // TOK9: decode round-trip audit — the other half of the tokenizer
     // API (every encode ships with a decode, and the contract is
     // decode(encode(x)) == analyzer(x) byte-for-byte): tok6's id

@@ -3401,4 +3401,29 @@ class OpsSpec extends SparkSpec {
     assert(plantedOrigs.forall(id => bucketOf(id) == bucketOf(id + 1000000L)),
       "a verbatim copy left its original's bucket")
   }
+
+  test("s14 temperature mix: ppm mass balances, boost strictly upweights low-resource sources") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s14_temperature_mix")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length >= 3, "fixture needs a multi-source registry")
+    // both ppm columns sum to 1e6 up to per-row rounding
+    for ((col, i) <- Seq(("share_ppm", 2), ("weight_ppm", 3))) {
+      val s = out.map(r => r.productElement(i).asInstanceOf[Long]).sum
+      assert(math.abs(s - 1000000L) <= out.length,
+        s"$col mass $s strays past rounding slack")
+    }
+    assert(math.abs(out.map(_._5).sum - 10000L) <= out.length)
+    // α = 0.7 < 1: boost = share^(α-1) is strictly decreasing in share,
+    // so sorting by n_docs must sort boost the opposite way (ties in
+    // n_docs get equal boost); every below-mean source boosts > 1e6
+    val byN = out.sortBy(_._2).toSeq
+    for (pair <- byN.sliding(2).toSeq; a = pair.head; b = pair.last
+         if pair.length == 2 && a._2 != b._2)
+      assert(a._6 > b._6, s"boost not inverse to size: $a vs $b")
+    val meanShare = 1000000L / out.length
+    assert(out.filter(_._3 < meanShare).forall(_._6 > 1000000L),
+      "a low-resource source was not upweighted")
+  }
 }
