@@ -2114,4 +2114,81 @@ class StreamingSpec extends SparkSpec {
       VectorOps.encodeCodes(full, newBooks).orderBy("vec_id").collect().toSeq,
       "rotated-world serving != from-scratch build under the new codebook")
   }
+
+  test("streaming novelty: per-cohort verdicts match the batch recount across restart and fold") {
+    import graft.streaming.StreamNovelty
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-snov-store") + "/store"
+    val cp = tmpDir("graft-snov-cp")
+    val in = MemoryStream[(Long, String)]
+    def docsDf = in.toDF().toDF("doc_id", "text")
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    def win(s: String): Set[String] = {
+      val ws = s.split(" ")
+      if (ws.length < 8) Set.empty
+      else ws.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val (ta, tb, tc, td) = (words("a", 10), words("b", 10), words("c", 10), words("d", 10))
+
+    val q1 = StreamNovelty.start(docsDf, store, cp)
+    // b0: two fresh docs — everything is novel (1e6 ppm)
+    in.addData((1L, ta), (2L, tb)); q1.processAllAvailable()
+    // b1: a verbatim re-send + a fresh doc — exactly half the cohort's
+    // distinct windows are new
+    in.addData((3L, ta), (4L, tc)); q1.processAllAvailable()
+    // b2: pure re-crawl — the novelty-collapse signal (0 ppm)
+    in.addData((5L, ta)); q1.processAllAvailable()
+    // b3: a sub-8-token doc contributes no windows (d21's convention)
+    in.addData((6L, "short text")); q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: the seen-set lives in the STORE
+    val q2 = StreamNovelty.start(docsDf, store, cp)
+    in.addData((7L, td), (8L, tb)); q2.processAllAvailable()
+    q2.stop()
+
+    // batch recount, d21's convention at cohort granularity: novel =
+    // |cohort windows \ union of earlier cohorts'|
+    val cohorts = Seq(
+      (0L, 2L, Set(ta, tb)), (1L, 2L, Set(ta, tc)), (2L, 1L, Set(ta)),
+      (3L, 1L, Set("short text")), (4L, 2L, Set(td, tb)))
+    var seen = Set.empty[String]
+    val expected = cohorts.map { case (b, nd, texts) =>
+      val wins = texts.flatMap(win)
+      val novel = wins.diff(seen)
+      seen ++= wins
+      val ppm = if (wins.isEmpty) 0L else 1000000L * novel.size / wins.size
+      b -> ((nd, wins.size.toLong, novel.size.toLong, ppm))
+    }.toMap
+    def logMap = StreamNovelty.noveltyLog(spark, store).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(logMap == expected, s"verdicts ${logMap} != recount $expected")
+    def seenCount = StreamNovelty.seenHashes(spark, store).count()
+    assert(seenCount == seen.size, "store seen-set != distinct window recount")
+
+    // fold both families: verdicts and the seen-set must be unchanged,
+    // and the post-fold screen still recognizes folded history
+    assert(StreamNovelty.foldSeen(spark, store) >= 2)
+    assert(logMap == expected, "fold changed the novelty log")
+    assert(seenCount == seen.size, "fold changed the seen-set")
+    val q3 = StreamNovelty.start(docsDf, store, cp)
+    in.addData((9L, td)); q3.processAllAvailable()
+    q3.stop()
+    assert(logMap(5L) == ((1L, 3L, 0L, 0L)),
+      s"post-fold re-crawl not recognized: ${logMap(5L)}")
+
+    // a fresh checkpoint pointed at the owned store is refused
+    val in2 = MemoryStream[(Long, String)]
+    val q4 = StreamNovelty.start(in2.toDF().toDF("doc_id", "text"), store,
+      tmpDir("graft-snov-cp2"))
+    in2.addData((10L, ta))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(_.getMessage != null) &&
+      ex.getMessage.contains("belongs to streaming query"),
+      s"fresh checkpoint not refused: ${ex.getMessage}")
+    q4.stop()
+  }
 }
