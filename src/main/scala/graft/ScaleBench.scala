@@ -190,7 +190,14 @@ object ScaleBench {
     // so its cost tracks signature row count; s14 is a counts-only
     // source aggregate + arithmetic on the |sources|-bounded frame
     "d21_ngram_novelty", "s13_lsh_diversity_sample",
-    "s14_temperature_mix")
+    "s14_temperature_mix",
+    // round 15 second wave: m5 chains m2's decode hop with the dHash
+    // sampler (same batched ImageIO family the m4 super-linearity hid
+    // in — measured for the same reason) plus one (h_hi, h_lo) group
+    // window over a 3-long frame; v22 is v1's map-only literal-scoring
+    // plan evaluated at four prefix widths in one scan — its corpus
+    // term is 4× the cosine arithmetic, not 4 scans
+    "m5_phash_dedup", "v22_matryoshka_eval")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

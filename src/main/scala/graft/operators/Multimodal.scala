@@ -47,6 +47,13 @@ object Multimodal {
 
   case class ResizedMeta(doc_id: Long, width: Int, height: Int, new_w: Int, new_h: Int)
 
+  /** 64-bit dHash split into two 32-bit halves so the value survives any
+    * engine's signed-BIGINT arithmetic without touching the sign bit
+    * (`h_lo` = comparison bits 0-31, `h_hi` = bits 32-63; each half
+    * < 2^32).
+    */
+  case class DHashRow(doc_id: Long, h_hi: Long, h_lo: Long)
+
   val BatchSize = 64
 
   /** ImageIO's default stream cache is DISK-backed: wrapping a plain
@@ -124,6 +131,48 @@ object Multimodal {
       }
       MediaFeatures(r.doc_id, w.toLong * ht, w, ht, r.n_frames,
         sum.toDouble / (w.toLong * ht * 255.0))
+    }
+  }
+
+  /** Perceptual difference-hash (dHash) over the DECODED raster — the
+    * standard image near-dup fingerprint (resize to a (GridW+1)×GridH
+    * thumbnail, set one bit per horizontally-adjacent brightness
+    * increase). The thumbnail here is a nearest-neighbor downsample
+    * (sample at x = i·w/(GridW+1), y = j·h/GridH in integer math) so the
+    * DuckDB oracle can reproduce every sampled pixel analytically from
+    * the fixture's generating formula; a production build would swap in
+    * area-averaging without changing any plumbing. Everything upstream
+    * of the bit loop is REAL decoding — a lossy encode/decode or a
+    * broken sampler hash-mismatches against the oracle.
+    *
+    * Same batched narrow hop as [[decodeBatch]]: no shuffle, no driver.
+    */
+  val GridW = 8 // comparisons per row (samples GridW+1 columns)
+  val GridH = 8
+
+  def dhashBatch(batch: Seq[PngRow]): Seq[DHashRow] = {
+    disableImageIoDiskCache()
+    batch.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+      val w = img.getWidth; val ht = img.getHeight
+      val raster = img.getRaster
+      def px(i: Int, j: Int): Int =
+        raster.getSample(i * w / (GridW + 1), j * ht / GridH, 0)
+      var hi = 0L; var lo = 0L
+      var j = 0
+      while (j < GridH) {
+        var i = 0
+        while (i < GridW) {
+          if (px(i + 1, j) > px(i, j)) {
+            val idx = j * GridW + i
+            if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+          }
+          i += 1
+        }
+        j += 1
+      }
+      DHashRow(r.doc_id, hi, lo)
     }
   }
 
@@ -334,6 +383,60 @@ object Multimodal {
       extractFeatures(mediaPng(s, d))
         .mapPartitions(_.grouped(BatchSize).flatMap(g => resizeBatch(g.toSeq)))
         .toDF()
+        .orderBy("doc_id")
+    },
+
+    // M5: perceptual-hash (dHash) image dedup — the multimodal twin of
+    // d1's exact text dedup: decode every payload (REAL ImageIO), sample
+    // a 9×8 nearest-neighbor thumbnail, emit the 64-bit
+    // adjacent-brightness hash as two 32-bit halves, then one hash
+    // groupBy finds byte-identical AND re-encoded duplicate images
+    // (dHash is encoder-independent: it fingerprints decoded pixels,
+    // not the PNG stream). Scale shape: decode+hash is a narrow batched
+    // hop; the only exchange carries (doc_id, 2×long) — the raster
+    // never shuffles. The oracle reproduces every sampled pixel
+    // analytically from the fixture's generating formula, so a lossy
+    // codec path or a broken sampler hash-mismatches.
+    QueryDef.sql("m5_phash_dedup",
+      s"""WITH $docsSql,
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM docs),
+        |dims AS (
+        |  SELECT doc_id, h,
+        |         CAST(4 + (h % 13) AS BIGINT) AS w,
+        |         CAST(3 + ((h // 13) % 11) AS BIGINT) AS hh
+        |  FROM hs),
+        |gi AS (SELECT doc_id, h, w, hh, unnest(generate_series(0, ${GridW - 1})) AS i FROM dims),
+        |gij AS (SELECT doc_id, h, w, hh, i, unnest(generate_series(0, ${GridH - 1})) AS j FROM gi),
+        |bits AS (
+        |  SELECT doc_id, j * $GridW + i AS idx,
+        |         CASE WHEN (h + 31 * (((i + 1) * w) // ${GridW + 1}) + 17 * ((j * hh) // $GridH)) % 256
+        |                 > (h + 31 * ((i * w) // ${GridW + 1}) + 17 * ((j * hh) // $GridH)) % 256
+        |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM gij),
+        |hsh AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN idx >= 32 THEN bit << (idx - 32) ELSE 0 END) AS BIGINT) AS h_hi,
+        |         CAST(SUM(CASE WHEN idx < 32 THEN bit << idx ELSE 0 END) AS BIGINT) AS h_lo
+        |  FROM bits GROUP BY doc_id),
+        |grp AS (
+        |  SELECT h_hi, h_lo, COUNT(*) AS n_copies, MIN(doc_id) AS canon_id
+        |  FROM hsh GROUP BY h_hi, h_lo)
+        |SELECT doc_id, h_hi, h_lo, n_copies, canon_id
+        |FROM hsh JOIN grp USING (h_hi, h_lo)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hashes = mediaPng(s, d)
+        .mapPartitions(_.grouped(BatchSize).flatMap(g => dhashBatch(g.toSeq)))
+        .toDF()
+      val grp = Window.partitionBy("h_hi", "h_lo")
+      hashes
+        .withColumn("n_copies", count(lit(1)).over(grp))
+        .withColumn("canon_id", min("doc_id").over(grp))
+        .select("doc_id", "h_hi", "h_lo", "n_copies", "canon_id")
         .orderBy("doc_id")
     }
   )

@@ -1517,6 +1517,77 @@ object VectorOps {
             "CAST(GREATEST(base_mean, 1) AS DOUBLE)), 0) AS BIGINT)").as("drift_ppm"))
         .withColumn("retrain", col("drift_ppm") >= 1500000L)
         .orderBy("cohort")
+    },
+
+    // V22: matryoshka (prefix-dimension) retrieval eval — MRL-trained
+    // embedding models (Kusupati et al. 2022, arXiv:2205.13147) nest
+    // usable sub-embeddings in each prefix, so a serving tier can score
+    // at dim 8/16/32 and pay full-dim cost only on a re-rank. This
+    // measures what each prefix buys on THIS corpus: exact top-10 under
+    // the truncated cosine vs the full-dim truth, per (dim, query) —
+    // the dim-axis sibling of v17's nprobe curve. Scale shape: ONE
+    // map-only codegen pass over the corpus (dims × queries literal
+    // cosines per row — prefixes reuse the same scan; no element
+    // explode, no join); the only exchange is the per-(dim, query)
+    // top-k window over an ids-only frame, and the recall join runs on
+    // the 400-row localCheckpointed top-k output, never the corpus.
+    QueryDef.sql("v22_matryoshka_eval", {
+      val score =
+        """CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"""
+      s"""WITH el AS ($elementsSql),
+         |ds(dim) AS (VALUES (8), (16), (32), (64)),
+         |nq AS (
+         |  SELECT d.dim, e.vec_id, CAST(SUM(e.xi * e.xi) AS BIGINT) AS n2
+         |  FROM el e CROSS JOIN ds d WHERE e.pos < d.dim
+         |  GROUP BY d.dim, e.vec_id),
+         |dots AS (
+         |  SELECT d.dim, q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         CAST(SUM(q.xi * c.xi) AS BIGINT) AS dot
+         |  FROM el q JOIN el c ON q.pos = c.pos AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |       CROSS JOIN ds d
+         |  WHERE q.pos < d.dim
+         |  GROUP BY d.dim, query_id, cand_id),
+         |scored AS (
+         |  SELECT dots.dim, query_id, cand_id,
+         |         row_number() OVER (PARTITION BY dots.dim, query_id
+         |                            ORDER BY $score DESC, cand_id) AS rn
+         |  FROM dots JOIN nq a ON a.dim = dots.dim AND a.vec_id = dots.query_id
+         |            JOIN nq b ON b.dim = dots.dim AND b.vec_id = dots.cand_id),
+         |t AS (SELECT dim, query_id, cand_id FROM scored WHERE rn <= 10),
+         |base AS (SELECT query_id, cand_id FROM t WHERE dim = 64)
+         |SELECT t.dim, t.query_id, COUNT(b.cand_id) AS n_hit,
+         |       CAST(COUNT(b.cand_id) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM t LEFT JOIN base b ON t.query_id = b.query_id AND t.cand_id = b.cand_id
+         |GROUP BY t.dim, t.query_id
+         |ORDER BY t.dim, t.query_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      // bounded collect: the fixed 10-query set × 64 floats
+      val qlit = emb.filter(col("vec_id") < 10)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val dims = Seq(8, 16, 32, 64)
+      val qCos = for { dm <- dims; (qid, arr) <- qlit } yield
+        struct(lit(dm).as("dim"), lit(qid).as("query_id"),
+          call_function("cosine_sim_q",
+            slice(col("embedding"), 1, dm), typedLit(arr.take(dm).toSeq)).as("cos"))
+      val t = emb
+        .select(col("vec_id").as("cand_id"), explode(array(qCos: _*)).as("q"))
+        .select(col("q.dim"), col("q.query_id"), col("cand_id"), col("q.cos"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("dim", "query_id").orderBy(desc("cos"), asc("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select("dim", "query_id", "cand_id")
+        .localCheckpoint() // 400 ids — both branches below reuse it
+      val base = t.filter(col("dim") === 64)
+        .select(col("query_id").as("bq"), col("cand_id").as("bc"))
+      t.join(broadcast(base),
+          t("query_id") === col("bq") && t("cand_id") === col("bc"), "left")
+        .groupBy("dim", "query_id")
+        .agg(count(col("bc")).as("n_hit"))
+        .withColumn("recall_at_10", col("n_hit").cast("double") / 10.0)
+        .orderBy("dim", "query_id")
     }
   )
 

@@ -75,6 +75,58 @@ object StreamVec {
   private val activeIngests =
     new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
 
+  /** Test seam: drop a store's registry entry, simulating a [[rotate]]
+    * issued from a DIFFERENT JVM than the one running the ingest (the
+    * registry is process-local state — another JVM starts with it
+    * empty, which is exactly what the heartbeat gate below covers).
+    */
+  private[graft] def forgetIngest(storeDir: String): Unit = {
+    activeIngests.remove(storeDir); ()
+  }
+
+  /** Ingest-liveness marker, the CROSS-JVM half of the rotation/ingest
+    * exclusion: every committed trigger overwrites this file under
+    * `storeDir`, so a [[rotate]] issued from a JVM that cannot see the
+    * ingest query (the [[activeIngests]] registry is process-local)
+    * still refuses while the marker is fresh. A bare file, never a
+    * `_SUCCESS`'d directory — invisible to [[completeDirs]], to the
+    * fold machinery, and to every reader.
+    */
+  val HeartbeatFile = "_ingest_heartbeat"
+
+  /** Staleness bound for [[HeartbeatFile]]: a heartbeat older than this
+    * counts as drain evidence. Generous against any sane trigger
+    * cadence while keeping the worst-case wait bounded. Residual
+    * contract (the trade ADVICE round 14 documented): triggers only
+    * fire on DATA, so an idle-but-running remote stream goes stale and
+    * a rotate then proceeds — an ingest that later resumes against the
+    * old store is still the documented drain-first operator step; the
+    * heartbeat converts "trust the runbook" into "refuse while there
+    * is positive evidence of a live remote ingest".
+    */
+  val HeartbeatStaleMs: Long = 10 * 60 * 1000L
+
+  private def heartbeatPath(storeDir: String) = new Path(storeDir, HeartbeatFile)
+
+  private def touchHeartbeat(spark: SparkSession, storeDir: String,
+      batchId: Long): Unit = {
+    val p = heartbeatPath(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true) // overwrite: latest trigger wins
+    try out.write(s"b$batchId\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Age of the ingest heartbeat in ms — None when no ingest has ever
+    * touched the store (pre-heartbeat stores rotate under the
+    * registry + drain-first contract alone, unchanged).
+    */
+  private def heartbeatAgeMs(spark: SparkSession, storeDir: String): Option[Long] = {
+    val p = heartbeatPath(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
+  }
+
   /** v16's retrain threshold: batch mean residual ≥ 1.5× baseline. */
   val RetrainPpm = 1500000L
 
@@ -255,12 +307,25 @@ object StreamVec {
     // sees. In-process the registry refuses outright; cross-JVM the
     // drain-first contract is the documented operator step, and the
     // maintenance lease below still serializes rotate against folds.
-    val running = Option(activeIngests.get(storeDir)).filter(_.isActive)
+    val registered = Option(activeIngests.get(storeDir))
+    val running = registered.filter(_.isActive)
     require(running.isEmpty,
       s"store $storeDir has a RUNNING ingest query ${running.map(_.id).orNull} — " +
         "stop/drain the stream before rotating (rotation freezes the live " +
         "set and re-encodes it; a concurrent trigger would append " +
         "old-codebook codes invisible to the rotated serving snapshot)")
+    // CROSS-JVM half: no registry entry means THIS process never ran
+    // the ingest — the only liveness evidence is the heartbeat file
+    // each trigger touches, so refuse while it's fresh. A registered-
+    // but-stopped query is authoritative drain evidence (we watched it
+    // stop), so the same-JVM stop → rotate path never waits out the
+    // staleness window.
+    if (registered.isEmpty)
+      for (age <- heartbeatAgeMs(spark, storeDir))
+        require(age >= HeartbeatStaleMs,
+          s"store $storeDir ingest heartbeat is ${age}ms old " +
+            s"(< ${HeartbeatStaleMs}ms) — an ingest in another JVM looks " +
+            "live; stop/drain it, then retry after the staleness window")
     val flagged = driftLog(spark, storeDir)
       .filter(col("retrain")).agg(max("b")).first()
     require(force || !flagged.isNullAt(0),
@@ -403,6 +468,9 @@ object StreamVec {
               s"$meanErr is ${ppm}ppm of baseline $baselineMeanErr " +
               s"(threshold $RetrainPpm) — stored codes for this cohort " +
               "carry degraded recall; schedule a codebook retrain/rebuild")
+          // liveness marker for cross-JVM rotate refusal — after the
+          // delta commit so a heartbeat never outruns its data
+          touchHeartbeat(spark, storeDir, batchId)
           // in-trigger cadence maintenance (StreamDedup.foldDue):
           // last-writer-aware code compaction + the drift sidecars
           if (StreamDedup.foldDue(foldEvery, batchId)) { foldCodes(spark, storeDir); () }

@@ -3426,4 +3426,49 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(_._3 < meanShare).forall(_._6 > 1000000L),
       "a low-resource source was not upweighted")
   }
+
+  test("m5 phash dedup: group recount holds, identical pixels co-hash, halves stay in 32 bits") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("m5_phash_dedup")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // both halves are non-negative and below 2^32 — the BIGINT sign bit
+    // never engages on either engine
+    assert(out.forall(r => r._2 >= 0 && r._2 < (1L << 32) && r._3 >= 0 && r._3 < (1L << 32)))
+    // group accounting: n_copies and canon_id recount from the hashes
+    val grp = out.groupBy(r => (r._2, r._3))
+    for (r <- out) {
+      val g = grp((r._2, r._3))
+      assert(r._4 == g.length, s"n_copies ${r._4} != recount ${g.length} for doc ${r._1}")
+      assert(r._5 == g.map(_._1).min, s"canon_id ${r._5} not the group min for doc ${r._1}")
+    }
+    // the tiny-image fixture collides enough for observable groups
+    assert(out.exists(_._4 > 1), "no dhash group with >1 member — the dedup path is untested")
+    // determinism + dedup semantics at the unit level: the same content
+    // hash encodes to the same pixels and therefore the same dHash (the
+    // full-query planted-copy case rides d1's exact-dup fixtures at the
+    // oracle SFs); distinct content hashes move at least one half
+    val png = Multimodal.encodePngBatch(Seq((1L, 987654321L), (2L, 987654321L), (3L, 123456789L)))
+    val hs = Multimodal.dhashBatch(png).map(h => (h.h_hi, h.h_lo))
+    assert(hs(0) == hs(1), "identical pixels produced different dHashes")
+    assert(hs(0) != hs(2), "distinct fixture images collided at the unit level")
+  }
+
+  test("v22 matryoshka: full dim is its own truth, mean recall grows with the prefix") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("v22_matryoshka_eval")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 40, s"4 dims x 10 queries expected, got ${out.length}")
+    assert(out.forall(r => r._3 >= 0 && r._3 <= 10))
+    assert(out.forall(r => math.abs(r._4 - r._3 / 10.0) < 1e-12))
+    // the dim-64 prefix IS the full vector: recall 1.0 by construction —
+    // anything else means the truth side and the eval side diverged
+    assert(out.filter(_._1 == 64).forall(r => r._3 == 10L),
+      s"full-dim rows off truth: ${out.filter(_._1 == 64).toSeq}")
+    // longer prefixes carry more of the vector: mean recall must not
+    // DROP as dim grows (per-query dips are legal; the mean curve is
+    // the serving dial this query exists to measure)
+    val avg = out.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum.toDouble / v.length }
+    for (Seq(a, b) <- Seq(8, 16, 32, 64).sliding(2).toSeq)
+      assert(avg(a) <= avg(b) + 1e-9, s"mean recall fell from dim $a (${avg(a)}) to dim $b (${avg(b)})")
+  }
 }

@@ -1301,4 +1301,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       scans.head.metadata("Location").contains("minhash_sig_dupes"),
       s"expected exactly the signature-artifact scan: ${scans.map(_.metadata("Location"))}")
   }
+
+  test("m5 phash dedup: decode+hash stay narrow — no exchange carries the media payload") {
+    val df = SparkEntry.queries("m5_phash_dedup")(spark, sf)
+    df.collect()
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty) // the (h_hi, h_lo) group window must shuffle — ids+hash only
+    // the 100 TB contract: every PNG decodes and reduces to 2 longs in
+    // the narrow hop; an exchange carrying media bytes (or the source
+    // text) re-shuffles the corpus payload
+    for (e <- exchanges)
+      assert(!e.output.exists(a => Set("media", "text").contains(a.name)),
+        s"a shuffle carries the payload: ${e.output.map(_.name).mkString(",")}")
+    assert(!planString(df).contains("Join"),
+      "phash dedup is hash+window arithmetic; no join may form")
+  }
 }

@@ -2115,6 +2115,65 @@ class StreamingSpec extends SparkSpec {
       "rotated-world serving != from-scratch build under the new codebook")
   }
 
+  test("cross-JVM rotation exclusion: a fresh ingest heartbeat refuses rotate when the registry can't see the query") {
+    import graft.operators.VectorOps
+    import graft.streaming.StreamVec
+    import org.apache.hadoop.fs.Path
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val baseline = VectorOps.meanSqErr(spark, emb, books)
+    val store = tmpDir("graft-hb") + "/store"
+    val cp = tmpDir("graft-hb-cp")
+    val serveBase = tmpDir("graft-hb-serve") + "/serve"
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+      store, cp, baseline)
+    in.addData(rows.take(50).map { case (id, v) => (id, Some(v)) }: _*)
+    q.processAllAvailable()
+    // every committed trigger touches the marker
+    val hb = new Path(store, StreamVec.HeartbeatFile)
+    val fs = hb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(hb), "trigger did not touch the ingest heartbeat")
+    val t0 = fs.getFileStatus(hb).getModificationTime
+    in.addData(rows.slice(50, 60).map { case (id, v) => (id, Some(v.map(_ + 1.5f))) }: _*)
+    q.processAllAvailable()
+    assert(fs.getFileStatus(hb).getModificationTime >= t0,
+      "second trigger did not refresh the heartbeat")
+    q.stop()
+    // simulate the other-JVM view: the process-local registry has no
+    // entry for this store, so the heartbeat is the only evidence —
+    // and it is fresh, so rotate must refuse even though the query is
+    // in fact stopped (the rotate side cannot know that)
+    StreamVec.forgetIngest(store)
+    val ex = intercept[IllegalArgumentException] {
+      StreamVec.rotate(spark, store, emb.localCheckpoint(), serveBase, force = true)
+    }
+    assert(ex.getMessage.contains("heartbeat"), ex.getMessage)
+    // age the marker past the staleness window — the SAME call now
+    // proceeds (drain evidence by silence, the documented contract)
+    fs.setTimes(hb, System.currentTimeMillis() - StreamVec.HeartbeatStaleMs - 1000L, -1)
+    val newBooks = StreamVec.rotate(spark, store, emb.localCheckpoint(), serveBase, force = true)
+    assert(newBooks.length == VectorOps.PqM, "stale-heartbeat rotate did not complete")
+    // same-JVM contract unchanged: a registered-but-stopped query is
+    // authoritative drain evidence — rotate proceeds immediately with
+    // a FRESH heartbeat on a DIFFERENT store this JVM ingested into
+    val store2 = tmpDir("graft-hb2") + "/store"
+    val cp2 = tmpDir("graft-hb2-cp")
+    val in2 = MemoryStream[(Long, Option[Seq[Float]])]
+    val q2 = StreamVec.start(in2.toDF().toDF("vec_id", "embedding"), books,
+      store2, cp2, baseline)
+    in2.addData(rows.take(30).map { case (id, v) => (id, Some(v)) }: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val serveBase2 = tmpDir("graft-hb2-serve") + "/serve"
+    val books2 = StreamVec.rotate(spark, store2, emb.localCheckpoint(), serveBase2, force = true)
+    assert(books2.length == VectorOps.PqM,
+      "same-JVM stop -> rotate path started waiting on the heartbeat window")
+  }
+
   test("streaming novelty: per-cohort verdicts match the batch recount across restart and fold") {
     import graft.streaming.StreamNovelty
     implicit val sc = spark.sqlContext
