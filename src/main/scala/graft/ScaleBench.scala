@@ -197,7 +197,11 @@ object ScaleBench {
     // window over a 3-long frame; v22 is v1's map-only literal-scoring
     // plan evaluated at four prefix widths in one scan — its corpus
     // term is 4× the cosine arithmetic, not 4 scans
-    "m5_phash_dedup", "v22_matryoshka_eval")
+    "m5_phash_dedup", "v22_matryoshka_eval",
+    // t20 is one narrow regex projection + the output sort — the
+    // battery's cost is per-row constant (7 bounded regex passes), so
+    // it anchors the map-only end of the text family
+    "t20_gopher_rules")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

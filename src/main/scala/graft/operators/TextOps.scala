@@ -133,6 +133,42 @@ object TextOps {
     docs.select(Seq(col("doc_id"), col("text")) ++ qualityFeatureCols: _*)
       .select(col("doc_id"), col("text"), qualityCol.as("quality"))
 
+  /** The designated stop set for t20's stop-word rule: t3's English
+    * marker words (the corpus's actual function-word register) —
+    * distinct members present must be ≥ 2. Declared BEFORE `defs`
+    * (which captures it while building t20's oracle SQL — a forward
+    * reference would be null at object init).
+    */
+  val GopherStops = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** t20's rule battery as a reusable map-only projection over
+    * (doc_id, source, text) — see the t20 QueryDef comment for
+    * semantics. Exposed so OpsSpec can feed planted single-rule
+    * violators (the clean fixture only trips two of the five rules).
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val nStop = GopherStops.map(w =>
+      when(col("text").rlike(s"\\b$w\\b"), 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("sum_len"),
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long").as("n_sym"),
+        size(filter(split(col("text"), " "),
+          w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        nStop.as("n_stop"))
+      .select(col("doc_id"), col("source"), col("n_words"), col("n_stop"),
+        col("n_words").between(50L, 100000L).as("r_wordcount"),
+        (lit(3L) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10L) * col("n_words")).as("r_wordlen"),
+        (lit(10L) * col("n_sym") <= col("n_words")).as("r_symbols"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("r_alpha"),
+        (col("n_stop") >= 2L).as("r_stops"))
+      .withColumn("pass",
+        col("r_wordcount") && col("r_wordlen") && col("r_symbols") &&
+          col("r_alpha") && col("r_stops"))
+  }
+
   /** (doc_id, h) distinct 8-word-block hashes per doc — the d8 passage
     * fingerprint stage, exposed for the partial-overlap unit test.
     * Blocks come from a pure array transform (narrow, deterministic
@@ -2142,6 +2178,50 @@ object TextOps {
           expr("CAST((1000000 * n_docs) div first_docs AS BIGINT)").as("retained_ppm"),
           expr("CAST((1000000 * n_docs) div prev_docs AS BIGINT)").as("step_ppm"))
         .orderBy("stage_id")
+    },
+
+    // T20: the Gopher rule battery (Rae et al. 2021, Appendix A.1.1) —
+    // the published hard-threshold filter set, distinct from t3's
+    // weighted heuristic score: each rule is its own verdict column so
+    // the report says WHICH rule kills a doc, not just that one did
+    // (the accounting a filter owner tunes against). Every ratio rule
+    // runs as integer cross-multiplication (3 ≤ mean_wlen ≤ 10 becomes
+    // 3·n_words ≤ sum_len ≤ 10·n_words) — no float ever forms, so both
+    // engines agree bit-for-bit. The line-level Gopher rules (bullet /
+    // ellipsis line ratios) don't apply to the fixture's single-line
+    // docs and are documented out; the designated stop set is t3's
+    // English marker set (the corpus's actual function-word register —
+    // Gopher's own set assumes natural prose). One narrow projection,
+    // one output sort: the whole battery is map-only at any corpus
+    // size. [[gopherRules]] is the reusable projection; OpsSpec feeds
+    // it planted single-rule violators, since the clean fixture
+    // (correctly) trips only the word-count and stop-word rules.
+    QueryDef.sql("t20_gopher_rules", {
+      val stopHitsSql = GopherStops.map(w =>
+        s"CASE WHEN regexp_matches(text, '\\b$w\\b') THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+         |         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                              w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |         CAST($stopHitsSql AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, source, n_words, n_stop,
+         |       r_wordcount, r_wordlen, r_symbols, r_alpha, r_stops,
+         |       (r_wordcount AND r_wordlen AND r_symbols AND r_alpha AND r_stops) AS pass
+         |FROM (
+         |  SELECT doc_id, source, n_words, n_stop,
+         |         n_words BETWEEN 50 AND 100000 AS r_wordcount,
+         |         (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS r_wordlen,
+         |         (10 * n_sym <= n_words) AS r_symbols,
+         |         (5 * n_alpha >= 4 * n_words) AS r_alpha,
+         |         (n_stop >= 2) AS r_stops
+         |  FROM f)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      gopherRules(Tables.documents(s, d)).orderBy("doc_id")
     }
   )
 }

@@ -3427,6 +3427,35 @@ class OpsSpec extends SparkSpec {
       "a low-resource source was not upweighted")
   }
 
+  test("t20 gopher rules: each rule fires alone on its planted violator; clean prose passes all five") {
+    import graft.operators.TextOps
+    // one violator per rule, each clean under every OTHER rule — the
+    // sf fixture never trips wordlen/symbols/alpha, so the battery's
+    // teeth are proven here, through the exact projection t20 serves
+    val base = "the stream is a good one and we sort it here" // 2+ stops, alpha, no symbols
+    val longClean = (base + " ") * 5 + base // 55 words: passes wordcount
+    val docs = Seq(
+      (0L, longClean, "clean"),
+      (1L, base, "short"), // 11 words < 50 -> r_wordcount only
+      (2L, ("the of and in " + Seq.fill(46)("ab").mkString(" ")), "tinywords"), // mean wlen 2.06 < 3
+      (3L, (longClean + " " + Seq.fill(10)("#####").mkString(" ")), "symbols"), // 50 '#' in 76 words > 1/10 (5-char words keep mean wlen >= 3)
+      (4L, ("the of and in " + Seq.fill(46)("12345").mkString(" ")), "digits"), // alpha words 4/50 < 0.8
+      (5L, longClean.replaceAll("\\bthe\\b", "xx").replaceAll("\\ba\\b", "yy")
+        .replaceAll("\\bis\\b", "zz").replaceAll("\\band\\b", "qq"), "nostops"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.gopherRules(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))
+    def row(id: Long) = out.find(_._1 == id).get
+    assert(row(0L) == ((0L, true, true, true, true, true, true)), s"clean doc failed: ${row(0L)}")
+    // each violator fails EXACTLY its own rule (tuple: wc, wlen, sym, alpha, stops, pass)
+    assert(row(1L) == ((1L, false, true, true, true, true, false)), s"wordcount: ${row(1L)}")
+    assert(row(2L) == ((2L, true, false, true, true, true, false)), s"wordlen: ${row(2L)}")
+    assert(row(3L) == ((3L, true, true, false, true, true, false)), s"symbols: ${row(3L)}")
+    assert(row(4L) == ((4L, true, true, true, false, true, false)), s"alpha: ${row(4L)}")
+    assert(row(5L) == ((5L, true, true, true, true, false, false)), s"stops: ${row(5L)}")
+  }
+
   test("m5 phash dedup: group recount holds, identical pixels co-hash, halves stay in 32 bits") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("m5_phash_dedup")(spark, d).collect()

@@ -2250,4 +2250,74 @@ class StreamingSpec extends SparkSpec {
       s"fresh checkpoint not refused: ${ex.getMessage}")
     q4.stop()
   }
+
+  test("streaming phash dedup: first-arrival keepers, in-batch winners, verdicts recount, restart and fold hold") {
+    import graft.operators.Multimodal
+    import graft.streaming.StreamPhash
+    implicit val sc = spark.sqlContext
+    val store = tmpDir("graft-sph-store") + "/store"
+    val cp = tmpDir("graft-sph-cp")
+    // distinct content hashes -> distinct images; same h -> same bytes
+    def png(id: Long, h: Long): (Long, Array[Byte]) =
+      (id, Multimodal.encodePngBatch(Seq((id, h))).head.media)
+    val in = MemoryStream[(Long, Array[Byte])]
+    def mediaDf = in.toDF().toDF("doc_id", "media")
+
+    val q1 = StreamPhash.start(mediaDf, store, cp)
+    // b0: two distinct images + an in-batch duplicate of the first
+    // (doc 3 re-encodes h=11's pixels) — the winner is min doc_id
+    in.addData(png(1L, 11L), (3L, png(3L, 11L)._2), png(2L, 22L))
+    q1.processAllAvailable()
+    // b1: pure re-send of an already-kept image under a new doc_id
+    in.addData((4L, png(4L, 11L)._2)); q1.processAllAvailable()
+    // b2: one new image + one re-send — half the cohort is duplicate
+    in.addData(png(5L, 33L), (6L, png(6L, 22L)._2)); q1.processAllAvailable()
+    q1.stop()
+
+    def keeperSet = StreamPhash.keepers(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keeperSet == Set(1L, 2L, 5L),
+      s"keepers $keeperSet != first-arrival min-id winners")
+    def logMap = StreamPhash.mediaLog(spark, store).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val expected = Map(
+      0L -> ((3L, 2L, 2L, 1000000L / 3)), // 3 docs, 2 unique, 2 admitted
+      1L -> ((1L, 1L, 0L, 1000000L)),     // full re-send: dup_ppm 1e6
+      2L -> ((2L, 2L, 1L, 500000L)))      // half duplicate
+    assert(logMap == expected, s"verdicts $logMap != recount $expected")
+
+    // restart against the same checkpoint: a no-op for the store, and
+    // the screen still recognizes all prior keepers
+    val q2 = StreamPhash.start(mediaDf, store, cp)
+    in.addData((7L, png(7L, 33L)._2)); q2.processAllAvailable()
+    q2.stop()
+    assert(keeperSet == Set(1L, 2L, 5L), "restart re-admitted a kept image")
+    assert(logMap(3L) == ((1L, 1L, 0L, 1000000L)), s"post-restart verdict: ${logMap.get(3L)}")
+
+    // fold both families: keepers and verdicts unchanged; the post-fold
+    // screen recognizes folded history
+    assert(StreamPhash.foldKeepers(spark, store) >= 2)
+    assert(keeperSet == Set(1L, 2L, 5L), "fold changed the keeper set")
+    assert(logMap == expected ++ Map(3L -> ((1L, 1L, 0L, 1000000L))),
+      "fold changed the media log")
+    val q3 = StreamPhash.start(mediaDf, store, cp)
+    in.addData((8L, png(8L, 22L)._2), png(9L, 44L)); q3.processAllAvailable()
+    q3.stop()
+    assert(logMap(4L) == ((2L, 2L, 1L, 500000L)),
+      s"post-fold re-send not recognized: ${logMap.get(4L)}")
+    assert(keeperSet == Set(1L, 2L, 5L, 9L))
+
+    // a fresh checkpoint pointed at the owned store is refused
+    val in2 = MemoryStream[(Long, Array[Byte])]
+    val q4 = StreamPhash.start(in2.toDF().toDF("doc_id", "media"), store,
+      tmpDir("graft-sph-cp2"))
+    in2.addData(png(10L, 55L))
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+    }
+    assert(ex2.getMessage.contains("belongs to streaming query"),
+      s"fresh checkpoint not refused: ${ex2.getMessage}")
+    q4.stop()
+  }
 }
