@@ -121,7 +121,15 @@ object Canary {
     // 1.77× at 10×, t18 exponent 0.41 at 30×) so the gate's job is
     // plan-regression detection, not scale proof
     "v17_nprobe_curve",       // probed-cell recall/latency curve (4 probes)
-    "t18_source_overlap")     // cross-source fingerprint overlap matrix
+    "t18_source_overlap",     // cross-source fingerprint overlap matrix
+    // round 15 (net-lag rule, applied the round the operators land):
+    // v22 is the round's heaviest new steady-state query (a 4-width
+    // literal-scoring corpus pass + 40 top-k windows); m5 pins the
+    // batched ImageIO decode+dHash hop — the family where the round-14
+    // super-linearity hid; t20 anchors the map-only regex battery
+    "v22_matryoshka_eval",    // prefix-dim eval (4x literal scoring pass)
+    "m5_phash_dedup",         // decode + dHash + hash-group window
+    "t20_gopher_rules")       // map-only integer rule battery
 
   /** Per-query normalized-gate half-width; default ±20%. sq1's
     * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,
@@ -149,9 +157,23 @@ object Canary {
     * flag (1.266 normalized) cleared on the protocol re-run with no
     * code change, the same signature sq1 showed before its width.
     */
+  /** v17 (±50%, measured round 15): NINE same-code fresh-JVM runs in
+    * one round landed 2.37 / 2.50 / 2.52 / 2.61 / 2.78 / 3.13 / 3.20 /
+    * 3.72 / 4.47 s — a ±45% proportional spread around the ~2.8 s
+    * median, the suite's widest (sq1's class, scaled up: four probed
+    * scoring passes over one localCheckpointed assignment make it
+    * draw its five samples across more drift-window surface than any
+    * other row). It flagged high in two runs and low in one during the
+    * round-15 rebaseline hunt, each clearing on the protocol re-run
+    * with Retrieval/VectorOps untouched. A real v17 plan regression
+    * (its cost contract: Σ probed-candidate volumes, never
+    * corpus × nprobe — SCALING pins 1.27-1.77× at 10×) would hold a
+    * >1.5 ratio across consecutive runs, which the width still
+    * catches via the repeat-offender rule.
+    */
   private val gateHalfWidth: Map[String, Double] =
     Map("sq1_subqueries" -> 0.45, "d20_ppjoin" -> 0.30,
-      "v21_hard_negatives" -> 0.30)
+      "v21_hard_negatives" -> 0.30, "v17_nprobe_curve" -> 0.50)
   private val DefaultHalfWidth = 0.2
 
   /** Absolute-floor term (verdict-13 ask #6): a row also passes when

@@ -240,7 +240,12 @@ object ScaleBench {
     // dedup family's largest deliberate linear blowup); the m4
     // precedent says a third point either certifies the linearity or
     // finds the fixable term hiding behind it
-    "d18_substring_spans")
+    "d18_substring_spans",
+    // v22 lands (round 15) with the round's worst new 10× ratio
+    // (2.96× — the 4-width literal-scoring pass is a deliberate 4×
+    // arithmetic blowup per row); worst-ratio-without-a-third-point
+    // rule applies on arrival
+    "v22_matryoshka_eval")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space
