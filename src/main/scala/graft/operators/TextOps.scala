@@ -154,8 +154,10 @@ object TextOps {
         size(split(col("text"), " ")).cast("long").as("n_words"),
         length(regexp_replace(col("text"), " ", "")).cast("long").as("sum_len"),
         regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long").as("n_sym"),
+        // [a-zA-Z]: Gopher's rule is "contains at least one ALPHABETIC
+        // character" — case-free, so acronyms ("NASA") and "I" count
         size(filter(split(col("text"), " "),
-          w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+          w => w.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
         nStop.as("n_stop"))
       .select(col("doc_id"), col("source"), col("n_words"), col("n_stop"),
         col("n_words").between(50L, 100000L).as("r_wordcount"),
@@ -2205,7 +2207,7 @@ object TextOps {
          |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
          |         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
          |         CAST(len(list_filter(string_split(text, ' '),
-         |                              w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |                              w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
          |         CAST($stopHitsSql AS BIGINT) AS n_stop
          |  FROM documents)
          |SELECT doc_id, source, n_words, n_stop,

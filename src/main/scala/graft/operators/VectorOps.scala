@@ -1162,13 +1162,23 @@ object VectorOps {
       val qc = collectQueries(queries)
       val qRank = ivfRank(queries, cents)
         .select(col("vec_id").as("query_id"), col("cent_id").as("cell"), col("crn"))
-      val scoredNp = Seq(1, 2, 4, 8).map { np =>
-        val cand = broadcast(qRank.filter(col("crn") <= np).drop("crn"))
-          .join(cells, Seq("cell"))
-          .filter(col("cand_id") =!= col("query_id"))
-          .join(codes, Seq("cand_id"))
-        adcScoreKeyed(s, cand, qc, books).withColumn("np", lit(np))
-      }.reduce(_ unionByName _)
+      // ONE candidate join + ONE ADC pass for the whole sweep: probe
+      // sets are nested in nprobe and each candidate's cell is unique,
+      // so a (query, cand) pair enters the sweep at exactly one probe
+      // rank crn and belongs to every np >= crn. Score it once carrying
+      // crn, then expand to its np memberships — same rows per np as
+      // four independent passes, at a quarter of the scoring work and
+      // one localCheckpoint instead of four union'd ones (this query
+      // was the suite's widest canary gate; the fold removes the four
+      // drift-window-straddling passes the variance came from).
+      val npVals = Seq(1, 2, 4, 8)
+      val cand = broadcast(qRank.filter(col("crn") <= npVals.max))
+        .join(cells, Seq("cell"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .join(codes, Seq("cand_id"))
+      val scoredNp = adcScoreKeyed(s, cand, qc, books)
+        .select(col("query_id"), col("cand_id"), col("adist"),
+          explode(filter(typedLit(npVals), n => n >= col("crn"))).as("np"))
         .localCheckpoint() // feeds the volume rollup and the top-10 rank
       val atopn = scoredNp
         .withColumn("rn", row_number().over(
@@ -1531,9 +1541,24 @@ object VectorOps {
     // explode, no join); the only exchange is the per-(dim, query)
     // top-k window over an ids-only frame, and the recall join runs on
     // the 400-row localCheckpointed top-k output, never the corpus.
+    // The prefixes are INCREMENTAL: dims are nested, so dim-16's dot
+    // and norm are dim-8's plus the [8,16) segment — the engine
+    // computes each disjoint segment's integer dot ONCE per row (4
+    // self-dots + 10×4 query dots) and the per-dim cosines are pure
+    // adds over those columns, instead of 10×4 independent truncated
+    // cosines re-scanning the shared prefix (cut the per-row
+    // arithmetic ~5×; was the scaling net's steepest 30× exponent).
+    // Integer segment sums commute exactly, and the final double
+    // expression (one divide over sqrt·sqrt) is the identical IEEE op
+    // sequence, so results are bit-equal to the non-incremental form.
+    // A zero-norm prefix (all first-8 elements quantize to 0) yields
+    // NULL on BOTH sides — cosine_sim_q's contract on the engine side,
+    // NULLIF on the oracle's divisor (DuckDB would otherwise take
+    // IEEE x/0 → inf/nan and rank it) — and NULLs sort last under
+    // DESC in both engines.
     QueryDef.sql("v22_matryoshka_eval", {
-      val score =
-        """CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"""
+      val score = "CAST(dot AS DOUBLE) / " +
+        "NULLIF(sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)), 0)"
       s"""WITH el AS ($elementsSql),
          |ds(dim) AS (VALUES (8), (16), (32), (64)),
          |nq AS (
@@ -1567,12 +1592,40 @@ object VectorOps {
       val qlit = emb.filter(col("vec_id") < 10)
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
       val dims = Seq(8, 16, 32, 64)
-      val qCos = for { dm <- dims; (qid, arr) <- qlit } yield
-        struct(lit(dm).as("dim"), lit(qid).as("query_id"),
-          call_function("cosine_sim_q",
-            slice(col("embedding"), 1, dm), typedLit(arr.take(dm).toSeq)).as("cos"))
-      val t = emb
-        .select(col("vec_id").as("cand_id"), explode(array(qCos: _*)).as("q"))
+      // disjoint prefix segments: [0,8) [8,16) [16,32) [32,64) as
+      // 1-based (start, len) for slice; dim k's sums span segments 0..k
+      val segs = Seq((1, 8), (9, 8), (17, 16), (33, 32))
+      def seg(st: Int, ln: Int): Column = slice(col("embedding"), st, ln)
+      val selfCols = segs.zipWithIndex.map { case ((st, ln), j) =>
+        call_function("dot_q", seg(st, ln), seg(st, ln)).as(s"cn$j") }
+      val qDotCols = for {
+        ((_, arr), qi) <- qlit.zipWithIndex.toSeq
+        ((st, ln), j) <- segs.zipWithIndex
+      } yield call_function("dot_q", seg(st, ln),
+        typedLit(arr.slice(st - 1, st - 1 + ln).toSeq)).as(s"d${qi}_$j")
+      // query-side prefix norms are exact driver-side constants (longs
+      // < 2^53, so the toDouble and sqrt match the engine's bit-for-bit)
+      val qn2: Array[Seq[Long]] = qlit.map { case (_, arr) =>
+        val q = arr.map(graft.functions.CosineSimilarityQ.quantize)
+        dims.map(dm => q.take(dm).map(v => v * v).sum)
+      }
+      val staged = emb.select(
+        (col("vec_id").as("cand_id") +: (selfCols ++ qDotCols)): _*)
+      val qCos = for {
+        (dm, k) <- dims.zipWithIndex
+        ((qid, _), qi) <- qlit.zipWithIndex
+      } yield {
+        val cn2 = (0 to k).map(j => col(s"cn$j")).reduce(_ + _)
+        val dot = (0 to k).map(j => col(s"d${qi}_$j")).reduce(_ + _)
+        val cos =
+          if (qn2(qi)(k) == 0L) lit(null).cast("double")
+          else when(cn2 === 0L, lit(null).cast("double")).otherwise(
+            dot.cast("double") /
+              (sqrt(cn2.cast("double")) * lit(math.sqrt(qn2(qi)(k).toDouble))))
+        struct(lit(dm).as("dim"), lit(qid).as("query_id"), cos.as("cos"))
+      }
+      val t = staged
+        .select(col("cand_id"), explode(array(qCos: _*)).as("q"))
         .select(col("q.dim"), col("q.query_id"), col("cand_id"), col("q.cos"))
         .filter(col("cand_id") =!= col("query_id"))
         .withColumn("rn", row_number().over(

@@ -3440,6 +3440,10 @@ class OpsSpec extends SparkSpec {
       (2L, ("the of and in " + Seq.fill(46)("ab").mkString(" ")), "tinywords"), // mean wlen 2.06 < 3
       (3L, (longClean + " " + Seq.fill(10)("#####").mkString(" ")), "symbols"), // 50 '#' in 76 words > 1/10 (5-char words keep mean wlen >= 3)
       (4L, ("the of and in " + Seq.fill(46)("12345").mkString(" ")), "digits"), // alpha words 4/50 < 0.8
+      // all-caps words are ALPHABETIC under Gopher's rule — this doc is
+      // doc 0 with every filler word uppercased, and must pass all five
+      (6L, longClean.split(" ").zipWithIndex.map { case (w, i) =>
+        if (i % 2 == 0) w.toUpperCase else w }.mkString(" "), "caps"),
       (5L, longClean.replaceAll("\\bthe\\b", "xx").replaceAll("\\ba\\b", "yy")
         .replaceAll("\\bis\\b", "zz").replaceAll("\\band\\b", "qq"), "nostops"))
       .toDF("doc_id", "text", "source")
@@ -3454,6 +3458,9 @@ class OpsSpec extends SparkSpec {
     assert(row(3L) == ((3L, true, true, false, true, true, false)), s"symbols: ${row(3L)}")
     assert(row(4L) == ((4L, true, true, true, false, true, false)), s"alpha: ${row(4L)}")
     assert(row(5L) == ((5L, true, true, true, true, false, false)), s"stops: ${row(5L)}")
+    // half the words are ALL-CAPS: alphabetic under [a-zA-Z] (the
+    // Gopher-faithful rule), non-alphabetic under the old [a-z]
+    assert(row(6L) == ((6L, true, true, true, true, true, true)), s"caps: ${row(6L)}")
   }
 
   test("m5 phash dedup: group recount holds, identical pixels co-hash, halves stay in 32 bits") {
