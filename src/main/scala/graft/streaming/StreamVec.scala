@@ -85,46 +85,98 @@ object StreamVec {
   }
 
   /** Ingest-liveness marker, the CROSS-JVM half of the rotation/ingest
-    * exclusion: every committed trigger overwrites this file under
-    * `storeDir`, so a [[rotate]] issued from a JVM that cannot see the
-    * ingest query (the [[activeIngests]] registry is process-local)
-    * still refuses while the marker is fresh. A bare file, never a
-    * `_SUCCESS`'d directory — invisible to [[completeDirs]], to the
-    * fold machinery, and to every reader.
+    * exclusion: a [[org.apache.spark.sql.streaming.StreamingQueryListener]]
+    * registered by [[start]] overwrites this file under `storeDir` on
+    * EVERY lifecycle event of the ingest query — started, each
+    * completed batch, AND the periodic idle event (`onQueryIdle`, fired
+    * every `spark.sql.streaming.noDataProgressEventInterval` even when
+    * no data arrives) — so a [[rotate]] issued from a JVM that cannot
+    * see the query (the [[activeIngests]] registry is process-local)
+    * still refuses while the marker is fresh. Idle coverage closes the
+    * round-14/15 residual: triggers only fire on data, so a
+    * trigger-touched marker went stale under an idle-but-RUNNING remote
+    * ingest and a rotate then proceeded against it; the idle event
+    * fires regardless of data. A bare file, never a `_SUCCESS`'d
+    * directory — invisible to [[completeDirs]], to the fold machinery,
+    * and to every reader.
+    *
+    * Content: `<runId> <writerEpochMs> <tag>` — the writing run's id
+    * (so a rotate can tell "the stopped query I watched" from "some
+    * other JVM's live run", see [[rotate]]) and the INGEST's own
+    * wall-clock (so staleness compares two application clocks, never
+    * the store filesystem's mtime — an object store's server clock is
+    * the one clock nobody administers; two app JVMs are NTP-bounded,
+    * and the assumed bound is documented on [[HeartbeatStaleMs]]).
     */
   val HeartbeatFile = "_ingest_heartbeat"
 
   /** Staleness bound for [[HeartbeatFile]]: a heartbeat older than this
-    * counts as drain evidence. Generous against any sane trigger
-    * cadence while keeping the worst-case wait bounded. Residual
-    * contract (the trade ADVICE round 14 documented): triggers only
-    * fire on DATA, so an idle-but-running remote stream goes stale and
-    * a rotate then proceeds — an ingest that later resumes against the
-    * old store is still the documented drain-first operator step; the
-    * heartbeat converts "trust the runbook" into "refuse while there
-    * is positive evidence of a live remote ingest".
+    * counts as drain evidence. Generous against any sane trigger or
+    * idle-event cadence while keeping the worst-case wait bounded.
+    * Clock model: age = rotator's clock − the timestamp the INGEST
+    * wrote, so the bound assumes app-JVM clock skew ≪ this window
+    * (NTP's seconds-scale skew against a 10-minute window); the store
+    * filesystem's clock never participates.
     */
   val HeartbeatStaleMs: Long = 10 * 60 * 1000L
 
   private def heartbeatPath(storeDir: String) = new Path(storeDir, HeartbeatFile)
 
-  private def touchHeartbeat(spark: SparkSession, storeDir: String,
-      batchId: Long): Unit = {
+  private[graft] def touchHeartbeat(spark: SparkSession, storeDir: String,
+      runId: String, tag: String): Unit = {
     val p = heartbeatPath(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true) // overwrite: latest trigger wins
-    try out.write(s"b$batchId\n".getBytes("UTF-8")) finally out.close()
+    val out = fs.create(p, true) // overwrite: latest event wins
+    try out.write(s"$runId ${System.currentTimeMillis()} $tag\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
-  /** Age of the ingest heartbeat in ms — None when no ingest has ever
-    * touched the store (pre-heartbeat stores rotate under the
-    * registry + drain-first contract alone, unchanged).
+  /** The heartbeat's writer run id (None for a pre-runId legacy marker)
+    * and its age in ms against the WRITER's embedded wall-clock
+    * (legacy markers fall back to file mtime). Outer None when no
+    * ingest has ever touched the store (pre-heartbeat stores rotate
+    * under the registry + drain-first contract alone, unchanged).
+    * Negative skew (writer clock ahead of ours) clamps to 0 — i.e.
+    * fresh, the refusing direction.
     */
-  private def heartbeatAgeMs(spark: SparkSession, storeDir: String): Option[Long] = {
+  private[graft] def readHeartbeat(spark: SparkSession,
+      storeDir: String): Option[(Option[String], Long)] = {
     val p = heartbeatPath(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
+    else {
+      // the live ingest overwrites the marker in place (create +
+      // truncate — local FSs expose the zero-length window to a
+      // concurrent open; object-store PUTs don't), so a torn/empty
+      // read here means "a writer is touching it RIGHT NOW", i.e.
+      // maximally alive — retry briefly for the settled content, and
+      // only call a persistently well-formed-but-id-less marker legacy
+      var attempt = 0
+      while (attempt < 20) {
+        val content =
+          try {
+            val in = fs.open(p)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          } catch { case _: java.io.IOException => "" }
+        content.trim.split("\\s+") match {
+          case Array(rid, ts, _*) if ts.nonEmpty && ts.forall(_.isDigit) =>
+            return Some((Some(rid), math.max(0L, System.currentTimeMillis() - ts.toLong)))
+          case Array(single, _*) if single.nonEmpty && attempt >= 19 =>
+            // settled single-token content: a pre-runId legacy marker —
+            // fall back to the file's mtime for its age
+            return Some((None,
+              System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime))
+          case _ => () // torn overwrite: retry
+        }
+        attempt += 1
+        Thread.sleep(50)
+      }
+      // 1s of unreadable content with the file present: report fresh
+      // (age 0) — the refusing direction, matching the liveness a
+      // constantly-rewriting writer implies
+      Some((None, 0L))
+    }
   }
 
   /** v16's retrain threshold: batch mean residual ≥ 1.5× baseline. */
@@ -314,18 +366,25 @@ object StreamVec {
         "stop/drain the stream before rotating (rotation freezes the live " +
         "set and re-encodes it; a concurrent trigger would append " +
         "old-codebook codes invisible to the rotated serving snapshot)")
-    // CROSS-JVM half: no registry entry means THIS process never ran
-    // the ingest — the only liveness evidence is the heartbeat file
-    // each trigger touches, so refuse while it's fresh. A registered-
-    // but-stopped query is authoritative drain evidence (we watched it
-    // stop), so the same-JVM stop → rotate path never waits out the
-    // staleness window.
-    if (registered.isEmpty)
-      for (age <- heartbeatAgeMs(spark, storeDir))
+    // CROSS-JVM half: the heartbeat file is the only liveness evidence
+    // for an ingest THIS process can't see. A registered-but-stopped
+    // query is authoritative drain evidence ONLY for heartbeats it
+    // wrote itself (we watched that run stop — the same-JVM stop →
+    // rotate path never waits out the staleness window); a heartbeat
+    // carrying any OTHER run id is a different, possibly live, ingest
+    // — a stale local registry entry must never shadow it (the
+    // round-15 ADVICE race: an old stopped entry for this store would
+    // otherwise skip the check entirely). Legacy markers without a run
+    // id can't be vouched for by anyone, so they take the staleness
+    // window too.
+    for ((writerRunId, age) <- readHeartbeat(spark, storeDir)) {
+      val vouched = registered.exists(q => writerRunId.contains(q.runId.toString))
+      if (!vouched)
         require(age >= HeartbeatStaleMs,
-          s"store $storeDir ingest heartbeat is ${age}ms old " +
-            s"(< ${HeartbeatStaleMs}ms) — an ingest in another JVM looks " +
-            "live; stop/drain it, then retry after the staleness window")
+          s"store $storeDir ingest heartbeat (run ${writerRunId.getOrElse("?")}) " +
+            s"is ${age}ms old (< ${HeartbeatStaleMs}ms) — an ingest in another " +
+            "JVM looks live; stop/drain it, then retry after the staleness window")
+    }
     val flagged = driftLog(spark, storeDir)
       .filter(col("retrain")).agg(max("b")).first()
     require(force || !flagged.isNullAt(0),
@@ -468,15 +527,47 @@ object StreamVec {
               s"$meanErr is ${ppm}ppm of baseline $baselineMeanErr " +
               s"(threshold $RetrainPpm) — stored codes for this cohort " +
               "carry degraded recall; schedule a codebook retrain/rebuild")
-          // liveness marker for cross-JVM rotate refusal — after the
-          // delta commit so a heartbeat never outruns its data
-          touchHeartbeat(spark, storeDir, batchId)
+          // (the liveness heartbeat is written by the lifecycle
+          // listener below — onQueryProgress fires after this trigger
+          // COMMITS, so a heartbeat still never outruns its data, and
+          // onQueryIdle keeps it fresh when no data arrives at all)
           // in-trigger cadence maintenance (StreamDedup.foldDue):
           // last-writer-aware code compaction + the drift sidecars
           if (StreamDedup.foldDue(foldEvery, batchId)) { foldCodes(spark, storeDir); () }
         } finally { ups.unpersist(); () }
       }
       .start()
+    // Liveness heartbeat, written from the query's LIFECYCLE events
+    // rather than the data path: started (liveness before the first
+    // commit), every completed batch (progress — post-commit, so the
+    // marker never outruns its data), and the periodic idle event
+    // (fires every spark.sql.streaming.noDataProgressEventInterval
+    // with NO data — the event the data-path touch could never see,
+    // closing the idle-but-running-remote-ingest gap). The listener is
+    // scoped to this run by runId and unregisters itself on
+    // termination, so a store's marker always names the run that wrote
+    // it. Event delivery is async (listener bus), so the marker is
+    // eventually-fresh — within the bus's millisecond latency, far
+    // inside HeartbeatStaleMs.
+    val sess = vecs.sparkSession
+    val rid = q.runId.toString
+    val hbListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        if (e.runId.toString == rid) touchHeartbeat(sess, storeDir, rid, "started")
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.runId.toString == rid)
+          touchHeartbeat(sess, storeDir, rid, s"b${e.progress.batchId}")
+      override def onQueryIdle(e: QueryIdleEvent): Unit =
+        if (e.runId.toString == rid) touchHeartbeat(sess, storeDir, rid, "idle")
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.runId.toString == rid) sess.streams.removeListener(this)
+    }
+    sess.streams.addListener(hbListener)
+    // the started event fired before addListener could see it — seed
+    // the marker directly so liveness holds from this moment, not from
+    // the first batch/idle event
+    touchHeartbeat(sess, storeDir, rid, "started")
     // registry last: it must only ever hold queries that actually
     // launched (see [[activeIngests]]; latest-wins on restart — the
     // stopped predecessor's entry is replaced, so [[rotate]]'s probe

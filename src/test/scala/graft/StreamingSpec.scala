@@ -2131,18 +2131,21 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(Long, Option[Seq[Float]])]
     val q = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
       store, cp, baseline)
-    in.addData(rows.take(50).map { case (id, v) => (id, Some(v)) }: _*)
-    q.processAllAvailable()
-    // every committed trigger touches the marker
+    // start() seeds the marker synchronously — liveness holds from
+    // launch, before the first batch ever commits
     val hb = new Path(store, StreamVec.HeartbeatFile)
     val fs = hb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(hb), "trigger did not touch the ingest heartbeat")
-    val t0 = fs.getFileStatus(hb).getModificationTime
+    assert(fs.exists(hb), "start did not seed the ingest heartbeat")
+    in.addData(rows.take(50).map { case (id, v) => (id, Some(v)) }: _*)
+    q.processAllAvailable()
+    // the marker names the run that writes it (content, not mtime)
+    def writerOf() = StreamVec.readHeartbeat(spark, store).flatMap(_._1)
+    assert(writerOf().contains(q.runId.toString),
+      s"heartbeat writer ${writerOf()} is not the ingest run ${q.runId}")
     in.addData(rows.slice(50, 60).map { case (id, v) => (id, Some(v.map(_ + 1.5f))) }: _*)
     q.processAllAvailable()
-    assert(fs.getFileStatus(hb).getModificationTime >= t0,
-      "second trigger did not refresh the heartbeat")
     q.stop()
+    Thread.sleep(1500) // drain the listener bus: no late event may overwrite the aged marker below
     // simulate the other-JVM view: the process-local registry has no
     // entry for this store, so the heartbeat is the only evidence —
     // and it is fresh, so rotate must refuse even though the query is
@@ -2152,9 +2155,16 @@ class StreamingSpec extends SparkSpec {
       StreamVec.rotate(spark, store, emb.localCheckpoint(), serveBase, force = true)
     }
     assert(ex.getMessage.contains("heartbeat"), ex.getMessage)
-    // age the marker past the staleness window — the SAME call now
-    // proceeds (drain evidence by silence, the documented contract)
-    fs.setTimes(hb, System.currentTimeMillis() - StreamVec.HeartbeatStaleMs - 1000L, -1)
+    // age the marker past the staleness window — staleness reads the
+    // WRITER's embedded wall-clock, so aging means rewriting the
+    // timestamp (the file system's mtime no longer participates) — the
+    // SAME call now proceeds (drain evidence by silence, the
+    // documented contract)
+    val aged = fs.create(hb, true)
+    aged.write((s"${q.runId} " +
+      s"${System.currentTimeMillis() - StreamVec.HeartbeatStaleMs - 1000L} " +
+      "aged\n").getBytes("UTF-8"))
+    aged.close()
     val newBooks = StreamVec.rotate(spark, store, emb.localCheckpoint(), serveBase, force = true)
     assert(newBooks.length == VectorOps.PqM, "stale-heartbeat rotate did not complete")
     // same-JVM contract unchanged: a registered-but-stopped query is
@@ -2172,6 +2182,105 @@ class StreamingSpec extends SparkSpec {
     val books2 = StreamVec.rotate(spark, store2, emb.localCheckpoint(), serveBase2, force = true)
     assert(books2.length == VectorOps.PqM,
       "same-JVM stop -> rotate path started waiting on the heartbeat window")
+  }
+
+  test("idle-stream heartbeat: onQueryIdle keeps the marker fresh with no data; a stale registry entry cannot shadow a live remote ingest") {
+    import graft.operators.VectorOps
+    import graft.streaming.StreamVec
+    import org.apache.hadoop.fs.Path
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainCached(spark, d)
+    val baseline = VectorOps.meanSqErr(spark, emb, books)
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val prevIdle = spark.conf.get("spark.sql.streaming.noDataProgressEventInterval", "10000")
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "300")
+    try {
+      val store = tmpDir("graft-idlehb") + "/store"
+      val cp = tmpDir("graft-idlehb-cp")
+      val serveBase = tmpDir("graft-idlehb-serve") + "/serve"
+      val hb = new Path(store, StreamVec.HeartbeatFile)
+      val fs = hb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def hbTs(): Long = {
+        // the listener overwrites in place — retry through the torn-
+        // read window until a settled (runId, ts, tag) line appears
+        var got: Option[Long] = None
+        var n = 0
+        while (got.isEmpty && n < 100) {
+          val s = try {
+            val in = fs.open(hb)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          } catch { case _: java.io.IOException => "" }
+          val t = s.trim.split("\\s+")
+          if (t.length >= 2 && t(1).nonEmpty && t(1).forall(_.isDigit))
+            got = Some(t(1).toLong)
+          else { n += 1; Thread.sleep(50) }
+        }
+        got.getOrElse(sys.error("heartbeat stayed unreadable"))
+      }
+      def await(cond: => Boolean, why: String): Unit = {
+        val t0 = System.currentTimeMillis()
+        while (!cond && System.currentTimeMillis() - t0 < 30000) Thread.sleep(100)
+        assert(cond, why)
+      }
+      val in = MemoryStream[(Long, Option[Seq[Float]])]
+      val q = StreamVec.start(in.toDF().toDF("vec_id", "embedding"), books,
+        store, cp, baseline)
+      in.addData(rows.take(40).map { case (id, v) => (id, Some(v)) }: _*)
+      q.processAllAvailable()
+      // NO data from here on: only the periodic idle event can advance
+      // the writer timestamp — the exact gap the data-path touch had
+      // (triggers fire on data, so an idle-but-RUNNING stream went
+      // stale and rotate fell back to the runbook contract)
+      val t0 = hbTs()
+      await(hbTs() > t0, "idle events did not refresh the heartbeat")
+      // cross-JVM view against the idle-but-RUNNING ingest: the fresh
+      // marker alone must refuse the rotate
+      StreamVec.forgetIngest(store)
+      val ex = intercept[IllegalArgumentException] {
+        StreamVec.rotate(spark, store, emb.localCheckpoint(), serveBase, force = true)
+      }
+      assert(ex.getMessage.contains("heartbeat"), ex.getMessage)
+      q.stop()
+      // SHADOW pin (round-15 ADVICE): the registry holds a stopped
+      // entry for store2 — under the old gate that entry skipped the
+      // heartbeat check entirely, so a fresh heartbeat from a LIVE
+      // ingest in another JVM was ignored and rotate proceeded under
+      // it. Now the stopped entry vouches ONLY for heartbeats its own
+      // run wrote.
+      val store2 = tmpDir("graft-shadow") + "/store"
+      val cp2 = tmpDir("graft-shadow-cp")
+      val serveBase2 = tmpDir("graft-shadow-serve") + "/serve"
+      val in2 = MemoryStream[(Long, Option[Seq[Float]])]
+      val q2 = StreamVec.start(in2.toDF().toDF("vec_id", "embedding"), books,
+        store2, cp2, baseline)
+      in2.addData(rows.take(30).map { case (id, v) => (id, Some(v)) }: _*)
+      q2.processAllAvailable()
+      q2.stop()
+      Thread.sleep(1500) // drain the listener bus: no event may overwrite the crafted markers below
+      val hb2 = new Path(store2, StreamVec.HeartbeatFile)
+      def write2(runId: String): Unit = {
+        val out = fs.create(hb2, true)
+        out.write(s"$runId ${System.currentTimeMillis()} crafted\n".getBytes("UTF-8"))
+        out.close()
+      }
+      // a DIFFERENT run's fresh heartbeat: the stale stopped entry must
+      // not shadow it — rotate refuses
+      write2(java.util.UUID.randomUUID().toString)
+      val ex2 = intercept[IllegalArgumentException] {
+        StreamVec.rotate(spark, store2, emb.localCheckpoint(), serveBase2, force = true)
+      }
+      assert(ex2.getMessage.contains("heartbeat"), ex2.getMessage)
+      // the stopped run's OWN fresh heartbeat: we watched it stop —
+      // authoritative drain evidence, rotate proceeds immediately
+      write2(q2.runId.toString)
+      val newBooks = StreamVec.rotate(spark, store2, emb.localCheckpoint(), serveBase2, force = true)
+      assert(newBooks.length == VectorOps.PqM, "vouched rotate did not complete")
+    } finally {
+      spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", prevIdle)
+    }
   }
 
   test("streaming novelty: per-cohort verdicts match the batch recount across restart and fold") {
