@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
@@ -881,11 +882,14 @@ object CorpusPrep {
     // corpus average" — the resampling acceptance rule.
     // 100 TB shape: DSIR's natural two-pass — pass 1 is one
     // map-side-combined rollup of the bigram stream to the B-row LM
-    // frame (never the corpus); pass 2 re-streams the bigrams against
-    // the BROADCAST 4096-row lift table and rolls up per doc. The
-    // corpus-sized bigram stream is never joined to anything bigger
-    // than a broadcast, never checkpointed, never shuffled except by
-    // the two bounded aggregations.
+    // frame (never the corpus), materialized to 4096 driver longs
+    // ([[dsirLiftArray]] — the PQ-codebook bounded-artifact pattern);
+    // pass 2 ([[dsirScore]]) is MAP-ONLY: each document folds its own
+    // bigram lifts against the inlined array literal inside the scan —
+    // no explode, no join, no per-doc shuffle (the pre-round-16 form
+    // re-exploded the bigram stream and shuffled it by doc_id; the
+    // rollup was the suite's biggest cold-JVM number). The corpus is
+    // touched exactly twice, both narrowly.
     QueryDef.sql("s10_dsir_weights",
       s"""WITH tk AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS tk
          |            FROM documents),
@@ -911,35 +915,89 @@ object CorpusPrep {
          |       CAST(CASE WHEN sum_lift // n_bigrams >= 1000000 THEN 1 ELSE 0 END AS BIGINT)
          |         AS selected
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val target = Seq("src0", "src1", "src2", "src3")
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("tk"))
-      val bg = docs.filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), col("source"),
-          explode(expr(
-            "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))")).as("b"))
-        .select(col("doc_id"), col("source"),
-          (TextOps.phash(col("b")) % 4096).as("bkt"))
-      val lm = bg.groupBy("bkt").agg(
-        count(lit(1)).as("c_r"),
-        sum(when(col("source").isin(target: _*), 1L).otherwise(0L)).as("c_t"))
-      val tot = lm.agg(sum("c_r").as("tot_r"), sum("c_t").as("tot_t"))
-      val lift = lm.crossJoin(broadcast(tot))
-        .select(col("bkt"),
-          expr("(((1000000 * (c_t + 1)) div (c_r + 1)) * (tot_r + 4096)) div (tot_t + 4096)")
-            .as("lift_ppm"))
-      bg.join(broadcast(lift), Seq("bkt"))
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).cast("long").as("n_bigrams"),
-          sum("lift_ppm").cast("long").as("sum_lift"))
-        .select(col("doc_id"), col("source"), col("n_bigrams"),
-          expr("CAST(sum_lift div n_bigrams AS BIGINT)").as("mean_lift_ppm"),
-          expr("CAST(CASE WHEN sum_lift div n_bigrams >= 1000000 THEN 1 ELSE 0 END AS BIGINT)")
-            .as("selected"))
-        .orderBy("doc_id")
+      dsirScore(docs, dsirLiftArray(s, docs, DsirTargetSources)).orderBy("doc_id")
     }
   )
+
+  /** s10's designated target registry: the curated sources the DSIR
+    * LM treats as the trusted seed corpus.
+    */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** The corpus's hashed-bigram stream: (doc_id, source, bkt) — s10's
+    * `bg` CTE, pass 1's input.
+    */
+  private def dsirBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))")).as("b"))
+      .select(col("doc_id"), col("source"),
+        (TextOps.phash(col("b")) % 4096).as("bkt"))
+
+  /** DSIR pass 1, materialized: the add-one-smoothed target/raw lift
+    * per hash bucket as 4096 driver longs — bounded by construction
+    * (the PQ-codebook artifact pattern), the frozen fixture both
+    * [[dsirScore]] and the at-ingest twin (StreamImportance) inline.
+    * Buckets the reference corpus never saw carry the smoothed default
+    * (c_t = c_r = 0 in the same formula), so scoring a NEW document
+    * whose bigrams miss the reference is well-defined — on the
+    * reference corpus itself the defaults are unreachable (every
+    * bigram was counted), which is what keeps this bit-equal to the
+    * oracle's inner-join form. Driver arithmetic is the same
+    * fixed-order integer formula as the SQL (all terms positive, so
+    * Long `/`, SQL `div`, and DuckDB `//` agree).
+    */
+  def dsirLiftArray(spark: SparkSession, docs: DataFrame,
+      target: Seq[String]): Array[Long] = {
+    val lm = dsirBigrams(docs)
+      .groupBy("bkt").agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("source").isin(target: _*), 1L).otherwise(0L)).as("c_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totR = lm.map(_._2).sum
+    val totT = lm.map(_._3).sum
+    def liftOf(cT: Long, cR: Long): Long =
+      (((1000000L * (cT + 1)) / (cR + 1)) * (totR + 4096L)) / (totT + 4096L)
+    val arr = Array.fill(4096)(liftOf(0L, 0L))
+    for ((bkt, cR, cT) <- lm) arr(bkt.toInt) = liftOf(cT, cR)
+    arr
+  }
+
+  /** DSIR pass 2, map-only: per-document importance against a
+    * materialized lift array — each row tokenizes, folds its own
+    * bigram lifts via `element_at` on the inlined 4096-entry literal,
+    * and emits (doc_id, source, n_bigrams, mean_lift_ppm, selected).
+    * No explode, no join, no shuffle: the per-doc rollup the
+    * pre-round-16 form paid a doc_id exchange for happens inside the
+    * scan. Documents with < 2 tokens emit no row (s10's convention).
+    * The ONE formula instance the batch query (s10) and the at-ingest
+    * screen (StreamImportance) both apply, so "selected at ingest" and
+    * "selected in the batch sweep" can never disagree.
+    */
+  def dsirScore(docs: DataFrame, liftArr: Array[Long]): DataFrame = {
+    require(liftArr.length == 4096, s"lift array has ${liftArr.length} buckets, want 4096")
+    val lift = typedLit(liftArr.toSeq)
+    docs.select(col("doc_id"), col("source"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("source"),
+        (size(col("tk")) - 1).cast("long").as("n_bigrams"),
+        aggregate(
+          transform(expr("sequence(0, size(tk) - 2)"),
+            i => element_at(lift,
+              (TextOps.phash(concat(
+                element_at(col("tk"), i + 1), lit(" "),
+                element_at(col("tk"), i + 2))) % 4096).cast("int") + 1)),
+          lit(0L), (acc, v) => acc + v).as("sum_lift"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        expr("CAST(sum_lift div n_bigrams AS BIGINT)").as("mean_lift_ppm"),
+        expr("CAST(CASE WHEN sum_lift div n_bigrams >= 1000000 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("selected"))
+  }
 
   /** Oracle-side BPE chain through `n` merge rounds: CTE fragments
     * w → wf → s0 → (p_i, c_i, t_i, s_i)* — t_i is round i's picked

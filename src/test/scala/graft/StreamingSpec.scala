@@ -2360,6 +2360,54 @@ class StreamingSpec extends SparkSpec {
     q4.stop()
   }
 
+  test("streaming importance: at-ingest DSIR verdicts equal batch s10 across batch cuts, restart, and fold") {
+    import graft.operators.CorpusPrep
+    import graft.streaming.StreamImportance
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "source", "text")
+    // the frozen fixture: pass-1 over the reference corpus, trained once
+    val liftArr = CorpusPrep.dsirLiftArray(spark, docs, CorpusPrep.DsirTargetSources)
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    val store = tmpDir("graft-simp-store") + "/store"
+    val cp = tmpDir("graft-simp-cp") + "/cp"
+    val in = MemoryStream[(Long, String, String)]
+    def df = in.toDF().toDF("doc_id", "source", "text")
+    val q1 = StreamImportance.start(df, liftArr, store, cp)
+    in.addData(rows.take(200): _*); q1.processAllAvailable()
+    in.addData(rows.slice(200, 350): _*); q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint — the remaining cohort lands as b2
+    val q2 = StreamImportance.start(df, liftArr, store, cp)
+    in.addData(rows.drop(350): _*); q2.processAllAvailable()
+    q2.stop()
+    def servedSet = StreamImportance.serve(spark, store).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batch = SparkEntry.queries("s10_dsir_weights")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(servedSet == batch,
+      "at-ingest verdicts != batch s10 on the same corpus (batch-cut dependence)")
+    // the admission dial recounts: per-cohort doc/accept counts derive
+    // from the batch verdicts of exactly the cohort's members (docs
+    // with < 2 tokens emit no verdict row, s10's convention)
+    val selOf = batch.map(t => t._1 -> t._5).toMap
+    val expLog = Seq(rows.take(200), rows.slice(200, 350), rows.drop(350))
+      .zipWithIndex.map { case (rs, b) =>
+        val ids = rs.map(_._1).filter(selOf.contains)
+        val nSel = ids.map(selOf).sum
+        (b.toLong, ids.size.toLong, nSel, 1000000L * nSel / ids.size)
+      }
+    def logRows = StreamImportance.importanceLog(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(logRows == expLog, s"importance log $logRows != recount $expLog")
+    // fold: serving and the dial are invariant under compaction
+    assert(StreamImportance.fold(spark, store) >= 2)
+    assert(servedSet == batch, "fold changed the served verdicts")
+    assert(logRows == expLog, "fold changed the importance log")
+  }
+
   test("streaming phash dedup: first-arrival keepers, in-batch winners, verdicts recount, restart and fold hold") {
     import graft.operators.Multimodal
     import graft.streaming.StreamPhash
