@@ -138,7 +138,20 @@ object Bench {
     if (only.isEmpty) {
       val detail = results.map { case (k, v) =>
         val errField = v.err.map(e => s""","err":"$e"""").getOrElse("")
-        s""""$k":{"median":${j(v.median)},"median_ex_builds":${j(v.medianExBuilds)},"warm":${j(v.warm)},"builds_sec":${j(v.buildsSec)}$errField}"""
+        // cold_skew: the timed runs landed WELL above the warm-up with
+        // no artifact build to blame — the host/JVM got colder or
+        // contended mid-query (GC, page-cache eviction, a neighbor's
+        // shuffle), NOT a plan regression (a plan change moves warm
+        // too). The round-15 shape this self-identifies: s10 median
+        // 13.39 s vs warm 3.57 s, builds_sec 0, canary settled at
+        // 2.82 s. Guarded by an absolute 0.5 s gap so sub-second
+        // jitter never flags.
+        val skewField =
+          if (v.err.isEmpty && v.buildsSec == 0.0 && v.warm > 0 &&
+            v.median > 2.0 * v.warm && v.median - v.warm > 0.5)
+            ""","cold_skew":true"""
+          else ""
+        s""""$k":{"median":${j(v.median)},"median_ex_builds":${j(v.medianExBuilds)},"warm":${j(v.warm)},"builds_sec":${j(v.buildsSec)}$skewField$errField}"""
       }.mkString("{", ",", "}")
       val errors = results.collect { case (k, v) if v.err.isDefined =>
         s""""$k":"${v.err.get}"""" }.mkString("{", ",", "}")

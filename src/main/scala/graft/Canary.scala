@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * 1.2-2.4× depending on what executed before them, wide enough to
   * hide a real single-query regression (the round-9 verdict measured a
   * near-uniform 1.27× swing on byte-identical plans). This main times
-  * a PINNED query subset (41 queries since round 15; see [[queries]])
+  * a PINNED query subset (45 queries since round 16; see [[queries]])
   * in its own JVM — same starting state every
   * round — with one untimed warm-up and the MEDIAN OF FIVE timed runs
   * per query (the full bench's median-of-3, widened because the canary
@@ -129,7 +129,11 @@ object Canary {
     // super-linearity hid; t20 anchors the map-only regex battery
     "v22_matryoshka_eval",    // prefix-dim eval (4x literal scoring pass)
     "m5_phash_dedup",         // decode + dHash + hash-group window
-    "t20_gopher_rules")       // map-only integer rule battery
+    "t20_gopher_rules",       // map-only integer rule battery
+    // round 16 (verdict-15 ask #7, the v17/t18 rule re-applied): at
+    // 2.96 s d21 was the heaviest steady-state query outside the gate —
+    // a first-occurrence window stream + arrival-order novelty rollup
+    "d21_ngram_novelty")      // arrival-order n-gram novelty curve
 
   /** Per-query normalized-gate half-width; default ±20%. sq1's
     * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,
