@@ -1020,16 +1020,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"schedule must not rescan the corpus per epoch: ${scans.length} scans")
   }
 
-  test("s10 DSIR: corpus bigram stream only ever joins broadcasts — no shuffle joins") {
-    // the scale contract: the LM (4096 rows) and its lift table reach
-    // the corpus-sized bigram stream as broadcasts; the only exchanges
-    // are the two bounded aggregations. A SortMergeJoin here means the
-    // corpus shuffled against a 4096-row frame.
+  test("s10 DSIR: served plan has NO join at all — the lift table is an inlined literal") {
+    // the round-16 scale contract (tightened from "joins only
+    // broadcasts"): pass 1 materializes the 4096-bucket lift table to
+    // driver state in its own action, so the SERVED plan is one
+    // map-only scoring pass plus the output sort — any join appearing
+    // here means the broadcast-join formulation crept back
     val df = SparkEntry.queries("s10_dsir_weights")(spark, sf)
     val p = planString(df)
-    assert(!p.contains("SortMergeJoin"), s"bigram stream shuffled for a bounded join:\n${p.take(800)}")
-    assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(p.contains("BroadcastHashJoin"), s"lift table fell off broadcast:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"s10's served plan regained a join:\n${p.take(800)}")
   }
 
   test("r19 significant terms: serve-time plan never reads the text column") {
@@ -1317,5 +1316,32 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"a shuffle carries the payload: ${e.output.map(_.name).mkString(",")}")
     assert(!planString(df).contains("Join"),
       "phash dedup is hash+window arithmetic; no join may form")
+  }
+
+  test("s10 DSIR pass 2 is map-only: zero exchanges, joins, or aggregates to score a corpus") {
+    import graft.operators.CorpusPrep
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val arr = CorpusPrep.dsirLiftArray(spark, docs, CorpusPrep.DsirTargetSources)
+    // the reusable core StreamImportance inlines per micro-batch: each
+    // document folds its own bigram lifts against the inlined array
+    // literal — at 100 TB the scoring pass must never shuffle, join,
+    // or aggregate (round 16 replaced the bigram explode + broadcast
+    // join + doc_id rollup with this shape; this pin keeps it)
+    val df = CorpusPrep.dsirScore(docs, arr)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val aggs = collectWithSubqueries(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(exchanges.isEmpty,
+      s"DSIR scoring must not shuffle, found ${exchanges.length} exchanges")
+    assert(aggs.isEmpty,
+      s"the per-doc mean folds inside the scan, found ${aggs.length} aggregates")
+    assert(!plan.toString.contains("Join"),
+      "the lift table is an inlined literal; no join may form")
   }
 }
