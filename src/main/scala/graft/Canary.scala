@@ -161,23 +161,20 @@ object Canary {
     * flag (1.266 normalized) cleared on the protocol re-run with no
     * code change, the same signature sq1 showed before its width.
     */
-  /** v17 (±50%, measured round 15): NINE same-code fresh-JVM runs in
-    * one round landed 2.37 / 2.50 / 2.52 / 2.61 / 2.78 / 3.13 / 3.20 /
-    * 3.72 / 4.47 s — a ±45% proportional spread around the ~2.8 s
-    * median, the suite's widest (sq1's class, scaled up: four probed
-    * scoring passes over one localCheckpointed assignment make it
-    * draw its five samples across more drift-window surface than any
-    * other row). It flagged high in two runs and low in one during the
-    * round-15 rebaseline hunt, each clearing on the protocol re-run
-    * with Retrieval/VectorOps untouched. A real v17 plan regression
-    * (its cost contract: Σ probed-candidate volumes, never
-    * corpus × nprobe — SCALING pins 1.27-1.77× at 10×) would hold a
-    * >1.5 ratio across consecutive runs, which the width still
-    * catches via the repeat-offender rule.
+  /** v17 returned to the DEFAULT width in round 16 (verdict-15 ask #1
+    * done-criteria): round 15 measured a ±45% same-code spread (nine
+    * fresh-JVM runs, 2.37-4.47 s) and gave it ±50% — the four probed
+    * scoring passes straddled drift windows. Round 16 FOLDED the sweep
+    * into one scored pass (each candidate scored once at its probe
+    * rank, expanded to its np memberships — VectorOps.scala, v17), and
+    * the settled rebaseline pair landed 2.040 / 2.066 s (ratio 1.012)
+    * at a 27% lower absolute — the variance went away with the passes
+    * that caused it, so the row gates at the width every other ~2 s
+    * row gets.
     */
   private val gateHalfWidth: Map[String, Double] =
     Map("sq1_subqueries" -> 0.45, "d20_ppjoin" -> 0.30,
-      "v21_hard_negatives" -> 0.30, "v17_nprobe_curve" -> 0.50)
+      "v21_hard_negatives" -> 0.30)
   private val DefaultHalfWidth = 0.2
 
   /** Absolute-floor term (verdict-13 ask #6): a row also passes when

@@ -891,25 +891,7 @@ object CorpusPrep {
     // rollup was the suite's biggest cold-JVM number). The corpus is
     // touched exactly twice, both narrowly.
     QueryDef.sql("s10_dsir_weights",
-      s"""WITH tk AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS tk
-         |            FROM documents),
-         |bg AS (SELECT doc_id, source,
-         |              ${TextOps.phashSql("tk[i] || ' ' || tk[i + 1]")} % 4096 AS bkt
-         |       FROM (SELECT doc_id, source, tk, unnest(generate_series(1, len(tk) - 1)) AS i
-         |             FROM tk WHERE len(tk) >= 2)),
-         |lm AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c_r,
-         |              CAST(SUM(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
-         |                            THEN 1 ELSE 0 END) AS BIGINT) AS c_t
-         |       FROM bg GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS tot_r, CAST(SUM(c_t) AS BIGINT) AS tot_t
-         |        FROM lm),
-         |lift AS (SELECT bkt,
-         |                (((1000000 * (c_t + 1)) // (c_r + 1)) * (tot_r + 4096)) // (tot_t + 4096)
-         |                  AS lift_ppm
-         |         FROM lm CROSS JOIN tot),
-         |sc AS (SELECT b.doc_id, b.source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |              CAST(SUM(lift_ppm) AS BIGINT) AS sum_lift
-         |       FROM bg b JOIN lift USING (bkt) GROUP BY 1, 2)
+      s"""WITH $dsirOracleChain
          |SELECT doc_id, source, n_bigrams,
          |       CAST(sum_lift // n_bigrams AS BIGINT) AS mean_lift_ppm,
          |       CAST(CASE WHEN sum_lift // n_bigrams >= 1000000 THEN 1 ELSE 0 END AS BIGINT)
@@ -917,8 +899,101 @@ object CorpusPrep {
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       dsirScore(docs, dsirLiftArray(s, docs, DsirTargetSources)).orderBy("doc_id")
+    },
+
+    // S15: DSIR systematic importance RESAMPLING — the draw that
+    // completes s10 (Xie et al. 2023 select the training set by
+    // importance-resampling against these weights; s10 alone only
+    // reports them). Systematic (stratified) resampling, the standard
+    // low-variance scheme (Kitagawa 1996; every particle-filter text
+    // uses it): lay the k draw positions at the midpoints of k equal
+    // strides over the total weight mass — pos_j = ((2j+1)·W) / (2k) —
+    // and select, for each, the document whose cumulative-weight
+    // interval [cum−w, cum) contains it. Fully deterministic (no RNG:
+    // the stride midpoints ARE the sample), all integer (the positions
+    // and cumsums are exact ppm-weight arithmetic, so both engines
+    // agree bit-for-bit), and weight-faithful: a document with
+    // w > W/k wins multiple consecutive draws — the multiplicity IS
+    // the resampling (OpsSpec pins it at floor/ceil of k·w/W).
+    // 100 TB shape: the weights frame is per-DOC (already 1e6× smaller
+    // than the corpus; produced by s10's map-only pass), and the
+    // global cumsum runs HIERARCHICALLY — an in-bucket window over
+    // doc_id-range buckets (parallel, small partitions) plus an
+    // exclusive prefix over the bucket-totals frame (100× reduced;
+    // recurse the same split if that frame ever outgrows one node).
+    // The k draw positions broadcast into an interval join against the
+    // cum frame — k rows against per-doc rows, never corpus × k.
+    QueryDef.sql("s15_dsir_resample",
+      s"""WITH $dsirOracleChain,
+         |w AS (SELECT doc_id, source,
+         |             GREATEST(CAST(sum_lift // n_bigrams AS BIGINT), 1) AS wt
+         |      FROM sc),
+         |cum AS (SELECT doc_id, source, wt,
+         |               SUM(wt) OVER (ORDER BY doc_id) AS c
+         |        FROM w),
+         |tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w),
+         |pos AS (SELECT j, CAST(((2 * j + 1) * tw) // 200 AS BIGINT) AS p
+         |        FROM (SELECT unnest(generate_series(0, 99)) AS j) CROSS JOIN tw)
+         |SELECT CAST(pos.j AS BIGINT) AS draw_id, c.doc_id, c.source,
+         |       c.wt AS weight_ppm
+         |FROM pos JOIN cum c ON pos.p >= c.c - c.wt AND pos.p < c.c
+         |ORDER BY draw_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wts = dsirScore(docs, dsirLiftArray(s, docs, DsirTargetSources))
+        .select(col("doc_id"), col("source"),
+          greatest(col("mean_lift_ppm"), lit(1L)).as("wt"))
+      // hierarchical cumsum: in-bucket window (parallel) + exclusive
+      // bucket-prefix over the 100×-reduced totals frame, joined back
+      // broadcast — the exact global SUM OVER (ORDER BY doc_id)
+      // without ever single-partitioning the per-doc frame
+      val bucketed = wts.withColumn("bkt", expr("doc_id div 100"))
+      val inBkt = bucketed.withColumn("c_in",
+        sum("wt").over(Window.partitionBy("bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val offsets = bucketed.groupBy("bkt").agg(sum("wt").as("bw"))
+        .withColumn("off",
+          coalesce(sum("bw").over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      val cum = inBkt.join(broadcast(offsets), Seq("bkt"))
+        .select(col("doc_id"), col("source"), col("wt"),
+          (col("c_in") + col("off")).as("c"))
+      val tw = wts.agg(sum("wt").cast("long").as("tw"))
+      val pos = s.range(0, 100).toDF("j")
+        .crossJoin(broadcast(tw))
+        .select(col("j"), expr("CAST(((2 * j + 1) * tw) div 200 AS BIGINT)").as("p"))
+      cum.join(broadcast(pos),
+          col("p") >= col("c") - col("wt") && col("p") < col("c"))
+        .select(col("j").cast("long").as("draw_id"), col("doc_id"),
+          col("source"), col("wt").as("weight_ppm"))
+        .orderBy("draw_id")
     }
   )
+
+  /** s10's oracle CTE chain (tk → bg → lm → tot → lift → sc), shared
+    * verbatim by the s10 weights oracle and s15's resampling oracle so
+    * the two can never drift.
+    */
+  private def dsirOracleChain: String =
+    s"""tk AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS tk
+       |            FROM documents),
+       |bg AS (SELECT doc_id, source,
+       |              ${TextOps.phashSql("tk[i] || ' ' || tk[i + 1]")} % 4096 AS bkt
+       |       FROM (SELECT doc_id, source, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+       |             FROM tk WHERE len(tk) >= 2)),
+       |lm AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c_r,
+       |              CAST(SUM(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+       |       FROM bg GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS tot_r, CAST(SUM(c_t) AS BIGINT) AS tot_t
+       |        FROM lm),
+       |lift AS (SELECT bkt,
+       |                (((1000000 * (c_t + 1)) // (c_r + 1)) * (tot_r + 4096)) // (tot_t + 4096)
+       |                  AS lift_ppm
+       |         FROM lm CROSS JOIN tot),
+       |sc AS (SELECT b.doc_id, b.source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |              CAST(SUM(lift_ppm) AS BIGINT) AS sum_lift
+       |       FROM bg b JOIN lift USING (bkt) GROUP BY 1, 2)""".stripMargin
 
   /** s10's designated target registry: the curated sources the DSIR
     * LM treats as the trusted seed corpus.

@@ -3427,6 +3427,40 @@ class OpsSpec extends SparkSpec {
       "a low-resource source was not upweighted")
   }
 
+  test("s15 DSIR resample: every draw lands in its doc's interval; multiplicity floor/ceil-faithful to weight") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s15_dsir_resample")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 100, s"systematic resample must emit exactly k rows, got ${out.length}")
+    assert(out.map(_._1).toSeq == (0L until 100L), "draw ids not 0..99 in order")
+    // independent recount from the oracled s10 weights: rebuild the
+    // cumulative intervals and stride midpoints driver-side
+    val w = SparkEntry.queries("s10_dsir_weights")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), math.max(r.getLong(3), 1L))).sortBy(_._1)
+    val tw = w.map(_._3).sum
+    var cum = 0L
+    val intervals = w.map { case (id, src, wt) =>
+      val lo = cum; cum += wt; (id, src, wt, lo, cum)
+    }
+    val exp = (0 until 100).map { j =>
+      val p = ((2L * j + 1) * tw) / 200L
+      val doc = intervals.find(iv => p >= iv._4 && p < iv._5).get
+      (j.toLong, doc._1, doc._2, doc._3)
+    }
+    assert(out.toSeq == exp, "resample != driver recount of stride positions over intervals")
+    // the multiplicity IS the resampling: each doc wins between
+    // floor(k·w/W) and ceil(k·w/W) draws (integer stride positions
+    // preserve exact-interval membership, so the classical systematic-
+    // resampling bound holds with no slack)
+    val mult = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for ((id, _, wt, _, _) <- intervals) {
+      val lo = (100L * wt) / tw
+      val m = mult.getOrElse(id, 0L)
+      assert(m >= lo && m <= lo + 1,
+        s"doc $id multiplicity $m outside [$lo, ${lo + 1}] for weight $wt/$tw")
+    }
+  }
+
   test("t20 gopher rules: each rule fires alone on its planted violator; clean prose passes all five") {
     import graft.operators.TextOps
     // one violator per rule, each clean under every OTHER rule — the
