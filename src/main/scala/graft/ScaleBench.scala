@@ -201,7 +201,13 @@ object ScaleBench {
     // t20 is one narrow regex projection + the output sort — the
     // battery's cost is per-row constant (7 bounded regex passes), so
     // it anchors the map-only end of the text family
-    "t20_gopher_rules")
+    "t20_gopher_rules",
+    // round 16 (net-lag rule): s15 runs s10's two passes plus the
+    // hierarchical cumsum — two windows over the per-DOC weights frame
+    // (in-bucket parallel, bucket-totals 100× reduced) and a k-row
+    // broadcast interval join; nothing touches the corpus beyond
+    // s10's own scans
+    "s15_dsir_resample")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×
