@@ -250,8 +250,14 @@ object ScaleBench {
     // v22 lands (round 15) with the round's worst new 10× ratio
     // (2.96× — the 4-width literal-scoring pass is a deliberate 4×
     // arithmetic blowup per row); worst-ratio-without-a-third-point
-    // rule applies on arrival
-    "v22_matryoshka_eval")
+    // rule applies on arrival. (Round 16's incremental-prefix rewrite
+    // brought it to 1.64× at 10× / exponent 0.65 at 30× — kept as the
+    // regression tripwire.)
+    "v22_matryoshka_eval",
+    // s15 lands (round 16) with the round's worst new 10× ratio
+    // (2.98× — two windows over the per-doc weights frame on top of
+    // s10's passes); same on-arrival rule
+    "s15_dsir_resample")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space
