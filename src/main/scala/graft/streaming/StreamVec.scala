@@ -566,7 +566,13 @@ object StreamVec {
     sess.streams.addListener(hbListener)
     // the started event fired before addListener could see it — seed
     // the marker directly so liveness holds from this moment, not from
-    // the first batch/idle event
+    // the first batch/idle event. (The seed lands before the first
+    // trigger's ownership check can refuse a foreign store — a
+    // misdirected start() against someone else's store dir freshens
+    // that store's marker once and can delay its legitimate rotate by
+    // one staleness window; the ownership refusal then kills the query
+    // and the marker ages out. Advisory-liveness semantics accept that
+    // trade for pre-first-batch coverage.)
     touchHeartbeat(sess, storeDir, rid, "started")
     // registry last: it must only ever hold queries that actually
     // launched (see [[activeIngests]]; latest-wins on restart — the
