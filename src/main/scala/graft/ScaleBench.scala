@@ -207,7 +207,11 @@ object ScaleBench {
     // (in-bucket parallel, bucket-totals 100× reduced) and a k-row
     // broadcast interval join; nothing touches the corpus beyond
     // s10's own scans
-    "s15_dsir_resample")
+    "s15_dsir_resample",
+    // tok10 is one narrow token-count scan + the same hierarchical
+    // cumsum over the per-doc frame — the packing arithmetic is
+    // per-row; the blowup grows the doc frame 10× and nothing else
+    "tok10_sequence_packing")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

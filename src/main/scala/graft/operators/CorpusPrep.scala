@@ -942,22 +942,9 @@ object CorpusPrep {
       val wts = dsirScore(docs, dsirLiftArray(s, docs, DsirTargetSources))
         .select(col("doc_id"), col("source"),
           greatest(col("mean_lift_ppm"), lit(1L)).as("wt"))
-      // hierarchical cumsum: in-bucket window (parallel) + exclusive
-      // bucket-prefix over the 100×-reduced totals frame, joined back
-      // broadcast — the exact global SUM OVER (ORDER BY doc_id)
-      // without ever single-partitioning the per-doc frame
-      val bucketed = wts.withColumn("bkt", expr("doc_id div 100"))
-      val inBkt = bucketed.withColumn("c_in",
-        sum("wt").over(Window.partitionBy("bkt").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val offsets = bucketed.groupBy("bkt").agg(sum("wt").as("bw"))
-        .withColumn("off",
-          coalesce(sum("bw").over(Window.orderBy("bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("bkt", "off")
-      val cum = inBkt.join(broadcast(offsets), Seq("bkt"))
+      val cum = exclusivePrefixSum(wts, "wt")
         .select(col("doc_id"), col("source"), col("wt"),
-          (col("c_in") + col("off")).as("c"))
+          (col("__off") + col("wt")).as("c"))
       val tw = wts.agg(sum("wt").cast("long").as("tw"))
       val pos = s.range(0, 100).toDF("j")
         .crossJoin(broadcast(tw))
@@ -967,8 +954,85 @@ object CorpusPrep {
         .select(col("j").cast("long").as("draw_id"), col("doc_id"),
           col("source"), col("wt").as("weight_ppm"))
         .orderBy("draw_id")
+    },
+
+    // TOK10: sequence packing — the concat-and-chunk step every
+    // pretraining run performs between the cleaned corpus and the
+    // dataloader (GPT-2/3 style: concatenate documents in a fixed
+    // deterministic order, slice the token stream into fixed-length
+    // training sequences, here L = 256): per document, its offset in
+    // the global token stream, its first and last chunk, and how many
+    // chunk boundaries it SPANS. The spans column is the metric a
+    // packing owner actually tunes against — a boundary-crossing doc
+    // is split across training sequences (attention fragmentation) and
+    // shares sequences with its neighbors (cross-document attention
+    // leakage), which is why pipelines weigh concat-and-chunk against
+    // padded/best-fit packing; this query prices that trade on the
+    // real corpus. Zero-token docs contribute nothing to the stream
+    // and emit no row (t-series tokenization: lowercase [a-z]+ runs).
+    // All integer — offsets are exact cumsums, chunks are one fixed
+    // `div` — so both engines agree bit-for-bit.
+    // 100 TB shape: one narrow token-count scan (the text column never
+    // leaves the projection), then [[exclusivePrefixSum]]'s
+    // hierarchical cumsum — in-bucket windows in parallel plus an
+    // exclusive prefix over the 100×-reduced bucket totals; everything
+    // after is per-row arithmetic. Nothing is ever single-partitioned
+    // and no token string is materialized, let alone shuffled.
+    QueryDef.sql("tok10_sequence_packing",
+      """WITH tok AS (SELECT doc_id,
+        |                    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+        |             FROM documents),
+        |nz AS (SELECT doc_id, n_tokens FROM tok WHERE n_tokens > 0),
+        |cum AS (SELECT doc_id, n_tokens,
+        |               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |        FROM nz)
+        |SELECT doc_id, n_tokens, start_off,
+        |       CAST(start_off // 256 AS BIGINT) AS first_chunk,
+        |       CAST((start_off + n_tokens - 1) // 256 AS BIGINT) AS last_chunk,
+        |       CAST((start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS BIGINT)
+        |         AS chunks_spanned
+        |FROM cum ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      exclusivePrefixSum(toks, "n_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("__off").as("start_off"))
+        .select(col("doc_id"), col("n_tokens"), col("start_off"),
+          expr("CAST(start_off div 256 AS BIGINT)").as("first_chunk"),
+          expr("CAST((start_off + n_tokens - 1) div 256 AS BIGINT)").as("last_chunk"))
+        .withColumn("chunks_spanned",
+          col("last_chunk") - col("first_chunk") + lit(1L))
+        .orderBy("doc_id")
     }
   )
+
+  /** Exact global EXCLUSIVE prefix sum of `valCol` in doc_id order,
+    * computed hierarchically so the per-doc frame is never moved to a
+    * single partition: an in-bucket running sum (doc_id-range buckets,
+    * parallel, small partitions) plus an exclusive prefix over the
+    * 100×-reduced bucket-totals frame (broadcast back; recurse the
+    * same split if that frame ever outgrows one node). Returns the
+    * input plus `__off` — the sum of `valCol` over all STRICTLY
+    * earlier doc_ids. Shared by s15 (cumulative weight intervals) and
+    * tok10 (token-stream offsets).
+    */
+  private[operators] def exclusivePrefixSum(df: DataFrame, valCol: String): DataFrame = {
+    val bucketed = df.withColumn("__bkt", expr("doc_id div 100"))
+    val inBkt = bucketed.withColumn("__cin",
+      sum(valCol).over(Window.partitionBy("__bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = bucketed.groupBy("__bkt").agg(sum(valCol).as("__bw"))
+      .withColumn("__boff",
+        coalesce(sum("__bw").over(Window.orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bkt", "__boff")
+    inBkt.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__off", col("__boff") + col("__cin") - col(valCol))
+      .drop("__bkt", "__cin", "__boff")
+  }
 
   /** s10's oracle CTE chain (tk → bg → lm → tot → lift → sc), shared
     * verbatim by the s10 weights oracle and s15's resampling oracle so

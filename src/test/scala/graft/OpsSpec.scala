@@ -3461,6 +3461,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("tok10 sequence packing: offsets recount from a driver cumsum; chunk geometry conserved") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("tok10_sequence_packing")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // offsets are the exclusive cumsum of token counts in doc_id order
+    var off = 0L
+    for ((id, n, start, first, last, spans) <- out.sortBy(_._1)) {
+      assert(n > 0, s"zero-token doc $id emitted a row")
+      assert(start == off, s"doc $id offset $start != recount $off")
+      assert(first == start / 256 && last == (start + n - 1) / 256,
+        s"doc $id chunk geometry ($first, $last) != recount")
+      assert(spans == last - first + 1)
+      off += n
+    }
+    // stream conservation: the last chunk index covers exactly
+    // ceil(total / 256) chunks, and chunk coverage is gapless
+    val total = out.map(_._2).sum
+    assert(out.map(_._5).max == (total - 1) / 256,
+      "last chunk != ceil(total/256) - 1")
+    val covered = out.flatMap(r => r._4 to r._5).toSet
+    assert(covered == (0L to (total - 1) / 256).toSet, "chunk coverage has gaps")
+    // the fixture actually exercises boundary-crossing docs
+    assert(out.exists(_._6 > 1), "no doc spans a chunk boundary — the spans metric is untested")
+  }
+
   test("t20 gopher rules: each rule fires alone on its planted violator; clean prose passes all five") {
     import graft.operators.TextOps
     // one violator per rule, each clean under every OTHER rule — the
