@@ -211,7 +211,12 @@ object ScaleBench {
     // tok10 is one narrow token-count scan + the same hierarchical
     // cumsum over the per-doc frame — the packing arithmetic is
     // per-row; the blowup grows the doc frame 10× and nothing else
-    "tok10_sequence_packing")
+    "tok10_sequence_packing",
+    // d22's membership test is map-only over the window-hash stream
+    // (1 KB filter in the closure, no join); the truth channel joins
+    // the broadcast bench set — d7b's shape with a constant filter
+    // replacing the per-hash probe join
+    "d22_bloom_decontam")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

@@ -1143,6 +1143,115 @@ object TextOps {
       d7bVerdicts(sp, bw).orderBy("doc_id", "bench_id")
     },
 
+    // D22: Bloom-filter decontamination screen — the membership
+    // structure you DEPLOY when the benchmark window set outgrows a
+    // broadcast set (d7b's exact screen broadcasts every bench hash;
+    // a Bloom filter compresses membership to m bits of constant
+    // driver state at a priced false-positive rate — the classic
+    // bits-for-certainty trade, and the screen is SOUND: a Bloom can
+    // only over-flag, never miss, so contamination never slips
+    // through; false positives only cost re-checks). Implemented as
+    // PORTABLE INTEGER ARITHMETIC, not an engine black box: m = 4096
+    // bits as 128 32-bit words (masks stay far from the sign bit in
+    // BOTH engines), k = 3 probes by double hashing on the window
+    // hash (p_i = (h mod m + i·h2) mod m, h2 odd so probes cycle all
+    // of m) — so DuckDB can build the identical filter in SQL and the
+    // oracle hash-matches the verdicts bit-for-bit. The query runs
+    // BOTH screens over one window projection and reports, per doc:
+    // windows, exact hits, Bloom hits, false positives, fp ppm — the
+    // measured FPR an operator sizes m against (here m is deliberately
+    // small so the FPR is observable: ~600 inserted windows load the
+    // filter to ~36%, theory ≈ 4.6% FPR; production sizes m to n by
+    // the standard formula, the SHAPE is the point). OpsSpec pins
+    // soundness (exact ⊆ bloom per doc) and the measured global FPR
+    // inside a band around theory.
+    // 100 TB shape: the filter is 1 KB of driver state riding the
+    // task closure — the membership test is MAP-ONLY over the window
+    // projection (element_at + two bit ops per probe, no join at
+    // all); only the ground-truth channel joins the broadcast bench
+    // set, and a production deployment drops that channel entirely.
+    QueryDef.sql("d22_bloom_decontam", {
+      def pSql(i: Int) =
+        s"(((h % 4096) + $i * (2 * ((h // 4096) % 2048) + 1)) % 4096)"
+      val bitTests = (0 until 3).map(i =>
+        s"(W[${pSql(i)} // 32 + 1] & (CAST(1 AS BIGINT) << CAST(${pSql(i)} % 32 AS INT))) <> 0")
+        .mkString(" AND ")
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bench AS (
+         |  SELECT doc_id AS bench_id, ws AS bws FROM sp WHERE doc_id < 5
+         |  UNION ALL
+         |  SELECT doc_id + 100 AS bench_id, fill || ws[1:24] AS bws
+         |  FROM (SELECT doc_id, ws,
+         |               list_transform(generate_series(0, 7),
+         |                 i -> 'z' || CAST(doc_id AS VARCHAR) || 'p' || CAST(i AS VARCHAR)) AS fill
+         |        FROM sp WHERE doc_id < 5)),
+         |bw AS (SELECT DISTINCT ${phashSql("array_to_string(bws[i + 1 : i + 8], ' ')")} AS h
+         |       FROM (SELECT bench_id, bws, unnest(generate_series(0, len(bws) - 8)) AS i
+         |             FROM bench WHERE len(bws) >= 8)),
+         |bits AS (SELECT DISTINCT p // 32 AS wd,
+         |                CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS msk
+         |         FROM (SELECT ((h % 4096) + i * (2 * ((h // 4096) % 2048) + 1)) % 4096 AS p
+         |               FROM bw CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i))),
+         |wvals AS (SELECT wd, CAST(bit_or(msk) AS BIGINT) AS v FROM bits GROUP BY wd),
+         |warr AS (SELECT list(COALESCE(w.v, 0) ORDER BY x.wd) AS W
+         |         FROM (SELECT unnest(generate_series(0, 127)) AS wd) x
+         |         LEFT JOIN wvals w USING (wd)),
+         |dwd AS (SELECT DISTINCT doc_id, ${phashSql("array_to_string(ws[i + 1 : i + 8], ' ')")} AS h
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+         |              FROM sp WHERE len(ws) >= 8)),
+         |tested AS (SELECT doc_id, CASE WHEN $bitTests THEN 1 ELSE 0 END AS bloom
+         |           FROM dwd CROSS JOIN warr),
+         |ex AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |       FROM dwd JOIN bw USING (h) GROUP BY 1),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |               CAST(SUM(bloom) AS BIGINT) AS n_bloom
+         |        FROM tested GROUP BY 1)
+         |SELECT a.doc_id, a.n_windows,
+         |       CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact, a.n_bloom,
+         |       a.n_bloom - CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_fp,
+         |       CAST((1000000 * (a.n_bloom - COALESCE(e.n_exact, 0))) // a.n_windows AS BIGINT)
+         |         AS fp_ppm
+         |FROM agg a LEFT JOIN ex e USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val sp = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val bw = d7bBenchWindows(d7bBenchFixture(sp)).select("h").distinct()
+      // the filter build: fixture-sized driver state (the PQ-codebook
+      // pattern) — 128 longs, 1 KB, rides the task closure
+      val words = Array.fill(128)(0L)
+      for (h <- bw.collect().map(_.getLong(0)); i <- 0 until 3) {
+        val h2 = 2L * ((h / 4096L) % 2048L) + 1L
+        val p = ((h % 4096L) + i * h2) % 4096L
+        words((p / 32L).toInt) |= (1L << (p % 32L).toInt)
+      }
+      val bloomHit = (0 until 3).map { i =>
+        val p = s"(((h % 4096) + $i * (2 * ((h div 4096) % 2048) + 1)) % 4096)"
+        expr(s"(element_at(__bw, CAST($p div 32 AS INT) + 1) & " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST($p % 32 AS INT))) <> 0")
+      }.reduce(_ && _)
+      val dwd = sp.filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 8), " +
+            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+        .select(col("doc_id"), phash(col("w")).as("h"))
+        .distinct()
+        .localCheckpoint() // feeds the map-only test AND the truth channel
+      val exact = dwd.join(broadcast(bw), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_exact"))
+      dwd.withColumn("__bw", typedLit(words.toSeq))
+        .withColumn("bloom", bloomHit)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_windows"),
+          sum(when(col("bloom"), 1L).otherwise(0L)).cast("long").as("n_bloom"))
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_bloom"))
+        .withColumn("n_fp", col("n_bloom") - col("n_exact"))
+        .withColumn("fp_ppm", expr("CAST((1000000 * n_fp) div n_windows AS BIGINT)"))
+        .orderBy("doc_id")
+    },
+
     // D8: passage-level exact dedup — the copy-paste-passage detector
     // (C4-style): docs are cut into non-overlapping 8-word blocks
     // NARROWLY (pure array transform over the token array — no window,

@@ -3461,6 +3461,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("d22 bloom screen: sound (exact subset of bloom) per doc; measured FPR inside the theory band") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d22_bloom_decontam")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // SOUNDNESS — the property that makes a Bloom screen deployable:
+    // it can over-flag, never miss; n_fp >= 0 on every doc
+    for ((id, nw, ex, bl, fp) <- out) {
+      assert(ex <= bl, s"doc $id: exact $ex > bloom $bl — a Bloom false NEGATIVE")
+      assert(fp == bl - ex && fp >= 0 && bl <= nw)
+    }
+    // the bench docs self-match: their windows are all inserted, so
+    // exact (and hence bloom) hits cover them fully
+    for ((id, nw, ex, bl, _) <- out if id < 5)
+      assert(ex == nw && bl == nw, s"bench doc $id not fully flagged: $ex/$bl of $nw")
+    // measured FPR over NON-matching windows vs theory: with n inserted
+    // hashes, load q = 1 - (1 - 1/4096)^(3n), FPR = q^3. The filter is
+    // deliberately small so this is observable; allow a wide band
+    // (x3 either way) since per-corpus hash alignment varies.
+    val spDocs = graft.sources.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ").as("ws"))
+    val nIns = graft.operators.TextOps.d7bBenchWindows(
+      graft.operators.TextOps.d7bBenchFixture(spDocs))
+      .select("h").distinct().count()
+    val q = 1.0 - math.pow(1.0 - 1.0 / 4096.0, 3.0 * nIns)
+    val theory = math.pow(q, 3)
+    val totalNonMatch = out.map(r => r._2 - r._3).sum.toDouble
+    val totalFp = out.map(_._5).sum.toDouble
+    val measured = totalFp / totalNonMatch
+    assert(measured < theory * 3 && measured > theory / 3,
+      s"measured FPR $measured vs theory $theory (n=$nIns) outside the x3 band")
+  }
+
   test("tok10 sequence packing: offsets recount from a driver cumsum; chunk geometry conserved") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("tok10_sequence_packing")(spark, d).collect()
