@@ -216,7 +216,11 @@ object ScaleBench {
     // (1 KB filter in the closure, no join); the truth channel joins
     // the broadcast bench set — d7b's shape with a constant filter
     // replacing the per-hash probe join
-    "d22_bloom_decontam")
+    "d22_bloom_decontam",
+    // s16's corpus terms are the counts-only source rollup and one
+    // narrow (doc_id, source, h) rank window; the quota frame is
+    // |sources|-bounded and broadcasts
+    "s16_epoch_sample")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

@@ -727,6 +727,71 @@ object CorpusPrep {
         .orderBy("source")
     },
 
+    // S16: epoch materialization — the composition s14 gestures at,
+    // actually run: turn the temperature-reweighted quotas into the
+    // EPOCH'S DOCUMENT LIST. Per source, quota = round(budget ·
+    // weight) with budget = ⌊corpus/5⌋ (a 20%-of-corpus epoch — scales
+    // with the corpus instead of s14's fixed illustration budget);
+    // admission is the quota-smallest docs per source under a
+    // deterministic hash order (phash of the doc id, doc_id tiebreak —
+    // s13's min-wins window discipline, so the epoch is EXACT-quota
+    // and reproducible across engines, runs, and partitionings, unlike
+    // a bernoulli sampler which only hits quota in expectation). The
+    // output is what a dataloader consumes: (source, quota, rank, doc)
+    // — rank is the in-epoch curriculum position within its source.
+    // 100 TB shape: the quota frame is |sources|-bounded arithmetic on
+    // one counts-only rollup (s14's pass, broadcast back); the
+    // admission pass is one NARROW (doc_id, source, h) projection into
+    // a per-source rank window — the only corpus-sized exchange,
+    // partitioned by source (at extreme source skew the standard
+    // refinement applies: a map-only hash-threshold prefilter at
+    // ~2× quota/n admits a bounded superset, then the exact rank runs
+    // on the survivors — same two-phase shape as the hierarchical
+    // cumsum).
+    QueryDef.sql("s16_epoch_sample",
+      s"""WITH srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |              FROM documents GROUP BY source),
+         |tot AS (SELECT SUM(n_docs) AS n FROM srcs),
+         |w AS (SELECT source, n_docs,
+         |             pow(CAST(n_docs AS DOUBLE) / t.n, 0.7) AS pw
+         |      FROM srcs, tot t),
+         |z AS (SELECT SUM(pw) AS zsum FROM w),
+         |q AS (SELECT source,
+         |             CAST(round((t.n // 5) * pw / z.zsum, 0) AS BIGINT) AS quota_docs
+         |      FROM w, z, tot t),
+         |hd AS (SELECT doc_id, source,
+         |              ${TextOps.phashSql("CAST(doc_id AS VARCHAR)")} AS h
+         |       FROM documents),
+         |r AS (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+         |      FROM hd)
+         |SELECT r.source, q.quota_docs, CAST(r.rk AS BIGINT) AS rank_in_source, r.doc_id
+         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota_docs
+         |ORDER BY source, rank_in_source""".stripMargin) { (s, d) =>
+      val srcs = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+        .localCheckpoint() // |sources|-bounded; feeds tot, z, q
+      val tot = srcs.agg(sum("n_docs").as("n"))
+      val w = srcs.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n"),
+          pow(col("n_docs").cast("double") / col("n"), 0.7).as("pw"))
+      val z = w.agg(sum("pw").as("zsum"))
+      val q = w.crossJoin(broadcast(z))
+        .select(col("source"),
+          round(expr("CAST(n div 5 AS BIGINT)") * col("pw") / col("zsum"), 0)
+            .cast("long").as("quota_docs"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.phash(col("doc_id").cast("string")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy("h", "doc_id")))
+        .join(broadcast(q), Seq("source"))
+        .filter(col("rk") <= col("quota_docs"))
+        .select(col("source"), col("quota_docs"),
+          col("rk").cast("long").as("rank_in_source"), col("doc_id"))
+        .orderBy("source", "rank_in_source")
+    },
+
     // TOK9: decode round-trip audit — the other half of the tokenizer
     // API (every encode ships with a decode, and the contract is
     // decode(encode(x)) == analyzer(x) byte-for-byte): tok6's id

@@ -3461,6 +3461,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("s16 epoch sample: exact per-source quotas, dense min-hash ranks, low-resource over-representation") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s16_epoch_sample")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val srcCounts = graft.sources.Tables.documents(spark, d)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per source: admitted == min(quota, n_docs), ranks dense 1..k
+    for ((src, rows) <- out.groupBy(_._1)) {
+      val quota = rows.head._2
+      val expect = math.min(quota, srcCounts(src))
+      assert(rows.length == expect, s"$src admitted ${rows.length} != min($quota, ${srcCounts(src)})")
+      assert(rows.map(_._3).sorted.toSeq == (1L to expect), s"$src ranks not dense")
+    }
+    // the epoch budget is conserved up to per-source rounding
+    val total = srcCounts.values.sum
+    assert(math.abs(out.length - total / 5) <= out.map(_._1).distinct.length,
+      s"epoch size ${out.length} strays from budget ${total / 5}")
+    // temperature α = 0.7 < 1: every below-mean source's admitted share
+    // exceeds its corpus share (the boost, materialized)
+    val meanShare = 1.0 / srcCounts.size
+    for ((src, n) <- srcCounts if n.toDouble / total < meanShare) {
+      val admitted = out.count(_._1 == src).toDouble / out.length
+      assert(admitted > n.toDouble / total,
+        s"low-resource $src not over-represented: $admitted vs ${n.toDouble / total}")
+    }
+  }
+
   test("d22 bloom screen: sound (exact subset of bloom) per doc; measured FPR inside the theory band") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("d22_bloom_decontam")(spark, d).collect()
