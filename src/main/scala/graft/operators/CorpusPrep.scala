@@ -694,30 +694,14 @@ object CorpusPrep {
     // |sources|-bounded frame against two broadcast scalars. Nothing
     // here scales with anything but the registry.
     QueryDef.sql("s14_temperature_mix",
-      """WITH srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-        |              FROM documents GROUP BY source),
-        |tot AS (SELECT SUM(n_docs) AS n FROM srcs),
-        |w AS (SELECT source, n_docs,
-        |             CAST(n_docs AS DOUBLE) / t.n AS share,
-        |             pow(CAST(n_docs AS DOUBLE) / t.n, 0.7) AS pw
-        |      FROM srcs, tot t),
-        |z AS (SELECT SUM(pw) AS zsum FROM w)
+      s"""WITH $tempMixChainSql
         |SELECT source, n_docs,
         |       CAST(round(1000000 * share, 0) AS BIGINT) AS share_ppm,
         |       CAST(round(1000000 * pw / z.zsum, 0) AS BIGINT) AS weight_ppm,
         |       CAST(round(10000 * pw / z.zsum, 0) AS BIGINT) AS quota_docs,
         |       CAST(round(1000000 * (pw / z.zsum) / share, 0) AS BIGINT) AS boost_ppm
         |FROM w, z ORDER BY source""".stripMargin) { (s, d) =>
-      val srcs = Tables.documents(s, d)
-        .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
-        .localCheckpoint() // tiny; feeds tot, z, and the output
-      val tot = srcs.agg(sum("n_docs").as("n"))
-      val w = srcs.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"),
-          (col("n_docs").cast("double") / col("n")).as("share"),
-          pow(col("n_docs").cast("double") / col("n"), 0.7).as("pw"))
-      val z = w.agg(sum("pw").as("zsum"))
-      w.crossJoin(broadcast(z))
+      tempMixFrame(s, d)
         .select(col("source"), col("n_docs"),
           round(lit(1000000) * col("share"), 0).cast("long").as("share_ppm"),
           round(lit(1000000) * col("pw") / col("zsum"), 0).cast("long").as("weight_ppm"),
@@ -730,13 +714,21 @@ object CorpusPrep {
     // S16: epoch materialization — the composition s14 gestures at,
     // actually run: turn the temperature-reweighted quotas into the
     // EPOCH'S DOCUMENT LIST. Per source, quota = round(budget ·
-    // weight) with budget = ⌊corpus/5⌋ (a 20%-of-corpus epoch — scales
-    // with the corpus instead of s14's fixed illustration budget);
-    // admission is the quota-smallest docs per source under a
-    // deterministic hash order (phash of the doc id, doc_id tiebreak —
-    // s13's min-wins window discipline, so the epoch is EXACT-quota
-    // and reproducible across engines, runs, and partitionings, unlike
-    // a bernoulli sampler which only hits quota in expectation). The
+    // weight) CAPPED at the source's own size, with budget =
+    // ⌊corpus/5⌋ (a 20%-of-corpus epoch — scales with the corpus
+    // instead of s14's fixed illustration budget); admission is the
+    // quota-smallest docs per source under a deterministic hash order
+    // (phash of the doc id, doc_id tiebreak — s13's min-wins window
+    // discipline, so the epoch is EXACT-quota and reproducible across
+    // engines, runs, and partitionings, unlike a bernoulli sampler
+    // which only hits quota in expectation). The cap is the honest
+    // saturation semantics under a strong boost: a tiny source whose
+    // temperature weight asks for more docs than it HAS contributes
+    // all of them (quota_docs == its size in the output — the
+    // source-exhausted signal, s9's epochs > 1e6 in list form) and the
+    // epoch runs short by the difference; deliberately NO silent
+    // redistribution — backfilling from large sources would change
+    // the mixture the weights specify, the owner's call to make. The
     // output is what a dataloader consumes: (source, quota, rank, doc)
     // — rank is the in-epoch curriculum position within its source.
     // 100 TB shape: the quota frame is |sources|-bounded arithmetic on
@@ -749,15 +741,10 @@ object CorpusPrep {
     // on the survivors — same two-phase shape as the hierarchical
     // cumsum).
     QueryDef.sql("s16_epoch_sample",
-      s"""WITH srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-         |              FROM documents GROUP BY source),
-         |tot AS (SELECT SUM(n_docs) AS n FROM srcs),
-         |w AS (SELECT source, n_docs,
-         |             pow(CAST(n_docs AS DOUBLE) / t.n, 0.7) AS pw
-         |      FROM srcs, tot t),
-         |z AS (SELECT SUM(pw) AS zsum FROM w),
+      s"""WITH $tempMixChainSql,
          |q AS (SELECT source,
-         |             CAST(round((t.n // 5) * pw / z.zsum, 0) AS BIGINT) AS quota_docs
+         |             LEAST(CAST(round((t.n // 5) * pw / z.zsum, 0) AS BIGINT),
+         |                   n_docs) AS quota_docs
          |      FROM w, z, tot t),
          |hd AS (SELECT doc_id, source,
          |              ${TextOps.phashSql("CAST(doc_id AS VARCHAR)")} AS h
@@ -768,18 +755,12 @@ object CorpusPrep {
          |SELECT r.source, q.quota_docs, CAST(r.rk AS BIGINT) AS rank_in_source, r.doc_id
          |FROM r JOIN q USING (source) WHERE r.rk <= q.quota_docs
          |ORDER BY source, rank_in_source""".stripMargin) { (s, d) =>
-      val srcs = Tables.documents(s, d)
-        .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
-        .localCheckpoint() // |sources|-bounded; feeds tot, z, q
-      val tot = srcs.agg(sum("n_docs").as("n"))
-      val w = srcs.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"), col("n"),
-          pow(col("n_docs").cast("double") / col("n"), 0.7).as("pw"))
-      val z = w.agg(sum("pw").as("zsum"))
-      val q = w.crossJoin(broadcast(z))
+      val q = tempMixFrame(s, d)
         .select(col("source"),
-          round(expr("CAST(n div 5 AS BIGINT)") * col("pw") / col("zsum"), 0)
-            .cast("long").as("quota_docs"))
+          least(
+            round(expr("CAST(n div 5 AS BIGINT)") * col("pw") / col("zsum"), 0)
+              .cast("long"),
+            col("n_docs")).as("quota_docs"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           TextOps.phash(col("doc_id").cast("string")).as("h"))
@@ -1007,6 +988,10 @@ object CorpusPrep {
       val wts = dsirScore(docs, dsirLiftArray(s, docs, DsirTargetSources))
         .select(col("doc_id"), col("source"),
           greatest(col("mean_lift_ppm"), lit(1L)).as("wt"))
+        // materialize: three consumers below (the prefix sum's in-bucket
+        // window AND bucket rollup, plus the tw total) would otherwise
+        // each re-run the full corpus tokenize+score pass
+        .localCheckpoint()
       val cum = exclusivePrefixSum(wts, "wt")
         .select(col("doc_id"), col("source"), col("wt"),
           (col("__off") + col("wt")).as("c"))
@@ -1063,6 +1048,9 @@ object CorpusPrep {
           size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
             .cast("long").as("n_tokens"))
         .filter(col("n_tokens") > 0)
+        // materialize: the prefix sum's two subplans would otherwise
+        // each re-tokenize the corpus
+        .localCheckpoint()
       exclusivePrefixSum(toks, "n_tokens")
         .select(col("doc_id"), col("n_tokens"), col("__off").as("start_off"))
         .select(col("doc_id"), col("n_tokens"), col("start_off"),
@@ -1097,6 +1085,37 @@ object CorpusPrep {
     inBkt.join(broadcast(offsets), Seq("__bkt"))
       .withColumn("__off", col("__boff") + col("__cin") - col(valCol))
       .drop("__bkt", "__cin", "__boff")
+  }
+
+  /** s14's temperature chain (srcs → tot → w → z: per-source counts,
+    * share, share^0.7, normalizer), shared verbatim by the s14 mixture
+    * oracle and s16's epoch oracle so the two can never drift.
+    */
+  private def tempMixChainSql: String =
+    """srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |              FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(n_docs) AS n FROM srcs),
+      |w AS (SELECT source, n_docs,
+      |             CAST(n_docs AS DOUBLE) / t.n AS share,
+      |             pow(CAST(n_docs AS DOUBLE) / t.n, 0.7) AS pw
+      |      FROM srcs, tot t),
+      |z AS (SELECT SUM(pw) AS zsum FROM w)""".stripMargin
+
+  /** Engine twin of [[tempMixChainSql]]: the |sources|-bounded frame
+    * (source, n_docs, n, share, pw, zsum) — counts-only rollup, two
+    * broadcast scalars, the ONE formula instance s14 and s16 both read.
+    */
+  private def tempMixFrame(s: SparkSession, d: String): DataFrame = {
+    val srcs = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+      .localCheckpoint() // tiny; feeds tot, z, and the output
+    val tot = srcs.agg(sum("n_docs").as("n"))
+    val w = srcs.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n"),
+        (col("n_docs").cast("double") / col("n")).as("share"),
+        pow(col("n_docs").cast("double") / col("n"), 0.7).as("pw"))
+    val z = w.agg(sum("pw").as("zsum"))
+    w.crossJoin(broadcast(z))
   }
 
   /** s10's oracle CTE chain (tk → bg → lm → tot → lift → sc), shared

@@ -159,8 +159,17 @@ object StreamVec {
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
           } catch { case _: java.io.IOException => "" }
+        // a valid read must be the COMPLETE line the writer emits —
+        // terminated newline and all three tokens. A torn read is
+        // always a PREFIX of the full write, and a digit-PREFIX tear
+        // of the timestamp ("uuid 17868" cut mid-token) would parse as
+        // an ancient epoch and report the store drained while a writer
+        // is touching it RIGHT NOW — the unsafe direction. Requiring
+        // the trailing newline (the write's last byte) rejects every
+        // proper prefix.
+        val complete = content.endsWith("\n")
         content.trim.split("\\s+") match {
-          case Array(rid, ts, _*) if ts.nonEmpty && ts.forall(_.isDigit) =>
+          case Array(rid, ts, _, _*) if complete && ts.nonEmpty && ts.forall(_.isDigit) =>
             return Some((Some(rid), math.max(0L, System.currentTimeMillis() - ts.toLong)))
           case Array(single, _*) if single.nonEmpty && attempt >= 19 =>
             // settled single-token content: a pre-runId legacy marker —

@@ -3469,17 +3469,27 @@ class OpsSpec extends SparkSpec {
     val srcCounts = graft.sources.Tables.documents(spark, d)
       .groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // per source: admitted == min(quota, n_docs), ranks dense 1..k
+    // recompute every quota from the temperature formula: quota =
+    // min(round(budget · share^0.7 / Z), n_docs) — pins the formula,
+    // the cap, and that admitted == quota exactly
+    val total = srcCounts.values.sum
+    val zsum = srcCounts.values.map(n => math.pow(n.toDouble / total, 0.7)).sum
+    def quotaOf(n: Long): Long = math.min(
+      math.round((total / 5) * math.pow(n.toDouble / total, 0.7) / zsum), n)
     for ((src, rows) <- out.groupBy(_._1)) {
-      val quota = rows.head._2
-      val expect = math.min(quota, srcCounts(src))
-      assert(rows.length == expect, s"$src admitted ${rows.length} != min($quota, ${srcCounts(src)})")
+      val expect = quotaOf(srcCounts(src))
+      assert(rows.head._2 == expect, s"$src quota ${rows.head._2} != recount $expect")
+      assert(rows.length == expect, s"$src admitted ${rows.length} != quota $expect")
       assert(rows.map(_._3).sorted.toSeq == (1L to expect), s"$src ranks not dense")
     }
-    // the epoch budget is conserved up to per-source rounding
-    val total = srcCounts.values.sum
-    assert(math.abs(out.length - total / 5) <= out.map(_._1).distinct.length,
-      s"epoch size ${out.length} strays from budget ${total / 5}")
+    // budget conservation up to per-source rounding PLUS saturation:
+    // sources whose uncapped ask exceeds their size contribute all
+    // they have and the epoch legitimately runs short by the overflow
+    val uncappedShort = srcCounts.values.map { n =>
+      math.max(0L, math.round((total / 5) * math.pow(n.toDouble / total, 0.7) / zsum) - n)
+    }.sum
+    assert(math.abs(out.length + uncappedShort - total / 5) <= srcCounts.size,
+      s"epoch size ${out.length} (+$uncappedShort saturated) strays from budget ${total / 5}")
     // temperature α = 0.7 < 1: every below-mean source's admitted share
     // exceeds its corpus share (the boost, materialized)
     val meanShare = 1.0 / srcCounts.size
