@@ -733,13 +733,17 @@ object CorpusPrep {
     // — rank is the in-epoch curriculum position within its source.
     // 100 TB shape: the quota frame is |sources|-bounded arithmetic on
     // one counts-only rollup (s14's pass, broadcast back); the
-    // admission pass is one NARROW (doc_id, source, h) projection into
-    // a per-source rank window — the only corpus-sized exchange,
-    // partitioned by source (at extreme source skew the standard
-    // refinement applies: a map-only hash-threshold prefilter at
-    // ~2× quota/n admits a bounded superset, then the exact rank runs
-    // on the survivors — same two-phase shape as the hierarchical
-    // cumsum).
+    // admission pass is one NARROW (doc_id, source, h) projection
+    // (the text column never leaves the scan) ranked HIERARCHICALLY
+    // by [[hierarchicalRank]] — in-bucket row_number over (source,
+    // h-range bucket) partitions (~√n rows each, parallel) plus an
+    // exclusive prefix over the per-(source, bucket) COUNTS frame
+    // (√n·|sources| rows, broadcast back). A naive
+    // row_number().over(partitionBy(source)) would funnel the whole
+    // corpus through ~|sources| tasks (~5 TB per task at 100 TB, worse
+    // under source skew) — the exact hazard s7's comment names; the
+    // two-level rank gives the IDENTICAL exact per-source rank with
+    // small parallel partitions, pinned in PlanSpec.
     QueryDef.sql("s16_epoch_sample",
       s"""WITH $tempMixChainSql,
          |q AS (SELECT source,
@@ -761,15 +765,15 @@ object CorpusPrep {
             round(expr("CAST(n div 5 AS BIGINT)") * col("pw") / col("zsum"), 0)
               .cast("long"),
             col("n_docs")).as("quota_docs"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          TextOps.phash(col("doc_id").cast("string")).as("h"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("source").orderBy("h", "doc_id")))
+      hierarchicalRank(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              TextOps.phash(col("doc_id").cast("string")).as("h")),
+          "source", "h", "doc_id")
         .join(broadcast(q), Seq("source"))
-        .filter(col("rk") <= col("quota_docs"))
+        .filter(col("__rk") <= col("quota_docs"))
         .select(col("source"), col("quota_docs"),
-          col("rk").cast("long").as("rank_in_source"), col("doc_id"))
+          col("__rk").cast("long").as("rank_in_source"), col("doc_id"))
         .orderBy("source", "rank_in_source")
     },
 
@@ -1062,18 +1066,42 @@ object CorpusPrep {
     }
   )
 
+  /** Bucket width for the hierarchical window passes, sized so the
+    * bucket COUNT is ~√n over the observed key range: the in-bucket
+    * windows see ~√n rows each (parallel, small partitions) AND the
+    * bucket-totals frame is ~√n rows — the balanced two-level split,
+    * so neither level outgrows one task at any n (at n = 1e11 docs
+    * both levels are ~3e5 rows). Costs one bounded aggregate action on
+    * `df` at plan-construction time (callers either localCheckpoint
+    * the input first or feed a narrow cheap projection). Keys here are
+    * non-negative (doc_id; phash < 2^60), so span arithmetic cannot
+    * overflow and `div` == `/`.
+    */
+  private[operators] def sqrtBucketWidth(df: DataFrame, keyCol: String): Long = {
+    val r = df.agg(count(lit(1)).as("__n"),
+      min(col(keyCol).cast("long")).as("__lo"),
+      max(col(keyCol).cast("long")).as("__hi")).head()
+    if (r.getLong(0) == 0L) 1L
+    else {
+      val buckets = math.max(1L, math.ceil(math.sqrt(r.getLong(0).toDouble)).toLong)
+      val span = r.getLong(2) - r.getLong(1) + 1L
+      math.max(1L, (span + buckets - 1L) / buckets)
+    }
+  }
+
   /** Exact global EXCLUSIVE prefix sum of `valCol` in doc_id order,
     * computed hierarchically so the per-doc frame is never moved to a
-    * single partition: an in-bucket running sum (doc_id-range buckets,
-    * parallel, small partitions) plus an exclusive prefix over the
-    * 100×-reduced bucket-totals frame (broadcast back; recurse the
-    * same split if that frame ever outgrows one node). Returns the
-    * input plus `__off` — the sum of `valCol` over all STRICTLY
-    * earlier doc_ids. Shared by s15 (cumulative weight intervals) and
-    * tok10 (token-stream offsets).
+    * single partition: an in-bucket running sum (doc_id-range buckets
+    * of [[sqrtBucketWidth]], parallel, small partitions) plus an
+    * exclusive prefix over the ~√n-row bucket-totals frame (broadcast
+    * back) — both levels stay ~√n-sized at any n, so neither ever
+    * outgrows one task. Returns the input plus `__off` — the sum of
+    * `valCol` over all STRICTLY earlier doc_ids. Shared by s15
+    * (cumulative weight intervals) and tok10 (token-stream offsets).
     */
   private[operators] def exclusivePrefixSum(df: DataFrame, valCol: String): DataFrame = {
-    val bucketed = df.withColumn("__bkt", expr("doc_id div 100"))
+    val w = sqrtBucketWidth(df, "doc_id")
+    val bucketed = df.withColumn("__bkt", expr(s"doc_id div ${w}L"))
     val inBkt = bucketed.withColumn("__cin",
       sum(valCol).over(Window.partitionBy("__bkt").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1085,6 +1113,36 @@ object CorpusPrep {
     inBkt.join(broadcast(offsets), Seq("__bkt"))
       .withColumn("__off", col("__boff") + col("__cin") - col(valCol))
       .drop("__bkt", "__cin", "__boff")
+  }
+
+  /** Exact per-`partCol` rank in (`orderCol`, `tieCol`) order — the
+    * identical result to `row_number().over(Window.partitionBy(partCol)
+    * .orderBy(orderCol, tieCol))` — computed hierarchically so the
+    * corpus never funnels through ~|partCol| tasks: an in-bucket
+    * row_number over (partCol, orderCol-range bucket) partitions (~√n
+    * rows each, parallel) plus an exclusive prefix over the
+    * per-(partCol, bucket) COUNTS frame (~√n·|partCol| rows, its
+    * window above an aggregate, broadcast back). Exactness: equal
+    * orderCol values land in the same bucket (bucket = orderCol div
+    * width is monotone), so strict bucket order respects orderCol
+    * order and the in-bucket tie-break completes the total order.
+    * Returns the input plus `__rk`. s16's admission pass.
+    */
+  private[operators] def hierarchicalRank(df: DataFrame, partCol: String,
+      orderCol: String, tieCol: String): DataFrame = {
+    val w = sqrtBucketWidth(df, orderCol)
+    val bucketed = df.withColumn("__bkt", expr(s"$orderCol div ${w}L"))
+    val inBkt = bucketed.withColumn("__rin",
+      row_number().over(
+        Window.partitionBy(partCol, "__bkt").orderBy(orderCol, tieCol)))
+    val offsets = bucketed.groupBy(partCol, "__bkt").agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff",
+        coalesce(sum("__bn").over(Window.partitionBy(partCol).orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(partCol), col("__bkt"), col("__boff"))
+    inBkt.join(broadcast(offsets), Seq(partCol, "__bkt"))
+      .withColumn("__rk", col("__boff") + col("__rin"))
+      .drop("__bkt", "__rin", "__boff")
   }
 
   /** s14's temperature chain (srcs → tot → w → z: per-source counts,
@@ -1183,8 +1241,20 @@ object CorpusPrep {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val totR = lm.map(_._2).sum
     val totT = lm.map(_._3).sum
+    // multiplyExact: at the 100 TB shape (totR ~1e13 bigrams) the
+    // second product can exceed 2^63; a silent JVM wrap would corrupt
+    // every lift while the DuckDB oracle's BIGINT multiply raises
+    // out-of-range — fail as loudly as the oracle does.
     def liftOf(cT: Long, cR: Long): Long =
-      (((1000000L * (cT + 1)) / (cR + 1)) * (totR + 4096L)) / (totT + 4096L)
+      try
+        Math.multiplyExact(
+          Math.multiplyExact(1000000L, cT + 1) / (cR + 1),
+          totR + 4096L) / (totT + 4096L)
+      catch {
+        case e: ArithmeticException => throw new ArithmeticException(
+          s"dsir lift overflows Long at cT=$cT cR=$cR totR=$totR totT=$totT " +
+            "(oracle BIGINT would raise out-of-range here): " + e.getMessage)
+      }
     val arr = Array.fill(4096)(liftOf(0L, 0L))
     for ((bkt, cR, cT) <- lm) arr(bkt.toInt) = liftOf(cT, cR)
     arr

@@ -181,10 +181,17 @@ object StreamVec {
         attempt += 1
         Thread.sleep(50)
       }
-      // 1s of unreadable content with the file present: report fresh
-      // (age 0) — the refusing direction, matching the liveness a
-      // constantly-rewriting writer implies
-      Some((None, 0L))
+      // 1s of unreadable content with the file present: fall back to
+      // the file's MTIME for age (the legacy branch's clock). A live
+      // rewriter keeps mtime fresh (still refuses), but a writer that
+      // died between create-truncate and write leaves an empty marker
+      // whose mtime freezes — so the staleness window CAN elapse and
+      // rotate eventually proceeds. (Age 0 here would pin the marker
+      // "fresh" forever, making the "retry after the staleness window"
+      // advice in rotate's refusal unsatisfiable.)
+      try Some((None, math.max(0L,
+        System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)))
+      catch { case _: java.io.IOException => None } // vanished mid-probe: no marker left
     }
   }
 
@@ -573,6 +580,12 @@ object StreamVec {
         if (e.runId.toString == rid) sess.streams.removeListener(this)
     }
     sess.streams.addListener(hbListener)
+    // if the query died between start() and addListener (immediate
+    // startup failure), its QueryTerminatedEvent already fired and the
+    // self-unregister above will never run — remove the listener now,
+    // or repeated failing start()s would accumulate leaked listeners
+    // on the session's shared bus
+    if (!q.isActive) sess.streams.removeListener(hbListener)
     // the started event fired before addListener could see it — seed
     // the marker directly so liveness holds from this moment, not from
     // the first batch/idle event. (The seed lands before the first

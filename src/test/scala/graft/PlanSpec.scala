@@ -1344,4 +1344,56 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.toString.contains("Join"),
       "the lift table is an inlined literal; no join may form")
   }
+
+  test("s16 epoch sample: rank is hierarchical — no corpus window partitioned solely by source") {
+    // source has ~20 values: a row_number window partitioned by source
+    // alone funnels the whole corpus through |sources| tasks (~5 TB
+    // each at 100 TB, worse under skew). Contract: the corpus-sized
+    // rank window is partitioned by ≥2 columns (source, h-bucket);
+    // any 0/1-column window must consume an AGGREGATE (the tiny
+    // per-(source, bucket) counts frame), never raw corpus rows.
+    val df = SparkEntry.queries("s16_epoch_sample")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.length <= 1).foreach { w =>
+      val aggBelow = collectWithSubqueries(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"narrow-partitioned window over raw corpus rows (|sources|-task scale-killer):\n" +
+          w.toString.take(800))
+    }
+    assert(windows.exists(_.partitionSpec.length >= 2),
+      "the in-bucket rank must be a window partitioned by (source, bucket)")
+  }
+
+  test("s15/tok10 prefix sums: two-level shape — unpartitioned windows sit above aggregates only") {
+    // same contract as p11's pin, extended to the other two
+    // exclusivePrefixSum callers: the doc-level running sum must be a
+    // PARTITIONED window (√n-row buckets), and any unpartitioned
+    // window may only consume the ~√n-row bucket-totals aggregate.
+    for (q <- Seq("s15_dsir_resample", "tok10_sequence_packing")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = stripAQEPlan(df.queryExecution.executedPlan)
+      val windows = collectWithSubqueries(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, q)
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val aggBelow = collectWithSubqueries(w.child) {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(aggBelow.nonEmpty,
+          s"$q: unpartitioned window over raw rows (single-partition scale-killer):\n" +
+            w.toString.take(800))
+      }
+      assert(windows.exists(_.partitionSpec.nonEmpty),
+        s"$q: the in-bucket running sum must be a PARTITIONED window")
+    }
+  }
 }
