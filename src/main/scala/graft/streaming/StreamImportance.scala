@@ -96,7 +96,14 @@ object StreamImportance {
 
   /** The stored per-doc verdicts across all ingested batches —
     * (doc_id, source, n_bigrams, mean_lift_ppm, selected), the same
-    * shape (and, on the same corpus, the same rows) as batch s10.
+    * shape (and, on a ONCE-INGESTED corpus, the same rows) as batch
+    * s10. The distinct() runs WITH the batch column, so a doc
+    * genuinely re-sent in a later batch keeps one ledger row per
+    * cohort (deliberate: the ledger is the admission HISTORY, and
+    * [[importanceLog]] recounts each cohort from exactly its own
+    * rows) — equality with batch s10 therefore holds only for corpora
+    * where each doc_id was ingested once, the precondition the
+    * equality spec states and pins.
     */
   def serve(spark: SparkSession, storeDir: String): DataFrame = {
     val dirs = verdictDirs(spark, storeDir)

@@ -3642,4 +3642,57 @@ class OpsSpec extends SparkSpec {
     for (Seq(a, b) <- Seq(8, 16, 32, 64).sliding(2).toSeq)
       assert(avg(a) <= avg(b) + 1e-9, s"mean recall fell from dim $a (${avg(a)}) to dim $b (${avg(b)})")
   }
+
+  test("v22 zero-norm prefix: NULL cosine ranks last on both sides of the contract") {
+    // The NULLIF guard (oracle) and the cn2/qn2 == 0 → NULL branch
+    // (engine) exist for vectors whose FIRST-k elements all quantize to
+    // zero — the real corpus never plants one, so the branch was
+    // untested. Fixture: 25 dense vectors; cand 12 AND query 5 get an
+    // exactly-zero first-8 prefix (dim-8 norm 0, dims ≥ 16 dense).
+    // Expected output is a brute-force twin with the shared NULL
+    // semantics (NULL never outranks a number; ties by cand_id) —
+    // the same ordering DuckDB's NULLIF + DESC NULLS LAST yields.
+    val dir = tmpDir("graft-v22-zeronorm")
+    val rnd = new scala.util.Random(7)
+    val vecs: Map[Long, Array[Float]] = (0L until 25L).map { id =>
+      id -> Array.tabulate(64) { i =>
+        if ((id == 12L || id == 5L) && i < 8) 0.0f
+        else rnd.nextFloat() * 2f - 1f
+      }
+    }.toMap
+    spark.createDataFrame(
+        vecs.toSeq.sortBy(_._1).map { case (id, e) => (id, e.toSeq, 0) })
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dims = Seq(8, 16, 32, 64)
+    val q = vecs.map { case (id, e) => id -> e.map(graft.functions.CosineSimilarityQ.quantize) }
+    def n2(id: Long, dm: Int): Long = q(id).take(dm).map(v => v * v).sum
+    assert(n2(12L, 8) == 0L && n2(5L, 8) == 0L && n2(12L, 16) > 0L,
+      "fixture must actually produce zero dim-8 prefix norms")
+    def top10(qid: Long, dm: Int): Seq[Long] = {
+      val scored = (0L until 25L).filter(_ != qid).map { c =>
+        val cos =
+          if (n2(qid, dm) == 0L || n2(c, dm) == 0L) None
+          else Some((0 until dm).map(i => q(qid)(i).toDouble * q(c)(i)).sum /
+            (math.sqrt(n2(qid, dm).toDouble) * math.sqrt(n2(c, dm).toDouble)))
+        (c, cos)
+      }
+      scored.sortBy { case (c, cos) => (cos.isEmpty, cos.map(-_).getOrElse(0.0), c) }
+        .take(10).map(_._1)
+    }
+    val expected = (for (dm <- dims; qid <- 0L until 10L) yield {
+      val base = top10(qid, 64).toSet
+      (dm, qid, top10(qid, dm).count(base))
+    }).toSet
+    val got = SparkEntry.queries("v22_matryoshka_eval")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    assert(got == expected,
+      s"engine diverged from the NULL-semantics brute force:\n got ${got.toSeq.sorted}\n exp ${expected.toSeq.sorted}")
+    // and the degenerate candidate is OUT of every dim-8 list (23
+    // non-NULL competitors exist) while query 5's dim-8 list is the
+    // all-NULL tie-break: first 10 candidate ids ascending
+    for (qid <- 0L until 10L if qid != 5L && qid != 12L)
+      assert(!top10(qid, 8).contains(12L))
+    assert(top10(5L, 8) == (0L until 11L).filter(_ != 5L).take(10))
+  }
 }

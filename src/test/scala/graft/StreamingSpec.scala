@@ -2408,6 +2408,52 @@ class StreamingSpec extends SparkSpec {
     assert(logRows == expLog, "fold changed the importance log")
   }
 
+  test("streaming importance: a re-sent doc keeps one ledger row per cohort (batch-s10 equality needs once-ingested)") {
+    // serve()'s distinct runs WITH the batch column — a doc genuinely
+    // re-sent in a later batch is a new cohort member, not replay, so
+    // the ledger holds BOTH rows and the dial recounts each cohort from
+    // its own rows. This is the stated precondition on the batch-s10
+    // equality claim: it holds for once-ingested corpora only.
+    import graft.operators.CorpusPrep
+    import graft.streaming.StreamImportance
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "source", "text")
+    val liftArr = CorpusPrep.dsirLiftArray(spark, docs, CorpusPrep.DsirTargetSources)
+    val rows = docs.filter(col("doc_id") < 25).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    val store = tmpDir("graft-simp-resend-store") + "/store"
+    val cp = tmpDir("graft-simp-resend-cp") + "/cp"
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamImportance.start(
+      in.toDF().toDF("doc_id", "source", "text"), liftArr, store, cp)
+    in.addData(rows: _*); q.processAllAvailable()
+    in.addData(rows.take(5): _*); q.processAllAvailable() // genuine re-send
+    q.stop()
+    // the one shared formula gives the expected per-doc verdict
+    val verdict = CorpusPrep.dsirScore(
+        spark.createDataFrame(rows).toDF("doc_id", "source", "text"), liftArr)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val resent = rows.take(5).map(_._1).filter(verdict.contains).toSet
+    assert(resent.nonEmpty, "fixture must re-send at least one verdict-bearing doc")
+    val served = StreamImportance.serve(spark, store).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val perDoc = served.groupBy(_._1).view.mapValues(_.length).toMap
+    for ((id, _) <- verdict)
+      assert(perDoc(id) == (if (resent(id)) 2 else 1),
+        s"doc $id: ${perDoc(id)} ledger rows (re-sent: ${resent(id)})")
+    assert(served.toSet == verdict.values.toSet,
+      "re-send changed verdict CONTENT (same doc must score identically in every cohort)")
+    // the dial counts the re-send as its own cohort
+    val log = StreamImportance.importanceLog(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(log == Map(0L -> verdict.size.toLong, 1L -> resent.size.toLong),
+      s"per-cohort dial recount wrong: $log")
+  }
+
   test("streaming phash dedup: first-arrival keepers, in-batch winners, verdicts recount, restart and fold hold") {
     import graft.operators.Multimodal
     import graft.streaming.StreamPhash
