@@ -1063,6 +1063,184 @@ object CorpusPrep {
         .withColumn("chunks_spanned",
           col("last_chunk") - col("first_chunk") + lit(1L))
         .orderBy("doc_id")
+    },
+
+    // TOK11: best-fit-decreasing sequence packing — the OTHER side of
+    // the trade tok10 prices (its design note names this follow-up):
+    // instead of concat-and-chunk (zero padding, every boundary doc
+    // split and attention-exposed to its neighbors), pack each doc
+    // INTO its own slot of a fixed L=256 bin by greedy best-fit over
+    // sizes in decreasing order — no doc is ever split; the costs are
+    // padding (unfilled bin tail) and co-residency (docs sharing a
+    // bin). Algorithm, exactly: docs are pre-chunked at L (full
+    // 256-token chunks occupy dedicated full bins; the 1..255-token
+    // remainder enters the packing pool), pool sizes are quantized UP
+    // to 8-token slot units (the alignment padding real loaders use
+    // for tensor cores; quantization is part of the spec, applied
+    // identically in both engines), and BFD runs in unit space: items
+    // by decreasing slot class, each into the fittest (smallest
+    // sufficient) residual, ties drained smallest-residual-first. The
+    // per-class output row reports what a packing owner tunes against
+    // — items placed into earlier classes' bins vs new bins opened —
+    // plus the denormalized run totals: bins, padding waste (true
+    // tokens, intra-slot padding included), utilization ppm (as
+    // (15625·T) div (4·bins): the same rational as (1e6·T)/(256·bins)
+    // but overflow-safe to ~6e14 tokens where the naive form wraps at
+    // ~9e12 — DuckDB raises there, the engine matches via
+    // multiplyExact), and exposure (pool docs sharing a bin with ≥1
+    // other = items − bins).
+    // EXACTNESS of the closed form: same-size items are
+    // interchangeable, and best-fit drains eligible residuals
+    // smallest-first (placing into residual r yields r−s, still the
+    // smallest eligible), so one class's placements are a closed-form
+    // transition on the residual HISTOGRAM — a bin with residual r
+    // absorbs ⌊r/s⌋ items; overflow opens new bins absorbing ⌊B/s⌋
+    // each. OpsSpec pins this against a literal per-item BFD.
+    // 100 TB shape: the ONLY corpus-sized work is one narrow
+    // token-count scan folded to a ≤32-row class histogram plus 4
+    // scalars (map-side combine); the BFD itself is O(32²) driver
+    // arithmetic on that bounded state (the PQ-codebook pattern) and
+    // the output is 32 rows. Nothing shuffles; adding data changes
+    // the histogram counts, never the algorithm's size. The oracle
+    // runs the identical transition as a 32-step recursive CTE on the
+    // residual-histogram list — histogram-driven, so its cost is also
+    // scale-independent.
+    QueryDef.sql("tok11_bestfit_packing",
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+        |        FROM documents),
+        |pool AS (SELECT doc_id, CAST((n_tokens % 256 + 7) // 8 AS BIGINT) AS su,
+        |                n_tokens % 256 AS rem_tokens
+        |         FROM tok WHERE n_tokens > 0 AND n_tokens % 256 > 0),
+        |fb AS (SELECT CAST(COALESCE(SUM(n_tokens // 256), 0) AS BIGINT) AS full_bins,
+        |              CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens
+        |       FROM tok WHERE n_tokens > 0),
+        |cnts AS (SELECT list(CAST(COALESCE(p.cnt, 0) AS BIGINT) ORDER BY t.r) AS cl
+        |         FROM range(1, 33) t(r)
+        |         LEFT JOIN (SELECT su, COUNT(*) AS cnt FROM pool GROUP BY su) p ON p.su = t.r),
+        |st(s, res, n_items, placed_existing, new_bins, bins_cum) AS (
+        |  SELECT 33, (SELECT list(CAST(0 AS BIGINT)) FROM range(0, 33)),
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT w.s, w.z.res, w.z.c0, w.z.pl, w.z.nb, w.bins_cum + w.z.nb
+        |  FROM (
+        |    SELECT st.s - 1 AS s, st.bins_cum,
+        |      (WITH v1 AS (SELECT st.s - 1 AS s0, CAST(cnts.cl[st.s - 1] AS BIGINT) AS c0, st.res AS rl),
+        |            v2 AS (SELECT *, list_transform(range(0, 33), r ->
+        |                     CASE WHEN r >= s0 THEN rl[r + 1] * (r // s0) ELSE CAST(0 AS BIGINT) END) AS avail
+        |                   FROM v1),
+        |            v3 AS (SELECT *, list_transform(range(0, 33), r ->
+        |                     GREATEST(CAST(0 AS BIGINT), LEAST(avail[r + 1],
+        |                       c0 - CAST(COALESCE(list_sum(avail[1:r]), 0) AS BIGINT)))) AS take
+        |                   FROM v2),
+        |            v4 AS (SELECT *, CAST(COALESCE(list_sum(take), 0) AS BIGINT) AS pl FROM v3),
+        |            v5 AS (SELECT *, c0 - pl AS rem,
+        |                          CASE WHEN c0 - pl <= 0 THEN CAST(0 AS BIGINT)
+        |                               ELSE (c0 - pl) // (32 // s0)
+        |                                    + CASE WHEN (c0 - pl) % (32 // s0) > 0 THEN 1 ELSE 0 END
+        |                          END AS nb
+        |                   FROM v4),
+        |            v6 AS (SELECT *, list_transform(range(0, 33), i -> CAST(
+        |                     rl[i + 1]
+        |                     - CASE WHEN i >= s0 AND take[i + 1] > 0
+        |                            THEN take[i + 1] // (i // s0)
+        |                                 + CASE WHEN take[i + 1] % (i // s0) > 0 THEN 1 ELSE 0 END
+        |                            ELSE 0 END
+        |                     + CAST(COALESCE(list_sum(list_transform(range(0, 33), r ->
+        |                         CASE WHEN r >= s0 AND take[r + 1] > 0 AND r % s0 = i
+        |                              THEN take[r + 1] // (r // s0) ELSE CAST(0 AS BIGINT) END
+        |                         + CASE WHEN r >= s0 AND take[r + 1] > 0
+        |                                AND take[r + 1] % (r // s0) > 0
+        |                                AND r - (take[r + 1] % (r // s0)) * s0 = i
+        |                              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+        |                     + CASE WHEN rem > 0 AND i = 32 % s0 THEN rem // (32 // s0) ELSE 0 END
+        |                     + CASE WHEN rem > 0 AND rem % (32 // s0) > 0
+        |                            AND i = 32 - (rem % (32 // s0)) * s0 THEN 1 ELSE 0 END
+        |                   AS BIGINT)) AS res2
+        |                   FROM v5)
+        |       SELECT {'res': res2, 'c0': c0, 'pl': pl, 'nb': nb} FROM v6) AS z
+        |    FROM st, cnts WHERE st.s > 1
+        |  ) w
+        |)
+        |SELECT CAST(st.s * 8 AS BIGINT) AS slot_tokens, st.n_items, st.placed_existing,
+        |       st.new_bins, st.bins_cum,
+        |       f.full_bins, pb.pool_bins,
+        |       CAST(256 * pb.pool_bins - pt.pool_tokens AS BIGINT) AS pad_tokens,
+        |       CASE WHEN f.full_bins + pb.pool_bins = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST((15625 * f.total_tokens) // (4 * (f.full_bins + pb.pool_bins)) AS BIGINT)
+        |       END AS util_ppm,
+        |       CAST(pt.pool_items - pb.pool_bins AS BIGINT) AS exposure_docs
+        |FROM st, fb f,
+        |     (SELECT CAST(COALESCE(SUM(rem_tokens), 0) AS BIGINT) AS pool_tokens,
+        |             CAST(COUNT(*) AS BIGINT) AS pool_items FROM pool) pt,
+        |     (SELECT CAST(MAX(bins_cum) AS BIGINT) AS pool_bins FROM st WHERE s <= 32) pb
+        |WHERE st.s <= 32
+        |ORDER BY slot_tokens DESC""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .select(size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .cast("long").as("n"))
+        .filter(col("n") > 0)
+        // materialize: the totals aggregate and the class histogram
+        // below would otherwise each re-tokenize the corpus
+        .localCheckpoint()
+      val t = tok.agg(
+        coalesce(sum(expr("n div 256")), lit(0L)).cast("long"),
+        coalesce(sum("n"), lit(0L)).cast("long"),
+        coalesce(sum(when(col("n") % 256 > 0, col("n") % 256).otherwise(0L)), lit(0L)).cast("long"),
+        coalesce(sum(when(col("n") % 256 > 0, 1L).otherwise(0L)), lit(0L)).cast("long")).head()
+      val (fullBins, totalTokens, poolTokens, poolItems) =
+        (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3))
+      // bounded collect: the ≤32-row slot-class histogram (the
+      // PQ-codebook pattern — driver state bounded by construction)
+      val hist: Map[Int, Long] = tok.filter(col("n") % 256 > 0)
+        .select(expr("CAST((n % 256 + 7) div 8 AS INT)").as("su"))
+        .groupBy("su").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // exact BFD via the residual-histogram closed form (see the
+      // design note above; OpsSpec pins it against a literal per-item
+      // best-fit) — same fixed-order integer arithmetic as the oracle
+      val res = Array.fill(33)(0L)
+      var binsCum = 0L
+      val out = for (s0 <- 32 to 1 by -1) yield {
+        val c = hist.getOrElse(s0, 0L)
+        var remaining = c
+        var placed = 0L
+        for (r <- s0 to 32 if remaining > 0) {
+          val cap = (r / s0).toLong
+          val take = math.min(remaining, res(r) * cap)
+          if (take > 0) {
+            val fulld = take / cap
+            val part = take % cap
+            res(r) -= fulld + (if (part > 0) 1L else 0L)
+            res(r % s0) += fulld
+            if (part > 0) res(r - (part * s0).toInt) += 1L
+            placed += take
+            remaining -= take
+          }
+        }
+        var nb = 0L
+        if (remaining > 0) {
+          val cap0 = (32 / s0).toLong
+          val nbf = remaining / cap0
+          val rem2 = remaining % cap0
+          res(32 % s0) += nbf
+          if (rem2 > 0) res(32 - (rem2 * s0).toInt) += 1L
+          nb = nbf + (if (rem2 > 0) 1L else 0L)
+        }
+        binsCum += nb
+        (s0.toLong * 8, c, placed, nb, binsCum)
+      }
+      val poolBins = binsCum
+      val pad = 256L * poolBins - poolTokens
+      val util = if (fullBins + poolBins == 0L) 0L
+        else Math.multiplyExact(15625L, totalTokens) / (4L * (fullBins + poolBins))
+      val expo = poolItems - poolBins
+      out.map { case (st, n, p, nb, bc) =>
+        (st, n, p, nb, bc, fullBins, poolBins, pad, util, expo) }
+        .toDF("slot_tokens", "n_items", "placed_existing", "new_bins", "bins_cum",
+          "full_bins", "pool_bins", "pad_tokens", "util_ppm", "exposure_docs")
+        .orderBy(desc("slot_tokens"))
     }
   )
 

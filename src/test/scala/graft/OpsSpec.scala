@@ -3695,4 +3695,47 @@ class OpsSpec extends SparkSpec {
       assert(!top10(qid, 8).contains(12L))
     assert(top10(5L, 8) == (0L until 11L).filter(_ != 5L).take(10))
   }
+
+  test("tok11 best-fit packing: the histogram closed form IS literal per-item BFD; geometry conserved") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("tok11_bestfit_packing")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+    assert(out.length == 32 && out.map(_._1).toSeq == (1 to 32).reverse.map(_ * 8L),
+      "one row per slot class, descending")
+    // recompute the pool from the corpus and run LITERAL best-fit-
+    // decreasing (every item individually into the smallest sufficient
+    // residual) — the closed-form transition must match it bin-for-bin
+    val toks = graft.sources.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("n"))
+      .filter(col("n") > 0).collect().map(_.getLong(0))
+    val sizesU = toks.filter(_ % 256 > 0).map(n => ((n % 256 + 7) / 8).toInt)
+    assert(sizesU.toSet.size > 5, "fixture must exercise several slot classes")
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Int] // residuals, units
+    for (s <- sizesU.sorted(Ordering[Int].reverse)) {
+      val fit = bins.zipWithIndex.filter(_._1 >= s)
+      if (fit.isEmpty) bins += (32 - s)
+      else bins(fit.minBy(_._1)._2) -= s
+    }
+    val poolBins = out.head._7
+    assert(bins.length.toLong == poolBins,
+      s"literal BFD used ${bins.length} bins, closed form says $poolBins")
+    val poolTokens = toks.filter(_ % 256 > 0).map(_ % 256).sum
+    val poolItems = toks.count(_ % 256 > 0).toLong
+    val fullBins = toks.map(_ / 256).sum
+    val totalTokens = toks.sum
+    val (fb, pb, pad, util, expo) =
+      (out.head._6, out.head._7, out.head._8, out.head._9, out.head._10)
+    assert(fb == fullBins && pad == 256L * pb - poolTokens && expo == poolItems - pb)
+    assert(util == 15625L * totalTokens / (4L * (fullBins + pb)))
+    // per-class conservation: items all accounted for, bins_cum is the
+    // running sum of new_bins, and every class's placements split
+    // between existing-bin fills and its own new bins
+    assert(out.map(_._2).sum == poolItems, "every pool item appears in exactly one class")
+    assert(out.scanLeft(0L)((acc, r) => acc + r._4).tail.toSeq == out.map(_._5).toSeq)
+    for (r <- out) assert(r._3 <= r._2,
+      s"class ${r._1}: placed_existing ${r._3} exceeds n_items ${r._2}")
+  }
 }
