@@ -204,8 +204,8 @@ object ScaleBench {
     "t20_gopher_rules",
     // round 16 (net-lag rule): s15 runs s10's two passes plus the
     // hierarchical cumsum — two windows over the per-DOC weights frame
-    // (in-bucket parallel, bucket-totals 100× reduced) and a k-row
-    // broadcast interval join; nothing touches the corpus beyond
+    // (in-bucket parallel, bucket-totals ~√n since round 17) and a
+    // k-row broadcast interval join; nothing touches the corpus beyond
     // s10's own scans
     "s15_dsir_resample",
     // tok10 is one narrow token-count scan + the same hierarchical
@@ -218,9 +218,22 @@ object ScaleBench {
     // replacing the per-hash probe join
     "d22_bloom_decontam",
     // s16's corpus terms are the counts-only source rollup and one
-    // narrow (doc_id, source, h) rank window; the quota frame is
-    // |sources|-bounded and broadcasts
-    "s16_epoch_sample")
+    // narrow (doc_id, source, h) projection through the two-level
+    // hierarchical rank (round 17: in-bucket windows + per-(source,
+    // bucket) counts prefix — the per-source full-corpus window is
+    // gone); the quota frame is |sources|-bounded and broadcasts
+    "s16_epoch_sample",
+    // tok11 (round 17, net-lag rule): one narrow token-count scan
+    // folded map-side to a ≤32-row histogram + 4 scalars; the BFD is
+    // driver arithmetic on bounded state — the corpus term is the
+    // scan alone, so its ratio anchors the histogram-driven end
+    "tok11_bestfit_packing",
+    // m6 (round 17, net-lag rule): encode+decode are m2's batched
+    // narrow hops with javax.sound instead of ImageIO — measured for
+    // the same reason m3/m4 are (the round-14 ImageIO disk-cache
+    // super-linearity hid in exactly this family; javax.sound streams
+    // pure byte arrays, so this row certifies the absence)
+    "m6_audio_features")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×
@@ -270,7 +283,13 @@ object ScaleBench {
     // s15 lands (round 16) with the round's worst new 10× ratio
     // (2.98× — two windows over the per-doc weights frame on top of
     // s10's passes); same on-arrival rule
-    "s15_dsir_resample")
+    "s15_dsir_resample",
+    // s16 gets its third point on arrival (round 17): the round's
+    // structural rewrite (per-source corpus window → hierarchical
+    // two-level rank) is exactly the shape a 30× point certifies —
+    // the r16 verdict's #1 finding, so the spot evidence ships with
+    // the fix rather than waiting for a worst-ratio trigger
+    "s16_epoch_sample")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space

@@ -134,6 +134,102 @@ object Multimodal {
     }
   }
 
+  /** A real AUDIO payload: `media` is a complete RIFF/WAV byte stream
+    * (PCM unsigned 8-bit, mono) written by the JDK's
+    * `javax.sound.sampled` — the audio sibling of [[PngRow]].
+    */
+  case class WavRow(doc_id: Long, media: Array[Byte])
+
+  /** Decoded-audio features, all measured from the DECODED container
+    * and samples (never from the generating formulas — the oracle
+    * holds the two equal): container sample rate, decoded frame
+    * count, integer duration, analysis-window count at the standard
+    * 256-sample frame / 128-sample hop, peak sample, and mean level
+    * normalized to [0, 1].
+    */
+  case class AudioFeatures(doc_id: Long, sample_rate: Long, n_samples: Long,
+      duration_ms: Long, n_windows: Long, peak_level: Long, mean_level: Double)
+
+  /** Deterministic WAV fixture formulas, shared (in lockstep) with the
+    * oracle SQL: from the doc's portable 60-bit hash `h`, the sample
+    * rate is 8000·(1 + h mod 2) (8/16 kHz — the rate must survive the
+    * container round-trip, so it varies), the clip is
+    * 400 + (h div 2) mod 800 samples (always ≥ 400, so every clip
+    * holds ≥ 2 analysis windows), and sample i is (h + 37i) mod 256
+    * (8-bit unsigned PCM — lossless through WAV, unlike any
+    * compressed codec, which is exactly why the fixture uses it).
+    */
+  def wavParams(h: Long): (Int, Int) =
+    ((8000L * (1 + h % 2)).toInt, (400 + (h / 2) % 800).toInt)
+
+  /** Batched WAV ENCODE (the fixture's audio source): real
+    * `AudioSystem.write` RIFF emission per row over one reusable
+    * buffer — the audio twin of [[encodePngBatch]]. Pure byte-array
+    * streams end to end: no audio device, no temp files (the
+    * ImageIO disk-cache hazard has no javax.sound analogue here).
+    */
+  def encodeWavBatch(batch: Seq[(Long, Long)]): Seq[WavRow] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val baos = new java.io.ByteArrayOutputStream(4096)
+    batch.map { case (docId, h) =>
+      val (sr, n) = wavParams(h)
+      val samples = new Array[Byte](n)
+      var i = 0
+      while (i < n) { samples(i) = ((h + 37L * i) % 256).toByte; i += 1 }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+        sr.toFloat, 8, 1, 1, sr.toFloat, false)
+      baos.reset()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(samples), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      WavRow(docId, baos.toByteArray)
+    }
+  }
+
+  /** REAL batched audio decode: `AudioSystem.getAudioInputStream` over
+    * the WAV bytes — the JDK's actual RIFF parser — with every feature
+    * measured from the decoded format and sample stream. A payload
+    * that fails to parse fails the batch loudly (quarantine-sink
+    * caveat as [[decodeBatch]]).
+    */
+  def decodeAudioBatch(batch: Seq[WavRow]): Seq[AudioFeatures] = {
+    import javax.sound.sampled.AudioSystem
+    batch.map { r =>
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(r.media))
+      val fmt = in.getFormat
+      require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 8,
+        s"doc ${r.doc_id}: unexpected decoded format $fmt")
+      val sr = fmt.getSampleRate.toLong
+      val bytes = in.readAllBytes()
+      val n = bytes.length.toLong
+      require(n == in.getFrameLength || in.getFrameLength < 0,
+        s"doc ${r.doc_id}: stream length $n != container frame count ${in.getFrameLength}")
+      var sum = 0L
+      var peak = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val v = (bytes(i) & 0xff).toLong
+        sum += v
+        if (v > peak) peak = v
+        i += 1
+      }
+      AudioFeatures(r.doc_id, sr, n, 1000L * n / sr, (n - 256) / 128 + 1,
+        peak, sum.toDouble / (n * 255.0))
+    }
+  }
+
+  /** The WAV media table m6 reads: one REAL RIFF/WAV payload per doc
+    * (probe included), generated in a batched narrow encode hop from
+    * the doc's portable hash — the audio sibling of [[mediaPng]].
+    */
+  def mediaWav(s: SparkSession, d: String): Dataset[WavRow] = {
+    import s.implicits._
+    mediaDocs(s, d)
+      .select(col("doc_id"), TextOps.phash(col("text")).as("h"))
+      .as[(Long, Long)]
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => encodeWavBatch(g.toSeq)))
+  }
+
   /** Perceptual difference-hash (dHash) over the DECODED raster — the
     * standard image near-dup fingerprint (resize to a (GridW+1)×GridH
     * thumbnail, set one bit per horizontally-adjacent brightness
@@ -437,6 +533,53 @@ object Multimodal {
         .withColumn("n_copies", count(lit(1)).over(grp))
         .withColumn("canon_id", min("doc_id").over(grp))
         .select("doc_id", "h_hi", "h_lo", "n_copies", "canon_id")
+        .orderBy("doc_id")
+    },
+
+    // M6: REAL audio decode + feature extraction — the audio modality
+    // the multimodal surface was missing by name (m1-m5 are image;
+    // frame sampling rides container metadata). Each doc carries a
+    // complete RIFF/WAV payload (PCM u8 mono, generated in a batched
+    // narrow encode hop from the portable hash), the decode hop parses
+    // it with the JDK's javax.sound.sampled (the real RIFF parser —
+    // no external codec libs needed for PCM, so nothing is stubbed),
+    // and every feature is measured from the DECODED container and
+    // sample stream: rate, frame count, integer duration, the
+    // 256/128 analysis-window count (the STFT framing a real audio
+    // featurizer hops by), peak, mean level. The oracle derives the
+    // same numbers analytically from the generating formulas, so
+    // container corruption, a lossy round-trip, or a broken
+    // measurement loop hash-mismatches (a compressed codec could not
+    // be oracled this way — which is why the fixture is PCM).
+    // 100 TB shape: encode and decode are narrow batched mapPartitions
+    // hops (m2's shape — no shuffle, no driver hop, per-row constant
+    // work); the only exchange is the presentation sort. javax.sound
+    // streams pure byte arrays (no ImageIO-style disk cache hazard).
+    QueryDef.sql("m6_audio_features",
+      s"""WITH $docsSql,
+        |hs AS (SELECT doc_id,
+        |              CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |       FROM docs),
+        |au AS (SELECT doc_id, h,
+        |              CAST(8000 * (1 + h % 2) AS BIGINT) AS sr,
+        |              CAST(400 + ((h // 2) % 800) AS BIGINT) AS n
+        |       FROM hs),
+        |sm AS (SELECT doc_id,
+        |              CAST(SUM((h + 37 * i) % 256) AS BIGINT) AS ssum,
+        |              CAST(MAX((h + 37 * i) % 256) AS BIGINT) AS speak
+        |       FROM (SELECT doc_id, h, unnest(generate_series(0, n - 1)) AS i FROM au)
+        |       GROUP BY doc_id)
+        |SELECT a.doc_id, a.sr AS sample_rate, a.n AS n_samples,
+        |       CAST((1000 * a.n) // a.sr AS BIGINT) AS duration_ms,
+        |       CAST((a.n - 256) // 128 + 1 AS BIGINT) AS n_windows,
+        |       s.speak AS peak_level,
+        |       CAST(s.ssum AS DOUBLE) / (a.n * 255.0) AS mean_level
+        |FROM au a JOIN sm s USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      mediaWav(s, d)
+        .mapPartitions(_.grouped(BatchSize).flatMap(g => decodeAudioBatch(g.toSeq)))
+        .toDF()
         .orderBy("doc_id")
     }
   )

@@ -3738,4 +3738,32 @@ class OpsSpec extends SparkSpec {
     for (r <- out) assert(r._3 <= r._2,
       s"class ${r._1}: placed_existing ${r._3} exceeds n_items ${r._2}")
   }
+
+  test("m6 audio: WAV encode→decode round-trip is bit-exact; features match the formulas") {
+    import graft.operators.Multimodal
+    // fixture-independent pin (m2's 2×2-PNG discipline): known hashes,
+    // including one near the 60-bit ceiling and the h%2 parity both
+    // ways, must produce a REAL RIFF stream the JDK parser reads back
+    // to exactly the generated samples
+    for (h <- Seq(0L, 7L, 12345678L, (1L << 59) + 987654321L)) {
+      val row = Multimodal.encodeWavBatch(Seq((42L, h))).head
+      assert(new String(row.media.take(4), "US-ASCII") == "RIFF",
+        "payload must be a real RIFF container")
+      val f = Multimodal.decodeAudioBatch(Seq(row)).head
+      val (sr, n) = Multimodal.wavParams(h)
+      val vals = (0 until n).map(i => (h + 37L * i) % 256)
+      assert(f.sample_rate == sr.toLong && f.n_samples == n.toLong,
+        s"h=$h: container round-trip changed rate/length: $f")
+      assert(f.peak_level == vals.max && f.mean_level == vals.sum.toDouble / (n * 255.0),
+        s"h=$h: decoded samples differ from generated: $f")
+      assert(f.duration_ms == 1000L * n / sr && f.n_windows == (n - 256L) / 128L + 1L)
+    }
+    // and the query end-to-end: every clip ≥ 400 samples by
+    // construction, so every row holds ≥ 2 analysis windows
+    val out = SparkEntry.queries("m6_audio_features")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length > 100)
+    assert(out.forall(r => r.getLong(4) >= 2 && r.getLong(2) >= 400),
+      "window floor violated")
+  }
 }
