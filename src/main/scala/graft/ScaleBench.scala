@@ -233,7 +233,12 @@ object ScaleBench {
     // the same reason m3/m4 are (the round-14 ImageIO disk-cache
     // super-linearity hid in exactly this family; javax.sound streams
     // pure byte arrays, so this row certifies the absence)
-    "m6_audio_features")
+    "m6_audio_features",
+    // e2e5 (round 17, net-lag rule): s16's epoch chain + one doc_id
+    // hash semi-join back to the corpus + tok11's histogram fold —
+    // the composed manifest's corpus terms are those three; the BFD
+    // itself is bounded driver arithmetic
+    "e2e5_epoch_manifest")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

@@ -745,36 +745,11 @@ object CorpusPrep {
     // two-level rank gives the IDENTICAL exact per-source rank with
     // small parallel partitions, pinned in PlanSpec.
     QueryDef.sql("s16_epoch_sample",
-      s"""WITH $tempMixChainSql,
-         |q AS (SELECT source,
-         |             LEAST(CAST(round((t.n // 5) * pw / z.zsum, 0) AS BIGINT),
-         |                   n_docs) AS quota_docs
-         |      FROM w, z, tot t),
-         |hd AS (SELECT doc_id, source,
-         |              ${TextOps.phashSql("CAST(doc_id AS VARCHAR)")} AS h
-         |       FROM documents),
-         |r AS (SELECT doc_id, source,
-         |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
-         |      FROM hd)
-         |SELECT r.source, q.quota_docs, CAST(r.rk AS BIGINT) AS rank_in_source, r.doc_id
-         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota_docs
+      s"""WITH $epochChainSql
+         |SELECT source, quota_docs, rank_in_source, doc_id
+         |FROM epoch
          |ORDER BY source, rank_in_source""".stripMargin) { (s, d) =>
-      val q = tempMixFrame(s, d)
-        .select(col("source"),
-          least(
-            round(expr("CAST(n div 5 AS BIGINT)") * col("pw") / col("zsum"), 0)
-              .cast("long"),
-            col("n_docs")).as("quota_docs"))
-      hierarchicalRank(
-          Tables.documents(s, d)
-            .select(col("doc_id"), col("source"),
-              TextOps.phash(col("doc_id").cast("string")).as("h")),
-          "source", "h", "doc_id")
-        .join(broadcast(q), Seq("source"))
-        .filter(col("__rk") <= col("quota_docs"))
-        .select(col("source"), col("quota_docs"),
-          col("__rk").cast("long").as("rank_in_source"), col("doc_id"))
-        .orderBy("source", "rank_in_source")
+      epochFrame(s, d).orderBy("source", "rank_in_source")
     },
 
     // TOK9: decode round-trip audit — the other half of the tokenizer
@@ -1106,19 +1081,76 @@ object CorpusPrep {
     // residual-histogram list — histogram-driven, so its cost is also
     // scale-independent.
     QueryDef.sql("tok11_bestfit_packing",
-      """WITH RECURSIVE
-        |tok AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
-        |        FROM documents),
-        |pool AS (SELECT doc_id, CAST((n_tokens % 256 + 7) // 8 AS BIGINT) AS su,
-        |                n_tokens % 256 AS rem_tokens
-        |         FROM tok WHERE n_tokens > 0 AND n_tokens % 256 > 0),
-        |fb AS (SELECT CAST(COALESCE(SUM(n_tokens // 256), 0) AS BIGINT) AS full_bins,
-        |              CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens
-        |       FROM tok WHERE n_tokens > 0),
-        |cnts AS (SELECT list(CAST(COALESCE(p.cnt, 0) AS BIGINT) ORDER BY t.r) AS cl
-        |         FROM range(1, 33) t(r)
-        |         LEFT JOIN (SELECT su, COUNT(*) AS cnt FROM pool GROUP BY su) p ON p.su = t.r),
-        |st(s, res, n_items, placed_existing, new_bins, bins_cum) AS (
+      s"""WITH RECURSIVE
+         |tok AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+         |        FROM documents),
+         |$bfdChainSql
+         |$bfdSelectSql""".stripMargin) { (s, d) =>
+      bfdPackFrame(
+        Tables.documents(s, d)
+          .select(size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .cast("long").as("n"))
+          .filter(col("n") > 0)
+          // materialize: the totals aggregate and the class histogram
+          // in bfdPackFrame would otherwise each re-tokenize the corpus
+          .localCheckpoint())
+    },
+
+    // E2E5: the epoch's DATALOADER manifest — the composition a run
+    // actually executes between "which docs are in this epoch" and
+    // "what shape does the trainer see": s16's temperature-quota
+    // admission materializes the epoch, then tok11's best-fit packing
+    // prices exactly THAT subset (per slot class: items, placed vs
+    // new bins; headline: bins, padding waste, utilization, exposure).
+    // Both stages are the registered operators VERBATIM — epochChainSql
+    // / epochFrame (shared with s16, so the two can never drift) and
+    // the bfd chain (shared with tok11) — which is the point of the
+    // e2e row: the composed plan is driver-visible in CORRECTNESS the
+    // way the user would run it, and a drift in either stage breaks
+    // this row too.
+    // 100 TB shape: the epoch side is s16's (narrow projection,
+    // two-level hierarchical rank, |sources|-row broadcast quota); the
+    // packing side joins the admitted ids back to the corpus with one
+    // doc_id hash semi-join (the epoch is ~20% of the corpus — never
+    // broadcastable, and the join is the honest cost of reading the
+    // admitted docs' text), then folds to tok11's ≤32-row histogram.
+    // Nothing new shuffles beyond those two stages' own exchanges.
+    QueryDef.sql("e2e5_epoch_manifest",
+      s"""WITH RECURSIVE
+         |$epochChainSql,
+         |tok AS (SELECT d2.doc_id,
+         |               CAST(len(regexp_extract_all(lower(d2.text), '[a-z]+')) AS BIGINT) AS n_tokens
+         |        FROM documents d2 JOIN epoch e ON e.doc_id = d2.doc_id),
+         |$bfdChainSql
+         |$bfdSelectSql""".stripMargin) { (s, d) =>
+      bfdPackFrame(
+        Tables.documents(s, d)
+          .join(epochFrame(s, d).select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .cast("long").as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint())
+    }
+  )
+
+  /** tok11's packing chain (pool → fb → cnts → the 32-step recursive
+    * residual-histogram transition), parameterized only by an upstream
+    * CTE `tok(doc_id, n_tokens)` — shared verbatim by the tok11 oracle
+    * (whole corpus) and e2e5's manifest oracle (the admitted epoch) so
+    * the two can never drift. See tok11's design note for the
+    * closed-form argument.
+    */
+  private def bfdChainSql: String =
+    """pool AS (SELECT doc_id, CAST((n_tokens % 256 + 7) // 8 AS BIGINT) AS su,
+      |                n_tokens % 256 AS rem_tokens
+      |         FROM tok WHERE n_tokens > 0 AND n_tokens % 256 > 0),
+      |fb AS (SELECT CAST(COALESCE(SUM(n_tokens // 256), 0) AS BIGINT) AS full_bins,
+      |              CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens
+      |       FROM tok WHERE n_tokens > 0),
+      |cnts AS (SELECT list(CAST(COALESCE(p.cnt, 0) AS BIGINT) ORDER BY t.r) AS cl
+      |         FROM range(1, 33) t(r)
+      |         LEFT JOIN (SELECT su, COUNT(*) AS cnt FROM pool GROUP BY su) p ON p.su = t.r),
+      |st(s, res, n_items, placed_existing, new_bins, bins_cum) AS (
         |  SELECT 33, (SELECT list(CAST(0 AS BIGINT)) FROM range(0, 33)),
         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         |  UNION ALL
@@ -1161,8 +1193,14 @@ object CorpusPrep {
         |       SELECT {'res': res2, 'c0': c0, 'pl': pl, 'nb': nb} FROM v6) AS z
         |    FROM st, cnts WHERE st.s > 1
         |  ) w
-        |)
-        |SELECT CAST(st.s * 8 AS BIGINT) AS slot_tokens, st.n_items, st.placed_existing,
+        |)""".stripMargin
+
+  /** The shared final projection over [[bfdChainSql]]'s `st` state —
+    * per-class rows plus the denormalized run totals (see tok11's
+    * design note for the overflow-safe util_ppm rational).
+    */
+  private def bfdSelectSql: String =
+    """SELECT CAST(st.s * 8 AS BIGINT) AS slot_tokens, st.n_items, st.placed_existing,
         |       st.new_bins, st.bins_cum,
         |       f.full_bins, pb.pool_bins,
         |       CAST(256 * pb.pool_bins - pt.pool_tokens AS BIGINT) AS pad_tokens,
@@ -1175,16 +1213,18 @@ object CorpusPrep {
         |             CAST(COUNT(*) AS BIGINT) AS pool_items FROM pool) pt,
         |     (SELECT CAST(MAX(bins_cum) AS BIGINT) AS pool_bins FROM st WHERE s <= 32) pb
         |WHERE st.s <= 32
-        |ORDER BY slot_tokens DESC""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val tok = Tables.documents(s, d)
-        .select(size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-          .cast("long").as("n"))
-        .filter(col("n") > 0)
-        // materialize: the totals aggregate and the class histogram
-        // below would otherwise each re-tokenize the corpus
-        .localCheckpoint()
-      val t = tok.agg(
+        |ORDER BY slot_tokens DESC""".stripMargin
+
+  /** tok11's engine core, shared with e2e5: given the (already
+    * filtered n > 0, already materialized) one-column `n` token-count
+    * frame, fold it to the ≤32-row slot-class histogram + 4 scalars
+    * and run the closed-form BFD on the driver (see tok11's design
+    * note; OpsSpec pins the closed form against a literal per-item
+    * best-fit). Returns the 32-row manifest frame.
+    */
+  private def bfdPackFrame(tok: DataFrame): DataFrame = {
+    import tok.sparkSession.implicits._
+    val t = tok.agg(
         coalesce(sum(expr("n div 256")), lit(0L)).cast("long"),
         coalesce(sum("n"), lit(0L)).cast("long"),
         coalesce(sum(when(col("n") % 256 > 0, col("n") % 256).otherwise(0L)), lit(0L)).cast("long"),
@@ -1241,8 +1281,7 @@ object CorpusPrep {
         .toDF("slot_tokens", "n_items", "placed_existing", "new_bins", "bins_cum",
           "full_bins", "pool_bins", "pad_tokens", "util_ppm", "exposure_docs")
         .orderBy(desc("slot_tokens"))
-    }
-  )
+  }
 
   /** Bucket width for the hierarchical window passes, sized so the
     * bucket COUNT is ~√n over the observed key range: the in-bucket
@@ -1336,6 +1375,53 @@ object CorpusPrep {
       |             pow(CAST(n_docs AS DOUBLE) / t.n, 0.7) AS pw
       |      FROM srcs, tot t),
       |z AS (SELECT SUM(pw) AS zsum FROM w)""".stripMargin
+
+  /** s16's full epoch chain (temperature quotas + deterministic-hash
+    * admission ranks + the admitted list), shared verbatim by the s16
+    * oracle and e2e5's manifest oracle so the two can never drift.
+    * Yields `epoch(source, quota_docs, rank_in_source, doc_id)`.
+    */
+  private def epochChainSql: String =
+    s"""$tempMixChainSql,
+       |q AS (SELECT source,
+       |             LEAST(CAST(round((t.n // 5) * pw / z.zsum, 0) AS BIGINT),
+       |                   n_docs) AS quota_docs
+       |      FROM w, z, tot t),
+       |hd AS (SELECT doc_id, source,
+       |              ${TextOps.phashSql("CAST(doc_id AS VARCHAR)")} AS h
+       |       FROM documents),
+       |r AS (SELECT doc_id, source,
+       |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+       |      FROM hd),
+       |epoch AS (SELECT r.source, q.quota_docs, CAST(r.rk AS BIGINT) AS rank_in_source,
+       |                 r.doc_id
+       |          FROM r JOIN q USING (source) WHERE r.rk <= q.quota_docs)""".stripMargin
+
+  /** Engine twin of [[epochChainSql]]: the admitted epoch as
+    * (source, quota_docs, rank_in_source, doc_id) — |sources|-bounded
+    * quota arithmetic broadcast onto the [[hierarchicalRank]]ed narrow
+    * (doc_id, source, h) projection (the oracle's plain per-source
+    * window and this two-level rank are provably the same total
+    * order — see hierarchicalRank's scaladoc). Shared by s16 and
+    * e2e5.
+    */
+  private def epochFrame(s: SparkSession, d: String): DataFrame = {
+    val q = tempMixFrame(s, d)
+      .select(col("source"),
+        least(
+          round(expr("CAST(n div 5 AS BIGINT)") * col("pw") / col("zsum"), 0)
+            .cast("long"),
+          col("n_docs")).as("quota_docs"))
+    hierarchicalRank(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextOps.phash(col("doc_id").cast("string")).as("h")),
+        "source", "h", "doc_id")
+      .join(broadcast(q), Seq("source"))
+      .filter(col("__rk") <= col("quota_docs"))
+      .select(col("source"), col("quota_docs"),
+        col("__rk").cast("long").as("rank_in_source"), col("doc_id"))
+  }
 
   /** Engine twin of [[tempMixChainSql]]: the |sources|-bounded frame
     * (source, n_docs, n, share, pw, zsum) — counts-only rollup, two

@@ -3766,4 +3766,33 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(4) >= 2 && r.getLong(2) >= 400),
       "window floor violated")
   }
+
+  test("e2e5 epoch manifest: packs exactly s16's admitted docs; classwise dominated by tok11") {
+    val d = "/root/testdata/sf0.001"
+    def packed(q: String) = SparkEntry.queries(q)(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(9)))
+    val epoch = packed("e2e5_epoch_manifest")
+    val whole = packed("tok11_bestfit_packing")
+    // the epoch pool is a SUBSET of the corpus pool and each doc's slot
+    // class is fixed, so every per-class count is dominated
+    val wholeByClass = whole.map(r => r._1 -> r._2).toMap
+    for ((s, n, _, _, _, _) <- epoch)
+      assert(n <= wholeByClass(s), s"class $s: epoch has $n items, corpus ${wholeByClass(s)}")
+    // headline totals recount from s16's admitted list + the raw corpus
+    val ids = SparkEntry.queries("s16_epoch_sample")(spark, d).collect()
+      .map(_.getLong(3)).toSet
+    val toks = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (id, n) => ids(id) && n > 0 }.map(_._2)
+    val (_, _, fullBins, poolBins, pad, expo) = epoch.head
+    assert(fullBins == toks.map(_ / 256).sum, "full-bin chunk count drifted from the epoch")
+    val poolItems = toks.count(_ % 256 > 0).toLong
+    assert(expo == poolItems - poolBins && pad == 256L * poolBins - toks.map(_ % 256).sum)
+    assert(epoch.map(_._2).sum == poolItems, "every epoch pool doc packs exactly once")
+  }
 }
