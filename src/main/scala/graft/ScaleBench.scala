@@ -294,7 +294,14 @@ object ScaleBench {
     // two-level rank) is exactly the shape a 30× point certifies —
     // the r16 verdict's #1 finding, so the spot evidence ships with
     // the fix rather than waiting for a worst-ratio trigger
-    "s16_epoch_sample")
+    "s16_epoch_sample",
+    // m6 lands (round 17) with the round's worst new 10× ratio
+    // (8.45× — real per-row encode+decode, so per-row cost dominates
+    // fixed costs almost immediately; LINEAR is this query's design
+    // point, not a defect) — the on-arrival rule pins the third point
+    // to certify the exponent stays ~1 and no m4-style churn term
+    // hides behind the honest codec work
+    "m6_audio_features")
 
   /** Copy offset: far above sf doc ids (~1e5), d14's planted range
     * (7e6-1e7), and the dedup planting offset (+1e6), so every id space
