@@ -133,7 +133,12 @@ object Canary {
     // round 16 (verdict-15 ask #7, the v17/t18 rule re-applied): at
     // 2.96 s d21 was the heaviest steady-state query outside the gate —
     // a first-occurrence window stream + arrival-order novelty rollup
-    "d21_ngram_novelty")      // arrival-order n-gram novelty curve
+    "d21_ngram_novelty",      // arrival-order n-gram novelty curve
+    // round 17 (END, prefix-compatible): the round's structural
+    // rewrite (hierarchical per-source rank) and, at 2.5 s in
+    // BENCH_r17, the heaviest steady-state row outside the gate —
+    // the d21/v17/t18 rule re-applied
+    "s16_epoch_sample")
 
   /** Per-query normalized-gate half-width; default ±20%. sq1's
     * intrinsic same-code spread (0.19-0.50 s across fresh-JVM runs,
