@@ -1222,7 +1222,7 @@ object CorpusPrep {
     * note; OpsSpec pins the closed form against a literal per-item
     * best-fit). Returns the 32-row manifest frame.
     */
-  private def bfdPackFrame(tok: DataFrame): DataFrame = {
+  private[graft] def bfdPackFrame(tok: DataFrame): DataFrame = {
     import tok.sparkSession.implicits._
     val t = tok.agg(
         coalesce(sum(expr("n div 256")), lit(0L)).cast("long"),

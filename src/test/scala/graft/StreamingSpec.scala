@@ -2454,6 +2454,53 @@ class StreamingSpec extends SparkSpec {
       s"per-cohort dial recount wrong: $log")
   }
 
+  test("streaming packing: at-ingest manifest equals batch tok11 across batch cuts, restart, and fold") {
+    import graft.streaming.StreamPacking
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val store = tmpDir("graft-spack-store") + "/store"
+    val cp = tmpDir("graft-spack-cp") + "/cp"
+    val in = MemoryStream[(Long, String)]
+    def df = in.toDF().toDF("doc_id", "text")
+    val q1 = StreamPacking.start(df, store, cp)
+    in.addData(rows.take(150): _*); q1.processAllAvailable()
+    in.addData(rows.slice(150, 300): _*); q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint — the rest lands as b2
+    val q2 = StreamPacking.start(df, store, cp)
+    in.addData(rows.drop(300): _*); q2.processAllAvailable()
+    q2.stop()
+    def servedRows = StreamPacking.serve(spark, store).collect()
+      .map(r => (0 until 10).map(r.getLong).toList).toList
+    val batch = SparkEntry.queries("tok11_bestfit_packing")(spark, d).collect()
+      .map(r => (0 until 10).map(r.getLong).toList).toList
+    // BFD is histogram-determined (tok11's design note), so the
+    // manifest is batch-cut independent: served == batch, row for row.
+    // Precondition: once-ingested corpus (re-sends keep one ledger row
+    // per cohort, same as StreamImportance — stated in the scaladoc).
+    assert(servedRows == batch,
+      "at-ingest packing manifest != batch tok11 on the same corpus (batch-cut dependence)")
+    // the per-cohort dial recounts exactly its own rows
+    val tokOf = rows.map { case (id, t) =>
+      id -> "[a-z]+".r.findAllIn(t.toLowerCase).size.toLong
+    }.toMap
+    def expLog(rs: Seq[(Long, String)], b: Long) =
+      (b, rs.count(r => tokOf(r._1) > 0).toLong)
+    val log = StreamPacking.packingLog(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(log == Seq(expLog(rows.take(150), 0L), expLog(rows.slice(150, 300), 1L),
+      expLog(rows.drop(300), 2L)), s"per-cohort dial recount wrong: $log")
+    // fold: serving and the dial are invariant under compaction
+    assert(StreamPacking.fold(spark, store) >= 2)
+    assert(servedRows == batch, "fold changed the served manifest")
+    val log2 = StreamPacking.packingLog(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(log2 == log, "fold changed the packing log")
+  }
+
   test("streaming phash dedup: first-arrival keepers, in-batch winners, verdicts recount, restart and fold hold") {
     import graft.operators.Multimodal
     import graft.streaming.StreamPhash
