@@ -1130,6 +1130,54 @@ object CorpusPrep {
             .cast("long").as("n"))
           .filter(col("n") > 0)
           .localCheckpoint())
+    },
+
+    // TOK12: unigram-LM tokenizer, one full EM iteration (Kudo 2018 —
+    // the SentencePiece-unigram family; the OTHER major tokenizer
+    // algorithm next to tok3-tok9's BPE, and the first non-BPE entry
+    // in this engine's tokenizer set). Three stages, exactly as the
+    // paper trains: (1) SEED — every substring of length 1-4 of every
+    // word, support-counted with word frequency (single chars kept
+    // unconditionally so every word stays segmentable); (2) E-STEP —
+    // per distinct word, the exact Viterbi-best segmentation under the
+    // seed vocabulary; (3) M-STEP — piece counts re-estimated from the
+    // best segmentations, the statistic the next EM round would
+    // re-normalize on. Output: top-50 pieces by re-estimated count
+    // with their seed support and EM share.
+    // PORTABLE-INTEGER OBJECTIVE (the DSIR-lift / d22-probe family):
+    // log-prob Viterbi compares SUMS of floating logs — the one thing
+    // a cross-engine hash gate cannot pin. The E-step here maximizes
+    // the integer lexicographic surrogate (fewest pieces, then max
+    // total piece support, then longest final piece), which preserves
+    // unigram-LM's fewer-and-more-frequent-pieces character while
+    // every comparison stays in BIGINT; ties are impossible by
+    // construction (the last key is the candidate's own length), so
+    // the segmentation — and the oracle hash — is exact at any SF.
+    // 100 TB shape: the corpus is touched by ONE map-side-combined
+    // groupBy (word → freq, vocabulary-bounded, the tok1/tok3
+    // discipline). Seeding, the per-word piece maps, the DP, and the
+    // M-step all run on vocab-bounded frames with the piece table
+    // BROADCAST; the Viterbi itself is one map-only pass — a native
+    // aggregate/transform/array_sort HOF chain (no UDF), O(len·4) per
+    // word with ≤13-slot accumulator arrays. Another EM round costs
+    // vocab-sized work, never another corpus pass.
+    QueryDef.sql("tok12_unigram_viterbi",
+      s"""WITH $unigramChainSql
+         |SELECT e.piece, p.pf AS pf_seed, e.em_count,
+         |       round(CAST(e.em_count AS DOUBLE) / SUM(e.em_count) OVER (), 6) AS em_share
+         |FROM emc e JOIN pieces p USING (piece)
+         |ORDER BY em_count DESC, piece LIMIT 50""".stripMargin) { (s, d) =>
+      val words = unigramWords(s, d)
+      val pieces = unigramPieces(words)
+      val em = unigramSegment(words, pieces)
+        .select(col("freq"), explode(col("seg")).as("piece"))
+        .groupBy("piece").agg(sum("freq").cast("long").as("em_count"))
+      em.join(broadcast(pieces), Seq("piece"))
+        .select(col("piece"), col("pf").as("pf_seed"), col("em_count"),
+          round(col("em_count").cast("double") /
+            sum("em_count").over(Window.partitionBy()), 6).as("em_share"))
+        .orderBy(col("em_count").desc, col("piece"))
+        .limit(50)
     }
   )
 
@@ -1735,5 +1783,155 @@ object CorpusPrep {
       i += 1
     }
     (picks.toSeq.toDF("iteration", "pair", "n"), state.toSeq.toDF("s", "freq"))
+  }
+
+  // ---- tok12: unigram-LM tokenizer (Kudo 2018) ------------------------
+
+  /** Word-length cap for the unigram DP (the synthetic vocabulary tops
+    * out at 8; real corpora would raise this with the chain length).
+    */
+  private final val UnigramMaxLen = 12
+  /** Longest seed piece, as in SentencePiece's default short-seed mode. */
+  private final val UnigramMaxPiece = 4
+  /** Minimum seed support for multi-character pieces; single characters
+    * are kept unconditionally so every word stays segmentable.
+    */
+  private final val UnigramMinSup = 5
+
+  /** The Viterbi E-step as ONE native HOF expression (aggregate over
+    * word positions; transform/filter/array_sort pick the best last
+    * piece) — map-only, no UDF, O(len·4) per word. The accumulator
+    * carries per-position arrays (segment count, total piece support,
+    * the segmentation itself); candidates for position i are the ≤4
+    * vocabulary pieces ending at i, compared by the integer
+    * lexicographic objective (nseg asc, sumpf desc, piece length desc —
+    * the last key makes ties impossible). `greatest(…, 1)` guards the
+    * k > i probes, which the `c.pf IS NOT NULL` filter then discards
+    * (their pf is forced null by the CASE guard — substring would
+    * otherwise alias shorter prefixes and hit the vocab wrongly).
+    */
+  private val unigramDpSql: String =
+    """aggregate(
+      |  sequence(1, length(word)),
+      |  named_struct(
+      |    'nseg', array(0),
+      |    'sumpf', array(cast(0 as bigint)),
+      |    'segs', array(cast(array() as array<string>))),
+      |  (acc, i) -> element_at(transform(array(
+      |      element_at(
+      |        array_sort(
+      |          filter(
+      |            transform(sequence(1, 4), k -> named_struct(
+      |              'k', k,
+      |              'pf', CASE WHEN k <= i
+      |                         THEN element_at(pm, substring(word, i - k + 1, k))
+      |                         ELSE cast(null as bigint) END,
+      |              'nseg', element_at(acc.nseg, greatest(i - k + 1, 1)) + 1,
+      |              'sumpf', element_at(acc.sumpf, greatest(i - k + 1, 1))
+      |                       + coalesce(CASE WHEN k <= i
+      |                                       THEN element_at(pm, substring(word, i - k + 1, k))
+      |                                       ELSE cast(null as bigint) END,
+      |                                  cast(0 as bigint)),
+      |              'seg', concat(element_at(acc.segs, greatest(i - k + 1, 1)),
+      |                            array(substring(word, greatest(i - k + 1, 1), k))))),
+      |            c -> c.pf is not null),
+      |          (l, r) -> CASE WHEN l.nseg < r.nseg THEN -1 WHEN l.nseg > r.nseg THEN 1
+      |                         WHEN l.sumpf > r.sumpf THEN -1 WHEN l.sumpf < r.sumpf THEN 1
+      |                         WHEN l.k > r.k THEN -1 WHEN l.k < r.k THEN 1 ELSE 0 END),
+      |        1)),
+      |    b -> named_struct(
+      |      'nseg', concat(acc.nseg, array(b.nseg)),
+      |      'sumpf', concat(acc.sumpf, array(b.sumpf)),
+      |      'segs', concat(acc.segs, array(b.seg)))),
+      |  1),
+      |  acc -> element_at(acc.segs, length(word) + 1))""".stripMargin
+
+  /** The corpus pass: word → frequency, length-capped, checkpointed —
+    * seeding, the E-step and the M-step all run off this bounded frame
+    * (the tok1/tok3/tok11 discipline).
+    */
+  private[graft] def unigramWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .filter(length(col("word")).between(1, UnigramMaxLen))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+
+  /** Seed vocabulary: every substring of length 1..4, support-weighted
+    * by word frequency; multi-char pieces need `UnigramMinSup`, single
+    * chars are unconditional (segmentability guarantee). Vocab-bounded.
+    */
+  private[graft] def unigramPieces(words: DataFrame): DataFrame =
+    words
+      .select(col("word"), col("freq"), explode(expr("sequence(1, length(word))")).as("i"))
+      .select(col("word"), col("freq"), col("i"),
+        explode(expr(s"sequence(1, $UnigramMaxPiece)")).as("k"))
+      .filter(expr("i + k - 1 <= length(word)"))
+      .select(expr("substring(word, i, k)").as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").cast("long").as("pf"))
+      .filter(length(col("piece")) === 1 || col("pf") >= UnigramMinSup)
+
+  /** E-step: per distinct word, the exact Viterbi-best segmentation
+    * (array of pieces) under the seed vocabulary. One vocab-bounded
+    * shuffle builds each word's piece-support map (broadcast join +
+    * collect_set, duplicate-safe); the DP itself is the single map-only
+    * [[unigramDpSql]] pass.
+    */
+  private[graft] def unigramSegment(words: DataFrame, pieces: DataFrame): DataFrame = {
+    val wsubs = words
+      .select(col("word"), col("freq"), explode(expr("sequence(1, length(word))")).as("i"))
+      .select(col("word"), col("freq"), col("i"),
+        explode(expr(s"sequence(1, $UnigramMaxPiece)")).as("k"))
+      .filter(expr("i + k - 1 <= length(word)"))
+      .select(col("word"), col("freq"), expr("substring(word, i, k)").as("piece"))
+    val wp = wsubs.join(broadcast(pieces), Seq("piece"))
+      .groupBy("word", "freq")
+      .agg(map_from_entries(collect_set(struct(col("piece"), col("pf")))).as("pm"))
+    wp.select(col("word"), col("freq"), expr(unigramDpSql).as("seg"))
+  }
+
+  /** tok12's oracle chain: the identical seed/E/M stages with the DP
+    * UNROLLED to `UnigramMaxLen` chained CTEs (b1..b12) — each step
+    * takes the per-word best over the ≤4 candidate extensions via a
+    * row_number with the same (nseg, sumpf DESC, k DESC) lexicographic
+    * order the Spark comparator uses. The bpeChainSql / epochChainSql
+    * family: generated, never hand-drifted.
+    */
+  private def unigramChainSql: String = {
+    val steps = (1 to UnigramMaxLen).map { i =>
+      val cands = (1 to math.min(UnigramMaxPiece, i)).map { k =>
+        s"""SELECT b.word, b.freq, b.nseg + 1 AS nseg, b.sumpf + pc.pf AS sumpf,
+           |       CASE WHEN b.seg = '' THEN pc.piece
+           |            ELSE b.seg || ' ' || pc.piece END AS seg,
+           |       $k AS k
+           |FROM b${i - k} b JOIN pieces pc ON pc.piece = substr(b.word, ${i - k + 1}, $k)
+           |WHERE length(b.word) >= $i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""b$i AS MATERIALIZED (
+         |  SELECT word, freq, nseg, sumpf, seg FROM (
+         |    SELECT word, freq, nseg, sumpf, seg,
+         |           row_number() OVER (PARTITION BY word
+         |                              ORDER BY nseg, sumpf DESC, k DESC) AS rn
+         |    FROM ($cands))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to UnigramMaxLen)
+      .map(i => s"SELECT * FROM b$i WHERE length(word) = $i")
+      .mkString("\nUNION ALL\n")
+    s"""w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+       |wf AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM w
+       |       WHERE length(word) BETWEEN 1 AND $UnigramMaxLen GROUP BY 1),
+       |pos AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM wf),
+       |sub AS (SELECT word, freq, i, unnest([1, 2, 3, 4]) AS k FROM pos),
+       |sub2 AS (SELECT substr(word, i, k) AS piece, freq FROM sub
+       |         WHERE i + k - 1 <= length(word)),
+       |pf AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS pf FROM sub2 GROUP BY 1),
+       |pieces AS MATERIALIZED (SELECT piece, pf FROM pf
+       |           WHERE length(piece) = 1 OR pf >= $UnigramMinSup),
+       |b0 AS MATERIALIZED (SELECT word, freq, 0 AS nseg, CAST(0 AS BIGINT) AS sumpf, '' AS seg FROM wf),
+       |$steps,
+       |bl AS ($fin),
+       |emx AS (SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM bl),
+       |emc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS em_count FROM emx GROUP BY 1)""".stripMargin
   }
 }

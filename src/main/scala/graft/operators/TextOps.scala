@@ -2333,6 +2333,168 @@ object TextOps {
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       gopherRules(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // T21: Zipf rank-frequency fit per source — the corpus scaling-law
+    // diagnostic (Zipf 1949; used operationally to spot degenerate or
+    // machine-generated sources, whose slopes collapse toward 0 or
+    // diverge past -2). Per source: OLS of ln(freq) on ln(rank) over
+    // the top-1000 terms, with slope, intercept and R² — the closed
+    // forms of a14_group_regression applied to the term table.
+    // Determinism discipline: ln values are quantized to integer
+    // micro-units BEFORE summing (BIGINT sums are exact and
+    // order-independent — a14's trick), then every cross-sum product
+    // runs in DOUBLE (IEEE-deterministic on identical inputs and
+    // overflow-free where BIGINT products would wrap at a 1e7-term
+    // vocabulary — the DSIR-lift lesson). NULLIF guards the degenerate
+    // one-term / constant-frequency sources on both engines.
+    // 100 TB shape: the corpus is touched by ONE map-side-combined
+    // groupBy (source, term); ranking and the fit run on the
+    // vocab×|sources|-bounded term table (the rank window partitions
+    // by source over that bounded frame, never the corpus), and the
+    // top-1000 cut bounds the fit regardless of vocabulary growth.
+    QueryDef.sql("t21_zipf_fit",
+      """WITH base AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT source, word, COUNT(*) AS f FROM base GROUP BY 1, 2),
+        |rk AS (SELECT source, f,
+        |              row_number() OVER (PARTITION BY source ORDER BY f DESC, word) AS r
+        |       FROM tf),
+        |q AS (SELECT source,
+        |             CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
+        |             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+        |      FROM rk WHERE r <= 1000),
+        |sums AS (SELECT source, COUNT(*) AS n_terms,
+        |                CAST(SUM(xq) AS DOUBLE) AS sx, CAST(SUM(yq) AS DOUBLE) AS sy,
+        |                CAST(SUM(xq * xq) AS DOUBLE) AS sxx,
+        |                CAST(SUM(xq * yq) AS DOUBLE) AS sxy,
+        |                CAST(SUM(yq * yq) AS DOUBLE) AS syy
+        |         FROM q GROUP BY 1)
+        |SELECT source, n_terms,
+        |       round((n_terms * sxy - sx * sy)
+        |               / NULLIF(n_terms * sxx - sx * sx, 0), 6) AS zipf_slope,
+        |       round((sy - (n_terms * sxy - sx * sy)
+        |                     / NULLIF(n_terms * sxx - sx * sx, 0) * sx)
+        |               / n_terms / 1000000.0, 6) AS zipf_intercept,
+        |       round((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+        |               / NULLIF((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy), 0),
+        |             6) AS r2
+        |FROM sums ORDER BY source""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      val tf = base.groupBy("source", "word").agg(count(lit(1)).as("f"))
+      val rk = tf.select(col("source"), col("f"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("f").desc, col("word"))).as("r"))
+      val q = rk.filter(col("r") <= 1000).select(col("source"),
+        round(log(col("r").cast("double")) * 1000000, 0).cast("long").as("xq"),
+        round(log(col("f").cast("double")) * 1000000, 0).cast("long").as("yq"))
+      val sums = q.groupBy("source").agg(
+        count(lit(1)).as("n_terms"),
+        sum("xq").cast("double").as("sx"), sum("yq").cast("double").as("sy"),
+        sum(col("xq") * col("xq")).cast("double").as("sxx"),
+        sum(col("xq") * col("yq")).cast("double").as("sxy"),
+        sum(col("yq") * col("yq")).cast("double").as("syy"))
+      val num = col("n_terms") * col("sxy") - col("sx") * col("sy")
+      val denx = nullif(col("n_terms") * col("sxx") - col("sx") * col("sx"), lit(0d))
+      val deny = col("n_terms") * col("syy") - col("sy") * col("sy")
+      sums.select(col("source"), col("n_terms"),
+        round(num / denx, 6).as("zipf_slope"),
+        round((col("sy") - num / denx * col("sx")) / col("n_terms") / 1000000.0, 6)
+          .as("zipf_intercept"),
+        round(num * num / nullif((col("n_terms") * col("sxx") - col("sx") * col("sx")) * deny,
+          lit(0d)), 6).as("r2"))
+        .orderBy("source")
+    },
+
+    // T22: Heaps'-law vocabulary-growth curve — distinct-term count as
+    // a function of tokens seen, in 10 arrival-order deciles, plus the
+    // fitted Heaps exponent β (V ≈ K·Nᵝ; Heaps 1978). The operational
+    // read: β collapsing toward 0 means the tail of the corpus adds no
+    // new vocabulary (a saturation / duplication signal BEFORE any
+    // dedup pass runs); β near 1 means unbounded novelty (OCR noise,
+    // random identifiers). The cumulative curve needs NO re-scan per
+    // prefix: each term contributes only its FIRST-occurrence decile
+    // (one vocab-bounded groupBy), each doc its token count (one
+    // narrow pass onto a 10-row histogram), and the 10-row curve is
+    // cumulated by a window over those 10 rows. β uses the same
+    // quantized-ln + exact-integer-sum OLS discipline as t21.
+    // 100 TB shape: two corpus passes (token counts; per-term MIN
+    // decile), both map-side-combined onto bounded frames — the decile
+    // histogram (10 rows) and the vocabulary table. Nothing
+    // corpus-sized shuffles; the window runs on 10 rows.
+    QueryDef.sql("t22_heaps_growth",
+      """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        |tokc AS (
+        |  SELECT LEAST(CAST(floor(doc_id * 10.0 / nd) AS INT), 9) + 1 AS b,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS nt
+        |  FROM documents, nd),
+        |db AS (SELECT b, COUNT(*) AS docs, CAST(SUM(nt) AS BIGINT) AS toks
+        |       FROM tokc GROUP BY 1),
+        |fo AS (SELECT word,
+        |              MIN(LEAST(CAST(floor(doc_id * 10.0 / nd) AS INT), 9) + 1) AS fb
+        |       FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |             FROM documents), nd
+        |       GROUP BY 1),
+        |vb AS (SELECT fb AS b, COUNT(*) AS v FROM fo GROUP BY 1),
+        |curve AS (
+        |  SELECT p,
+        |         CAST(SUM(COALESCE(db.docs, 0)) OVER (ORDER BY p) AS BIGINT) AS docs_cum,
+        |         CAST(SUM(COALESCE(db.toks, 0)) OVER (ORDER BY p) AS BIGINT) AS tokens_cum,
+        |         CAST(SUM(COALESCE(vb.v, 0)) OVER (ORDER BY p) AS BIGINT) AS vocab_cum
+        |  FROM (SELECT unnest(generate_series(1, 10)) AS p)
+        |  LEFT JOIN db ON db.b = p LEFT JOIN vb ON vb.b = p),
+        |q AS (SELECT p, docs_cum, tokens_cum, vocab_cum,
+        |             CAST(round(ln(CAST(tokens_cum AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
+        |             CAST(round(ln(CAST(vocab_cum AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+        |      FROM curve WHERE tokens_cum > 0 AND vocab_cum > 0),
+        |fit AS (SELECT COUNT(*) AS n,
+        |               CAST(SUM(xq) AS DOUBLE) AS sx, CAST(SUM(yq) AS DOUBLE) AS sy,
+        |               CAST(SUM(xq * xq) AS DOUBLE) AS sxx,
+        |               CAST(SUM(xq * yq) AS DOUBLE) AS sxy
+        |        FROM q)
+        |SELECT p, docs_cum, tokens_cum, vocab_cum,
+        |       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS heaps_beta
+        |FROM q, fit ORDER BY p""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val nd = docs.agg(count(lit(1)).cast("long").as("nd"))
+      val bCol = (least(floor(col("doc_id") * 10.0 / col("nd")).cast("int"), lit(9)) + 1).as("b")
+      val db = docs.crossJoin(broadcast(nd))
+        .select(bCol,
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("nt"))
+        .groupBy("b").agg(count(lit(1)).as("docs"), sum("nt").cast("long").as("toks"))
+      val vb = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .crossJoin(broadcast(nd))
+        .select(col("word"), bCol)
+        .groupBy("word").agg(min("b").as("fb"))
+        .groupBy(col("fb").as("b")).agg(count(lit(1)).as("v"))
+      val ps = nd.select(explode(expr("sequence(1, 10)")).as("p"))
+      val w = Window.orderBy("p")
+      val curve = ps
+        .join(broadcast(db), ps("p") === db("b"), "left")
+        .join(broadcast(vb), ps("p") === vb("b"), "left")
+        .select(col("p"),
+          sum(coalesce(col("docs"), lit(0L))).over(w).cast("long").as("docs_cum"),
+          sum(coalesce(col("toks"), lit(0L))).over(w).cast("long").as("tokens_cum"),
+          sum(coalesce(col("v"), lit(0L))).over(w).cast("long").as("vocab_cum"))
+      val q = curve.filter(col("tokens_cum") > 0 && col("vocab_cum") > 0)
+        .select(col("p"), col("docs_cum"), col("tokens_cum"), col("vocab_cum"),
+          round(log(col("tokens_cum").cast("double")) * 1000000, 0).cast("long").as("xq"),
+          round(log(col("vocab_cum").cast("double")) * 1000000, 0).cast("long").as("yq"))
+      val fit = q.agg(
+        count(lit(1)).as("n"),
+        sum("xq").cast("double").as("sx"), sum("yq").cast("double").as("sy"),
+        sum(col("xq") * col("xq")).cast("double").as("sxx"),
+        sum(col("xq") * col("yq")).cast("double").as("sxy"))
+      q.crossJoin(broadcast(fit))
+        .select(col("p"), col("docs_cum"), col("tokens_cum"), col("vocab_cum"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0d)), 6)
+            .as("heaps_beta"))
+        .orderBy("p")
     }
   )
 }

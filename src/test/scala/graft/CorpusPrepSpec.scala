@@ -255,4 +255,47 @@ class CorpusPrepSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"chars-weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
   }
+
+  test("tok12: every Viterbi segmentation reconstructs its word, uses only vocab pieces, and is exactly optimal") {
+    import graft.operators.CorpusPrep
+    val words = CorpusPrep.unigramWords(spark, sf)
+    val pieces = CorpusPrep.unigramPieces(words)
+    val vocab = pieces.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val segs = CorpusPrep.unigramSegment(words, pieces)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList))
+    assert(segs.nonEmpty)
+    segs.foreach { case (w, _, seg) =>
+      assert(seg.mkString == w, s"$w reconstructs as ${seg.mkString("|")}")
+      seg.foreach(p => assert(vocab.contains(p), s"$w used non-vocab piece '$p'"))
+    }
+    // independent check: FULL enumeration of all vocab segmentations
+    // (exponential, fine at len <= 12); the DP's (nseg, sumpf) must
+    // equal the enumerated lexicographic optimum for every word
+    def enumerate(w: String): Seq[(Int, Long)] = {
+      def go(i: Int): Seq[(Int, Long)] =
+        if (i == w.length) Seq((0, 0L))
+        else (1 to math.min(4, w.length - i)).flatMap { k =>
+          vocab.get(w.substring(i, i + k)).toSeq.flatMap(pf =>
+            go(i + k).map { case (n, s) => (n + 1, s + pf) })
+        }
+      go(0)
+    }
+    segs.foreach { case (w, _, seg) =>
+      val dp = (seg.length, seg.map(vocab).sum)
+      val opt = enumerate(w).minBy { case (n, s) => (n, -s) }
+      assert(dp == opt, s"$w: DP $dp vs enumerated optimum $opt")
+    }
+    // M-step conservation: at this fixture the piece table fits under
+    // the top-50 cut, so the registered query exposes the WHOLE M-step
+    // — its counts must equal a driver-side recount from the
+    // segmentations, and total mass = sum over words of freq * nseg
+    val out = SparkEntry.queries("tok12_unigram_viterbi")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.length < 50, "fixture outgrew the top-50 cut; conservation check needs a bigger cap")
+    val recount = segs.flatMap { case (_, f, seg) => seg.map(_ -> f) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    assert(out.toMap == recount, "M-step table != driver recount")
+    assert(out.map(_._2).sum == segs.map { case (_, f, seg) => f * seg.length }.sum,
+      "EM mass not conserved")
+  }
 }

@@ -3795,4 +3795,43 @@ class OpsSpec extends SparkSpec {
     assert(expo == poolItems - poolBins && pad == 256L * poolBins - toks.map(_ % 256).sum)
     assert(epoch.map(_._2).sum == poolItems, "every epoch pool doc packs exactly once")
   }
+
+  test("t21 zipf: every source fits a DECAYING rank-frequency line; r2 is a valid fit statistic") {
+    val rows = SparkEntry.queries("t21_zipf_fit")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
+    assert(rows.length == 20, s"expected 20 sources, got ${rows.length}")
+    rows.foreach { case (src, nTerms, slope, r2) =>
+      assert(nTerms >= 2 && nTerms <= 1000, s"$src: n_terms $nTerms out of range")
+      assert(slope < 0, s"$src: Zipf slope must decay, got $slope")
+      assert(r2 > 0 && r2 <= 1.000001, s"$src: r2 $r2 outside (0, 1]")
+    }
+  }
+
+  test("t22 heaps: the growth curve is cumulative-consistent and closes on exact corpus totals") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("t22_heaps_growth")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toList == (1 to 10).toList, "one row per decile, ordered")
+    rows.toList.sliding(2).foreach {
+      case List(a, b) =>
+        assert(b._2 > a._2 && b._3 > a._3, "docs/tokens must strictly grow per decile")
+        assert(b._4 >= a._4, "vocabulary never shrinks")
+      case _ => ()
+    }
+    // the curve closes on independently recounted corpus totals
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val toks = docs.select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    assert(rows.last._2 == docs.count(), "final docs_cum != corpus doc count")
+    assert(rows.last._3 == toks.count(), "final tokens_cum != corpus token count")
+    assert(rows.last._4 == toks.distinct().count(), "final vocab_cum != corpus vocabulary")
+    // beta: one fit, stamped on every row, inside [0, 1). The 31-word
+    // synthetic vocabulary saturates in decile 1, so beta == 0 is the
+    // CORRECT reading here — exactly the no-new-vocabulary signal the
+    // operator exists to surface; a saturated curve must never fit a
+    // nonzero growth exponent
+    assert(rows.map(_._5).distinct.length == 1, "heaps_beta must be the same fit on every row")
+    assert(rows.head._5 >= 0 && rows.head._5 < 1, s"beta ${rows.head._5} outside [0, 1)")
+    if (rows.head._4 == rows.last._4)
+      assert(rows.head._5 == 0.0, "saturated vocabulary must fit beta = 0")
+  }
 }

@@ -1396,4 +1396,31 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"$q: the in-bucket running sum must be a PARTITIONED window")
     }
   }
+
+  test("tok12 unigram: piece table broadcasts (no sort-merge join); unpartitioned windows sit above aggregates only") {
+    // the E-step joins the vocab-bounded word-substring frame to the
+    // piece table — at any corpus size that side stays vocab-bounded
+    // and MUST broadcast; an SMJ here means the seed vocabulary got
+    // shuffled like a fact table. The em_share window over () is legal
+    // only because it consumes the M-step AGGREGATE (vocab-bounded),
+    // never raw exploded rows.
+    val df = SparkEntry.queries("tok12_unigram_viterbi")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val smj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"piece/em tables must broadcast, found SMJ:\n${plan.toString.take(800)}")
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggBelow = collectWithSubqueries(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window over raw rows (single-partition scale-killer):\n" +
+          w.toString.take(800))
+    }
+  }
 }
