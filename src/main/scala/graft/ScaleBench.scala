@@ -238,7 +238,25 @@ object ScaleBench {
     // hash semi-join back to the corpus + tok11's histogram fold —
     // the composed manifest's corpus terms are those three; the BFD
     // itself is bounded driver arithmetic
-    "e2e5_epoch_manifest")
+    "e2e5_epoch_manifest",
+    // tok12 (round 17, net-lag rule): the unigram-LM EM iteration is
+    // the t14 stress shape — the blowup's copy-unique junk makes the
+    // distinct-WORD frame grow ~25× (the corpus pass's groupBy key),
+    // and the seed/E/M stages are linear in that frame while the
+    // broadcast piece table stays support-pruned; the Viterbi HOF is
+    // O(len·4) per distinct word, so this row prices vocab growth,
+    // not corpus growth
+    "tok12_unigram_viterbi",
+    // t21/t22 (round 17, net-lag rule): both are one corpus pass onto
+    // bounded frames — t21's fit runs on the (source × ≤1000-term)
+    // table, t22's curve on a 10-row decile histogram + the per-term
+    // first-occurrence rollup (vocab-bounded, but the junked blowup
+    // grows that vocab ~25× — same stress as t14/tok12)
+    "t21_zipf_fit", "t22_heaps_growth",
+    // tok13 runs tok12's E-step twice (pre/post prune) off the SAME
+    // checkpointed word pass — its ratio certifies the prune window
+    // and the second DP stay vocab-bounded too
+    "tok13_unigram_prune")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

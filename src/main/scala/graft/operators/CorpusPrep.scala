@@ -1162,10 +1162,11 @@ object CorpusPrep {
     // word with ≤13-slot accumulator arrays. Another EM round costs
     // vocab-sized work, never another corpus pass.
     QueryDef.sql("tok12_unigram_viterbi",
-      s"""WITH $unigramChainSql
+      s"""WITH $unigramSeedSql,
+         |${unigramDpChainSql("b", "pieces")}
          |SELECT e.piece, p.pf AS pf_seed, e.em_count,
          |       round(CAST(e.em_count AS DOUBLE) / SUM(e.em_count) OVER (), 6) AS em_share
-         |FROM emc e JOIN pieces p USING (piece)
+         |FROM emc_b e JOIN pieces p USING (piece)
          |ORDER BY em_count DESC, piece LIMIT 50""".stripMargin) { (s, d) =>
       val words = unigramWords(s, d)
       val pieces = unigramPieces(words)
@@ -1178,6 +1179,93 @@ object CorpusPrep {
             sum("em_count").over(Window.partitionBy()), 6).as("em_share"))
         .orderBy(col("em_count").desc, col("piece"))
         .limit(50)
+    },
+
+    // TOK13: unigram-LM vocabulary PRUNE + re-encode — the second half
+    // of the Kudo 2018 training loop (tok12 is the EM iteration; this
+    // is the shrink step the paper alternates with it): rank the
+    // multi-char pieces the E-step actually USED by their EM usage
+    // (the loss proxy — unused seed pieces drop automatically by
+    // never appearing in a best segmentation), KEEP the top half plus
+    // every single character (the segmentability floor), then re-run
+    // the exact Viterbi under the pruned vocabulary and price the
+    // damage: per piece-length, vocabulary size and EM mass before vs
+    // after, plus the corpus-weighted mean pieces-per-word both ways
+    // — the compression-vs-vocab-size trade a tokenizer owner reads
+    // before shipping a smaller vocab.
+    // 100 TB shape: everything tok12 says, twice — the corpus is still
+    // touched by the ONE shared word-frequency pass (both E-steps run
+    // off the same checkpointed vocab frame); the prune itself is a
+    // window over the EM-USED piece table (vocab-bounded, sits above
+    // the M-step aggregate). Determinism: the prune rank orders by
+    // (em_count DESC, piece) — integer and total — and the half cut
+    // is integer floor on both engines.
+    QueryDef.sql("tok13_unigram_prune",
+      s"""WITH $unigramSeedSql,
+         |${unigramDpChainSql("b", "pieces")},
+         |mp AS (SELECT p.piece, p.pf, e.em_count
+         |       FROM pieces p JOIN emc_b e USING (piece) WHERE length(p.piece) > 1),
+         |mpr AS (SELECT piece, pf,
+         |               row_number() OVER (ORDER BY em_count DESC, piece) AS rn,
+         |               COUNT(*) OVER () AS cnt
+         |        FROM mp),
+         |pieces2 AS MATERIALIZED (
+         |  SELECT piece, pf FROM pieces WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, pf FROM mpr WHERE rn * 2 <= cnt),
+         |${unigramDpChainSql("c", "pieces2")},
+         |pb AS (SELECT length(piece) AS len, COUNT(*) AS pieces_before FROM pieces GROUP BY 1),
+         |pa AS (SELECT length(piece) AS len, COUNT(*) AS pieces_after FROM pieces2 GROUP BY 1),
+         |eb AS (SELECT length(piece) AS len, CAST(SUM(em_count) AS BIGINT) AS em_before
+         |       FROM emc_b GROUP BY 1),
+         |ea AS (SELECT length(piece) AS len, CAST(SUM(em_count) AS BIGINT) AS em_after
+         |       FROM emc_c GROUP BY 1),
+         |nb AS (SELECT round(CAST(SUM(freq * nseg) AS DOUBLE) / SUM(freq), 6) AS mean_nseg_before
+         |       FROM bl),
+         |na AS (SELECT round(CAST(SUM(freq * nseg) AS DOUBLE) / SUM(freq), 6) AS mean_nseg_after
+         |       FROM cl)
+         |SELECT pb.len, pieces_before,
+         |       CAST(COALESCE(pieces_after, 0) AS BIGINT) AS pieces_after,
+         |       CAST(COALESCE(em_before, 0) AS BIGINT) AS em_before,
+         |       CAST(COALESCE(em_after, 0) AS BIGINT) AS em_after,
+         |       mean_nseg_before, mean_nseg_after
+         |FROM pb LEFT JOIN pa USING (len) LEFT JOIN eb USING (len) LEFT JOIN ea USING (len)
+         |CROSS JOIN nb CROSS JOIN na
+         |ORDER BY len""".stripMargin) { (s, d) =>
+      val words = unigramWords(s, d)
+      val pieces = unigramPieces(words).localCheckpoint()
+      val seg1 = unigramSegment(words, pieces).localCheckpoint()
+      val em1 = seg1.select(explode(col("seg")).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").cast("long").as("em_count"))
+      val mpr = pieces.filter(length(col("piece")) > 1)
+        .join(em1, Seq("piece"))
+        .select(col("piece"), col("pf"),
+          row_number().over(Window.orderBy(col("em_count").desc, col("piece"))).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("cnt"))
+      val pieces2 = pieces.filter(length(col("piece")) === 1).select("piece", "pf")
+        .union(mpr.filter(col("rn") * 2 <= col("cnt")).select("piece", "pf"))
+        .localCheckpoint()
+      val seg2 = unigramSegment(words, pieces2).localCheckpoint()
+      val em2 = seg2.select(explode(col("seg")).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").cast("long").as("em_count"))
+      def lenOf(df: DataFrame) = df.groupBy(length(col("piece")).as("len"))
+      val pb = lenOf(pieces).agg(count(lit(1)).as("pieces_before"))
+      val pa = lenOf(pieces2).agg(count(lit(1)).as("pieces_after"))
+      val eb = lenOf(em1).agg(sum("em_count").cast("long").as("em_before"))
+      val ea = lenOf(em2).agg(sum("em_count").cast("long").as("em_after"))
+      def meanNseg(seg: DataFrame, alias: String) = seg.agg(
+        round(sum(col("freq") * size(col("seg"))).cast("double") / sum("freq"), 6).as(alias))
+      pb.join(broadcast(pa), Seq("len"), "left")
+        .join(broadcast(eb), Seq("len"), "left")
+        .join(broadcast(ea), Seq("len"), "left")
+        .crossJoin(broadcast(meanNseg(seg1, "mean_nseg_before")))
+        .crossJoin(broadcast(meanNseg(seg2, "mean_nseg_after")))
+        .select(col("len"), col("pieces_before"),
+          coalesce(col("pieces_after"), lit(0L)).as("pieces_after"),
+          coalesce(col("em_before"), lit(0L)).as("em_before"),
+          coalesce(col("em_after"), lit(0L)).as("em_after"),
+          col("mean_nseg_before"), col("mean_nseg_after"))
+        .orderBy("len")
     }
   )
 
@@ -1890,34 +1978,11 @@ object CorpusPrep {
     wp.select(col("word"), col("freq"), expr(unigramDpSql).as("seg"))
   }
 
-  /** tok12's oracle chain: the identical seed/E/M stages with the DP
-    * UNROLLED to `UnigramMaxLen` chained CTEs (b1..b12) — each step
-    * takes the per-word best over the ≤4 candidate extensions via a
-    * row_number with the same (nseg, sumpf DESC, k DESC) lexicographic
-    * order the Spark comparator uses. The bpeChainSql / epochChainSql
-    * family: generated, never hand-drifted.
+  /** tok12/tok13's shared seed CTEs: the corpus word-frequency table
+    * plus the substring seed vocabulary. The bpeChainSql /
+    * epochChainSql family: generated, never hand-drifted.
     */
-  private def unigramChainSql: String = {
-    val steps = (1 to UnigramMaxLen).map { i =>
-      val cands = (1 to math.min(UnigramMaxPiece, i)).map { k =>
-        s"""SELECT b.word, b.freq, b.nseg + 1 AS nseg, b.sumpf + pc.pf AS sumpf,
-           |       CASE WHEN b.seg = '' THEN pc.piece
-           |            ELSE b.seg || ' ' || pc.piece END AS seg,
-           |       $k AS k
-           |FROM b${i - k} b JOIN pieces pc ON pc.piece = substr(b.word, ${i - k + 1}, $k)
-           |WHERE length(b.word) >= $i""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""b$i AS MATERIALIZED (
-         |  SELECT word, freq, nseg, sumpf, seg FROM (
-         |    SELECT word, freq, nseg, sumpf, seg,
-         |           row_number() OVER (PARTITION BY word
-         |                              ORDER BY nseg, sumpf DESC, k DESC) AS rn
-         |    FROM ($cands))
-         |  WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    val fin = (1 to UnigramMaxLen)
-      .map(i => s"SELECT * FROM b$i WHERE length(word) = $i")
-      .mkString("\nUNION ALL\n")
+  private def unigramSeedSql: String =
     s"""w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
        |wf AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM w
        |       WHERE length(word) BETWEEN 1 AND $UnigramMaxLen GROUP BY 1),
@@ -1927,11 +1992,47 @@ object CorpusPrep {
        |         WHERE i + k - 1 <= length(word)),
        |pf AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS pf FROM sub2 GROUP BY 1),
        |pieces AS MATERIALIZED (SELECT piece, pf FROM pf
-       |           WHERE length(piece) = 1 OR pf >= $UnigramMinSup),
-       |b0 AS MATERIALIZED (SELECT word, freq, 0 AS nseg, CAST(0 AS BIGINT) AS sumpf, '' AS seg FROM wf),
+       |           WHERE length(piece) = 1 OR pf >= $UnigramMinSup)""".stripMargin
+
+  /** One unrolled Viterbi E-step + M-step re-count over vocabulary CTE
+    * `$piecesCte`, all CTE names prefixed `$prefix` so tok13 can run
+    * the chain twice (pre/post prune) in one statement: the DP is
+    * UNROLLED to `UnigramMaxLen` chained CTEs (`${prefix}1..12`) —
+    * each step takes the per-word best over the ≤4 candidate
+    * extensions via a row_number with the same (nseg, sumpf DESC,
+    * k DESC) lexicographic order the Spark comparator uses.
+    * `AS MATERIALIZED` is load-bearing: DuckDB's default CTE inlining
+    * re-expands the ≤4-reference chain exponentially (measured: >60 s
+    * inlined vs milliseconds materialized). Final CTEs: `${prefix}l`
+    * (per-word best row) and `emc_$prefix` (M-step piece counts).
+    */
+  private def unigramDpChainSql(prefix: String, piecesCte: String): String = {
+    val steps = (1 to UnigramMaxLen).map { i =>
+      val cands = (1 to math.min(UnigramMaxPiece, i)).map { k =>
+        s"""SELECT b.word, b.freq, b.nseg + 1 AS nseg, b.sumpf + pc.pf AS sumpf,
+           |       CASE WHEN b.seg = '' THEN pc.piece
+           |            ELSE b.seg || ' ' || pc.piece END AS seg,
+           |       $k AS k
+           |FROM $prefix${i - k} b JOIN $piecesCte pc ON pc.piece = substr(b.word, ${i - k + 1}, $k)
+           |WHERE length(b.word) >= $i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$prefix$i AS MATERIALIZED (
+         |  SELECT word, freq, nseg, sumpf, seg FROM (
+         |    SELECT word, freq, nseg, sumpf, seg,
+         |           row_number() OVER (PARTITION BY word
+         |                              ORDER BY nseg, sumpf DESC, k DESC) AS rn
+         |    FROM ($cands))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to UnigramMaxLen)
+      .map(i => s"SELECT * FROM $prefix$i WHERE length(word) = $i")
+      .mkString("\nUNION ALL\n")
+    s"""${prefix}0 AS MATERIALIZED (
+       |  SELECT word, freq, 0 AS nseg, CAST(0 AS BIGINT) AS sumpf, '' AS seg FROM wf),
        |$steps,
-       |bl AS ($fin),
-       |emx AS (SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM bl),
-       |emc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS em_count FROM emx GROUP BY 1)""".stripMargin
+       |${prefix}l AS ($fin),
+       |emx_$prefix AS (SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM ${prefix}l),
+       |emc_$prefix AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS em_count
+       |                FROM emx_$prefix GROUP BY 1)""".stripMargin
   }
 }

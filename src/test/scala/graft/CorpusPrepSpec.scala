@@ -298,4 +298,32 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.map(_._2).sum == segs.map { case (_, f, seg) => f * seg.length }.sum,
       "EM mass not conserved")
   }
+
+  test("tok13: prune keeps all singles + exactly the top half of USED multis; re-encode only gets coarser") {
+    import graft.operators.CorpusPrep
+    val words = CorpusPrep.unigramWords(spark, sf)
+    val pieces = CorpusPrep.unigramPieces(words)
+    val seg1 = CorpusPrep.unigramSegment(words, pieces)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList))
+    val usedMulti = seg1.flatMap { case (_, f, seg) => seg.filter(_.length > 1).map(_ -> f) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val rows = SparkEntry.queries("tok13_unigram_prune")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val byLen = rows.map(r => r._1 -> r).toMap
+    // segmentability floor: every single char survives the prune
+    assert(byLen(1)._3 == byLen(1)._2, "a single-char piece was pruned")
+    // the multi-char keep count is exactly floor(|used multis| / 2)
+    val multiAfter = rows.filter(_._1 > 1).map(_._3).sum
+    assert(multiAfter == usedMulti.size / 2,
+      s"kept $multiAfter multis, expected floor(${usedMulti.size}/2)")
+    // a strictly smaller vocabulary can only segment the same or worse
+    val (before, after) = (rows.head._6, rows.head._7)
+    assert(after >= before, s"mean pieces/word improved after pruning: $before -> $after")
+    assert(rows.map(_._7).distinct.length == 1 && rows.map(_._6).distinct.length == 1,
+      "mean_nseg columns must be constant fit stats")
+    // EM mass before matches tok12's segmentations exactly
+    assert(rows.map(_._4).sum == seg1.map { case (_, f, seg) => f * seg.length }.sum,
+      "pre-prune EM mass != tok12 recount")
+  }
 }
