@@ -1168,17 +1168,7 @@ object CorpusPrep {
          |       round(CAST(e.em_count AS DOUBLE) / SUM(e.em_count) OVER (), 6) AS em_share
          |FROM emc_b e JOIN pieces p USING (piece)
          |ORDER BY em_count DESC, piece LIMIT 50""".stripMargin) { (s, d) =>
-      val words = unigramWords(s, d)
-      val pieces = unigramPieces(words)
-      val em = unigramSegment(words, pieces)
-        .select(col("freq"), explode(col("seg")).as("piece"))
-        .groupBy("piece").agg(sum("freq").cast("long").as("em_count"))
-      em.join(broadcast(pieces), Seq("piece"))
-        .select(col("piece"), col("pf").as("pf_seed"), col("em_count"),
-          round(col("em_count").cast("double") /
-            sum("em_count").over(Window.partitionBy()), 6).as("em_share"))
-        .orderBy(col("em_count").desc, col("piece"))
-        .limit(50)
+      unigramReport(unigramWords(s, d))
     },
 
     // TOK13: unigram-LM vocabulary PRUNE + re-encode — the second half
@@ -1934,16 +1924,42 @@ object CorpusPrep {
       |  1),
       |  acc -> element_at(acc.segs, length(word) + 1))""".stripMargin
 
+  /** The word-count pass over any (doc_id, text) frame: word →
+    * frequency, length-capped. Single-sourced so batch tok12/tok13 and
+    * the at-ingest twin ([[graft.streaming.StreamVocab]]) can never
+    * disagree on what a "word" is. Word counts are ADDITIVE, which is
+    * what makes the streaming ledger batch-cut independent by
+    * construction.
+    */
+  private[graft] def unigramWordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .filter(length(col("word")).between(1, UnigramMaxLen))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
   /** The corpus pass: word → frequency, length-capped, checkpointed —
     * seeding, the E-step and the M-step all run off this bounded frame
     * (the tok1/tok3/tok11 discipline).
     */
   private[graft] def unigramWords(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-      .filter(length(col("word")).between(1, UnigramMaxLen))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .localCheckpoint()
+    unigramWordCounts(Tables.documents(s, d)).localCheckpoint()
+
+  /** tok12's full report over any word-frequency frame: seed → E-step
+    * → M-step → top-50 pieces with seed support and EM share. Shared
+    * verbatim by the registered batch query and StreamVocab.serve().
+    */
+  private[graft] def unigramReport(words: DataFrame): DataFrame = {
+    val pieces = unigramPieces(words)
+    val em = unigramSegment(words, pieces)
+      .select(col("freq"), explode(col("seg")).as("piece"))
+      .groupBy("piece").agg(sum("freq").cast("long").as("em_count"))
+    em.join(broadcast(pieces), Seq("piece"))
+      .select(col("piece"), col("pf").as("pf_seed"), col("em_count"),
+        round(col("em_count").cast("double") /
+          sum("em_count").over(Window.partitionBy()), 6).as("em_share"))
+      .orderBy(col("em_count").desc, col("piece"))
+      .limit(50)
+  }
 
   /** Seed vocabulary: every substring of length 1..4, support-weighted
     * by word frequency; multi-char pieces need `UnigramMinSup`, single

@@ -2501,6 +2501,53 @@ class StreamingSpec extends SparkSpec {
     assert(log2 == log, "fold changed the packing log")
   }
 
+  test("at-ingest vocabulary: serve equals batch tok12 across batch cuts, restart, and fold; per-cohort dial recounts") {
+    import graft.streaming.StreamVocab
+    implicit val sc = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val store = tmpDir("graft-svoc-store") + "/store"
+    val cp = tmpDir("graft-svoc-cp") + "/cp"
+    val in = MemoryStream[(Long, String)]
+    def df = in.toDF().toDF("doc_id", "text")
+    val q1 = StreamVocab.start(df, store, cp)
+    in.addData(rows.take(150): _*); q1.processAllAvailable()
+    in.addData(rows.slice(150, 300): _*); q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint — the rest lands as b2
+    val q2 = StreamVocab.start(df, store, cp)
+    in.addData(rows.drop(300): _*); q2.processAllAvailable()
+    q2.stop()
+    def servedRows = StreamVocab.serve(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    val batch = SparkEntry.queries("tok12_unigram_viterbi")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    // word counts are ADDITIVE, so the summed ledger equals the batch
+    // word-frequency pass no matter the cuts; downstream is the same
+    // single-sourced code path. Precondition: once-ingested corpus
+    // (re-sends add their words again — stated in the scaladoc).
+    assert(servedRows == batch,
+      "at-ingest vocabulary report != batch tok12 on the same corpus (batch-cut dependence)")
+    // the per-cohort dial recounts exactly its own rows
+    def words(t: String) = "[a-z]+".r.findAllIn(t.toLowerCase).toList.filter(_.length <= 12)
+    def expLog(rs: Seq[(Long, String)], b: Long) = {
+      val ws = rs.flatMap(r => words(r._2))
+      (b, ws.size.toLong, ws.distinct.size.toLong)
+    }
+    val log = StreamVocab.vocabLog(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(log == Seq(expLog(rows.take(150), 0L), expLog(rows.slice(150, 300), 1L),
+      expLog(rows.drop(300), 2L)), s"per-cohort vocab dial recount wrong: $log")
+    // fold: serving and the dial are invariant under compaction
+    assert(StreamVocab.fold(spark, store) >= 2)
+    assert(servedRows == batch, "fold changed the served report")
+    val log2 = StreamVocab.vocabLog(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(log2 == log, "fold changed the vocab log")
+  }
+
   test("streaming phash dedup: first-arrival keepers, in-batch winners, verdicts recount, restart and fold hold") {
     import graft.operators.Multimodal
     import graft.streaming.StreamPhash
