@@ -256,7 +256,12 @@ object ScaleBench {
     // tok13 runs tok12's E-step twice (pre/post prune) off the SAME
     // checkpointed word pass — its ratio certifies the prune window
     // and the second DP stay vocab-bounded too
-    "tok13_unigram_prune")
+    "tok13_unigram_prune",
+    // e2e6 re-encodes the corpus under the trained tokenizer: tok12's
+    // vocab-bounded side + ONE corpus explode joined to the broadcast
+    // word→nseg map folded per doc, into tok11's bounded histogram —
+    // the corpus term is that single exchange
+    "e2e6_unigram_packing")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

@@ -1256,6 +1256,48 @@ object CorpusPrep {
           coalesce(col("em_after"), lit(0L)).as("em_after"),
           col("mean_nseg_before"), col("mean_nseg_after"))
         .orderBy("len")
+    },
+
+    // E2E6: pack the corpus UNDER THE TRAINED TOKENIZER — the
+    // composition a training run actually prices. tok10/tok11 pack
+    // word counts; a real dataloader packs PIECE sequences, and the
+    // piece count of a doc depends on the tokenizer the corpus itself
+    // trained. This row chains the two registered operators verbatim:
+    // tok12's Viterbi segmentation gives every word its piece count
+    // (the shared unigram chain — seed, E-step), each doc folds to its
+    // total piece count, and tok11's closed-form BFD prices packing
+    // that TOKENIZED corpus (the shared bfd chain). A drift in either
+    // stage breaks this row too — the e2e5 discipline.
+    // 100 TB shape: the unigram side is tok12's (one vocab-bounded
+    // word pass); the re-encode is one corpus explode joined to the
+    // BROADCAST word→nseg map folded map-side per doc (the one
+    // exchange the per-doc fold needs — the corpus never carries
+    // piece strings, only the integer nseg); the packing side is
+    // tok11's ≤32-row histogram + bounded driver arithmetic. Words
+    // beyond the 12-char vocab cap are outside the tokenizer by
+    // tok12's contract and carry no pieces here either.
+    QueryDef.sql("e2e6_unigram_packing",
+      s"""WITH RECURSIVE
+         |$unigramSeedSql,
+         |${unigramDpChainSql("b", "pieces")},
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |       FROM documents),
+         |tok AS (SELECT dw.doc_id, CAST(SUM(bl.nseg) AS BIGINT) AS n_tokens
+         |        FROM dw JOIN bl ON bl.word = dw.word GROUP BY dw.doc_id),
+         |$bfdChainSql
+         |$bfdSelectSql""".stripMargin) { (s, d) =>
+      val words = unigramWords(s, d)
+      val segLens = unigramSegment(words, unigramPieces(words))
+        .select(col("word"), size(col("seg")).as("nseg"))
+      bfdPackFrame(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+          .join(broadcast(segLens), Seq("word"))
+          .groupBy("doc_id").agg(sum("nseg").cast("long").as("n"))
+          .filter(col("n") > 0)
+          .select("n")
+          .localCheckpoint())
     }
   )
 

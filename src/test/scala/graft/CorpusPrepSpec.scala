@@ -326,4 +326,17 @@ class CorpusPrepSpec extends SparkSpec {
     assert(rows.map(_._4).sum == seg1.map { case (_, f, seg) => f * seg.length }.sum,
       "pre-prune EM mass != tok12 recount")
   }
+
+  test("e2e6: packed token mass equals tok12's EM mass — tokenizer and packer agree on the corpus") {
+    import graft.operators.CorpusPrep
+    val r = SparkEntry.queries("e2e6_unigram_packing")(spark, sf).collect().head
+    // total tokens fold back out of the manifest's invariants:
+    // pad = 256·pool_bins − pool_tokens and total = 256·full_bins + pool_tokens
+    val packed = 256L * (r.getLong(5) + r.getLong(6)) - r.getLong(7)
+    val words = CorpusPrep.unigramWords(spark, sf)
+    val em = CorpusPrep.unigramSegment(words, CorpusPrep.unigramPieces(words))
+      .select(col("freq"), size(col("seg")).as("nseg")).collect()
+      .map(x => x.getLong(0) * x.getInt(1)).sum
+    assert(packed == em, s"packed mass $packed != tok12 EM mass $em")
+  }
 }
