@@ -261,7 +261,12 @@ object ScaleBench {
     // vocab-bounded side + ONE corpus explode joined to the broadcast
     // word→nseg map folded per doc, into tok11's bounded histogram —
     // the corpus term is that single exchange
-    "e2e6_unigram_packing")
+    "e2e6_unigram_packing",
+    // tok14 joins BOTH trained tokenizers' vocab-bounded maps to one
+    // (source × vocab)-bounded word rollup — its corpus term is that
+    // single map-side-combined pass; the blowup's junk vocabulary
+    // stresses the same key-cardinality growth as t14/tok12
+    "tok14_tokenizer_compare")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

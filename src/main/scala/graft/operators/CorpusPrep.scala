@@ -1298,6 +1298,71 @@ object CorpusPrep {
           .filter(col("n") > 0)
           .select("n")
           .localCheckpoint())
+    },
+
+    // TOK14: BPE vs unigram, head to head per source — the report a
+    // tokenizer owner reads before picking one: corpus-weighted
+    // fertility (pieces per word) under tok3/tok4's 3-merge BPE state
+    // and under tok12's unigram vocabulary, on the same word stream,
+    // with the per-source winner called. Both tokenizers are the
+    // REGISTERED operators' own artifacts (the shared bpe chain and
+    // the shared unigram chain — nothing re-derived), joined through
+    // each one's word → piece-count map. Scope: the unigram-eligible
+    // vocabulary (words ≤ 12 chars — tok12's cap; BPE tokenizes
+    // everything, so the INNER join restricts both sides to the
+    // common set and the comparison stays apples-to-apples).
+    // 100 TB shape: one corpus pass folds map-side onto the
+    // (source × vocab)-bounded word table; both piece-count maps are
+    // vocab-bounded BROADCASTs; fertilities are exact integer sums
+    // combined in DOUBLE at the end (the t21 discipline).
+    QueryDef.sql("tok14_tokenizer_compare",
+      s"""WITH ${bpeChainSql(3)},
+         |vmap AS (SELECT replace(trim(s), ' ', '') AS word,
+         |                CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS bpe_nseg
+         |         FROM s3),
+         |$unigramSeedSql,
+         |${unigramDpChainSql("b", "pieces")},
+         |sw AS (SELECT source, word, COUNT(*) AS c
+         |       FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |             FROM documents)
+         |       GROUP BY 1, 2),
+         |j AS (SELECT sw.source, sw.c, v.bpe_nseg, CAST(bl.nseg AS BIGINT) AS uni_nseg
+         |      FROM sw JOIN vmap v ON v.word = sw.word JOIN bl ON bl.word = sw.word),
+         |agg AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_words,
+         |               CAST(SUM(c * bpe_nseg) AS BIGINT) AS bpe_tokens,
+         |               CAST(SUM(c * uni_nseg) AS BIGINT) AS uni_tokens
+         |        FROM j GROUP BY 1)
+         |SELECT source, n_words, bpe_tokens, uni_tokens,
+         |       round(CAST(bpe_tokens AS DOUBLE) / n_words, 6) AS bpe_fertility,
+         |       round(CAST(uni_tokens AS DOUBLE) / n_words, 6) AS uni_fertility,
+         |       CASE WHEN uni_tokens < bpe_tokens THEN 'unigram'
+         |            WHEN bpe_tokens < uni_tokens THEN 'bpe'
+         |            ELSE 'tie' END AS winner
+         |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
+      val (_, state) = bpeTrainLocalWithState(s, bpeInit(s, d), 3)
+      val vmap = state.select(
+        regexp_replace(trim(col("s")), " ", "").as("word"),
+        size(split(trim(col("s")), " ")).cast("long").as("bpe_nseg"))
+      val words = unigramWords(s, d)
+      val uniMap = unigramSegment(words, unigramPieces(words))
+        .select(col("word"), size(col("seg")).cast("long").as("uni_nseg"))
+      val sw = Tables.documents(s, d)
+        .select(col("source"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      sw.join(broadcast(vmap), Seq("word"))
+        .join(broadcast(uniMap), Seq("word"))
+        .groupBy("source").agg(
+          sum("c").cast("long").as("n_words"),
+          sum(col("c") * col("bpe_nseg")).cast("long").as("bpe_tokens"),
+          sum(col("c") * col("uni_nseg")).cast("long").as("uni_tokens"))
+        .select(col("source"), col("n_words"), col("bpe_tokens"), col("uni_tokens"),
+          round(col("bpe_tokens").cast("double") / col("n_words"), 6).as("bpe_fertility"),
+          round(col("uni_tokens").cast("double") / col("n_words"), 6).as("uni_fertility"),
+          when(col("uni_tokens") < col("bpe_tokens"), "unigram")
+            .when(col("bpe_tokens") < col("uni_tokens"), "bpe")
+            .otherwise("tie").as("winner"))
+        .orderBy("source")
     }
   )
 
@@ -2041,15 +2106,15 @@ object CorpusPrep {
     * epochChainSql family: generated, never hand-drifted.
     */
   private def unigramSeedSql: String =
-    s"""w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
-       |wf AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM w
+    s"""uw AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+       |uwf AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM uw
        |       WHERE length(word) BETWEEN 1 AND $UnigramMaxLen GROUP BY 1),
-       |pos AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM wf),
-       |sub AS (SELECT word, freq, i, unnest([1, 2, 3, 4]) AS k FROM pos),
-       |sub2 AS (SELECT substr(word, i, k) AS piece, freq FROM sub
+       |upos AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM uwf),
+       |usub AS (SELECT word, freq, i, unnest([1, 2, 3, 4]) AS k FROM upos),
+       |usub2 AS (SELECT substr(word, i, k) AS piece, freq FROM usub
        |         WHERE i + k - 1 <= length(word)),
-       |pf AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS pf FROM sub2 GROUP BY 1),
-       |pieces AS MATERIALIZED (SELECT piece, pf FROM pf
+       |upf AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS pf FROM usub2 GROUP BY 1),
+       |pieces AS MATERIALIZED (SELECT piece, pf FROM upf
        |           WHERE length(piece) = 1 OR pf >= $UnigramMinSup)""".stripMargin
 
   /** One unrolled Viterbi E-step + M-step re-count over vocabulary CTE
@@ -2086,7 +2151,7 @@ object CorpusPrep {
       .map(i => s"SELECT * FROM $prefix$i WHERE length(word) = $i")
       .mkString("\nUNION ALL\n")
     s"""${prefix}0 AS MATERIALIZED (
-       |  SELECT word, freq, 0 AS nseg, CAST(0 AS BIGINT) AS sumpf, '' AS seg FROM wf),
+       |  SELECT word, freq, 0 AS nseg, CAST(0 AS BIGINT) AS sumpf, '' AS seg FROM uwf),
        |$steps,
        |${prefix}l AS ($fin),
        |emx_$prefix AS (SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM ${prefix}l),
