@@ -162,14 +162,52 @@ object Multimodal {
   def wavParams(h: Long): (Int, Int) =
     ((8000L * (1 + h % 2)).toInt, (400 + (h / 2) % 800).toInt)
 
-  /** Batched WAV ENCODE (the fixture's audio source): real
-    * `AudioSystem.write` RIFF emission per row over one reusable
-    * buffer — the audio twin of [[encodePngBatch]]. Pure byte-array
-    * streams end to end: no audio device, no temp files (the
-    * ImageIO disk-cache hazard has no javax.sound analogue here).
+  /** The JDK's own WAVE reader/writer, resolved ONCE per executor JVM
+    * through the public `javax.sound.sampled.spi` ServiceLoader path.
+    * Going through `AudioSystem.getAudioInputStream`/`write` per ROW
+    * funnels every one of the 32 task threads through
+    * `JDK13Services.getProviders` — a SYNCHRONIZED static — and that
+    * class-level lock is a scale-killer the round-17 ScaleBench run
+    * caught red-handed (m6 10× ratio 18.6×, 30× exponent 1.28, the
+    * m4-ImageIO signature). The providers themselves (WaveFileReader /
+    * WaveFileWriter) are stateless and thread-safe; hoisting the
+    * lookup out of the row loop keeps the REAL JDK RIFF codec while
+    * removing the shared lock.
+    */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileReader = null
+    while (it.hasNext && found == null) {
+      val r = it.next()
+      if (r.getClass.getName.toLowerCase.contains("wave")) found = r
+    }
+    require(found != null, "no WAVE AudioFileReader provider on this JDK")
+    found
+  }
+
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import javax.sound.sampled.AudioFileFormat
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileWriter = null
+    while (it.hasNext && found == null) {
+      val w = it.next()
+      if (w.isFileTypeSupported(AudioFileFormat.Type.WAVE)) found = w
+    }
+    require(found != null, "no WAVE AudioFileWriter provider on this JDK")
+    found
+  }
+
+  /** Batched WAV ENCODE (the fixture's audio source): real JDK RIFF
+    * emission per row over one reusable buffer — the audio twin of
+    * [[encodePngBatch]]. Pure byte-array streams end to end: no audio
+    * device, no temp files (the ImageIO disk-cache hazard has no
+    * javax.sound analogue here); the writer is the once-resolved
+    * [[wavWriter]] (see its note for why not `AudioSystem.write`).
     */
   def encodeWavBatch(batch: Seq[(Long, Long)]): Seq[WavRow] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     val baos = new java.io.ByteArrayOutputStream(4096)
     batch.map { case (docId, h) =>
       val (sr, n) = wavParams(h)
@@ -179,23 +217,22 @@ object Multimodal {
       val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
         sr.toFloat, 8, 1, 1, sr.toFloat, false)
       baos.reset()
-      AudioSystem.write(
+      wavWriter.write(
         new AudioInputStream(new java.io.ByteArrayInputStream(samples), fmt, n.toLong),
         AudioFileFormat.Type.WAVE, baos)
       WavRow(docId, baos.toByteArray)
     }
   }
 
-  /** REAL batched audio decode: `AudioSystem.getAudioInputStream` over
-    * the WAV bytes — the JDK's actual RIFF parser — with every feature
-    * measured from the decoded format and sample stream. A payload
-    * that fails to parse fails the batch loudly (quarantine-sink
-    * caveat as [[decodeBatch]]).
+  /** REAL batched audio decode: the JDK's actual RIFF parser
+    * ([[wavReader]], the same WaveFileReader `AudioSystem` would pick)
+    * over the WAV bytes, with every feature measured from the decoded
+    * format and sample stream. A payload that fails to parse fails the
+    * batch loudly (quarantine-sink caveat as [[decodeBatch]]).
     */
   def decodeAudioBatch(batch: Seq[WavRow]): Seq[AudioFeatures] = {
-    import javax.sound.sampled.AudioSystem
     batch.map { r =>
-      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(r.media))
+      val in = wavReader.getAudioInputStream(new java.io.ByteArrayInputStream(r.media))
       val fmt = in.getFormat
       require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 8,
         s"doc ${r.doc_id}: unexpected decoded format $fmt")
