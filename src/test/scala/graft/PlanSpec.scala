@@ -1423,4 +1423,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
           w.toString.take(800))
     }
   }
+
+  test("e2e6 unigram packing: the word→nseg re-encode map broadcasts — no sort-merge join anywhere") {
+    // the re-encode is ONE corpus explode joined to the trained
+    // tokenizer's word→piece-count map; that map is vocab-bounded at
+    // any corpus size and MUST broadcast — an SMJ here means the
+    // corpus-sized word stream got sorted against the vocabulary
+    val df = SparkEntry.queries("e2e6_unigram_packing")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val smj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty,
+      s"word→nseg map must broadcast, found SMJ:\n${plan.toString.take(800)}")
+  }
+
+  test("tok13 unigram prune: both E-steps broadcast their piece tables; the prune window sits above the M-step aggregate") {
+    val df = SparkEntry.queries("tok13_unigram_prune")(spark, sf)
+    df.collect()
+    val plan = stripAQEPlan(df.queryExecution.executedPlan)
+    val smj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty,
+      s"vocab-bounded frames must broadcast, found SMJ:\n${plan.toString.take(800)}")
+  }
 }
