@@ -182,4 +182,44 @@ class OpsPropSpec extends SparkSpec {
     assert(salted.select("k", "v", "tag").except(plain.select("k", "v", "tag")).isEmpty)
     assert(plain.select("k", "v", "tag").except(salted.select("k", "v", "tag")).isEmpty)
   }
+
+  test("unigram Viterbi is exactly optimal on RANDOM vocabularies, not just the corpus") {
+    // tok12's CorpusPrepSpec enumeration covers the fixture's 31 fixed
+    // words; this drives the same exactness claim through ADVERSARIAL
+    // random inputs — tiny alphabets make repeated substrings and dense
+    // (nseg, sumpf) ties the norm, exactly where a subtly-wrong
+    // comparator or an off-by-one in the candidate guard would hide.
+    import graft.operators.CorpusPrep
+    val wordsGen = for {
+      n <- Gen.chooseNum(5, 25)
+      ws <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(1, 10)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')) // tiny alphabet → dense ties
+        f <- Gen.chooseNum(1L, 9L)
+      } yield (cs.mkString, f))
+    } yield ws.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+
+    val prop = Prop.forAll(wordsGen) { ws =>
+      val words = ws.toDF("word", "freq").localCheckpoint()
+      val pieces = CorpusPrep.unigramPieces(words)
+      val vocab = pieces.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val segs = CorpusPrep.unigramSegment(words, pieces)
+        .collect().map(r => (r.getString(0), r.getSeq[String](2).toList))
+      def enumerate(w: String): Seq[(Int, Long)] = {
+        def go(i: Int): Seq[(Int, Long)] =
+          if (i == w.length) Seq((0, 0L))
+          else (1 to math.min(4, w.length - i)).flatMap { k =>
+            vocab.get(w.substring(i, i + k)).toSeq.flatMap(pf =>
+              go(i + k).map { case (n, s) => (n + 1, s + pf) })
+          }
+        go(0)
+      }
+      segs.length == ws.length && segs.forall { case (w, seg) =>
+        seg.mkString == w && seg.forall(vocab.contains) &&
+          (seg.length, seg.map(vocab).sum) ==
+            enumerate(w).minBy { case (n, s) => (n, -s) }
+      }
+    }
+    run("unigram viterbi exactness", prop, 8)
+  }
 }
