@@ -266,7 +266,11 @@ object ScaleBench {
     // (source × vocab)-bounded word rollup — its corpus term is that
     // single map-side-combined pass; the blowup's junk vocabulary
     // stresses the same key-cardinality growth as t14/tok12
-    "tok14_tokenizer_compare")
+    "tok14_tokenizer_compare",
+    // qa7's corpus term is ONE map-only HOF pass (per-row exact norm,
+    // no explode) + a map-side-combined groupBy onto |classes| rows —
+    // the embeddings blowup grows rows 10× and nothing else
+    "qa7_label_balance")
 
   /** The third-point spot-check set: the WORST observed 10× ratios
     * (d15, v11 historically; t18 since round 11 — its 5.45× at 10×

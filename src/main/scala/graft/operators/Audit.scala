@@ -468,6 +468,68 @@ object Audit {
           expr("CASE WHEN n0 >= 5 THEN n0 WHEN n1 >= 5 THEN n1" +
             " WHEN n2 >= 5 THEN n2 ELSE n3 END").as("k_size"))
         .orderBy("c_custkey")
+    },
+
+    // QA7: class-balance audit over the labeled embedding table — the
+    // pre-training sanity report for any classification / contrastive
+    // dataset: per-class count and share, per-class mean squared
+    // embedding norm (a collapsed or unnormalized class shows up here
+    // before it poisons a training run), plus the distribution-level
+    // dials — Shannon entropy in bits (uniform 10-class = log2(10) ≈
+    // 3.32; a skew collapse drops it) and the max/min imbalance ratio.
+    // Determinism: norms come from 1e-6-quantized elements (exact
+    // BIGINT xi² sums — the v1/v5 element discipline); each class's
+    // entropy contribution is quantized to integer micro-bits BEFORE
+    // the cross-class sum (the t21 discipline — a float sum over class
+    // rows would be engine-order-dependent); all counts exact.
+    // 100 TB shape: ONE map-only pass computes each vector's exact
+    // squared norm inside an aggregate() HOF (no explode, no shuffle —
+    // the element stream never leaves the row), then one map-side-
+    // combined groupBy onto the |classes|-bounded frame; everything
+    // after is arithmetic on that bounded table.
+    QueryDef.sql("qa7_label_balance",
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xi
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)),
+        |n2 AS (SELECT vec_id, label, CAST(SUM(xi * xi) AS BIGINT) AS n2
+        |       FROM e GROUP BY 1, 2),
+        |lb AS (SELECT label, COUNT(*) AS n, CAST(SUM(n2) AS BIGINT) AS sn2
+        |       FROM n2 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(MAX(n) AS BIGINT) AS mx,
+        |               CAST(MIN(n) AS BIGINT) AS mn FROM lb),
+        |ent AS (SELECT CAST(SUM(CAST(round(
+        |                 -(CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)
+        |                   / ln(2) * 1000000.0) AS BIGINT)) AS BIGINT) AS eq
+        |        FROM lb, tot)
+        |SELECT lb.label, lb.n,
+        |       CAST((1000000 * lb.n) // tot.t AS BIGINT) AS share_ppm,
+        |       round(CAST(lb.sn2 AS DOUBLE) / lb.n / 1000000000000.0, 6) AS mean_norm2,
+        |       round(CAST(ent.eq AS DOUBLE) / 1000000.0, 6) AS entropy_bits,
+        |       round(CAST(tot.mx AS DOUBLE) / tot.mn, 6) AS imbalance
+        |FROM lb CROSS JOIN tot CROSS JOIN ent
+        |ORDER BY lb.label""".stripMargin) { (s, d) =>
+      val xi = "cast(round(cast(x as double) * 1000000.0, 0) as bigint)"
+      val n2 = Tables.embeddings(s, d).select(col("label"),
+        expr(s"aggregate(embedding, cast(0 as bigint), (acc, x) -> acc + $xi * $xi)")
+          .as("n2"))
+      val lb = n2.groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("n2").cast("long").as("sn2"))
+        .localCheckpoint()
+      val tot = lb.agg(sum("n").cast("long").as("t"),
+        max("n").cast("long").as("mx"), min("n").cast("long").as("mn"))
+      val ent = lb.crossJoin(broadcast(tot))
+        .select(round(-(col("n").cast("double") / col("t")) *
+          log(col("n").cast("double") / col("t")) / math.log(2) * 1000000.0, 0)
+          .cast("long").as("eqi"))
+        .agg(sum("eqi").cast("long").as("eq"))
+      lb.crossJoin(broadcast(tot)).crossJoin(broadcast(ent))
+        .select(col("label"), col("n"),
+          expr("CAST((1000000 * n) div t AS BIGINT)").as("share_ppm"),
+          round(col("sn2").cast("double") / col("n") / 1e12, 6).as("mean_norm2"),
+          round(col("eq").cast("double") / 1e6, 6).as("entropy_bits"),
+          round(col("mx").cast("double") / col("mn"), 6).as("imbalance"))
+        .orderBy("label")
     }
   )
 }
