@@ -230,9 +230,13 @@ object TextOps {
       .select(col("doc_id"), col("s.i").cast("long").as("i"),
         phash(col("s.w")).as("h"))
       .localCheckpoint() // feeds the dup-evidence agg and the ranking
-    val dup = win.select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+    // "window in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id):
+    // one h-keyed exchange with map-side partial min/max, where the
+    // distinct-then-count form paid a (h, doc_id) exchange AND an
+    // h exchange (r17 optimization; same h set exactly)
+    val dup = win.groupBy("h")
+      .agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"))
+      .filter(col("__lo") =!= col("__hi")).select("h")
     val hspec = Window.partitionBy("h").orderBy("doc_id", "i")
     val cutw = win.join(dup, Seq("h"))
       .withColumn("rn", row_number().over(hspec))
@@ -731,6 +735,13 @@ object TextOps {
           Window.partitionBy("doc_id").orderBy(col("sdf").asc, col("shingle").asc)))
         .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
         .select(col("doc_id"), col("shingle"), col("n"), col("rk"))
+        // the prefix frame feeds BOTH sides of the candidate self-join;
+        // without this checkpoint the planner evaluates the whole
+        // df-agg + two-window subtree twice (the broadcast side is a
+        // BroadcastExchange, so ReuseExchange never matches it against
+        // the streamed side — r17 profile: the duplicated subtree was
+        // d20's second-largest cost)
+        .localCheckpoint()
       // positional filter (the "PP" of PPJoin): ranks follow ONE
       // global order, so within a doc they are monotone in it — the
       // globally smallest SHARED prefix shingle therefore attains
@@ -1237,16 +1248,21 @@ object TextOps {
         .select(col("doc_id"), phash(col("w")).as("h"))
         .distinct()
         .localCheckpoint() // feeds the map-only test AND the truth channel
-      val exact = dwd.join(broadcast(bw), Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_exact"))
+      // ONE per-doc aggregate serves both channels: the ground-truth
+      // exact count rides the same broadcast bench set as before but
+      // as a left-join hit FLAG summed inside the bloom rollup — the
+      // split form paid a second doc_id exchange plus a join of the
+      // two per-doc frames (r17 optimization: 2 aggregates + 1 join →
+      // 1 aggregate; bw is distinct on h, so the left join cannot
+      // multiply window rows and n_windows is unchanged)
       dwd.withColumn("__bw", typedLit(words.toSeq))
         .withColumn("bloom", bloomHit)
+        .join(broadcast(bw.withColumn("__hit", lit(1L))), Seq("h"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_windows"),
-          sum(when(col("bloom"), 1L).otherwise(0L)).cast("long").as("n_bloom"))
-        .join(exact, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_windows"),
-          coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_bloom"))
+          sum(when(col("bloom"), 1L).otherwise(0L)).cast("long").as("n_bloom"),
+          sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_exact"))
+        .select(col("doc_id"), col("n_windows"), col("n_exact"), col("n_bloom"))
         .withColumn("n_fp", col("n_bloom") - col("n_exact"))
         .withColumn("fp_ppm", expr("CAST((1000000 * n_fp) div n_windows AS BIGINT)"))
         .orderBy("doc_id")
@@ -1354,9 +1370,11 @@ object TextOps {
         .select(col("doc_id"), col("s.i").cast("long").as("i"),
           phash(col("s.w")).as("h"))
         .localCheckpoint() // feeds the dup-hash agg and the cover join
-      val dup = win.select("h", "doc_id").distinct()
-        .groupBy("h").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2).select("h")
+      // min != max ⟺ >= 2 distinct docs — one exchange, not two
+      // (see spanCleaned's dup note)
+      val dup = win.groupBy("h")
+        .agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"))
+        .filter(col("__lo") =!= col("__hi")).select("h")
       val wspec = Window.partitionBy("doc_id").orderBy("i")
       win.join(dup, Seq("h"))
         .select("doc_id", "i")
@@ -1559,8 +1577,15 @@ object TextOps {
         .distinct()
         .localCheckpoint() // feeds totals and both overlap-join sides
       val tot = win.groupBy("source").agg(count(lit(1)).cast("long").as("n_src"))
-      val ov = win.select(col("source").as("source_a"), col("h"))
-        .join(win.select(col("source").as("source_b"), col("h")), Seq("h"))
+      // pair generation via ONE h-keyed aggregate + in-row pair
+      // explode instead of the h self-join (r17 optimization): win is
+      // distinct on (source, h), so per h the source set is exactly
+      // the join's match list — exploding set × set yields the same
+      // one row per (h, a, b), with the window stream crossing one
+      // exchange once instead of riding both join sides
+      val ov = win.groupBy("h").agg(collect_set(col("source")).as("ss"))
+        .select(explode(col("ss")).as("source_a"), col("ss"))
+        .select(col("source_a"), explode(col("ss")).as("source_b"))
         .filter(col("source_a") =!= col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).cast("long").as("n_shared"))
@@ -1857,20 +1882,27 @@ object TextOps {
         passedDocs.select(col("doc_id"), split(col("text"), " ").as("ws")), bw)
         .select("doc_id").distinct()
         .join(ndSurvIds, Seq("doc_id"), "left_semi")
-      def staged(ids: DataFrame, stage: String): DataFrame =
-        scored.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), lit(stage).as("stage"),
-            round(col("quality"), 6).as("quality"))
-      val mQuality = scored.filter(col("quality") < 0.5 || col("quality").isNull)
-        .select(col("doc_id"), lit("quality").as("stage"),
+      // Stage assignment is ONE pass over `scored` with three keyed
+      // left joins on the small id frames (exact-survivor reps,
+      // greedy-rejected nodes, contamination flags) and a CASE — the
+      // five-leg union this replaces re-read the checkpointed frame
+      // five times through five semi/anti joins and paid a broadcast
+      // per leg (r17 optimization: 8 joins + 4 unions → 3 joins; same
+      // partition of scored, bit-identical rows). The id sets are
+      // each distinct by construction (reps = one min per fp group;
+      // greedyAdmit = one row per graph node; contam = .distinct()),
+      // so the left joins cannot multiply rows.
+      scored
+        .join(exSurvIds.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
+        .join(rejected.withColumn("__rej", lit(1)), Seq("doc_id"), "left")
+        .join(contam.withColumn("__con", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("quality").isNull || col("quality") < 0.5, lit("quality"))
+            .when(col("__ex").isNull, lit("exact"))
+            .when(col("__rej") === 1, lit("neardup"))
+            .when(col("__con") === 1, lit("contaminated"))
+            .otherwise(lit("kept")).as("stage"),
           round(col("quality"), 6).as("quality"))
-      val mExact = staged(
-        passed.select("doc_id").join(exSurvIds, Seq("doc_id"), "left_anti"), "exact")
-      val mNear = staged(rejected, "neardup")
-      val mCont = staged(contam, "contaminated")
-      val mKept = staged(ndSurvIds.join(contam, Seq("doc_id"), "left_anti"), "kept")
-      mQuality.unionByName(mExact).unionByName(mNear)
-        .unionByName(mCont).unionByName(mKept)
         .orderBy("doc_id")
     },
 
