@@ -81,12 +81,18 @@ object ProductAnalytics {
         |ORDER BY c.cohort_day, k""".stripMargin) { (s, d) =>
       val ud = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
-      ud.join(cohort, Seq("user_id"))
+      // cohort day as a user-partitioned MIN window instead of a
+      // groupBy + self-join (r17: one user_id exchange replaces an
+      // aggregation exchange plus a join); and since ud is distinct on
+      // (user_id, day) and k is a function of day, a user contributes
+      // at most one row per (cohort_day, k) — the distinct count is a
+      // plain count
+      ud.withColumn("cohort_day",
+          min("day").over(Window.partitionBy("user_id")))
         .withColumn("k", datediff(col("day"), col("cohort_day")))
         .filter(col("k") <= 7)
         .groupBy("cohort_day", "k")
-        .agg(count_distinct(col("user_id")).as("n_active"))
+        .agg(count(lit(1)).as("n_active"))
         .orderBy("cohort_day", "k")
     },
 
@@ -184,13 +190,19 @@ object ProductAnalytics {
         |ORDER BY d.day""".stripMargin) { (s, d) =>
       val ud = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val dau = ud.groupBy("day").agg(count_distinct(col("user_id")).as("n_dau"))
+      // ud is distinct on (user_id, day), so per-day user_ids are
+      // already unique: DAU is a plain count (no two-phase distinct
+      // aggregation), and dau's key set IS the active-day set, so the
+      // separate days-distinct + identity join is dropped (r17: three
+      // aggregations + two joins over ud -> two aggregations + one
+      // join; wau keeps its true distinct count — a user active twice
+      // inside one trailing window must still count once)
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("n_dau"))
       val wau = ud
         .withColumn("i", explode(sequence(lit(0), lit(6))))
         .select(col("user_id"), expr("date_add(day, i)").as("day"))
         .groupBy("day").agg(count_distinct(col("user_id")).as("n_wau"))
-      ud.select("day").distinct()
-        .join(dau, Seq("day")).join(wau, Seq("day"))
+      dau.join(wau, Seq("day"))
         .select(col("day"), col("n_dau"), col("n_wau"),
           (col("n_dau").cast("double") / col("n_wau").cast("double")).as("stickiness"))
         .orderBy("day")
