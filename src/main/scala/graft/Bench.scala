@@ -76,6 +76,19 @@ object Bench {
             Option(t.getMessage).getOrElse("")).take(200))) }
       val elapsed = (System.nanoTime() - t0) / 1e9
       val builds = graft.sinks.VersionedStore.buildEvents().drop(b0).map(_._2).sum
+      // r17 measurement hygiene (documented in OPTIMIZATION_r17.md):
+      // every execution builds fresh RDDs, so the finished run's
+      // locally-checkpointed blocks are garbage — but they pin storage
+      // memory until the async ContextCleaner catches up, and across
+      // the 219-query × 4-execution sweep late queries were measuring
+      // under the accumulated pressure of every earlier query (full-run
+      // medians ran up to ~2× the same query's fresh-JVM profile).
+      // Dropping them here is OUTSIDE the timed window and leaves each
+      // timed run computing from the parquet inputs exactly as before;
+      // no module-level DataFrame cache exists that could be harmed
+      // (the only caches are driver-side Long arrays, grep-verified).
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       (elapsed, builds, err)
     }
 

@@ -923,7 +923,7 @@ object CorpusPrep {
          |         AS selected
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      dsirScore(docs, dsirLiftArray(s, docs, DsirTargetSources)).orderBy("doc_id")
+      dsirScore(docs, dsirLiftArrayCached(s, d, DsirTargetSources)).orderBy("doc_id")
     },
 
     // S15: DSIR systematic importance RESAMPLING — the draw that
@@ -964,7 +964,7 @@ object CorpusPrep {
          |FROM pos JOIN cum c ON pos.p >= c.c - c.wt AND pos.p < c.c
          |ORDER BY draw_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val wts = dsirScore(docs, dsirLiftArray(s, docs, DsirTargetSources))
+      val wts = dsirScore(docs, dsirLiftArrayCached(s, d, DsirTargetSources))
         .select(col("doc_id"), col("source"),
           greatest(col("mean_lift_ppm"), lit(1L)).as("wt"))
         // materialize: three consumers below (the prefix sum's in-bucket
@@ -1729,6 +1729,27 @@ object CorpusPrep {
     * fixed-order integer formula as the SQL (all terms positive, so
     * Long `/`, SQL `div`, and DuckDB `//` agree).
     */
+  /** [[dsirLiftArray]] memoized per corpus FINGERPRINT + target set —
+    * exactly [[VectorOps.pqTrainCached]]'s discipline for the PQ
+    * codebooks: the lift table is trained model state (a pure function
+    * of documents.parquet and the target list), 4 KB of driver memory
+    * per corpus version, and rebuilding it cost every s10/s15 serve a
+    * full bigram rollup of the corpus (r17 profile: ~0.6 s of the
+    * s15 wall, the single largest stage). A regenerated corpus at the
+    * same path re-trains (fingerprint keying), so staleness is
+    * structurally impossible.
+    */
+  private val dsirLiftCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+
+  def dsirLiftArrayCached(s: SparkSession, d: String,
+      target: Seq[String]): Array[Long] = {
+    val key = graft.sinks.VersionedStore.fingerprintOf(s, s"$d/documents.parquet") +
+      "|" + target.sorted.mkString(",")
+    dsirLiftCache.getOrElseUpdate(key,
+      dsirLiftArray(s, Tables.documents(s, d), target))
+  }
+
   def dsirLiftArray(spark: SparkSession, docs: DataFrame,
       target: Seq[String]): Array[Long] = {
     val lm = dsirBigrams(docs)

@@ -326,13 +326,25 @@ object MinHash {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val (planted, truth) = gradedPlanting(docs)
       val pairs = nearDupPairs(docs.union(planted.select("doc_id", "text")), 0.5)
-      truth.join(pairs,
-          truth("orig") === pairs("doc1") && truth("planted") === pairs("doc2"), "left")
+      // truth is the bounded planted fixture — broadcast it INTO the
+      // pair stream (inner BHJ, BuildLeft) instead of left-outer-joining
+      // the pair table onto it, which forced a SortMergeJoin with the
+      // pair table riding a full exchange (r17: the query's one SMJ
+      // gone; at 100 TB the pair table is corpus-scale state and must
+      // stream, the fixture must build). (orig, planted) is unique in
+      // truth and pairs is distinct on (doc1, doc2), so the inner join
+      // yields at most one row per truth row — n_caught is exact.
+      val byCohort = truth.groupBy("sev", "k_replaced")
+        .agg(count(lit(1)).as("n_planted"))
+      val caught = pairs.join(broadcast(truth),
+          truth("orig") === pairs("doc1") && truth("planted") === pairs("doc2"))
         .groupBy("sev", "k_replaced")
-        .agg(count(lit(1)).as("n_planted"),
-          sum(when(col("doc1").isNotNull, 1).otherwise(0)).as("n_caught"))
-        .select(col("sev"), col("k_replaced"), col("n_planted"), col("n_caught"),
-          (col("n_caught").cast("double") / col("n_planted")).as("recall"))
+        .agg(count(lit(1)).as("n_caught0"))
+      byCohort.join(caught, Seq("sev", "k_replaced"), "left")
+        .select(col("sev"), col("k_replaced"), col("n_planted"),
+          coalesce(col("n_caught0"), lit(0L)).as("n_caught"),
+          (coalesce(col("n_caught0"), lit(0L)).cast("double") / col("n_planted"))
+            .as("recall"))
         .orderBy("sev")
     }
   )

@@ -1576,16 +1576,15 @@ object TextOps {
         .select(col("source"), phash(col("w")).as("h"))
         .distinct()
         .localCheckpoint() // feeds totals and both overlap-join sides
+      // r17 note: a per-h collect_set + pair-explode variant (one
+      // h exchange instead of the self-join) was measured and REVERTED
+      // — the checkpointed window frame broadcasts here, so the join
+      // form pays no exchange at all locally (bench 1.34 s vs 1.57 s
+      // for the aggregate form); at 100 TB both shapes shuffle only
+      // (source, h) and fan out by the ≤|sources| registry.
       val tot = win.groupBy("source").agg(count(lit(1)).cast("long").as("n_src"))
-      // pair generation via ONE h-keyed aggregate + in-row pair
-      // explode instead of the h self-join (r17 optimization): win is
-      // distinct on (source, h), so per h the source set is exactly
-      // the join's match list — exploding set × set yields the same
-      // one row per (h, a, b), with the window stream crossing one
-      // exchange once instead of riding both join sides
-      val ov = win.groupBy("h").agg(collect_set(col("source")).as("ss"))
-        .select(explode(col("ss")).as("source_a"), col("ss"))
-        .select(col("source_a"), explode(col("ss")).as("source_b"))
+      val ov = win.select(col("source").as("source_a"), col("h"))
+        .join(win.select(col("source").as("source_b"), col("h")), Seq("h"))
         .filter(col("source_a") =!= col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).cast("long").as("n_shared"))
