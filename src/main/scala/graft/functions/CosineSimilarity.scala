@@ -293,7 +293,8 @@ object GraftExtensions {
     ("cosine_sim_q", exprs => CosineSimilarityQ(exprs(0), exprs(1))),
     ("lsh_codes", exprs => LshCodes(exprs(0), exprs(1))),
     ("dot_q", exprs => DotQ(exprs(0), exprs(1))),
-    ("nfc_normalize", exprs => NfcNormalize(exprs(0))))
+    ("nfc_normalize", exprs => NfcNormalize(exprs(0))),
+    ("md5_prefix60", exprs => Md5Prefix60(exprs(0))))
 
   /** Forked sanity main: proves an extensions-built session resolves
     * the native functions in plain SQL with no register() call

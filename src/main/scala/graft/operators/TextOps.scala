@@ -60,8 +60,13 @@ object TextOps {
   }
 
   /** Portable 60-bit content hash (identical in Spark and DuckDB). */
+  // Native form of conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  // — bit-identical (see Md5Prefix60), built directly from the
+  // expression so no session registry is needed at call time.
   def phash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
   val phashSql: String => String =
     x => s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 

@@ -222,4 +222,27 @@ class OpsPropSpec extends SparkSpec {
     }
     run("unigram viterbi exactness", prop, 8)
   }
+
+  test("Md5Prefix60 is bit-identical to conv(substring(md5(x),1,15),16,10)") {
+    // r17: phash's native form skips the hex-string materialization —
+    // this property pins it to the composed form it replaced (and to
+    // the DuckDB oracle SQL, which still computes the composed form)
+    // over random unicode strings, including empty and whitespace-only.
+    import graft.operators.TextOps
+    val strGen = Gen.frequency(
+      (8, Gen.listOf(Gen.frequency(
+        (20, Gen.alphaNumChar), (4, Gen.const(' ')),
+        (1, Gen.oneOf('é', 'ß', '中', '\t')))).map(_.mkString)),
+      (1, Gen.const("")),
+      (1, Gen.const("   ")))
+    val prop = Prop.forAll(Gen.listOfN(24, strGen)) { ss =>
+      val df = ss.toDF("t")
+      val rows = df.select(
+        TextOps.phash(col("t")).as("native"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("composed"))
+        .collect()
+      rows.forall(r => r.getLong(0) == r.getLong(1))
+    }
+    run("md5_prefix60 equivalence", prop, 12)
+  }
 }
