@@ -739,7 +739,17 @@ object TextOps {
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("sdf").asc, col("shingle").asc)))
         .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
-        .select(col("doc_id"), col("shingle"), col("n"), col("rk"))
+        // the self-join keys on a 64-bit hash of the prefix shingle,
+        // so the string is dropped HERE and the candidate exchange
+        // carries (doc_id, hs, n, rk) — longs only (guide §2.3). This
+        // keeps d20 exact: equal shingles hash equal, so every true
+        // pair still collides (candidates are a SUPERSET), and a
+        // spurious hash agreement can only LOWER the min-rank pair
+        // (i, j), which LOOSENS the positional bound — never prunes a
+        // true pair. The verify join below re-joins the actual shingle
+        // sets, so false candidates die on their true intersection.
+        .select(col("doc_id"), xxhash64(col("shingle")).as("hs"),
+          col("n"), col("rk"))
         // the prefix frame feeds BOTH sides of the candidate self-join;
         // without this checkpoint the planner evaluates the whole
         // df-agg + two-window subtree twice (the broadcast side is a
@@ -760,10 +770,10 @@ object TextOps {
       // ever reach α die here, before the verify join pays for them
       // (the brute-force equality spec guards the lemma).
       val cand = prefix
-        .select(col("doc_id").as("doc1"), col("shingle"),
+        .select(col("doc_id").as("doc1"), col("hs"),
           col("n").as("n1"), col("rk").as("rk1"))
-        .join(prefix.select(col("doc_id").as("doc2"), col("shingle"),
-          col("n").as("n2"), col("rk").as("rk2")), Seq("shingle"))
+        .join(prefix.select(col("doc_id").as("doc2"), col("hs"),
+          col("n").as("n2"), col("rk").as("rk2")), Seq("hs"))
         .filter(col("doc1") < col("doc2"))
         .filter(lit(2) * least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")))
         .groupBy("doc1", "doc2", "n1", "n2")
@@ -771,10 +781,30 @@ object TextOps {
         .filter(least(col("n1") - col("i") + 1, col("n2") - col("j") + 1) >=
           expr("(n1 + n2 + 2) div 3"))
         .select("doc1", "doc2", "n1", "n2")
+        .localCheckpoint() // feeds the id restriction AND the verify join
+      // verification on per-doc shingle SETS of candidate docs only
+      // (bounded by the candidate set, which the prefix lemma bounds):
+      // one semi-join restriction of the checkpointed shingle frame +
+      // one doc_id rollup, then the true intersection is computed per
+      // candidate ROW via array_intersect — r17 replacement for the
+      // former two-join explosion (|cand| × shingles rows through two
+      // broadcast joins and a four-key re-aggregation, the query's
+      // hottest stage). sh is distinct per (doc_id, shingle), so
+      // |array_intersect| IS the set intersection; a candidate pair
+      // sharing no shingle (possible only via prefix-hash collision)
+      // gets inter = 0 and dies at the jaccard gate exactly like the
+      // inner-join form that produced no row for it.
+      val candIds = cand.select(col("doc1").as("doc_id"))
+        .union(cand.select(col("doc2").as("doc_id"))).distinct()
+      val docSets = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_list(col("shingle")).as("ss"))
       val inter = cand
-        .join(sh.select(col("doc_id").as("doc1"), col("shingle")), Seq("doc1"))
-        .join(sh.select(col("doc_id").as("doc2"), col("shingle")), Seq("doc2", "shingle"))
-        .groupBy("doc1", "doc2", "n1", "n2").agg(count(lit(1)).as("inter"))
+        .join(broadcast(docSets.select(col("doc_id").as("doc1"),
+          col("ss").as("ss1"))), Seq("doc1"))
+        .join(broadcast(docSets.select(col("doc_id").as("doc2"),
+          col("ss").as("ss2"))), Seq("doc2"))
+        .select(col("doc1"), col("doc2"), col("n1"), col("n2"),
+          size(array_intersect(col("ss1"), col("ss2"))).cast("long").as("inter"))
       inter
         .withColumn("jaccard",
           col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))

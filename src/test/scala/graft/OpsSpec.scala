@@ -244,6 +244,13 @@ class OpsSpec extends SparkSpec {
         case "nfc_normalize" =>
           val r = builder(Seq(Literal("plain"))).eval(null)
           assert(r.toString == "plain", s"$name should be identity on NFC input")
+        case "md5_prefix60" =>
+          // conv(substr(md5('spark'),1,15),16,10) = 688788748498370921
+          // (independently computed: md5('spark') = 98f11b7a7880169...)
+          val r = builder(Seq(Literal("spark"))).eval(null)
+          assert(r == 688788748498370921L, s"$name('spark') wrong: $r")
+          val e = builder(Seq(Literal(""))).eval(null)
+          assert(e == 955282973525019424L, s"$name('') wrong: $e")
         case _ =>
           val r = builder(Seq(v, v)).eval(null)
           assert(r == 1.0d, s"$name self-similarity should be exactly 1.0, got $r")
