@@ -221,7 +221,16 @@ object Canary {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // r17 measurement hygiene, same fix as Bench.runOnce (see
+      // OPTIMIZATION_r17.md): every execution builds fresh RDDs, so the
+      // finished run's locally-checkpointed blocks are garbage — drop
+      // them OUTSIDE the timed window so a 45-query × 6-pass sweep does
+      // not time late queries under the accumulated storage pressure of
+      // every earlier one. CANARY.json re-anchored with this change.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      elapsed
     }
     // Protocol, shaped by measured failure modes of two earlier drafts:
     //  1. SUITE-WIDE warm pass before any clock starts. Draft one

