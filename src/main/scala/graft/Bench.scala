@@ -86,7 +86,15 @@ object Bench {
       // Dropping them here is OUTSIDE the timed window and leaves each
       // timed run computing from the parquet inputs exactly as before;
       // no module-level DataFrame cache exists that could be harmed
-      // (the only caches are driver-side Long arrays, grep-verified).
+      // (r18: the former driver-side Long-array memos now live in the
+      // VersionedStore artifact channel, so NO module-level cache of
+      // any kind remains). INVARIANT (r17 advisor): this blanket
+      // unpersist is safe ONLY because Bench/Canary run queries
+      // strictly sequentially — if executions are ever parallelized,
+      // it would unpersist a concurrently-running query's
+      // localCheckpoint, whose truncated lineage cannot be recomputed;
+      // scope the unpersist to RDD ids created since the run's start
+      // before adding any parallelism.
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       (elapsed, builds, err)

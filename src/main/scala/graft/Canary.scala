@@ -228,6 +228,8 @@ object Canary {
       // them OUTSIDE the timed window so a 45-query × 6-pass sweep does
       // not time late queries under the accumulated storage pressure of
       // every earlier one. CANARY.json re-anchored with this change.
+      // Safe ONLY while executions are strictly sequential — see the
+      // invariant note in Bench.runOnce before parallelizing anything.
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       elapsed

@@ -731,25 +731,34 @@ object TextOps {
       // 2·min >= max. Integer ceil: (n + 1) div 2. Both per-doc stats
       // (set size n, rarest-first rank) ride ONE doc_id exchange —
       // count/row_number windows share the partitioning — and the
-      // global shingle df is a window too: two exchanges over the
-      // shingle frame total, where the join formulation paid four.
-      val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-      val prefix = sh.join(sdf, "shingle")
+      // global shingle df is a count window over the 64-bit shingle
+      // HASH (r18, guide §2.3/§2.4): the r17 form aggregated by the
+      // shingle STRING and joined back, paying a string-keyed exchange
+      // plus a join; the window form is one long-keyed exchange and no
+      // join. Hash-collision safety: df-per-hash can only MERGE two
+      // shingles' counts, which reorders the rarest-first ranking —
+      // but the prefix lemma holds for ANY consistent global total
+      // order ((sdf, shingle) remains one: both are functions of the
+      // shingle), every true pair still collides in the prefixes, and
+      // the exact verify join below is unchanged, so the RESULT is
+      // bit-identical (the brute-force equality spec pins it).
+      val prefix = sh
+        .withColumn("hs", xxhash64(col("shingle")))
+        .withColumn("sdf", count(lit(1)).over(Window.partitionBy("hs")))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("sdf").asc, col("shingle").asc)))
         .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
-        // the self-join keys on a 64-bit hash of the prefix shingle,
-        // so the string is dropped HERE and the candidate exchange
-        // carries (doc_id, hs, n, rk) — longs only (guide §2.3). This
-        // keeps d20 exact: equal shingles hash equal, so every true
-        // pair still collides (candidates are a SUPERSET), and a
-        // spurious hash agreement can only LOWER the min-rank pair
-        // (i, j), which LOOSENS the positional bound — never prunes a
-        // true pair. The verify join below re-joins the actual shingle
-        // sets, so false candidates die on their true intersection.
-        .select(col("doc_id"), xxhash64(col("shingle")).as("hs"),
-          col("n"), col("rk"))
+        // the self-join keys on the hash, so the string is dropped
+        // HERE and the candidate exchange carries (doc_id, hs, n, rk)
+        // — longs only (guide §2.3). This keeps d20 exact: equal
+        // shingles hash equal, so every true pair still collides
+        // (candidates are a SUPERSET), and a spurious hash agreement
+        // can only LOWER the min-rank pair (i, j), which LOOSENS the
+        // positional bound — never prunes a true pair. The verify join
+        // below re-joins the actual shingle sets, so false candidates
+        // die on their true intersection.
+        .select(col("doc_id"), col("hs"), col("n"), col("rk"))
         // the prefix frame feeds BOTH sides of the candidate self-join;
         // without this checkpoint the planner evaluates the whole
         // df-agg + two-window subtree twice (the broadcast side is a
@@ -1857,12 +1866,21 @@ object TextOps {
         .select(Seq(col("doc_id"), col("text")) ++ qualityFeatureCols: _*)
         .select(col("doc_id"), qualityCol.as("quality"),
           md5(col("text")).as("fp"))
+        // exact-survivor membership rides the checkpoint as a min
+        // window (r18, guide §2.4): __ex = 1 iff the doc is the
+        // min-id QUALITY SURVIVOR of its fingerprint group (min
+        // ignores the nulls the `when` leaves on failed docs — the
+        // same "reps grouped over pass4" set as the r17 groupBy(fp)
+        // + doc_id SortMergeJoin back onto scored, in ONE fp-keyed
+        // exchange computed once inside the checkpoint).
+        .withColumn("__ex",
+          when(col("quality") >= 0.5 &&
+            col("doc_id") === min(when(col("quality") >= 0.5, col("doc_id")))
+              .over(Window.partitionBy("fp")), lit(1)))
         .localCheckpoint() // one evaluation feeds every manifest leg
-      val passed = scored.filter(col("quality") >= 0.5)
-      // min-id rep per fingerprint; reps ⊆ passed, so reps IS the
-      // exact-survivor id set
-      val exSurvIds = passed.groupBy("fp").agg(min("doc_id").as("doc_id"))
-        .select("doc_id").localCheckpoint()
+      // reps ⊆ passed, so this filter IS the exact-survivor id set —
+      // a narrow re-read of the checkpointed frame, no aggregation
+      val exSurvIds = scored.filter(col("__ex") === 1).select("doc_id")
       // signatures over the quality survivors (narrow re-filter in the
       // scan), pairs restricted to exact survivors AFTERWARD: band
       // collision and estimate depend only on the two endpoint docs'
@@ -1892,31 +1910,33 @@ object TextOps {
         .join(exSurvIds.withColumnRenamed("doc_id", "doc2"), Seq("doc2"), "left_semi")
       val rejected = DedupCluster.greedyAdmit(pairs.select("doc1", "doc2"))
         .filter(!col("admitted")).select("doc_id")
-      val ndSurvIds = exSurvIds.join(rejected, Seq("doc_id"), "left_anti")
       val bw = d7bBenchWindows(d7bBenchFixture(
         docs.select(col("doc_id"), split(col("text"), " ").as("ws"))))
         .localCheckpoint() // fixture-sized; broadcast side of the screen
       // verdicts over the quality survivors (a doc's verdict depends
-      // only on its content + the fixture), restricted to the chain's
-      // survivors on the NARROW flagged-id frame
+      // only on its content + the fixture). The r17 form restricted
+      // the flags to the near-dup survivors through an ndSurvIds
+      // semi-join; that restriction is REDUNDANT for the output — the
+      // CASE below consults __con only after quality, __ex and __rej
+      // have passed, i.e. exactly on nd-survivors — so the flags frame
+      // is served unrestricted and the semi-join (plus the ndSurvIds
+      // anti-join feeding it) is gone (r18, guide §2.4).
       val contam = d7bVerdicts(
         passedDocs.select(col("doc_id"), split(col("text"), " ").as("ws")), bw)
         .select("doc_id").distinct()
-        .join(ndSurvIds, Seq("doc_id"), "left_semi")
-      // Stage assignment is ONE pass over `scored` with three keyed
-      // left joins on the small id frames (exact-survivor reps,
-      // greedy-rejected nodes, contamination flags) and a CASE — the
-      // five-leg union this replaces re-read the checkpointed frame
-      // five times through five semi/anti joins and paid a broadcast
-      // per leg (r17 optimization: 8 joins + 4 unions → 3 joins; same
-      // partition of scored, bit-identical rows). The id sets are
-      // each distinct by construction (reps = one min per fp group;
-      // greedyAdmit = one row per graph node; contam = .distinct()),
-      // so the left joins cannot multiply rows.
+      // Stage assignment is ONE pass over `scored` (exact-survivor
+      // membership already rides it as __ex) with two BROADCAST left
+      // joins on the bounded id frames — greedy-rejected nodes and
+      // contamination flags are id-only projections of the pair GRAPH
+      // and the bench screen (never corpus-scale; the near-dup graph
+      // is the same frame greedyAdmit itself iterates with broadcast
+      // joins) — r18: SMJ 3 → 0 (guide §3.1). The id sets are each
+      // distinct by construction (greedyAdmit = one row per graph
+      // node; contam = .distinct()), so the left joins cannot
+      // multiply rows.
       scored
-        .join(exSurvIds.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
-        .join(rejected.withColumn("__rej", lit(1)), Seq("doc_id"), "left")
-        .join(contam.withColumn("__con", lit(1)), Seq("doc_id"), "left")
+        .join(broadcast(rejected.withColumn("__rej", lit(1))), Seq("doc_id"), "left")
+        .join(broadcast(contam.withColumn("__con", lit(1))), Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("quality").isNull || col("quality") < 0.5, lit("quality"))
             .when(col("__ex").isNull, lit("exact"))
