@@ -342,7 +342,7 @@ object VectorOps {
     }) { (s, d) =>
       graft.functions.NativeFunctions.register(s)
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val (cells, probes) = ivfCellsAndProbes(s, emb)
+      val (cells, probes) = ivfCellsAndProbes(s, d, emb)
       probes.join(cells, "cell")
         .filter(col("cand_id") =!= col("query_id"))
         .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -701,7 +701,7 @@ object VectorOps {
          |ORDER BY strategy, query_id, rn""".stripMargin) { (s, d) =>
       graft.functions.NativeFunctions.register(s)
       val emb = Tables.embeddings(s, d)
-      val (cells, probes) = ivfCellsAndProbes(s, emb.select("vec_id", "embedding"))
+      val (cells, probes) = ivfCellsAndProbes(s, d, emb.select("vec_id", "embedding"))
       val books = pqTrainCached(s, d)
       val codes = codesArtifact(s, d).withColumnRenamed("vec_id", "cand_id")
       val qs = collectQueries(
@@ -1155,9 +1155,10 @@ object VectorOps {
       val books = pqTrainCached(s, d)
       val codes = codesArtifact(s, d).withColumnRenamed("vec_id", "cand_id")
       val cents = ivfCents(emb)
-      val cells = ivfRank(emb, cents).filter(col("crn") === 1)
-        .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
-        .localCheckpoint() // probed once per nprobe value
+      // corpus cells from the STORED index (r18, cellsArtifact) — the
+      // per-serve full-embeddings rank + checkpoint is gone; only the
+      // 10-query probe ranking below runs per serve
+      val cells = cellsArtifact(s, d)
       val queries = emb.filter(col("vec_id") < 10)
       val qc = collectQueries(queries)
       val qRank = ivfRank(queries, cents)
@@ -1710,7 +1711,7 @@ object VectorOps {
   private[operators] def v9Ranked(s: SparkSession, d: String, k: Int): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val (cells, probes) = ivfCellsAndProbes(s, emb)
+    val (cells, probes) = ivfCellsAndProbes(s, d, emb)
     val books = pqTrainCached(s, d)
     val codes = codesArtifact(s, d).withColumnRenamed("vec_id", "cand_id")
     val qs = collectQueries(emb.filter(col("vec_id") < 10))
@@ -1785,16 +1786,17 @@ object VectorOps {
     emb.filter(col("vec_id") < NCells)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
 
-  /** Engine twin of [[ivfCellsSql]]: one localCheckpoint shared by the
-    * cells and probes readers (v9's fixed vec_id < 10 query set).
+  /** Engine twin of [[ivfCellsSql]]: corpus cells from the STORED
+    * [[cellsArtifact]] (r18 — the per-serve full-embeddings rank +
+    * localCheckpoint is gone), probes ranked per-serve over just the
+    * vec_id < 10 query slice (per-vector ranking is independent, so
+    * ranking the slice equals slicing the full ranking row-for-row).
     */
-  private def ivfCellsAndProbes(s: SparkSession,
+  private def ivfCellsAndProbes(s: SparkSession, d: String,
       emb: DataFrame): (DataFrame, DataFrame) = {
-    val ranked = ivfRank(emb, ivfCents(emb))
-      .localCheckpoint() // cells + probes both read it; assign once
-    val cells = ranked.filter(col("crn") === 1)
-      .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
-    val probes = ranked.filter(col("crn") <= NProbe && col("vec_id") < 10)
+    val cells = cellsArtifact(s, d)
+    val probes = ivfRank(emb.filter(col("vec_id") < 10), ivfCents(emb))
+      .filter(col("crn") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     (cells, probes)
   }
@@ -2019,6 +2021,30 @@ object VectorOps {
     graft.sinks.VersionedStore.corpusArtifact(s, d, "pq_codes",
       srcTable = "embeddings") { out =>
       encodeCodes(Tables.embeddings(s, d), pqTrainCached(s, d))
+        .write.parquet(out)
+    }
+
+  /** The IVF cell assignment (vec_id → nearest seed cell) as a
+    * build-once corpus artifact — FAISS's inverted LISTS, the other
+    * half of the stored IVF-PQ index next to [[codesArtifact]]'s
+    * codes. Every serve previously re-ranked the FULL embeddings table
+    * against the NCells centroids and localCheckpointed the result
+    * (r18 profile: the single largest stage cluster in r2_hybrid_rrf
+    * and the v9 family); cell assignment is a pure deterministic
+    * function of (corpus, NCells seed rule), so it is index state —
+    * built once per embeddings fingerprint through the ledger, two
+    * longs per vector on disk, re-read from parquet by every serve.
+    * Query-side probe ranking stays per-serve (queries are runtime
+    * input, the probe pass is a ≤10-row map against centroid
+    * literals).
+    */
+  def cellsArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "ivf_cells",
+        srcTable = "embeddings", logicKey = s"ncells$NCells cosine") { out =>
+      graft.functions.NativeFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      ivfRank(emb, ivfCents(emb)).filter(col("crn") === 1)
+        .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
         .write.parquet(out)
     }
 

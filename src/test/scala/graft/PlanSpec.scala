@@ -1099,11 +1099,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"serve-time scan reads text: ${s.requiredSchema.fieldNames.mkString(",")}")
   }
 
-  test("d20 ppjoin: everything rides the checkpointed shingle frame; all joins keyed") {
+  test("d20 ppjoin: every scan reads the stored prefix-ranked index; all joins keyed") {
     // exactness without n²: candidates come from the keyed prefix
     // self-join, verification from keyed joins bounded by the candidate
-    // set. No cartesian, no nested-loop, and zero file scans in the
-    // final plan (the 5-consumer shingle frame is checkpointed once).
+    // set. No cartesian, no nested-loop, and (r18) every file scan in
+    // the plan reads the prefix-ranked shingle ARTIFACT — never the
+    // raw documents table: hs/n/rk are build-time index state, so a
+    // raw-corpus scan here would mean serving re-derived them.
     val df = SparkEntry.queries("d20_ppjoin")(spark, sf)
     val p = planString(df)
     assert(!p.contains("CartesianProduct"), s"cartesian in d20:\n${p.take(800)}")
@@ -1111,8 +1113,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
-    assert(scans.isEmpty,
-      s"d20 rescans files past the shingle checkpoint: ${scans.length}")
+    assert(scans.nonEmpty, "d20 should serve from the stored shingle index")
+    val offIndex = scans.filterNot(_.relation.location.rootPaths
+      .forall(_.toString.contains("shingle_idx_graded")))
+    assert(offIndex.isEmpty,
+      s"d20 scans something other than the shingle index: ${offIndex.map(_.relation.location.rootPaths.mkString(","))}")
+    // no window machinery survives in the serve plan — the df/rank
+    // window exchanges moved into the artifact build
+    assert(!p.contains("windowspecdefinition"),
+      s"d20 serve plan still computes a window:\n${p.take(800)}")
   }
 
   test("mv1 refresh: the new-day ts filter is pushed into the events scan") {
