@@ -340,7 +340,7 @@ object VersionedStore {
     val f = fs(spark, dir)
     if (!isComplete(f, dir)) throw new java.io.FileNotFoundException(
       s"version $version at $base is not a complete committed version")
-    spark.read.parquet(dir.toString)
+    readCommitted(spark, dir.toString)
   }
 
   /** Roll the pointer back (or forward) to a retained version — a
@@ -643,10 +643,33 @@ object VersionedStore {
       prune(spark, new Path(base), keep = Set(p.version))
     }
 
+  /** Per-process schema catalog for committed version dirs. A version
+    * dir is immutable by protocol (publish writes a fresh dir and
+    * flips the pointer), so its parquet schema can never change — yet
+    * every bare `spark.read.parquet` pays a 1-task schema-inference
+    * job before the scan, once per artifact access per query
+    * execution (r18 profile: 5 such jobs in r2_hybrid_rrf alone).
+    * Schema is catalog metadata, not query results: data is still
+    * read from parquet on every scan. Bounded driver state: one
+    * StructType per version dir touched in the process.
+    */
+  private val schemaCatalog = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
+  /** Read a COMMITTED (immutable) version dir with its cached schema,
+    * skipping the per-call inference job. Only version dirs may pass
+    * through here — never a path whose content can change.
+    */
+  private def readCommitted(spark: SparkSession, dir: String): DataFrame = {
+    val schema =
+      schemaCatalog.getOrElseUpdate(dir, spark.read.parquet(dir).schema)
+    spark.read.schema(schema).parquet(dir)
+  }
+
   /** Read the live version (throws if nothing was ever published). */
   def read(spark: SparkSession, base: String): DataFrame =
     resolve(spark, base) match {
-      case Some(dir) => spark.read.parquet(dir.toString)
+      case Some(dir) => readCommitted(spark, dir.toString)
       case None => throw new java.io.FileNotFoundException(
         s"no published version at $base")
     }
@@ -698,7 +721,7 @@ object VersionedStore {
       buildLedger.add((new Path(base).getName, (System.nanoTime() - t0) / 1e9))
       built
     }
-    spark.read.parquet(dir.toString)
+    readCommitted(spark, dir.toString)
   }
 
   /** The standard corpus-derived-artifact cache: warehouse-dir base
