@@ -380,6 +380,62 @@ object TextOps {
         .write.parquet(out)
     }
 
+  /** DISTINCT (doc_id, h) 8-word sliding-window hashes of the PLAIN
+    * corpus, as a build-once fingerprint-keyed artifact (r18) — the
+    * decontamination screens' shared signature store, the same stored
+    * dedup-signature class as [[shingleIndex]] and the MinHash
+    * signature store. d7b (threshold-overlap) and d22 (Bloom screen)
+    * previously re-derived this stream (corpus-wide explode + hash +
+    * distinct, the dominant profiled stage in both) behind per-query
+    * localCheckpoints on every execution; both now serve from the
+    * stored rows (d7b's per-(doc, bench) hit count is COUNT(DISTINCT
+    * h), so the distinct store is semantics-preserving there too).
+    * Oracles still recompute from raw text.
+    */
+  def docWindowHashes(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "doc_window_hashes",
+        logicKey = "w8 phash distinct v1") { out =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 8), " +
+            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+        .select(col("doc_id"), phash(col("w")).as("h"))
+        .distinct()
+        .write.parquet(out)
+    }
+
+  /** d21's window-hash store: DISTINCT (doc_id, h) over the NOVELTY
+    * fixture corpus (documents + exact copies at +1e6 for doc_id%10 +
+    * d18's shifted partial copies at +3e7 for doc_id%5) — the arrival
+    * index a growing corpus maintains incrementally in production.
+    * Same discipline as [[docWindowHashes]]; the plant recipe is part
+    * of the logic key.
+    */
+  def noveltyWindowHashes(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "novelty_window_hashes",
+        logicKey = "w8 phash exact%10+1e6 shift%5+3e7 distinct v1") { out =>
+      val sp0 = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val exact = sp0.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("ws"))
+      val shifted = sp0.filter(col("doc_id") % 5 === 0 && size(col("ws")) >= 48)
+        .select(col("doc_id"), col("ws"),
+          expr("transform(sequence(0, 7), " +
+            "i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          expr("concat(slice(ws, 1, 12), fill, slice(ws, 31, 12))").as("ws"))
+      sp0.unionByName(exact).unionByName(shifted)
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 8), " +
+            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+        .select(col("doc_id"), phash(col("w")).as("h"))
+        .distinct()
+        .write.parquet(out)
+    }
+
   /** Shared candidate-pair mechanics of d3 (Jaccard) and d6
     * (containment): inverted-index self-join over df-capped shingles →
     * (doc1, doc2, inter, n1, n2). One definition per dialect so the two
@@ -482,14 +538,25 @@ object TextOps {
     * and the bench fixture — batch-cut independent, which is what
     * makes the streaming twin's replay convergence trivial.
     */
-  private[graft] def d7bVerdicts(sp: DataFrame, bw: DataFrame): DataFrame = {
+  private[graft] def d7bVerdicts(sp: DataFrame, bw: DataFrame): DataFrame =
+    d7bVerdictsFromWindows(
+      sp.filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 8), " +
+            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
+        .select(col("doc_id"), phash(col("w")).as("h")),
+      bw)
+
+  /** [[d7bVerdicts]] over a PREBUILT (doc_id, h) window-hash stream —
+    * the d7b query serves the stored [[docWindowHashes]] artifact
+    * through this entry (per-(doc, bench) hits are COUNT(DISTINCT h),
+    * so a distinct store is equivalent to the raw stream); streaming
+    * batches keep deriving their stream from text via the (sp, bw)
+    * overload.
+    */
+  private[graft] def d7bVerdictsFromWindows(dw: DataFrame, bw: DataFrame): DataFrame = {
     val bt = bw.groupBy("bench_id")
       .agg(count(lit(1)).cast("long").as("n_item_windows"))
-    val dw = sp.filter(size(col("ws")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws) - 8), " +
-          "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
-      .select(col("doc_id"), phash(col("w")).as("h"))
     val hit = dw.join(broadcast(bw), Seq("h"))
       .groupBy("doc_id", "bench_id")
       .agg(countDistinct("h").cast("long").as("n_present"))
@@ -1184,7 +1251,10 @@ object TextOps {
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
       val bw = d7bBenchWindows(d7bBenchFixture(sp))
         .localCheckpoint() // fixture-sized; feeds probe join + totals
-      d7bVerdicts(sp, bw).orderBy("doc_id", "bench_id")
+      // corpus side from the stored window-hash signature store (r18
+      // — the window derivation was the query's dominant stage)
+      d7bVerdictsFromWindows(docWindowHashes(s, d), bw)
+        .orderBy("doc_id", "bench_id")
     },
 
     // D22: Bloom-filter decontamination screen — the membership
@@ -1274,13 +1344,11 @@ object TextOps {
         expr(s"(element_at(__bw, CAST($p div 32 AS INT) + 1) & " +
           s"shiftleft(CAST(1 AS BIGINT), CAST($p % 32 AS INT))) <> 0")
       }.reduce(_ && _)
-      val dwd = sp.filter(size(col("ws")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 8), " +
-            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
-        .select(col("doc_id"), phash(col("w")).as("h"))
-        .distinct()
-        .localCheckpoint() // feeds the map-only test AND the truth channel
+      // the distinct (doc_id, h) window stream from the stored
+      // signature store (r18 — it was re-derived per execution behind
+      // a localCheckpoint; one aggregate consumes it, so the plain
+      // artifact scan needs no checkpoint)
+      val dwd = docWindowHashes(s, d)
       // ONE per-doc aggregate serves both channels: the ground-truth
       // exact count rides the same broadcast bench set as before but
       // as a left-join hit FLAG summed inside the bloom rollup — the
@@ -1515,35 +1583,15 @@ object TextOps {
          |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
          |       CAST((1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS novelty_ppm
          |FROM fst GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val sp0 = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val exact = sp0.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("ws"))
-      val shifted = sp0.filter(col("doc_id") % 5 === 0 && size(col("ws")) >= 48)
-        .select(col("doc_id"), col("ws"),
-          expr("transform(sequence(0, 7), " +
-            "i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
-        .select((col("doc_id") + 30000000L).as("doc_id"),
-          expr("concat(slice(ws, 1, 12), fill, slice(ws, 31, 12))").as("ws"))
-      val win = sp0.unionByName(exact).unionByName(shifted)
-        .filter(size(col("ws")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 8), " +
-            "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
-        .select(col("doc_id"), phash(col("w")).as("h"))
-      // ONE exchange for both the per-(doc, h) dedup and the per-h
-      // first-occurrence: hash(h) satisfies the (h, doc_id) clustering,
-      // so the rn window rides the min window's exchange with only an
-      // extra in-partition sort — a .distinct() here would pay a second
-      // full-stream shuffle on (doc_id, h) for the same result. min
-      // over ALL rows equals min over distinct rows, so first_doc can
-      // be computed before the dedup filter.
-      win
+      // the DISTINCT (doc_id, h) window stream comes from the stored
+      // arrival-index artifact (r18, noveltyWindowHashes — the
+      // corpus-wide window derivation was the query's dominant stage);
+      // the store is already distinct, so the old __rn dedup window is
+      // gone and serving is ONE h-keyed exchange (first-occurrence
+      // min) + the per-doc rollup.
+      noveltyWindowHashes(s, d)
         .withColumn("first_doc",
           min("doc_id").over(Window.partitionBy("h")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("h", "doc_id").orderBy("doc_id")))
-        .filter(col("__rn") === 1)
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_windows"),
           sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
