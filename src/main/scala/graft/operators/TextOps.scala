@@ -223,18 +223,23 @@ object TextOps {
 
   /** Engine twin of [[spanCutSql]]: input (doc_id, ws, ...), output the
     * input plus a `kept` array column (surviving tokens in order). The
-    * window stream is checkpointed (it feeds the dup-evidence agg and
-    * the canonical ranking); the rewrite is a narrow per-doc array
+    * window stream feeds the dup-evidence agg and the canonical
+    * ranking: derived from `c` and checkpointed by default, or (r18)
+    * supplied prebuilt via `win0` — d19 passes the stored
+    * [[spanWindowHashes]] artifact, whose parquet scans need no
+    * checkpoint; e2e2's corpus is a mid-pipeline survivor set, so it
+    * keeps deriving from text. The rewrite is a narrow per-doc array
     * filter after one doc_id join against the sparse span lists.
     */
-  private[operators] def spanCleaned(c: DataFrame): DataFrame = {
-    val win = c.filter(size(col("ws")) >= 8)
+  private[operators] def spanCleaned(c: DataFrame,
+      win0: Option[DataFrame] = None): DataFrame = {
+    val win = win0.getOrElse(c.filter(size(col("ws")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 8), " +
           "i -> struct(i AS i, concat_ws(' ', slice(ws, i + 1, 8)) AS w))")).as("s"))
       .select(col("doc_id"), col("s.i").cast("long").as("i"),
         phash(col("s.w")).as("h"))
-      .localCheckpoint() // feeds the dup-evidence agg and the ranking
+      .localCheckpoint()) // feeds the dup-evidence agg and the ranking
     // "window in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id):
     // one h-keyed exchange with map-side partial min/max, where the
     // distinct-then-count form paid a (h, doc_id) exchange AND an
@@ -403,6 +408,37 @@ object TextOps {
             "i -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("w"))
         .select(col("doc_id"), phash(col("w")).as("h"))
         .distinct()
+        .write.parquet(out)
+    }
+
+  /** The d18/d19 POSITIONAL window-hash store: (doc_id, i, h) sliding
+    * 8-word windows over the span-dedup fixture corpus (documents +
+    * d18's shifted partial copies at +3e7 for doc_id%5, len≥48) — the
+    * positional fingerprint table the Lee et al. substring pipeline
+    * keeps, [[graft.operators.Retrieval.posIndexArtifact]]'s analogue
+    * for span dedup. Both span queries previously re-derived it from
+    * text behind a localCheckpoint on every execution (their dominant
+    * profiled stage); same build-once fingerprint discipline as
+    * [[docWindowHashes]], plant recipe in the logic key.
+    */
+  def spanWindowHashes(s: SparkSession, d: String): DataFrame =
+    graft.sinks.VersionedStore.corpusArtifact(s, d, "span_window_hashes",
+        logicKey = "w8 phash positional shift%5+3e7 v1") { out =>
+      val sp0 = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val planted = sp0.filter(col("doc_id") % 5 === 0 && size(col("ws")) >= 48)
+        .select(col("doc_id"), col("ws"),
+          expr("transform(sequence(0, 7), " +
+            "i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          expr("concat(slice(ws, 1, 12), fill, slice(ws, 31, 12))").as("ws"))
+      sp0.unionByName(planted)
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 8), " +
+            "i -> struct(i AS i, concat_ws(' ', slice(ws, i + 1, 8)) AS w))")).as("s"))
+        .select(col("doc_id"), col("s.i").cast("long").as("i"),
+          phash(col("s.w")).as("h"))
         .write.parquet(out)
     }
 
@@ -1455,22 +1491,12 @@ object TextOps {
          |       CAST(COUNT(*) AS BIGINT) AS n_windows
          |FROM isl2 GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
-      val sp0 = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val planted = sp0.filter(col("doc_id") % 5 === 0 && size(col("ws")) >= 48)
-        .select(col("doc_id"), col("ws"),
-          expr("transform(sequence(0, 7), " +
-            "i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
-        .select((col("doc_id") + 30000000L).as("doc_id"),
-          expr("concat(slice(ws, 1, 12), fill, slice(ws, 31, 12))").as("ws"))
-      val c = sp0.unionByName(planted)
-      val win = c.filter(size(col("ws")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 8), " +
-            "i -> struct(i AS i, concat_ws(' ', slice(ws, i + 1, 8)) AS w))")).as("s"))
-        .select(col("doc_id"), col("s.i").cast("long").as("i"),
-          phash(col("s.w")).as("h"))
-        .localCheckpoint() // feeds the dup-hash agg and the cover join
+      // the positional window stream comes from the stored
+      // span_window_hashes artifact (r18 — the corpus-wide window
+      // derivation was the query's dominant stage; its two consumers
+      // below are plain artifact scans, so the checkpoint went with
+      // the recomputation it shared)
+      val win = spanWindowHashes(s, d)
       // min != max ⟺ >= 2 distinct docs — one exchange, not two
       // (see spanCleaned's dup note)
       val dup = win.groupBy("h")
@@ -1538,7 +1564,12 @@ object TextOps {
             "i -> concat('x', CAST(doc_id AS STRING), 'f', CAST(i AS STRING)))").as("fill"))
         .select((col("doc_id") + 30000000L).as("doc_id"),
           expr("concat(slice(ws, 1, 12), fill, slice(ws, 31, 12))").as("ws"))
-      spanCleaned(sp0.unionByName(planted))
+      // window stream from the stored span_window_hashes artifact
+      // (r18); the corpus frame is still scanned for the rewrite
+      // (kept tokens reassemble from ws), which is the honest
+      // text-touching half of the pipeline
+      spanCleaned(sp0.unionByName(planted),
+          win0 = Some(spanWindowHashes(s, d)))
         .select(col("doc_id"),
           size(col("ws")).cast("long").as("n_before"),
           size(col("kept")).cast("long").as("n_after"),

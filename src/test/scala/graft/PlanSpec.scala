@@ -973,10 +973,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
-    // the rewrite join reads the corpus union (2 branches); the window
-    // stream side is checkpointed — a pair join would need more
-    assert(scans.length <= 2,
-      s"d19 rescans the corpus ${scans.length} times — pair-join smell")
+    // r18: the window stream comes from the stored span_window_hashes
+    // artifact (dup-evidence agg + canonical ranking = 2 artifact
+    // scans); the rewrite join still reads the corpus union (2
+    // branches). A pair join would need MORE corpus scans than the
+    // union's two.
+    val (idx, corpus) = scans.partition(_.relation.location.rootPaths
+      .forall(_.toString.contains("span_window_hashes")))
+    assert(corpus.length <= 2,
+      s"d19 rescans the corpus ${corpus.length} times — pair-join smell")
+    assert(idx.length <= 2,
+      s"d19 scans the window store ${idx.length} times")
   }
 
   test("d7b decontamination: bench windows broadcast; one corpus scan, no shuffle of text") {
